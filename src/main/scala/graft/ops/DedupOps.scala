@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Order-sensitive dedup / union operators (SURVEY.md U1–U4, H4).
+  *
+  * pandas `drop_duplicates(keep='first')`
+  * (/root/reference/etl_payroll_pipeline.py:317,547) depends on implicit row
+  * order. Spark has no implicit row order, so every order-sensitive operator
+  * here takes an explicit ingest-ordinal column. The ordinal is attached at
+  * the source (`withIngestOrdinal`) and survives arbitrary repartitioning —
+  * keep-first semantics are therefore partition-count-independent, which is
+  * the property that makes these operators safe at 100 TB.
+  */
+object DedupOps {
+
+  val OrdinalCol = "_ingest_ord"
+
+  /** Attach an ingest ordinal reflecting current row order.
+    *
+    * `monotonically_increasing_id` is deterministic for a given partition
+    * layout (partition index in the upper bits, row-in-partition in the
+    * lower), which makes it a stable ordinal for single-file or
+    * deterministically-split reads — the reference's inputs are single
+    * files. For large multi-partition inputs prefer
+    * [[withIngestOrdinalFrom]] over a sortable natural key. */
+  def withIngestOrdinal(df: DataFrame): DataFrame =
+    df.withColumn(OrdinalCol, monotonically_increasing_id())
+
+  /** Ordinal derived from a total natural-key ordering — the scale-safe
+    * variant (documented invariant, SURVEY §4). */
+  def withIngestOrdinalFrom(df: DataFrame, keys: Seq[Column]): DataFrame =
+    df.withColumn(OrdinalCol, row_number().over(Window.orderBy(keys: _*)).cast("long"))
+
+  /** U1 — union aligned by column name, missing columns → null, first block
+    * ordered before the second (ref 436: BW then MN). Ordinals are
+    * block-offset so `keep='first'` sees BW rows first. */
+  def unionByNameOrdered(first: DataFrame, second: DataFrame): DataFrame = {
+    val a = withIngestOrdinal(first)
+    // Offset the second block past any monotonically_increasing_id value of
+    // the first (partition bits make a plain max unusable as a base).
+    val b = withIngestOrdinal(second)
+      .withColumn(OrdinalCol, col(OrdinalCol) + lit(Long.MaxValue / 2))
+    a.unionByName(b, allowMissingColumns = true)
+  }
+
+  /** U2/U4 — keep-FIRST dedup on a key subset (ref 314-317, 547): the
+    * survivor of each key group is the minimum-ordinal row. Keys missing
+    * from the schema are ignored (ref guards with `if c in df.columns`).
+    *
+    * One shuffle on the dedup keys; the window is a partial-agg-free
+    * row_number but the alternative (groupBy(keys).agg(min_by(struct(*))))
+    * materializes whole rows through the agg — row_number is the
+    * cleaner plan and AQE handles skewed keys. */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val present = keys.filter(df.columns.contains)
+    if (present.isEmpty) df
+    else {
+      val w = Window.partitionBy(present.map(col): _*).orderBy(col(OrdinalCol))
+      df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_rn")
+    }
+  }
+
+  /** U2 keep-first over an explicit in-group ordering — the scale-preferred
+    * form when a sortable natural key exists: the window partitions on the
+    * dedup keys (one shuffle, no global sort, no single-partition
+    * bottleneck). */
+  def dedupKeepFirstBy(df: DataFrame, keys: Seq[String],
+                       order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** U3 — full-row distinct that PRESERVES a well-defined ordinal: the kept
+    * ordinal of each duplicate group is the group minimum, so a later
+    * keep-first (U4) remains deterministic (ref 546-547 chain). */
+  def distinctKeepMinOrdinal(df: DataFrame): DataFrame = {
+    val dataCols = df.columns.filterNot(_ == OrdinalCol).toIndexedSeq
+    df.groupBy(dataCols.map(col): _*)
+      .agg(min(col(OrdinalCol)).as(OrdinalCol))
+  }
+
+  /** Sort by ingest ordinal and drop it — final step before a sink so output
+    * row order matches the reference's frame order (SURVEY §2.1 sorts). */
+  def sortAndDropOrdinal(df: DataFrame): DataFrame =
+    if (df.columns.contains(OrdinalCol)) df.orderBy(col(OrdinalCol)).drop(OrdinalCol)
+    else df
+}
