@@ -51,8 +51,9 @@ object ColumnOps {
   }
 
   /** D8 — parse timestamp, null on failure (pandas errors='coerce';
-    * ref 322,374,438). Spark's to_timestamp is already null-on-failure. */
-  def toTimestampCoerce(c: Column): Column = to_timestamp(c.cast(StringType))
+    * ref 322,374,438). try_to_timestamp: null-on-failure even under ANSI
+    * mode (Spark 4 default, where plain to_timestamp throws). */
+  def toTimestampCoerce(c: Column): Column = try_to_timestamp(c.cast(StringType))
 
   /** D9 — null-fill from a sibling column (ref 273-274). */
   def fillFrom(c: Column, fallback: Column): Column = coalesce(c, fallback)

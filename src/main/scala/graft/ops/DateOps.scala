@@ -13,14 +13,16 @@ object DateOps {
   final case class FiscalYear(start: LocalDateTime, end: LocalDateTime)
 
   /** D13 — fiscal-year bounds from an injected clock (ref 443-447).
-    * A run in Aug 2026 selects FY Jul 2025 – Jun 2026 — the reference's
-    * exact (arguably surprising) behavior is preserved. */
+    * A run in Aug 2026 selects FY Jul 2025 – Jun 2026, and fy_end is
+    * MIDNIGHT of Jun 30 (`datetime(year, 6, 30)`) so Jun 30 intraday
+    * timestamps fall OUTSIDE the window — the reference's exact (arguably
+    * surprising) behavior is preserved. */
   def fiscalYearBounds(clock: Clock): FiscalYear = {
     val today = LocalDate.now(clock)
     val y = today.getYear
     FiscalYear(
       LocalDateTime.of(y - 1, 7, 1, 0, 0, 0),
-      LocalDateTime.of(y, 6, 30, 23, 59, 59))
+      LocalDateTime.of(y, 6, 30, 0, 0, 0))
   }
 
   /** S8 — date-stamped output naming `PREFIX_Data_Transformed_MMddyyyy_HHmm`
