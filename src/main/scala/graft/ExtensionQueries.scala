@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+
+/** Training-data-pipeline extension operators (SURVEY.md §7.5 north star):
+  * text analysis, exact/near dedup (MinHash, SimHash, n-gram Jaccard),
+  * and embedding similarity search — each as a Verify query with a DuckDB
+  * oracle so the *computation* (hashing, shingling, signatures, cosine) is
+  * checked across engines, not just row counts.
+  *
+  * Scale notes: every per-doc computation here is map-side (no shuffle);
+  * the only exchanges are the final groupBy/window, keyed so AQE can
+  * coalesce/split them. Near-dup candidate generation is LSH-bucketed
+  * (shuffle on band key ~ O(N)), never the O(N²) cross join.
+  */
+object ExtensionQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_text_tokens" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "x02_text_quality" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+                length(col("text")).as("len"),
+                round(T.punctRatio(col("text")), 4).as("punct_ratio"),
+                round(T.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+                T.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    "x03_text_langid" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), T.langId(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))),
+
+    "x04_text_fingerprint" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    "x05_dedup_exact" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(T.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dups"))
+        .select(col("keep_id"), col("dups"), col("fp"))
+        .orderBy(col("keep_id"))),
+
+    "x06_dedup_minhash" -> ((s, dir) => {
+      val sig = T.minhashSignature(col("text"), n = 3, k = 8)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+                concat_ws("|", sig).as("sig"),
+                concat_ws("|", T.lshBands(sig, bands = 4, rowsPerBand = 2))
+                  .as("bands"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "x07_dedup_simhash" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), T.simhash(col("text"), 16).as("sh"))
+        .orderBy(col("doc_id"))),
+
+    "x08_dedup_ngram_jaccard" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+                T.ngramJaccard(col("text_a"), col("text_b"), 3).as("jaccard"))
+        .orderBy(col("id_a"))
+    }),
+
+    "x09_sim_topk" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cand = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid").asc)
+      broadcast(q).join(cand, col("nid") =!= col("qid"))
+        .withColumn("cos", V.cosine(col("qv"), col("nv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("nid"),
+                round(col("cos"), 4).as("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    "x10_sim_pairs" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+                round(V.cosine(col("va"), col("vb")), 4).as("cos"))
+        .orderBy(col("id_a"))
+    }))
+
+  // --- DuckDB oracles ------------------------------------------------------
+
+  private val enStop = T.EnStopwords.mkString("|")
+  private def markers(l: String) =
+    T.LangMarkers.toMap.apply(l).mkString("|")
+
+  /** DuckDB fragment: count of whole-word matches of a marker set. */
+  private def mc(ms: String) =
+    s"len(regexp_extract_all(lower(text), '\\b($ms)\\b'))"
+
+  private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** DuckDB fragment: word 3-gram shingles of `text`. */
+  private val shinglesSql =
+    s"""list_transform(generate_series(1, len($wordsSql) - 2),
+        i -> $wordsSql[i] || ' ' || $wordsSql[i+1] || ' ' || $wordsSql[i+2])"""
+
+  private def minhashSql(seed: Int) =
+    s"list_aggregate(list_transform(sh, s -> md5('$seed:' || s)), 'min')"
+
+  private val cosSql =
+    """CASE WHEN sqrt(list_dot_product(va, va)) = 0
+            OR sqrt(list_dot_product(vb, vb)) = 0 THEN NULL
+       ELSE list_dot_product(va, vb) /
+            (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+       END"""
+
+  val oracleSql: Map[String, String] = Map(
+    "x01_text_tokens" ->
+      s"""SELECT doc_id, len($wordsSql) AS n_tokens
+          FROM documents ORDER BY doc_id""",
+
+    "x02_text_quality" ->
+      s"""SELECT doc_id, length(text) AS len,
+            round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+                  / length(text), 4) AS punct_ratio,
+            round(${mc(enStop)}::DOUBLE / len($wordsSql), 4) AS stopword_ratio,
+            round(${mc(enStop)}::DOUBLE / len($wordsSql) * 0.5
+                  + length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                    / length(text) * 0.3
+                  + (1 - length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+                       / length(text)) * 0.2, 4) AS quality
+          FROM documents ORDER BY doc_id""",
+
+    "x03_text_langid" ->
+      s"""SELECT doc_id,
+            CASE WHEN ${mc(markers("en"))} >= ${mc(markers("de"))}
+                  AND ${mc(markers("en"))} >= ${mc(markers("es"))}
+                  AND ${mc(markers("en"))} >= ${mc(markers("fr"))} THEN 'en'
+                 WHEN ${mc(markers("de"))} >= ${mc(markers("es"))}
+                  AND ${mc(markers("de"))} >= ${mc(markers("fr"))} THEN 'de'
+                 WHEN ${mc(markers("es"))} >= ${mc(markers("fr"))} THEN 'es'
+                 ELSE 'fr' END AS lang_guess
+          FROM documents ORDER BY doc_id""",
+
+    "x04_text_fingerprint" ->
+      """SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "x05_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dups,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents GROUP BY fp ORDER BY keep_id""",
+
+    "x06_dedup_minhash" ->
+      s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+          sig AS (SELECT doc_id,
+            [${(0 until 8).map(minhashSql).mkString(",\n             ")}] AS sg
+            FROM s)
+          SELECT doc_id, array_to_string(sg, '|') AS sig,
+            array_to_string([
+              md5(sg[1] || '|' || sg[2]), md5(sg[3] || '|' || sg[4]),
+              md5(sg[5] || '|' || sg[6]), md5(sg[7] || '|' || sg[8])], '|')
+              AS bands
+          FROM sig ORDER BY doc_id""",
+
+    "x07_dedup_simhash" ->
+      s"""WITH h AS (SELECT doc_id,
+            list_transform($wordsSql,
+              w -> ('0x' || substr(md5(w), 1, 4))::BIGINT) AS hv
+          FROM documents)
+          SELECT doc_id,
+            (${(0 until 16).map(i =>
+              s"""CASE WHEN list_sum(list_transform(hv,
+                    x -> CASE WHEN (x >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN ${1L << i} ELSE 0 END""").mkString("\n + ")})::BIGINT AS sh
+          FROM h ORDER BY doc_id""",
+
+    "x08_dedup_ngram_jaccard" ->
+      s"""WITH s AS (SELECT doc_id, list_distinct($shinglesSql) AS sh
+                     FROM documents)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            round(len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE
+              / (len(a.sh) + len(b.sh)
+                 - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 4)
+              AS jaccard
+          FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+          ORDER BY id_a""",
+
+    "x09_sim_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                       q.v AS va, c.v AS vb
+                FROM e q JOIN e c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < 5),
+          r AS (SELECT qid, nid, $cosSql AS cos FROM p),
+          rk AS (SELECT qid, nid, cos, row_number() OVER (
+                   PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+                 FROM r)
+          SELECT qid, rank, nid, round(cos, 4) AS cos
+          FROM rk WHERE rank <= 3 ORDER BY qid, rank""",
+
+    "x10_sim_pairs" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            round((SELECT $cosSql
+                   FROM (SELECT a.v AS va, b.v AS vb) t), 4) AS cos
+          FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+          ORDER BY id_a""")
+}

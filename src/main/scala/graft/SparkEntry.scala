@@ -7,9 +7,11 @@ object SparkEntry {
     ParityQueries.queries("q13_join_lookup")(spark, "/root/testdata/sf0.001")
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ graft.pipeline.PayrollQueries.queries
+    ParityQueries.queries ++ graft.pipeline.PayrollQueries.queries ++
+      ExtensionQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracleSql ++ graft.pipeline.PayrollQueries.oracleSql
+    ParityQueries.oracleSql ++ graft.pipeline.PayrollQueries.oracleSql ++
+      ExtensionQueries.oracleSql
 }

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines:
+  * language-ID, quality scoring, token counting, fingerprinting, shingling,
+  * MinHash signatures, SimHash. Everything is composed from built-in
+  * `org.apache.spark.sql.functions` (codegen'd, no UDFs), so the operators
+  * stay inside whole-stage codegen and scale linearly with no driver-side
+  * state — the properties that matter at 100 TB.
+  *
+  * Hash conventions use md5 (available verbatim in DuckDB/Trino/most
+  * engines), making every function oracle-checkable across engines.
+  */
+object TextFunctions {
+
+  /** Words of a document: trim, split on whitespace runs. */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count — whitespace tokenization. */
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish subword-token estimate: word-initial pieces + punctuation
+    * (regex token classes, no vocab). Counts matches of word pieces of ≤4
+    * chars — a deterministic proxy for subword token counts. */
+  def subwordCount(text: Column): Column =
+    size(split(trim(text), "(?<=\\G.{4})|\\s+")) // every 4 chars or a space
+
+  /** Ratio of punctuation chars to total length. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") /
+      length(text).cast("double")
+
+  /** Ratio of alphabetic chars to total length. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      length(text).cast("double")
+
+  val EnStopwords = Seq("the", "and", "of", "to", "in", "a", "is", "for")
+
+  /** Whole-word occurrences of any of the given markers. */
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    regexp_count(lower(text), lit("\\b(" + markers.mkString("|") + ")\\b"))
+
+  /** Stopword tokens per token — a classic quality signal. */
+  def stopwordRatio(text: Column): Column =
+    markerCount(text, EnStopwords).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Composite document quality score in [0,1]:
+    * 0.5·stopword_ratio + 0.3·alpha_ratio + 0.2·(1 − punct_ratio). */
+  def qualityScore(text: Column): Column =
+    round(stopwordRatio(text) * 0.5 + alphaRatio(text) * 0.3 +
+      (lit(1.0) - punctRatio(text)) * 0.2, 4)
+
+  /** Language marker profiles for the n-gram/stopword language heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "los", "que", "es"),
+    "fr" -> Seq("le", "les", "des", "est", "et", "une"))
+
+  /** Language-ID: argmax of marker-word counts with a fixed priority order
+    * on ties (en > de > es > fr) — deterministic, oracle-expressible. */
+  def langId(text: Column): Column = {
+    val counts = LangMarkers.map { case (l, ms) => l -> markerCount(text, ms) }
+    val Seq(en, de, es, fr) = counts.map(_._2)
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Document fingerprint: md5 of the case/whitespace-normalized text —
+    * the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** Word n-gram shingles (n consecutive words joined by one space). */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    transform(sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))
+  }
+
+  /** One MinHash component: min over shingles of md5(seed:shingle).
+    * Hex strings compare lexicographically — identical across engines. */
+  def minhashComponent(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr,
+      s => md5(concat(lit(s"$seed:"), s).cast("binary"))))
+
+  /** k-component MinHash signature as an array of hex strings. */
+  def minhashSignature(text: Column, n: Int, k: Int): Column = {
+    val sh = shingles(text, n)
+    array((0 until k).map(minhashComponent(sh, _)): _*)
+  }
+
+  /** LSH band keys: adjacent signature components hashed together; docs
+    * sharing any band key are near-dup candidates. */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r =>
+          element_at(sig, b * rowsPerBand + r + 1)): _*).cast("binary"))
+    }: _*)
+
+  /** SimHash over word unigrams, `bits` wide (≤ 16): per word take the
+    * first 16 bits of md5, accumulate ±1 per bit position, emit the sign
+    * bit-vector as an int. */
+  def simhash(text: Column, bits: Int): Column = {
+    val w = words(text)
+    val hashes = transform(w, x =>
+      conv(substring(md5(x.cast("binary")), 1, 4), 16, 10).cast("int"))
+    val bitCols = (0 until bits).map { i =>
+      val contrib = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(contrib > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (for near-dup verify). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Jaccard similarity of the distinct word n-gram shingle sets. */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val sa = array_distinct(shingles(a, n))
+    val sb = array_distinct(shingles(b, n))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni = (size(sa) + size(sb)).cast("double") - size(array_intersect(sa, sb))
+    round(inter / uni, 4)
+  }
+}

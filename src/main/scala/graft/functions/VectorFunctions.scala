@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType(FloatType)` embedding columns, composed from
+  * higher-order built-ins (`zip_with`/`aggregate`/`transform`) so the whole
+  * computation stays in codegen — no UDFs, no driver-side collection.
+  *
+  * Floats are widened to double BEFORE any arithmetic, and accumulation is
+  * a sequential left fold — both properties make results bit-identical to
+  * a straightforward loop in any other engine (the oracle requirement). */
+object VectorFunctions {
+
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential dot product of two equal-length vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), _ * _),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity; null when either norm is zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
+      .otherwise(d / (na * nb))
+  }
+
+  /** Sign-bit LSH bucket for a vector: h pseudo-random hyperplanes whose
+    * components are derived deterministically from md5(seed:plane:dim) —
+    * reproducible across runs and engines, no RNG state. The bucket id is
+    * the h-bit sign pattern of the projections. Vectors in the same bucket
+    * are ANN candidates; at scale this turns an O(N²) search into a
+    * bucket-local join. */
+  def lshBucket(v: Column, planes: Int, dims: Int, seed: Int = 42): Column = {
+    val dv = toDouble(v)
+    val bits = (0 until planes).map { p =>
+      // hyperplane component c_pd in [-1,1): from the first 8 md5 hex chars
+      val proj = (0 until dims).map { d =>
+        val h = conv(lit(md5Hex(s"$seed:$p:$d").substring(0, 8)), 16, 10)
+          .cast("long")
+        val coef = (h.cast("double") / lit(2147483648.0)) - 1.0
+        element_at(dv, d + 1) * coef
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+}
