@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Headline analytic queries (bench flagships): a TPC-H-Q1-style pricing
+  * summary and a Q5-style revenue join, shaped for the engine's scale
+  * story — partial-agg groupBy (map-side combine → tiny exchange) and a
+  * join tree where only genuinely-small sides broadcast.
+  *
+  * Money math uses integer CENTS (prices/discounts have 2 decimals), so
+  * sums are exact and hash-identical across engines regardless of
+  * summation order — float accumulation order would differ between Spark
+  * partial aggregates and the oracle. */
+object BenchQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b01_pricing_summary" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+            .as("sum_disc_cents_x100"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "b02_revenue_by_nation" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val n = broadcast(Tables(s, dir, "nation"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+            .as("revenue_cents_x100"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "b01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_base_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS sum_disc_cents_x100,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "b02_revenue_by_nation" ->
+      """SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS revenue_cents_x100,
+           count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""")
+}

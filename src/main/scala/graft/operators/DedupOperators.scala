@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+
+/** Whole-dataset deduplication operators for training-data pipelines.
+  *
+  * Scale design: every near-dup flavor is CANDIDATE GENERATION (an O(N)
+  * shuffle on a bucket key — never an O(N²) cross join) followed by
+  * pairwise VERIFICATION inside buckets. At 100 TB the bucket join is an
+  * ordinary shuffled equi-join that AQE can skew-split; the verify stage
+  * touches only candidate pairs.
+  */
+object DedupOperators {
+
+  /** Exact dedup by normalized-content fingerprint: one hash-groupBy
+    * (map-side partial agg), keeps the smallest id per group. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val surviving = df
+      .groupBy(T.fingerprint(col(textCol)).as("_fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("_fp")
+    df.join(surviving, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash+LSH near-dup candidate pairs: signature → band keys →
+    * explode → self-join per band → distinct pairs (a<b).
+    *
+    * Cost: explode multiplies rows by `bands` (a constant); the join
+    * shuffles on the band hash — uniform by construction (md5). */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 8,
+                        bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sig = T.minhashSignature(col(textCol), shingleN, k)
+    val banded = df
+      .select(col(idCol).as("_id"), posexplode(T.lshBands(sig, bands, rows)))
+      .toDF("_id", "_band_idx", "_band_key")
+    val a = banded.select(col("_band_idx"), col("_band_key"), col("_id").as("id_a"))
+    val b = banded.select(col("_band_idx").as("_bi2"), col("_band_key").as("_bk2"),
+                          col("_id").as("id_b"))
+    a.join(b, col("_band_idx") === col("_bi2") &&
+              col("_band_key") === col("_bk2") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** MinHash near-dup pairs, verified by true n-gram Jaccard ≥ threshold. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, shingleN: Int = 3, k: Int = 8,
+                      bands: Int = 4): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleN, k, bands)
+    val txt = df.select(col(idCol), col(textCol))
+    val withA = cands.join(txt.withColumnRenamed(idCol, "id_a")
+      .withColumnRenamed(textCol, "_text_a"), Seq("id_a"))
+    val withB = withA.join(txt.withColumnRenamed(idCol, "id_b")
+      .withColumnRenamed(textCol, "_text_b"), Seq("id_b"))
+    withB
+      .withColumn("jaccard", T.ngramJaccard(col("_text_a"), col("_text_b"), shingleN))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dups within a Hamming radius, found WITHOUT a cross
+    * join: split the `bits`-wide simhash into `radius+1` blocks — any two
+    * values within the radius must agree on at least one whole block
+    * (pigeonhole), so candidates come from equality joins on block values. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      bits: Int = 16, radius: Int = 3): DataFrame = {
+    val blocks = radius + 1
+    val blockBits = bits / blocks
+    val sh = df.select(col(idCol).as("_id"),
+                       T.simhash(col(textCol), bits).as("_sh"))
+    val banded = sh.select(col("_id"), col("_sh"),
+      posexplode(array((0 until blocks).map { blk =>
+        shiftright(col("_sh"), blk * blockBits)
+          .bitwiseAND((1L << blockBits) - 1)
+      }: _*))).toDF("_id", "_sh", "_blk", "_key")
+    val a = banded.select(col("_blk"), col("_key"),
+                          col("_id").as("id_a"), col("_sh").as("_sh_a"))
+    val b = banded.select(col("_blk").as("_blk2"), col("_key").as("_key2"),
+                          col("_id").as("id_b"), col("_sh").as("_sh_b"))
+    a.join(b, col("_blk") === col("_blk2") && col("_key") === col("_key2") &&
+              col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+              T.hammingDistance(col("_sh_a"), col("_sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= radius)
+  }
+
+  /** Embedding near-dups: sign-bit LSH bucket join + cosine verify. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        dims: Int, threshold: Double,
+                        planes: Int = 8): DataFrame = {
+    val bucketed = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      V.lshBucket(col(vecCol), planes, dims).as("_bucket"))
+    val a = bucketed.select(col("_bucket"), col("_id").as("id_a"),
+                            col("_v").as("_va"))
+    val b = bucketed.select(col("_bucket").as("_bucket2"), col("_id").as("id_b"),
+                            col("_v").as("_vb"))
+    a.join(b, col("_bucket") === col("_bucket2") && col("id_a") < col("id_b"))
+      .withColumn("cos", V.cosine(col("_va"), col("_vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

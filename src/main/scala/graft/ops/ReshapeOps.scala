@@ -46,8 +46,11 @@ object ReshapeOps {
     }
     if (keepIdx.length == df.columns.length) df
     else {
-      val cols = keepIdx.map(i => df.apply(df.columns(i))).toIndexedSeq
-      df.select(cols: _*)
+      // positional: rename everything unique first (df("name") would be
+      // ambiguous), then select the first occurrence of each name
+      val names = df.columns
+      val tmp = df.toDF(names.indices.map(i => s"_pos$i"): _*)
+      tmp.select(keepIdx.map(i => col(s"_pos$i").as(names(i))).toIndexedSeq: _*)
     }
   }
 

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference is batch-only (SURVEY.md
+  * §2.1 Streaming: absent — scheduling is GitHub Actions), so these are
+  * engine EXTENSIONS: the streaming shapes a landing-folder ingest of the
+  * same payroll/event data would need — windowed aggregation with
+  * watermarked late-data handling, streaming dedup, and stateful
+  * sessionization. All operate on the `events` schema
+  * (event_id, ts, user_id, event_type, value, props).
+  */
+object StreamingOps {
+
+  /** Tumbling-window event counts with a watermark: late rows beyond
+    * `lateness` are dropped instead of growing state forever — the
+    * property that keeps state bounded on an unbounded stream. */
+  def windowedCounts(events: DataFrame, window_ : String = "10 minutes",
+                     lateness: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * the streaming twin of batch U2/U3 (state = seen keys, GC'd by
+    * watermark). */
+  def streamingDedup(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class Session(userId: Long, nEvents: Long, totalValue: Double,
+                           startTs: java.sql.Timestamp, endTs: java.sql.Timestamp)
+  final case class SessionState(n: Long, total: Double,
+                                start: Long, last: Long)
+
+  /** Per-user sessionization via flatMapGroupsWithState: a session closes
+    * when the WATERMARK passes `gapMs` of inactivity (event-time timeout),
+    * emitting one summary row. Custom state the built-in windows can't
+    * express; state size is O(active users) and GC'd by the watermark. */
+  def sessionize(events: Dataset[(Long, java.sql.Timestamp, Double)],
+                 gapMs: Long,
+                 lateness: String = "1 second"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.toDF("user_id", "ts", "value")
+      .withWatermark("ts", lateness)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.n, s.total,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last)))
+          } else {
+            val batch = rows.toSeq
+            val ts = batch.map(_._2.getTime)
+            val prev = state.getOption.getOrElse(
+              SessionState(0L, 0.0, ts.min, ts.min))
+            val next = SessionState(
+              prev.n + batch.size, prev.total + batch.map(_._3).sum,
+              math.min(prev.start, ts.min), math.max(prev.last, ts.max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.last + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+}

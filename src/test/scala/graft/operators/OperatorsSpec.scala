@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class OperatorsSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    Seq(
+      (0L, base),
+      (1L, base),                                    // exact duplicate of 0
+      (2L, base.replace("lazy", "sleepy")),          // near-duplicate of 0
+      (3L, "completely different content about database engines and query plans here"),
+      (4L, "  The QUICK brown fox jumps over the lazy dog again and again today ")
+    ).toDF("doc_id", "text")                         // 4: case/space variant of 0
+  }
+
+  test("exactDedup keeps one representative per normalized content") {
+    import spark.implicits._
+    val out = DedupOperators.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    // 0,1,4 normalize identically → keep 0; 2 and 3 survive
+    assert(out.toSeq == Seq(0L, 2L, 3L))
+  }
+
+  test("minhash candidates find the planted near-duplicate, verify filters noise") {
+    // bands=8 (1 row/band): P(collision) per band = J, so the one-word-edit
+    // near-dup (J≈0.7) is a near-certain candidate
+    val cands = DedupOperators.minhashCandidates(docs, "doc_id", "text",
+      bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L))) // identical text always collides
+    val verified = DedupOperators.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.3, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.contains((0L, 1L)))
+    assert(verified.contains((0L, 2L)) || verified.contains((1L, 2L)))
+    assert(!verified.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("simhash near-dups: identical docs at distance 0, different docs far") {
+    val out = DedupOperators.simhashNearDups(docs, "doc_id", "text", radius = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(out.forall(_._3 <= 3))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("embedding near-dups via LSH buckets + cosine verify") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.01f, 0.0f, 0.0f)),  // near-dup of 0
+      (2L, Array(-1.0f, 0.2f, 0.0f, 0.0f)),    // opposite
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))      // orthogonal
+    ).toDF("vec_id", "embedding")
+    val out = DedupOperators.embeddingNearDups(vecs, "vec_id", "embedding",
+      dims = 4, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L)))
+  }
+
+  test("lshTopK recall vs bruteForceTopK on clustered vectors") {
+    import spark.implicits._
+    // two tight clusters; every query's true top-3 lives in its own cluster
+    def v(base: Float, i: Int) =
+      Array(base + i * 0.001f, 1.0f - base, 0.1f * i, 0.5f)
+    val corpus = ((0 until 10).map(i => (i.toLong, v(0.9f, i))) ++
+                  (10 until 20).map(i => (i.toLong, v(-0.9f, i - 10))))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id").isin(0L, 10L))
+    val exact = SimilaritySearch.bruteForceTopK(queries, corpus, 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilaritySearch.lshTopK(queries, corpus, 3, dims = 4, planes = 2)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall exact=$exact approx=$approx")
+  }
+
+  test("multimodal: media struct plumbing and stub decode are deterministic") {
+    import spark.implicits._
+    val df = Seq(("img1", "payloadbytes"), ("img2", "xy"))
+      .toDF("id", "raw")
+      .withColumn("payload", col("raw").cast("binary"))
+    val media = Multimodal.withMediaStruct(df, col("payload"), lit("png"))
+      .withColumn("decoded", Multimodal.decodeImageStub(col("media.payload")))
+      .withColumn("resized", Multimodal.resizeStub(col("decoded"), 64, 64))
+      .withColumn("cls", Multimodal.sizeClass(col("media.payload")))
+    val r = media.select("media.size_bytes", "decoded.width", "resized.width",
+      "cls").collect()
+    assert(r(0).getInt(0) == 12 && r(0).getInt(2) == 64 && r(0).getString(3) == "s")
+    // deterministic: same payload → same fake dimensions
+    val again = media.select("decoded.width").collect()
+    assert(r.map(_.getInt(1)).toSeq == again.map(_.getInt(0)).toSeq)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts aggregates tumbling windows with a watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamingOps.windowedCounts(df, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    mem.addData(
+      (1L, ts("2024-01-01 00:01:00"), "click", 1.0),
+      (2L, ts("2024-01-01 00:02:00"), "click", 2.0),
+      (3L, ts("2024-01-01 00:11:00"), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "select event_type, n, total from wc order by event_type").collect()
+    q.stop()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("streamingDedup drops repeated event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF().toDF("event_id", "ts")
+    val q = StreamingOps.streamingDedup(df).writeStream
+      .format("memory").queryName("dd").outputMode("append").start()
+    mem.addData((1L, ts("2024-01-01 00:00:01")), (1L, ts("2024-01-01 00:00:02")),
+                (2L, ts("2024-01-01 00:00:03")))
+    q.processAllAvailable()
+    val n = spark.sql("select count(distinct event_id) c, count(*) n from dd").head
+    q.stop()
+    assert(n.getLong(0) == 2 && n.getLong(1) == 2)
+  }
+
+  test("sessionize emits one summary per user once the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = StreamingOps.sessionize(mem.toDS(), gapMs = 60000)
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    mem.addData((7L, ts("2024-01-01 00:00:01"), 1.5),
+                (7L, ts("2024-01-01 00:00:05"), 2.5))
+    q.processAllAvailable()
+    // advance the watermark far past user 7's last event + gap
+    mem.addData((8L, ts("2024-01-01 01:00:00"), 9.0))
+    q.processAllAvailable()
+    mem.addData((8L, ts("2024-01-01 02:00:00"), 1.0)) // one more batch so the
+    q.processAllAvailable()                            // timeout actually fires
+    val rows = spark.sql("select userId, nEvents, totalValue from sess").collect()
+    q.stop()
+    assert(rows.exists(r => r.getLong(0) == 7L && r.getLong(1) == 2L &&
+      r.getDouble(2) == 4.0))
+  }
+}
