@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for selected queries so the
+  * scale properties are inspectable — broadcast joins where expected,
+  * filters/projections pushed into the parquet scans, wide whole-stage
+  * codegen spans, no stray shuffles. */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q01_scan_project", "q13_join_lookup", "q16_dedup_keepfirst",
+               "b01_pricing_summary", "b02_revenue_by_nation",
+               "x05_dedup_exact", "x09_sim_topk")
+    val spark = Sessions.local("8")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+import graft.SparkSpec
+
+/** Property-style checks (SURVEY.md §5.2.4) over seeded random inputs,
+  * evaluated through real Spark plans so the codegen paths are what's
+  * tested. Seed fixed for reproducibility. */
+class PropertySpec extends SparkSpec {
+
+  private val rnd = new Random(42)
+  private def plainStr(): String =
+    Random.alphanumeric.take(rnd.nextInt(12)).mkString
+
+  test("D3 never alters strings lacking the trailing .0 artifact") {
+    import spark.implicits._
+    for (_ <- 1 to 10) {
+      val in = List.fill(25)(plainStr()).filterNot(_.endsWith(".0"))
+      val out = in.toDF("v")
+        .select(ColumnOps.stripDecimalStr(col("v"))).as[String].collect()
+      assert(out.toSeq == in)
+    }
+  }
+
+  test("D11 mask equivalence: defaulted ⇔ value was a missing marker") {
+    import spark.implicits._
+    val pool: Seq[() => String] = Seq(
+      () => null, () => "", () => " nan ", () => "NaN", () => plainStr())
+    for (_ <- 1 to 5) {
+      val xs = List.fill(40)(pool(rnd.nextInt(pool.size))())
+      val out = xs.toDF("v")
+        .select(col("v"), ColumnOps.defaultIfMissing(col("v"), "INT").as("r"))
+        .collect()
+      out.foreach { row =>
+        val v = Option(row.getString(0)).map(_.trim)
+        val missing = v.isEmpty || v.exists(Set("", "nan", "NaN"))
+        assert((row.getString(1) == "INT") == (missing || v.contains("INT")),
+          s"v=$v r=${row.getString(1)}")
+      }
+    }
+  }
+
+  test("U2: no duplicate keys survive; every survivor is its group's min ordinal") {
+    import spark.implicits._
+    for (trial <- 1 to 5) {
+      val xs = List.fill(50)((rnd.nextInt(6), plainStr()))
+      val df = xs.zipWithIndex
+        .map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", DedupOps.OrdinalCol)
+        .repartition(3) // property must hold under arbitrary partitioning
+      val out = DedupOps.dedupKeepFirst(df, Seq("k"))
+        .select("k", DedupOps.OrdinalCol).as[(Int, Long)].collect()
+      assert(out.map(_._1).distinct.length == out.length, s"trial $trial")
+      val minOrd = xs.zipWithIndex.groupBy(_._1._1)
+        .view.mapValues(_.map(_._2.toLong).min).toMap
+      out.foreach { case (k, ord) =>
+        assert(ord == minOrd(k), s"trial $trial key $k kept $ord") }
+    }
+  }
+
+  test("U1: union row count is the sum and column set is the union") {
+    import spark.implicits._
+    for (_ <- 1 to 5) {
+      val na = rnd.nextInt(9); val nb = rnd.nextInt(9)
+      val a = (0 until na).map(i => (s"a$i", i)).toDF("id", "x")
+      val b = (0 until nb).map(i => (s"b$i", i.toDouble)).toDF("id", "y")
+      val u = DedupOps.unionByNameOrdered(a, b)
+      assert(u.count() == na + nb)
+      assert(u.columns.toSet == Set("id", "x", "y", DedupOps.OrdinalCol))
+    }
+  }
+
+  test("G1: result frequency is maximal; ties take the least value") {
+    import spark.implicits._
+    for (trial <- 1 to 5) {
+      val xs = List.fill(40)((rnd.nextInt(4), rnd.nextInt(5)))
+      val df = xs.map { case (k, v) => (s"k$k", s"v$v") }.toDF("k", "v")
+      val out = AggOps.modeDeterministic(df, "k", "v")
+        .as[(String, String)].collect().toMap
+      xs.groupBy(_._1).foreach { case (k, group) =>
+        val freq = group.groupBy(_._2).view.mapValues(_.size).toMap
+        val maxF = freq.values.max
+        val expected = freq.collect { case (v, f) if f == maxF => s"v$v" }.min
+        assert(out(s"k$k") == expected, s"trial $trial key k$k")
+      }
+    }
+  }
+}
