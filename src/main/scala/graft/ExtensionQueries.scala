@@ -91,6 +91,16 @@ object ExtensionQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    "x11_text_subword" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), T.subwordCount(col("text")).as("n_subwords"))
+        .orderBy(col("doc_id"))),
+
+    "x12_text_rollhash" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), T.rollingHash(col("text")).as("rh"))
+        .orderBy(col("doc_id"))),
+
     "x10_sim_pairs" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
@@ -213,6 +223,21 @@ object ExtensionQueries {
                  FROM r)
           SELECT qid, rank, nid, round(cos, 4) AS cos
           FROM rk WHERE rank <= 3 ORDER BY qid, rank""",
+
+    "x11_text_subword" ->
+      s"""SELECT doc_id,
+            CAST(list_sum(list_transform($wordsSql,
+              w -> ceil(length(w) / 4.0)::BIGINT)) AS BIGINT) AS n_subwords
+          FROM documents ORDER BY doc_id""",
+
+    "x12_text_rollhash" ->
+      """SELECT doc_id,
+           list_reduce(
+             [0::BIGINT] || list_transform(
+               list_transform(generate_series(1, length(text)), i -> text[i]),
+               c -> ascii(c)::BIGINT),
+             (a, b) -> (a * 31 + b) % 1000000007) AS rh
+         FROM documents ORDER BY doc_id""",
 
     "x10_sim_pairs" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -21,11 +21,19 @@ object TextFunctions {
   /** Token count — whitespace tokenization. */
   def tokenCount(text: Column): Column = size(words(text))
 
-  /** BPE-ish subword-token estimate: word-initial pieces + punctuation
-    * (regex token classes, no vocab). Counts matches of word pieces of ≤4
-    * chars — a deterministic proxy for subword token counts. */
+  /** BPE-ish subword-token estimate (no vocab): each word contributes
+    * ceil(len/4) pieces — a deterministic, oracle-expressible proxy for
+    * subword token counts. */
   def subwordCount(text: Column): Column =
-    size(split(trim(text), "(?<=\\G.{4})|\\s+")) // every 4 chars or a space
+    aggregate(words(text), lit(0L),
+      (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long"))
+
+  /** Polynomial rolling-hash fingerprint over characters:
+    * h = fold(h*31 + ascii(c)) mod 1e9+7 — the classic Rabin-Karp shape,
+    * sequential and integer-exact, so identical in any engine. */
+  def rollingHash(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
 
   /** Ratio of punctuation chars to total length. */
   def punctRatio(text: Column): Column =

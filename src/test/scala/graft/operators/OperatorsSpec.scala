@@ -80,6 +80,22 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall exact=$exact approx=$approx")
   }
 
+  test("IVF search: high recall with nprobe=1 on well-separated clusters") {
+    import spark.implicits._
+    def v(base: Float, i: Int) =
+      Array(base + i * 0.001f, 1.0f - base, 0.1f * i, 0.5f)
+    val corpus = ((0 until 10).map(i => (i.toLong, v(0.9f, i))) ++
+                  (10 until 20).map(i => (i.toLong, v(-0.9f, i - 10))))
+      .toDF("vec_id", "embedding")
+    val index = IvfSearch.build(corpus, nlist = 2)
+    val queries = corpus.filter(col("vec_id").isin(0L, 10L))
+    val exact = SimilaritySearch.bruteForceTopK(queries, corpus, 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = IvfSearch.search(index, queries, k = 3, nprobe = 1)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == exact, s"ivf=$ivf exact=$exact") // clusters are cleanly split
+  }
+
   test("multimodal: media struct plumbing and stub decode are deterministic") {
     import spark.implicits._
     val df = Seq(("img1", "payloadbytes"), ("img2", "xy"))
