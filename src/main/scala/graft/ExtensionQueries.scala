@@ -101,6 +101,26 @@ object ExtensionQueries {
         .select(col("doc_id"), T.rollingHash(col("text")).as("rh"))
         .orderBy(col("doc_id"))),
 
+    // batch sessionization (gaps-and-islands): the batch twin of
+    // StreamingOps.sessionize — lag + cumulative flag sum, 30-min gap
+    "x13_sessionize_batch" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gap = unix_timestamp(col("ts")) -
+        unix_timestamp(lag(col("ts"), 1).over(byUser))
+      val flag = when(gap.isNull || gap > 1800, 1).otherwise(0)
+      val cum = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("session_id", sum(flag).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+             round(sum(col("value")), 4).as("total_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     "x10_sim_pairs" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
@@ -238,6 +258,25 @@ object ExtensionQueries {
                c -> ascii(c)::BIGINT),
              (a, b) -> (a * 31 + b) % 1000000007) AS rh
          FROM documents ORDER BY doc_id""",
+
+    "x13_sessionize_batch" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts)::BIGINT - epoch(lag(ts) OVER w)::BIGINT > 1800
+                  THEN 1 ELSE 0 END AS flag
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sessioned AS (
+           SELECT user_id, ts, value,
+             (sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS start_ts, max(ts) AS end_ts,
+           round(sum(value), 4) AS total_value
+         FROM sessioned GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
 
     "x10_sim_pairs" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

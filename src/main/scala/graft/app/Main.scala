@@ -58,8 +58,15 @@ object Main {
     val pua = puaFile.map(f => TableIo.readXlsx(spark, storage, f.file_path))
     // the CPA Excel and YTD/Feeder_List inputs are loaded for load-summary
     // parity but never consumed (SURVEY.md §0 dead inputs)
-    Catalog.firstMatch(catalog,
+    val cpaDead = Catalog.firstMatch(catalog,
       Catalog.nameMatchesBounded("CPA") && Catalog.hasExtension(".xlsx", ".xls"))
+    summaries += LoadSummary("*CPA*.xlsx (unused)", cpaDead.isDefined, 0L)
+    val ytdDead = Catalog.firstMatch(lookupCatalog,
+      Catalog.nameContains("YTD") && Catalog.hasExtension(".xlsx", ".xls"))
+    ytdDead.foreach { f => // loaded-but-never-consumed, like the reference
+      val df = TableIo.readXlsx(spark, storage, f.file_path)
+      summaries += LoadSummary(f.file_name + " (unused)", found = true, df.count())
+    }
     loadCsvByName("Feeder_List.csv")
 
     val tsOrg = loadCsvByName("TS_Org.csv")

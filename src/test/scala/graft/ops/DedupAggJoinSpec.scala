@@ -76,6 +76,30 @@ class DedupAggJoinSpec extends SparkSpec {
     assert(out.count() == 2) // row count changed → the guard's warn case
   }
 
+  test("J7 observe-based guard collects row counts without an extra job") {
+    import spark.implicits._
+    val left = Seq(("k1", 1), ("k2", 2)).toDF("k", "x")
+    val lookup = Seq(("k1", "a")).toDF("k", "t")
+    val guarded = JoinOps.leftJoinGuarded(left, lookup, Seq("k"), "g")
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      @volatile var metrics: Map[String, Long] = Map.empty
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit = {
+        metrics = qe.observedMetrics.view.mapValues(_.getLong(0)).toMap
+      }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      assert(guarded.count() == 2)
+      var tries = 0
+      while (listener.metrics.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      assert(listener.metrics.get("g_before").contains(2L), listener.metrics)
+      assert(listener.metrics.get("g_after").contains(2L), listener.metrics)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("P4 reshapeToSpec materializes missing sources as null and reports them") {
     import spark.implicits._
     val df = Seq(("1", "n")).toDF("c_id", "c_name")
