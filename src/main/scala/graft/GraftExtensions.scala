@@ -1,0 +1,14 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.functions.expr.MinHashSig
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * functions so SQL users get them too.
+  *
+  * Usage: `--conf spark.sql.extensions=graft.GraftExtensions`, or
+  * `MinHashSig.register(spark)` on an existing session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(MinHashSig.registration)
+}

@@ -45,6 +45,30 @@ object DedupOperators {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Production-scale MinHash candidates using the native one-pass
+    * [[graft.functions.expr.MinHashSig]] expression (XXH64, k mins in one
+    * traversal) instead of the k-pass md5 composition — same banding join.
+    * Requires `MinHashSig.register(spark)` / GraftExtensions. */
+  def minhashCandidatesFast(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int = 3, k: Int = 8,
+                            bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sig = graft.functions.expr.MinHashSig(
+      T.shingles(col(textCol), shingleN), k)
+    val bandKeys = array((0 until bands).map { b =>
+      hash((0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*)
+    }: _*)
+    val banded = df
+      .select(col(idCol).as("_id"), posexplode(bandKeys))
+      .toDF("_id", "_band_idx", "_band_key")
+    val a = banded.select(col("_band_idx"), col("_band_key"), col("_id").as("id_a"))
+    val b = banded.select(col("_band_idx").as("_bi2"), col("_band_key").as("_bk2"),
+                          col("_id").as("id_b"))
+    a.join(b, col("_band_idx") === col("_bi2") &&
+              col("_band_key") === col("_bk2") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   /** MinHash near-dup pairs, verified by true n-gram Jaccard ≥ threshold. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, shingleN: Int = 3, k: Int = 8,

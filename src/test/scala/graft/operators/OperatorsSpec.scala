@@ -40,6 +40,15 @@ class OperatorsSpec extends SparkSpec {
     assert(!verified.exists { case (a, b) => b == 3L || a == 3L })
   }
 
+  test("fast minhash candidates (native expression) find the planted near-dup") {
+    graft.functions.expr.MinHashSig.register(spark)
+    val cands = DedupOperators.minhashCandidatesFast(docs, "doc_id", "text",
+      bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)))
+    assert(cands.contains((0L, 2L)) || cands.contains((1L, 2L)))
+  }
+
   test("simhash near-dups: identical docs at distance 0, different docs far") {
     val out = DedupOperators.simhashNearDups(docs, "doc_id", "text", radius = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
