@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
@@ -43,6 +43,35 @@ object Multimodal {
     * scale only the selected frames are ever decoded. */
   def frameSamplePlan(nFrames: Column, stride: Int): Column =
     filter(sequence(lit(0), nFrames - 1), i => i % stride === 0)
+
+  final case class MediaRow(id: String, payload: Array[Byte])
+  final case class DecodedRow(id: String, width: Int, height: Int,
+                              codec: String)
+
+  /** Batch decode boundary — the Scala analog of a `mapInPandas` codec
+    * worker: rows stream through `mapPartitions`, so a real decoder gets
+    * amortized per-partition init (codec contexts, native buffers) and the
+    * data never collects to the driver. The decode function itself is the
+    * STUB (the container ships no codecs); the batch shape, encoder
+    * signature, and partition-local iteration are the real contract a
+    * native/JNI decoder would drop into. */
+  def decodeBatch(media: Dataset[MediaRow])
+                 (decode: Array[Byte] => (Int, Int, String) = stubDecode)
+      : Dataset[DecodedRow] = {
+    implicit val enc = Encoders.product[DecodedRow]
+    media.mapPartitions { rows =>
+      // per-partition init would happen here (once per task, not per row)
+      rows.map { r =>
+        val (w, h, c) = decode(r.payload)
+        DecodedRow(r.id, w, h, c)
+      }
+    }
+  }
+
+  /** Deterministic stub: fake dimensions from the payload bytes. */
+  def stubDecode(payload: Array[Byte]): (Int, Int, String) =
+    (payload.length % 640 + 1,
+     (payload.length * 7) % 480 + 1, "fakeimg")
 
   /** Partition media rows into size classes so large payloads don't skew
     * task runtimes: returns a bucketing column for repartitionByRange. */

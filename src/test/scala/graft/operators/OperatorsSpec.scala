@@ -105,6 +105,17 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf == exact, s"ivf=$ivf exact=$exact") // clusters are cleanly split
   }
 
+  test("multimodal: batch decode streams through mapPartitions with typed rows") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow("a", "0123456789".getBytes),
+      Multimodal.MediaRow("b", Array.emptyByteArray)).toDS().repartition(2)
+    val out = Multimodal.decodeBatch(media)().collect().sortBy(_.id)
+    assert(out.map(_.id).toSeq == Seq("a", "b"))
+    assert(out(0).width == 11 && out(0).height == 71) // len 10 → stub dims
+    assert(out(1).width == 1 && out(1).codec == "fakeimg")
+  }
+
   test("multimodal: media struct plumbing and stub decode are deterministic") {
     import spark.implicits._
     val df = Seq(("img1", "payloadbytes"), ("img2", "xy"))
