@@ -85,11 +85,14 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
 
-  /** Word n-gram shingles (n consecutive words joined by one space). */
+  /** Word n-gram shingles (n consecutive words joined by one space).
+    * Documents with fewer than n words yield an EMPTY array — the guard
+    * matters because `sequence(0, negative)` would count DOWN. */
   def shingles(text: Column, n: Int): Column = {
     val w = words(text)
-    transform(sequence(lit(0), size(w) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
   }
 
   /** One MinHash component: min over shingles of md5(seed:shingle).

@@ -23,6 +23,7 @@ object TableIo {
     val df = spark.read
       .option("header", "true")
       .option("inferSchema", "false")
+      .option("escape", "\"") // RFC-style doubled quotes (pandas default)
       .csv(path)
     val named = if (trimHeaders) graft.ops.ReshapeOps.trimHeaders(df) else df
     DedupOps.withIngestOrdinal(named)

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import TextFunctions._
+
+  test("shingles: shorter than n → empty; exactly n → one shingle") {
+    import spark.implicits._
+    val out = Seq("one two", "one two three", "one two three four")
+      .toDF("t").select(shingles(col("t"), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq.empty)
+    assert(out(1) == Seq("one two three"))
+    assert(out(2) == Seq("one two three", "two three four"))
+  }
+
+  test("minhash signature of an empty shingle set is all-null components") {
+    import spark.implicits._
+    val sig = Seq("x").toDF("t")
+      .select(minhashSignature(col("t"), 3, 4).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(sig.forall(_ == null)) // array_min over empty → null per component
+  }
+
+  test("langId picks the profile with most marker hits; en wins ties") {
+    import spark.implicits._
+    val rows = Seq(
+      "the cat and the dog of the house",   // en
+      "der hund und die katze ist das",      // de
+      "el perro la casa de los gatos es",    // es
+      "zzz qqq www",                          // no markers → all 0 → en
+      "le chat les chiens est et une"        // fr
+    ).toDF("t").select(langId(col("t"))).as[String].collect()
+    assert(rows.toSeq == Seq("en", "de", "es", "en", "fr"))
+  }
+
+  test("tokenCount / subwordCount / rollingHash on edge inputs") {
+    import spark.implicits._
+    val df = Seq("a", "hello world", "  padded  ").toDF("t")
+    val out = df.select(
+      tokenCount(col("t")).as("n"),
+      subwordCount(col("t")).as("sw"),
+      rollingHash(col("t")).as("rh")).collect()
+    assert(out(0).getInt(0) == 1 && out(0).getLong(1) == 1L)
+    assert(out(1).getInt(0) == 2 && out(1).getLong(1) == 4L) // ceil(5/4)*2
+    assert(out(2).getInt(0) == 1)
+    // rolling hash matches the obvious reference fold
+    def ref(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    assert(out(1).getLong(2) == ref("hello world"))
+    assert(out(2).getLong(2) == ref("  padded  ")) // hash is over RAW text
+  }
+
+  test("fingerprint normalizes case and whitespace runs") {
+    import spark.implicits._
+    val fps = Seq("Hello   World", "hello world", " HELLO\tWORLD ")
+      .toDF("t").select(fingerprint(col("t"))).as[String].collect()
+    assert(fps.distinct.length == 1)
+  }
+
+  test("simhash: near-identical texts within small hamming distance") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog every day"),
+      ("b", "the quick brown fox jumps over the sleepy dog every day"),
+      ("c", "completely unrelated words about spark query planning here"))
+      .toDF("id", "t").select(col("id"), simhash(col("t"), 16).as("sh"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m("a"), m("b")) < ham(m("a"), m("c")))
+  }
+}
