@@ -171,6 +171,44 @@ object ParityQueries {
         .orderBy(col("cust_id"))
     }),
 
+    // U-extra — INTERSECT (distinct semantics in both engines)
+    "q24_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // U-extra — EXCEPT (distinct semantics in both engines)
+    "q25_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // W-extra — top-k per group (the WindowGroupLimit scale pattern)
+    "q26_topk_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("total_cents").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+                round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .orderBy(col("o_custkey"), col("rnk"))
+    }),
+
+    // G-extra — ROLLUP hierarchy totals (integer cents ⇒ order-independent)
+    "q27_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+             count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)),
+
     // Q21 — J2 + D9 left join with coalesce default
     "q21_join_coalesce" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -275,6 +313,31 @@ object ParityQueries {
     "q21_join_coalesce" ->
       """SELECT o.o_orderkey, coalesce(c.c_name, 'UNKNOWN') AS cust_name
          FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-         ORDER BY o.o_orderkey"""
+         ORDER BY o.o_orderkey""",
+    "q24_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_custkey""",
+    "q25_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_custkey""",
+    "q26_topk_window" ->
+      """SELECT o_custkey, o_orderkey, total_cents, rnk FROM (
+           SELECT o_custkey, o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                             o_orderkey ASC) AS rnk
+           FROM orders) t
+         WHERE rnk <= 2 ORDER BY o_custkey, rnk""",
+    "q27_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
   )
 }
