@@ -100,6 +100,23 @@ class DedupAggJoinSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("salted join returns exactly the plain join's rows (skew mitigation)") {
+    import spark.implicits._
+    // heavily skewed left: 900 rows of one key, a few of others
+    val left = ((1 to 900).map(i => ("hot", i)) ++
+                Seq(("cold1", 1), ("cold2", 2), ("nomatch", 3)))
+      .toDF("k", "id")
+    val right = Seq(("hot", "H"), ("cold1", "C1"), ("cold2", "C2"))
+      .toDF("k", "v")
+    val plain = left.join(right, Seq("k"), "left")
+      .orderBy("k", "id").collect().map(_.toString).toSeq
+    val salted = SkewOps.saltedLeftJoin(left, right, "k", buckets = 8,
+      saltFrom = Seq(col("id")))
+      .select("k", "id", "v")
+      .orderBy("k", "id").collect().map(_.toString).toSeq
+    assert(salted == plain)
+  }
+
   test("P4 reshapeToSpec materializes missing sources as null and reports them") {
     import spark.implicits._
     val df = Seq(("1", "n")).toDF("c_id", "c_name")

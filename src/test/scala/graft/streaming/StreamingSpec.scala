@@ -44,6 +44,33 @@ class StreamingSpec extends SparkSpec {
     assert(n.getLong(0) == 2 && n.getLong(1) == 2)
   }
 
+  test("file-source stream over the real events parquet matches the batch result") {
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.Tables(spark, dir, "events")
+    // file stream sources need a DIRECTORY (testdata is read-only) — stage
+    // the parquet into a temp landing folder, the real ingest shape anyway
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      landing.resolve("events.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .parquet(landing.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val q = StreamingOps.windowedCounts(stream, "1 hour", "1 minute")
+      .writeStream.format("memory").queryName("filewc")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = spark.sql("select sum(n) from filewc").head.getLong(0)
+    q.stop()
+    assert(streamed == batch.count()) // every event lands in exactly one window
+  }
+
   test("sessionize emits one summary per user once the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
