@@ -112,6 +112,55 @@ object DedupOperators {
       .filter(col("hamming") <= radius)
   }
 
+  /** Cluster near-dup PAIRS into duplicate groups via iterative min-label
+    * propagation (connected components): every id starts as its own label;
+    * each round, labels flow across pairs and every node takes the
+    * minimum; fixpoint (checked by an aggregate, not a collect of data)
+    * ⇒ each component is labeled by its smallest member.
+    *
+    * Scale: each iteration is one join + one groupBy on the id — both
+    * shuffle O(|pairs|); rounds needed = graph diameter, which for
+    * near-dup graphs (dense clusters) is small. `maxIters` bounds runaway
+    * chains. Checkpoint-free because lineage depth is bounded. */
+  def clusterPairs(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val viaEdges = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(viaEdges)
+        .groupBy("id").agg(min("label").as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "_old"), Seq("id"))
+        .filter(col("label") =!= col("_old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels // (id, label) where label = min id of the duplicate group
+  }
+
+  /** End-to-end corpus dedup: exact + MinHash near-dup candidates →
+    * Jaccard verify → connected components → keep each group's smallest
+    * id. Returns the surviving rows of `df`. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  jaccardThreshold: Double = 0.7,
+                  shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    val exact = exactDedup(df, idCol, textCol)
+    val nearPairs = minhashNearDups(exact, idCol, textCol,
+      jaccardThreshold, shingleN, k, bands)
+    val labels = clusterPairs(nearPairs)
+    val victims = labels.filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    exact.join(victims, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dups: sign-bit LSH bucket join + cosine verify. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         dims: Int, threshold: Double,

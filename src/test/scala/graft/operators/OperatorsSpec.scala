@@ -89,6 +89,31 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall exact=$exact approx=$approx")
   }
 
+  test("clusterPairs: connected components get min-id labels (incl. chains)") {
+    import spark.implicits._
+    // components: {1,2,3} via chain 1-2, 2-3; {5,9}; singleton 7 (absent)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 9L))
+      .toDF("id_a", "id_b")
+    val labels = DedupOperators.clusterPairs(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 9L -> 5L))
+  }
+
+  test("dedupCorpus keeps one representative per duplicate cluster") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (0L, base), (1L, base),                      // exact dups
+      (2L, base.replace("lazy", "sleepy")),        // near-dup of 0 (chains in)
+      (3L, "completely different content about database engines and query plans"),
+      (4L, "another unique document mentioning shuffles partitions and joins"))
+      .toDF("doc_id", "text")
+    val out = DedupOperators.dedupCorpus(corpus, "doc_id", "text",
+      jaccardThreshold = 0.3, bands = 8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(0L, 3L, 4L))
+  }
+
   test("IVF search: high recall with nprobe=1 on well-separated clusters") {
     import spark.implicits._
     def v(base: Float, i: Int) =
