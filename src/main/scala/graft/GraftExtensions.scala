@@ -1,14 +1,16 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.expr.MinHashSig
+import graft.functions.expr.{MinHashSig, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions so SQL users get them too.
   *
-  * Usage: `--conf spark.sql.extensions=graft.GraftExtensions`, or
-  * `MinHashSig.register(spark)` on an existing session. */
+  * Usage: `--conf spark.sql.extensions=graft.GraftExtensions`, or the
+  * per-function `register(spark)` helpers on an existing session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(MinHashSig.registration)
+    ext.injectFunction(SimHash64.registration)
+  }
 }
