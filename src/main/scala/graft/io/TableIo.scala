@@ -29,6 +29,29 @@ object TableIo {
     DedupOps.withIngestOrdinal(named)
   }
 
+  /** Parquet source with a SCALE-SAFE ingest ordinal (H4): ordinal =
+    * (file index in path-sorted order) ≪ 40 | row position in file, built
+    * from the hidden `_metadata` columns — stable under any partitioning
+    * or task count, unlike monotonically_increasing_id. The file list
+    * comes from the read's own inputFiles (names only, no data job).
+    * Files are assumed < 2^40 rows each. */
+  def readParquetOrdered(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(path)
+    // _metadata.file_path renders "file:/x" while inputFiles gives
+    // "file:///x" — normalize both before joining
+    val withMeta = base.select(col("*"),
+      regexp_replace(col("_metadata.file_path"), "^file:/+", "file:/").as("_fp"),
+      col("_metadata.row_index").as("_ri"))
+    val files = base.inputFiles
+      .map(_.replaceFirst("^file:/+", "file:/")).sorted.zipWithIndex.toSeq
+    val fileIdx = broadcast(
+      spark.createDataFrame(files).toDF("_fp", "_fidx"))
+    withMeta.join(fileIdx, Seq("_fp"))
+      .withColumn(DedupOps.OrdinalCol,
+        (col("_fidx").cast("long") * lit(1L << 40)) + col("_ri"))
+      .drop("_fp", "_ri", "_fidx")
+  }
+
   /** S4 — XLSX source via the hand-rolled codec: first sheet, header row 0,
     * all values string. Driver-side parse (payroll workbooks are small by
     * contract — the distributed path is CSV/parquet). */
