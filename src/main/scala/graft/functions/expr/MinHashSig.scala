@@ -39,6 +39,14 @@ case class MinHashSig(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  /** Returns null for an empty / all-null-element input array even when the
+    * child is non-nullable, so nullability must not be inherited — without
+    * this override nullSafeCodeGen takes its non-nullable branch and the
+    * generated `isNull = true` assignment references an undeclared local
+    * (codegen compile failure → interpreted fallback that then violates the
+    * nullability contract). */
+  override def nullable: Boolean = true
+
   override def prettyName: String = "minhash_sig"
 
   override protected def nullSafeEval(input: Any): Any = {

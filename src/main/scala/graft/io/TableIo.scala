@@ -46,9 +46,16 @@ object TableIo {
       .map(_.replaceFirst("^file:/+", "file:/")).sorted.zipWithIndex.toSeq
     val fileIdx = broadcast(
       spark.createDataFrame(files).toDF("_fp", "_fidx"))
-    withMeta.join(fileIdx, Seq("_fp"))
+    // LEFT join + fail-loud: if _metadata.file_path and inputFiles ever
+    // disagree beyond the normalized prefix (URI escaping, scheme/authority
+    // rendering), rows must not be silently dropped — raise instead.
+    withMeta.join(fileIdx, Seq("_fp"), "left")
       .withColumn(DedupOps.OrdinalCol,
-        (col("_fidx").cast("long") * lit(1L << 40)) + col("_ri"))
+        when(col("_fidx").isNotNull,
+          (col("_fidx").cast("long") * lit(1L << 40)) + col("_ri"))
+        .otherwise(raise_error(concat(
+          lit("readParquetOrdered: _metadata.file_path not found in inputFiles after normalization: "),
+          col("_fp")))))
       .drop("_fp", "_ri", "_fidx")
   }
 
@@ -78,13 +85,52 @@ object TableIo {
                name: String): String =
     storage.writeBytes(folder, name, csvBytes(df))
 
+  /** CSV bytes matching pandas `to_csv` byte-for-byte (verified against
+    * pandas 2.2 semantics): LF line endings on every line; a datetime
+    * column whose non-null values are all midnight renders date-only
+    * (`2024-07-01`), otherwise `yyyy-MM-dd HH:mm:ss[.ffffff]`; a null in a
+    * datetime column (NaT) renders as a QUOTED empty field (`""`), while a
+    * null in any other column renders as an unquoted empty field. */
   def csvBytes(df: DataFrame): Array[Byte] = {
+    import java.time.ZoneOffset
+    import java.time.format.DateTimeFormatter
     val out = DedupOps.sortAndDropOrdinal(df)
-    val cols = out.columns
+    val fields = out.schema.fields
+    val rows = out.collect() // small-by-contract sink (post-aggregation)
+    val isTs = fields.map(_.dataType == TimestampType)
+    def instantAt(r: Row, i: Int): java.time.Instant = r.get(i) match {
+      case t: java.sql.Timestamp => t.toInstant
+      case t: java.time.Instant  => t
+      case other => throw new IllegalStateException(s"not a timestamp: $other")
+    }
+    // pandas renders a datetime column date-only iff every non-null value
+    // is exactly midnight (DatetimeIndex "dates only" formatting)
+    val dateOnly = fields.indices.map { i =>
+      isTs(i) && rows.forall { r =>
+        r.isNullAt(i) || {
+          val t = instantAt(r, i)
+          t.getEpochSecond % 86400 == 0 && t.getNano == 0
+        }
+      }
+    }
+    val fmtDate = DateTimeFormatter.ofPattern("yyyy-MM-dd").withZone(ZoneOffset.UTC)
+    val fmtSec = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
+    val fmtMicro = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").withZone(ZoneOffset.UTC)
+    def cell(r: Row, i: Int): String =
+      if (isTs(i)) {
+        if (r.isNullAt(i)) "\"\"" // NaT → quoted empty field
+        else {
+          val t = instantAt(r, i)
+          if (dateOnly(i)) fmtDate.format(t)
+          else if (t.getNano == 0) fmtSec.format(t)
+          else fmtMicro.format(t)
+        }
+      } else if (r.isNullAt(i)) ""
+      else csvQuote(r.get(i).toString)
     val sb = new StringBuilder
-    sb.append(cols.map(csvQuote).mkString(",")).append("\r\n")
-    stringRows(out).foreach { r =>
-      sb.append(r.map(v => csvQuote(v.getOrElse(""))).mkString(",")).append("\r\n")
+    sb.append(fields.map(f => csvQuote(f.name)).mkString(",")).append("\n")
+    rows.foreach { r =>
+      sb.append(fields.indices.map(cell(r, _)).mkString(",")).append("\n")
     }
     sb.toString.getBytes("UTF-8")
   }

@@ -14,6 +14,8 @@ import graft.functions.{TextFunctions => T, VectorFunctions => V}
   */
 object DedupOperators {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact dedup by normalized-content fingerprint: one hash-groupBy
     * (map-side partial agg), keeps the smallest id per group. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -121,8 +123,25 @@ object DedupOperators {
     * Scale: each iteration is one join + one groupBy on the id — both
     * shuffle O(|pairs|); rounds needed = graph diameter, which for
     * near-dup graphs (dense clusters) is small. `maxIters` bounds runaway
-    * chains. Checkpoint-free because lineage depth is bounded. */
+    * chains; when the bound is hit before the fixpoint (diameter >
+    * maxIters, e.g. a long chain), labels are only PARTIALLY propagated —
+    * use [[clusterPairsWithStatus]] to observe convergence, or rely on the
+    * WARN this method logs. Checkpoint-free because lineage depth is
+    * bounded. */
   def clusterPairs(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val (labels, converged) = clusterPairsWithStatus(pairs, maxIters)
+    if (!converged) log.warn(
+      s"clusterPairs did not converge within $maxIters iterations — " +
+      "component labels are partially propagated (graph diameter exceeds " +
+      "maxIters); raise maxIters or use clusterPairsWithStatus")
+    labels
+  }
+
+  /** [[clusterPairs]] plus the convergence flag: `(labels, converged)`.
+    * `converged = false` means the label fixpoint was NOT reached within
+    * `maxIters` rounds and some components carry more than one label. */
+  def clusterPairsWithStatus(pairs: DataFrame,
+                             maxIters: Int = 10): (DataFrame, Boolean) = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
@@ -143,19 +162,26 @@ object DedupOperators {
       converged = changed == 0
       iter += 1
     }
-    labels // (id, label) where label = min id of the duplicate group
+    // (id, label) where label = min id of the duplicate group
+    (labels, converged)
   }
 
   /** End-to-end corpus dedup: exact + MinHash near-dup candidates →
     * Jaccard verify → connected components → keep each group's smallest
-    * id. Returns the surviving rows of `df`. */
+    * id. Returns the surviving rows of `df`.
+    *
+    * Clustering runs at most `clusterIters` label-propagation rounds
+    * (= the max near-dup-graph diameter it can resolve); if the graph has
+    * a longer chain, clusterPairs logs a WARN and some duplicate groups
+    * keep more than one survivor — raise `clusterIters` for such corpora. */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
                   jaccardThreshold: Double = 0.7,
-                  shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+                  shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+                  clusterIters: Int = 10): DataFrame = {
     val exact = exactDedup(df, idCol, textCol)
     val nearPairs = minhashNearDups(exact, idCol, textCol,
       jaccardThreshold, shingleN, k, bands)
-    val labels = clusterPairs(nearPairs)
+    val labels = clusterPairs(nearPairs, clusterIters)
     val victims = labels.filter(col("id") =!= col("label"))
       .select(col("id").as(idCol))
     exact.join(victims, Seq(idCol), "left_anti")

@@ -30,9 +30,23 @@ object DedupOps {
     df.withColumn(OrdinalCol, monotonically_increasing_id())
 
   /** Ordinal derived from a total natural-key ordering — the scale-safe
-    * variant (documented invariant, SURVEY §4). */
-  def withIngestOrdinalFrom(df: DataFrame, keys: Seq[Column]): DataFrame =
-    df.withColumn(OrdinalCol, row_number().over(Window.orderBy(keys: _*)).cast("long"))
+    * variant (documented invariant, SURVEY §4): range-repartition on the
+    * keys, sort within partitions, then assign contiguous global indexes
+    * with `zipWithIndex` (one light count job for partition offsets). No
+    * single-partition global window — every stage is parallel, so this
+    * holds at 100 TB. `keys` must form a total order for the ordinal to be
+    * deterministic. Ordinals start at 1 (row_number parity). */
+  def withIngestOrdinalFrom(df: DataFrame, keys: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty, "withIngestOrdinalFrom needs at least one key")
+    val sorted = df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        OrdinalCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(indexed, schema)
+  }
 
   /** U1 — union aligned by column name, missing columns → null, first block
     * ordered before the second (ref 436: BW then MN). Ordinals are

@@ -54,7 +54,7 @@ class MainE2ESpec extends SparkSpec {
     val puaCsv = new String(Files.readAllBytes(
       java.nio.file.Paths.get(
         written.find(p => p.endsWith(".csv") && p.contains("PUA")).get)), "UTF-8")
-    val lines = puaCsv.trim.split("\r\n").toSeq
+    val lines = puaCsv.trim.split("\n").toSeq
     assert(lines.head.split(",", -1).length == 26)
     assert(lines.size == 7) // header + 6 rows
     assert(lines.exists(l => l.contains("u1") && l.contains("RGS")))
@@ -64,7 +64,7 @@ class MainE2ESpec extends SparkSpec {
     val cpaCsv = new String(Files.readAllBytes(
       java.nio.file.Paths.get(
         written.find(p => p.endsWith(".csv") && p.contains("CPA")).get)), "UTF-8")
-    val cpaLines = cpaCsv.trim.split("\r\n").toSeq
+    val cpaLines = cpaCsv.trim.split("\n").toSeq
     assert(cpaLines.head.split(",", -1).length == 20)
     assert(cpaLines.size == 4)
     assert(cpaLines.exists(_.contains("u2-nan") == false)) // UIN Job not in output

@@ -33,6 +33,37 @@ class CsvRoundtripSpec extends SparkSpec {
     assert(back(4).isNullAt(1) || back(4).getString(1).isEmpty)
   }
 
+  test("csvBytes matches pandas to_csv: LF endings, date-only midnight column, quoted-empty NaT") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(java.sql.Timestamp.valueOf("2024-07-01 00:00:00")),
+            Some(java.sql.Timestamp.valueOf("2024-07-01 08:30:00"))),
+      ("b", None,
+            Some(java.sql.Timestamp.valueOf("2024-07-02 00:00:00"))))
+      .toDF("k", "all_mid", "mixed")
+      .withColumn("_ingest_ord", monotonically_increasing_id())
+    val csv = new String(TableIo.csvBytes(df), "UTF-8")
+    assert(!csv.contains("\r"), "pandas to_csv on Linux emits LF, not CRLF")
+    val lines = csv.split("\n", -1).toSeq
+    assert(lines(0) == "k,all_mid,mixed")
+    // all_mid: every non-null value midnight → date-only; None → quoted empty
+    // mixed: one non-midnight value → full seconds rendering for the column
+    assert(lines(1) == "a,2024-07-01,2024-07-01 08:30:00")
+    assert(lines(2) == "b,\"\",2024-07-02 00:00:00")
+    assert(lines(3) == "") // trailing LF after last row
+  }
+
+  test("withIngestOrdinalFrom: contiguous 1-based ordinal in key order, no global window") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (s"k${300 - i}", i)).toDF("k", "v")
+      .repartition(8)
+    val withOrd = DedupOps.withIngestOrdinalFrom(df, Seq(col("k")))
+    val rows = withOrd.orderBy("_ingest_ord").select("k", "_ingest_ord")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows.map(_._2) == (1L to 200L))           // contiguous, 1-based
+    assert(rows.map(_._1) == rows.map(_._1).sorted)  // follows key order
+  }
+
   test("readParquetOrdered: ordinal stable across partitioning and re-reads") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_pq").toString + "/t"

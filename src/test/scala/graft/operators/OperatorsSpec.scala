@@ -99,6 +99,20 @@ class OperatorsSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 9L -> 5L))
   }
 
+  test("clusterPairsWithStatus reports non-convergence when diameter exceeds maxIters") {
+    import spark.implicits._
+    // a path graph 1-2-3-4-5-6 has diameter 5 — two rounds can't finish
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (partial, converged) =
+      DedupOperators.clusterPairsWithStatus(chain, maxIters = 2)
+    assert(!converged)
+    assert(partial.select("label").distinct().count() > 1)
+    // enough rounds → converged, single label = min id
+    val (full, done) = DedupOperators.clusterPairsWithStatus(chain, maxIters = 10)
+    assert(done)
+    assert(full.select("label").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("dedupCorpus keeps one representative per duplicate cluster") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
