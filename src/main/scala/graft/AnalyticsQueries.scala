@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOperators, TemporalJoins}
+
+/** Round-2 analytics operators: temporal joins (as-of, range), window
+  * analytics, pivot/unpivot reshapes, grouped distinct counts, dup-group
+  * cluster labels, and approximate sketches — each a `SparkEntry.queries`
+  * entry, DuckDB-oracled where ANSI SQL can express it.
+  *
+  * Scale notes: the as-of join is one shuffle + sort (no inequality scan);
+  * the range join is an O(N) bucketed equi-join; pivot/window queries
+  * shuffle once on their grouping keys; x14's label propagation is
+  * join+groupBy per round with bounded rounds. Money stays in integer
+  * cents (`round(x*100)`) so cross-engine hashes are exact.
+  */
+object AnalyticsQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q28 — backward as-of join: each view event picks up the same user's
+    // most recent purchase at-or-before it (ties: max purchase ts, then id)
+    "q28_asof_join" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val views = e.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      TemporalJoins.asofJoinBackward(views, purchases, Seq("user_id"),
+          "ts", "ts", Seq("event_id"), "_p")
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("ts_p").as("purchase_ts"),
+                col("event_id_p").as("purchase_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Q29 — interval self-join: same-user event pairs within 300 s,
+    // via gap-wide time cells (equi-join, no inequality scan)
+    "q29_range_join" -> ((s, dir) =>
+      TemporalJoins.rangeSelfJoin(Tables(s, dir, "events"),
+          Seq("user_id"), "event_id", "ts", 300L)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Q30 — window analytics over each customer's order history:
+    // lag/lead, 3-row moving sum, running total, sequence rank
+    "q30_window_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val c = cents(col("o_totalprice"))
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          c.as("price_cents"),
+          lag(c, 1).over(w).as("prev_cents"),
+          lead(c, 1).over(w).as("next_cents"),
+          sum(c).over(w.rowsBetween(-2, 0)).as("mov3_cents"),
+          sum(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .as("running_cents"),
+          row_number().over(w).as("order_seq"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Q31 — pivot: return-flag × line-status quantity matrix
+    "q31_pivot" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(cents(col("l_quantity"))))
+        .orderBy(col("l_returnflag"))),
+
+    // Q32 — unpivot/melt: wide part attributes → long (attr, val)
+    "q32_unpivot" -> ((s, dir) =>
+      Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("long").as("p_size"),
+                cents(col("p_retailprice")).as("price_cents"))
+        .unpivot(Array(col("p_partkey")),
+                 Array(col("p_size"), col("price_cents")), "attr", "val")
+        .orderBy(col("p_partkey"), col("attr"))),
+
+    // Q33 — grouped distinct counts (exact twin of the x15 sketch)
+    "q33_distinct_count" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count_distinct(col("o_custkey")).as("n_cust"),
+             count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))),
+
+    // X14 — duplicate-group clustering: MinHash-LSH candidate pairs →
+    // connected components; label = min doc_id of each component.
+    // Oracled by a recursive-CTE transitive closure in DuckDB.
+    "x14_dedup_cluster" -> ((s, dir) => {
+      val pairs = DedupOperators.minhashCandidates(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4)
+      DedupOperators.clusterPairs(pairs, maxIters = 30)
+        .select(col("id"), col("label"))
+        .orderBy(col("id"))
+    }),
+
+    // X15 — approximate sketches at 100 TB scale: HLL distinct + quantile
+    // sketch. Not ANSI-oracle-able (sketch internals differ per engine) →
+    // rows-only check; the exact twin q33 is hash-checked.
+    "x15_approx_sketch" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02)
+               .as("approx_cust"),
+             percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+               .as("approx_median_price"))
+        .orderBy(col("o_orderpriority"))))
+
+  // --- DuckDB oracles ------------------------------------------------------
+
+  /** Spark `unix_timestamp` truncates sub-second fractions; mirror it. */
+  private val epochA = "CAST(floor(epoch(a.ts)) AS BIGINT)"
+  private val epochB = "CAST(floor(epoch(b.ts)) AS BIGINT)"
+
+  private val minhashSigSql: String = {
+    val words = "regexp_split_to_array(trim(text), '\\s+')"
+    val shingles =
+      s"""list_transform(generate_series(1, len($words) - 2),
+          i -> $words[i] || ' ' || $words[i+1] || ' ' || $words[i+2])"""
+    val comps = (0 until 8).map(seed =>
+      s"list_aggregate(list_transform(sh, x -> md5('$seed:' || x)), 'min')")
+    s"""WITH s AS (SELECT doc_id, $shingles AS sh FROM documents),
+        sig AS (SELECT doc_id, [${comps.mkString(", ")}] AS sg FROM s)"""
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q28_asof_join" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'view'),
+           p AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+           m AS (SELECT v.event_id, v.user_id, v.ts,
+                   p.ts AS purchase_ts, p.event_id AS purchase_id,
+                   row_number() OVER (PARTITION BY v.event_id
+                     ORDER BY p.ts DESC, p.event_id DESC) AS rn
+                 FROM v LEFT JOIN p
+                   ON p.user_id = v.user_id AND p.ts <= v.ts)
+         SELECT event_id, user_id, ts, purchase_ts, purchase_id
+         FROM m WHERE rn = 1 ORDER BY event_id""",
+
+    "q29_range_join" ->
+      s"""SELECT a.event_id AS id_a, b.event_id AS id_b,
+            abs($epochB - $epochA) AS gap_sec
+          FROM events a JOIN events b
+            ON b.user_id = a.user_id AND a.event_id < b.event_id
+           AND abs($epochB - $epochA) <= 300
+          ORDER BY id_a, id_b""",
+
+    "q30_window_analytics" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders)
+         SELECT o_orderkey, o_custkey, o_orderdate, c AS price_cents,
+           lag(c, 1) OVER w AS prev_cents,
+           lead(c, 1) OVER w AS next_cents,
+           CAST(sum(c) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS mov3_cents,
+           CAST(sum(c) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+           row_number() OVER w AS order_seq
+         FROM o
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_orderkey""",
+
+    "q31_pivot" ->
+      """SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+             THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS BIGINT) AS F,
+           CAST(sum(CASE WHEN l_linestatus = 'O'
+             THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS BIGINT) AS O
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q32_unpivot" ->
+      """WITH w AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+              CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+            FROM part)
+         SELECT p_partkey, attr, val FROM (
+           SELECT p_partkey, 'p_size' AS attr, p_size AS val FROM w
+           UNION ALL
+           SELECT p_partkey, 'price_cents' AS attr, price_cents AS val FROM w)
+         ORDER BY p_partkey, attr""",
+
+    "q33_distinct_count" ->
+      """SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "x14_dedup_cluster" ->
+      s"""WITH RECURSIVE
+          ${minhashSigSql.stripPrefix("WITH ")},
+          banded AS (
+            SELECT doc_id, 1 AS bi, md5(sg[1] || '|' || sg[2]) AS bk FROM sig
+            UNION ALL
+            SELECT doc_id, 2, md5(sg[3] || '|' || sg[4]) FROM sig
+            UNION ALL
+            SELECT doc_id, 3, md5(sg[5] || '|' || sg[6]) FROM sig
+            UNION ALL
+            SELECT doc_id, 4, md5(sg[7] || '|' || sg[8]) FROM sig),
+          pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                    FROM banded a JOIN banded b
+                      ON a.bi = b.bi AND a.bk = b.bk
+                     AND a.doc_id < b.doc_id),
+          edges AS (SELECT src, dst FROM pairs
+                    UNION SELECT dst, src FROM pairs),
+          comp(id, lbl) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id)
+          SELECT id, min(lbl) AS label FROM comp GROUP BY id ORDER BY id""")
+}

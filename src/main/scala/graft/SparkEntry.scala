@@ -8,10 +8,12 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ graft.pipeline.PayrollQueries.queries ++
-      ExtensionQueries.queries ++ BenchQueries.queries
+      ExtensionQueries.queries ++ AnalyticsQueries.queries ++
+      BenchQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ graft.pipeline.PayrollQueries.oracleSql ++
-      ExtensionQueries.oracleSql ++ BenchQueries.oracleSql
+      ExtensionQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
+      BenchQueries.oracleSql
 }
