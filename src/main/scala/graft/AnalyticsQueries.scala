@@ -100,6 +100,18 @@ object AnalyticsQueries {
         .orderBy(col("id"))
     }),
 
+    // X16 — incremental dedup: new batch (doc_id % 10 ∈ {8,9}) against the
+    // persisted corpus band index — corpus text is never re-shingled, and
+    // corpus-internal pairs are excluded
+    "x16_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 < 8)
+      val fresh = docs.filter(col("doc_id") % 10 >= 8)
+      val idx = DedupOperators.signatureIndex(corpus, "doc_id", "text")
+      DedupOperators.incrementalCandidates(idx, fresh, "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // X15 — approximate sketches at 100 TB scale: HLL distinct + quantile
     // sketch. Not ANSI-oracle-able (sketch internals differ per engine) →
     // rows-only check; the exact twin q33 is hash-checked.
@@ -128,6 +140,18 @@ object AnalyticsQueries {
     s"""WITH s AS (SELECT doc_id, $shingles AS sh FROM documents),
         sig AS (SELECT doc_id, [${comps.mkString(", ")}] AS sg FROM s)"""
   }
+
+  /** LSH banding CTE over `sig` (bands=4, rows=2) — matches
+    * TextFunctions.lshBands' md5-of-joined-rows key. */
+  private val bandedSql =
+    """banded AS (
+         SELECT doc_id, 1 AS bi, md5(sg[1] || '|' || sg[2]) AS bk FROM sig
+         UNION ALL
+         SELECT doc_id, 2, md5(sg[3] || '|' || sg[4]) FROM sig
+         UNION ALL
+         SELECT doc_id, 3, md5(sg[5] || '|' || sg[6]) FROM sig
+         UNION ALL
+         SELECT doc_id, 4, md5(sg[7] || '|' || sg[8]) FROM sig)"""
 
   val oracleSql: Map[String, String] = Map(
     "q28_asof_join" ->
@@ -195,17 +219,19 @@ object AnalyticsQueries {
            CAST(count(*) AS BIGINT) AS n_orders
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    "x16_dedup_incremental" ->
+      s"""$minhashSigSql,
+          $bandedSql
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+          WHERE a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8
+          ORDER BY id_a, id_b""",
+
     "x14_dedup_cluster" ->
       s"""WITH RECURSIVE
           ${minhashSigSql.stripPrefix("WITH ")},
-          banded AS (
-            SELECT doc_id, 1 AS bi, md5(sg[1] || '|' || sg[2]) AS bk FROM sig
-            UNION ALL
-            SELECT doc_id, 2, md5(sg[3] || '|' || sg[4]) FROM sig
-            UNION ALL
-            SELECT doc_id, 3, md5(sg[5] || '|' || sg[6]) FROM sig
-            UNION ALL
-            SELECT doc_id, 4, md5(sg[7] || '|' || sg[8]) FROM sig),
+          $bandedSql,
           pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
                     FROM banded a JOIN banded b
                       ON a.bi = b.bi AND a.bk = b.bk

@@ -20,7 +20,9 @@ object Bench {
                catch { case e: Throwable =>
                  System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
                  false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name ${sec}%.2fs")
+      name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -50,15 +50,18 @@ object ExtensionQueries {
         .select(col("keep_id"), col("dups"), col("fp"))
         .orderBy(col("keep_id"))),
 
-    "x06_dedup_minhash" -> ((s, dir) => {
-      val sig = T.minhashSignature(col("text"), n = 3, k = 8)
+    "x06_dedup_minhash" -> ((s, dir) =>
+      // words → native one-pass md5 signature (oracle-identical to the
+      // composed md5 form) → staged band projection
       Tables(s, dir, "documents")
+        .select(col("doc_id"), T.words(col("text")).as("_w"))
         .select(col("doc_id"),
-                concat_ws("|", sig).as("sig"),
-                concat_ws("|", T.lshBands(sig, bands = 4, rowsPerBand = 2))
-                  .as("bands"))
-        .orderBy(col("doc_id"))
-    }),
+          graft.functions.expr.MinHashSigMd5(col("_w"), 3, 8).as("_sig"))
+        .select(col("doc_id"),
+                concat_ws("|", col("_sig")).as("sig"),
+                concat_ws("|", T.lshBands(col("_sig"), bands = 4,
+                  rowsPerBand = 2)).as("bands"))
+        .orderBy(col("doc_id"))),
 
     "x07_dedup_simhash" -> ((s, dir) =>
       Tables(s, dir, "documents")

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.expr.{MinHashSig, SimHash64}
+import graft.functions.expr.{MinHashSig, MinHashSigMd5, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions so SQL users get them too.
@@ -11,6 +11,7 @@ import graft.functions.expr.{MinHashSig, SimHash64}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(MinHashSig.registration)
+    ext.injectFunction(MinHashSigMd5.registration)
     ext.injectFunction(SimHash64.registration)
   }
 }

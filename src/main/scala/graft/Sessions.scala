@@ -6,6 +6,7 @@ import org.apache.spark.sql.SparkSession
   * run with identical semantics + scale-oriented settings. */
 object Sessions {
   def tuned(b: SparkSession.Builder, cpus: String): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

@@ -88,12 +88,17 @@ object TextFunctions {
   /** Word n-gram shingles (n consecutive words joined by one space).
     * Documents with fewer than n words yield an EMPTY array — the guard
     * matters because `sequence(0, negative)` would count DOWN. */
-  def shingles(text: Column, n: Int): Column = {
-    val w = words(text)
+  def shingles(text: Column, n: Int): Column = shinglesFromWords(words(text), n)
+
+  /** Shingles from an ALREADY-MATERIALIZED words column. Hot paths must
+    * stage `select(words) → select(shinglesFromWords)`: when the words
+    * expression is inlined, every `element_at(w, …)` inside the transform
+    * lambda re-evaluates the whole split — O(words²) per document. With a
+    * materialized column the lambda reads an attribute, O(1) per access. */
+  def shinglesFromWords(w: Column, n: Int): Column =
     when(size(w) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(w) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
-  }
 
   /** One MinHash component: min over shingles of md5(seed:shingle).
     * Hex strings compare lexicographically — identical across engines. */
@@ -106,6 +111,18 @@ object TextFunctions {
     val sh = shingles(text, n)
     array((0 until k).map(minhashComponent(sh, _)): _*)
   }
+
+  /** Signature from an ALREADY-MATERIALIZED shingle column. Callers that
+    * band or otherwise reuse the signature should stage the computation
+    * (`select(shingles) → select(minhashFromShingles) → select(bands)`):
+    * inlining `minhashSignature(text)` into a consumer duplicates the whole
+    * shingle subtree once per component/band, which blows past the codegen
+    * method-size limit and silently falls back to interpreted eval —
+    * hundreds of times slower. Staged projections keep each expression
+    * small (codegen-friendly), and CollapseProject leaves them alone
+    * because the producer is non-cheap and multiply-referenced. */
+  def minhashFromShingles(shingleCol: Column, k: Int): Column =
+    array((0 until k).map(minhashComponent(shingleCol, _)): _*)
 
   /** LSH band keys: adjacent signature components hashed together; docs
     * sharing any band key are near-dup candidates. */

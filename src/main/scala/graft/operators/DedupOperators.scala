@@ -16,6 +16,16 @@ object DedupOperators {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Ensure at least the cluster's default parallelism before CPU-heavy
+    * per-row work (shingling/hashing). A small or single-row-group parquet
+    * input arrives as one task, serializing the whole computation; on a
+    * real cluster big inputs already carry ≥ default-parallelism splits
+    * and this is a no-op. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup by normalized-content fingerprint: one hash-groupBy
     * (map-side partial agg), keeps the smallest id per group. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -26,6 +36,51 @@ object DedupOperators {
     df.join(surviving, Seq(idCol), "left_semi")
   }
 
+  /** MinHash-LSH band index of a corpus: one row per (id, band_idx,
+    * band_key). This is the PERSISTED form for incremental dedup at scale:
+    * write it partitioned/bucketed by `band_key` once, then each new batch
+    * joins its own (small) index against it — the corpus text is never
+    * re-shingled. See [[incrementalCandidates]]. */
+  def signatureIndex(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, k: Int = 8,
+                     bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    // words → native one-pass md5 signature → bands, in STAGED projections.
+    // The native MinHashSigMd5 keeps the md5-hex-min semantics the DuckDB
+    // oracles check, with the hot loop in shared precompiled bytecode —
+    // the composed HOF form is interpreted, duplicates its subtree per
+    // consumer, and re-pays janino/JIT warm-up per plan shape.
+    spread(df).select(col(idCol).as("id"), T.words(col(textCol)).as("_w"))
+      .select(col("id"),
+        graft.functions.expr.MinHashSigMd5(col("_w"), shingleN, k).as("_sig"))
+      .select(col("id"), posexplode(T.lshBands(col("_sig"), bands, rows)))
+      .toDF("id", "band_idx", "band_key")
+  }
+
+  /** Near-dup candidate pairs of a NEW batch against an already-indexed
+    * corpus plus within the batch itself: only the new docs are shingled
+    * and hashed; the corpus side is the persisted [[signatureIndex]].
+    * Returns (id_a, id_b) with id_a < id_b, distinct. */
+  def incrementalCandidates(corpusIndex: DataFrame, newDocs: DataFrame,
+                            idCol: String, textCol: String,
+                            shingleN: Int = 3, k: Int = 8,
+                            bands: Int = 4): DataFrame = {
+    val newIdx = signatureIndex(newDocs, idCol, textCol, shingleN, k, bands)
+    val all = corpusIndex.select("id", "band_idx", "band_key")
+      .withColumn("_new", lit(false))
+      .unionByName(newIdx.withColumn("_new", lit(true)))
+    val a = all.select(col("band_idx"), col("band_key"),
+                       col("id").as("id_a"), col("_new").as("_new_a"))
+    val b = all.select(col("band_idx").as("_bi2"), col("band_key").as("_bk2"),
+                       col("id").as("id_b"), col("_new").as("_new_b"))
+    a.join(b, col("band_idx") === col("_bi2") &&
+              col("band_key") === col("_bk2") && col("id_a") < col("id_b"))
+      // corpus-internal pairs were resolved when the corpus was ingested —
+      // keep only pairs that touch the new batch
+      .filter(col("_new_a") || col("_new_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   /** MinHash+LSH near-dup candidate pairs: signature → band keys →
     * explode → self-join per band → distinct pairs (a<b).
     *
@@ -34,10 +89,7 @@ object DedupOperators {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 8,
                         bands: Int = 4): DataFrame = {
-    val rows = k / bands
-    val sig = T.minhashSignature(col(textCol), shingleN, k)
-    val banded = df
-      .select(col(idCol).as("_id"), posexplode(T.lshBands(sig, bands, rows)))
+    val banded = signatureIndex(df, idCol, textCol, shingleN, k, bands)
       .toDF("_id", "_band_idx", "_band_key")
     val a = banded.select(col("_band_idx"), col("_band_key"), col("_id").as("id_a"))
     val b = banded.select(col("_band_idx").as("_bi2"), col("_band_key").as("_bk2"),
@@ -55,13 +107,20 @@ object DedupOperators {
                             shingleN: Int = 3, k: Int = 8,
                             bands: Int = 4): DataFrame = {
     val rows = k / bands
-    val sig = graft.functions.expr.MinHashSig(
-      T.shingles(col(textCol), shingleN), k)
+    // staged like signatureIndex: one native one-pass MinHashSig eval per
+    // row, band keys over the materialized array
+    val withSig = spread(df)
+      .select(col(idCol).as("_id"), T.words(col(textCol)).as("_w"))
+      .select(col("_id"),
+        T.shinglesFromWords(col("_w"), shingleN).as("_shg"))
+      .select(col("_id"),
+        graft.functions.expr.MinHashSig(col("_shg"), k).as("_sig"))
     val bandKeys = array((0 until bands).map { b =>
-      hash((0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*)
+      hash((0 until rows).map(r =>
+        element_at(col("_sig"), b * rows + r + 1)): _*)
     }: _*)
-    val banded = df
-      .select(col(idCol).as("_id"), posexplode(bandKeys))
+    val banded = withSig
+      .select(col("_id"), posexplode(bandKeys))
       .toDF("_id", "_band_idx", "_band_key")
     val a = banded.select(col("_band_idx"), col("_band_key"), col("_id").as("id_a"))
     val b = banded.select(col("_band_idx").as("_bi2"), col("_band_key").as("_bk2"),
@@ -139,29 +198,50 @@ object DedupOperators {
 
   /** [[clusterPairs]] plus the convergence flag: `(labels, converged)`.
     * `converged = false` means the label fixpoint was NOT reached within
-    * `maxIters` rounds and some components carry more than one label. */
+    * `maxIters` rounds and some components carry more than one label.
+    *
+    * Each round folds in (a) neighbor labels and (b) the label's own label
+    * (pointer jumping), so convergence needs only O(log diameter) rounds
+    * rather than O(diameter). Labels only ever decrease, so the fixpoint
+    * test is "did sum(label) change" — one cheap aggregate over the
+    * checkpointed round result, no join. */
   def clusterPairsWithStatus(pairs: DataFrame,
                              maxIters: Int = 10): (DataFrame, Boolean) = {
+    // cache the edge list: it is re-joined every round, and its lineage
+    // (e.g. MinHash candidate generation) can be far more expensive than
+    // the propagation itself
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    var converged = false
+    var converged = prevSum == null // empty pair set: nothing to do
     while (iter < maxIters && !converged) {
       val viaEdges = edges
         .join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(viaEdges)
+      val viaLabels = labels.as("a")
+        .join(labels.as("b"), col("a.label") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.label").as("label"))
+      // localCheckpoint (not just persist): each round's plan must become a
+      // fresh leaf, or the logical plan grows with the iteration count and
+      // Catalyst analysis time explodes long before the data does
+      val next = labels.select(col("id"), col("label"))
+        .union(viaEdges).union(viaLabels)
         .groupBy("id").agg(min("label").as("label"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("label", "_old"), Seq("id"))
-        .filter(col("label") =!= col("_old")).limit(1).count()
-      labels.unpersist()
+        .localCheckpoint(true)
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
+    edges.unpersist()
     // (id, label) where label = min id of the duplicate group
     (labels, converged)
   }

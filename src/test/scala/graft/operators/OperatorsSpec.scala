@@ -99,6 +99,32 @@ class OperatorsSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 9L -> 5L))
   }
 
+  test("incrementalCandidates: new batch vs persisted index, corpus pairs excluded") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (0L, base), (1L, base),   // corpus-internal dup — must NOT reappear
+      (2L, "completely different content about database engines and query plans"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, base),              // dup of corpus docs 0 and 1
+      (11L, "another unique document mentioning shuffles partitions and joins"))
+      .toDF("doc_id", "text")
+    val idx = DedupOperators.signatureIndex(corpus, "doc_id", "text")
+    assert(idx.columns.toSeq == Seq("id", "band_idx", "band_key"))
+    val pairs = DedupOperators.incrementalCandidates(idx, fresh, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 10L)) && pairs.contains((1L, 10L)))
+    assert(!pairs.contains((0L, 1L)), "corpus-internal pair must be excluded")
+    assert(!pairs.exists(p => p._1 == 11L || p._2 == 11L))
+    // incremental result == full-corpus candidates restricted to new-batch pairs
+    val full = DedupOperators.minhashCandidates(
+        corpus.unionByName(fresh), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => p._1 >= 10L || p._2 >= 10L)
+    assert(pairs == full)
+  }
+
   test("clusterPairsWithStatus reports non-convergence when diameter exceeds maxIters") {
     import spark.implicits._
     // a path graph 1-2-3-4-5-6 has diameter 5 — two rounds can't finish
