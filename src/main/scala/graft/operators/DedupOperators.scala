@@ -66,19 +66,26 @@ object DedupOperators {
                             shingleN: Int = 3, k: Int = 8,
                             bands: Int = 4): DataFrame = {
     val newIdx = signatureIndex(newDocs, idCol, textCol, shingleN, k, bands)
-    val all = corpusIndex.select("id", "band_idx", "band_key")
-      .withColumn("_new", lit(false))
-      .unionByName(newIdx.withColumn("_new", lit(true)))
-    val a = all.select(col("band_idx"), col("band_key"),
-                       col("id").as("id_a"), col("_new").as("_new_a"))
-    val b = all.select(col("band_idx").as("_bi2"), col("band_key").as("_bk2"),
-                       col("id").as("id_b"), col("_new").as("_new_b"))
-    a.join(b, col("band_idx") === col("_bi2") &&
-              col("band_key") === col("_bk2") && col("id_a") < col("id_b"))
-      // corpus-internal pairs were resolved when the corpus was ingested —
-      // keep only pairs that touch the new batch
-      .filter(col("_new_a") || col("_new_b"))
-      .select("id_a", "id_b").distinct()
+      .persist() // joined twice below; the batch index is small by design
+    // two separate joins — NOT a union-then-self-join, which would destroy
+    // the corpus index's storage partitioning: when the corpus side is a
+    // table bucketed by band_key, this join reads its buckets in place and
+    // only the (small) batch side shuffles
+    val crossPairs = corpusIndex
+      .select(col("band_idx"), col("band_key"), col("id").as("_cid"))
+      .join(newIdx.select(col("band_idx"), col("band_key"),
+                          col("id").as("_nid")),
+            Seq("band_idx", "band_key"))
+      .filter(col("_cid") =!= col("_nid"))
+      .select(least(col("_cid"), col("_nid")).as("id_a"),
+              greatest(col("_cid"), col("_nid")).as("id_b"))
+    val a = newIdx.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
+    val b = newIdx.select(col("band_idx").as("_bi2"), col("band_key").as("_bk2"),
+                          col("id").as("id_b"))
+    val withinPairs = a.join(b, col("band_idx") === col("_bi2") &&
+        col("band_key") === col("_bk2") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    crossPairs.unionByName(withinPairs).distinct()
   }
 
   /** MinHash+LSH near-dup candidate pairs: signature → band keys →

