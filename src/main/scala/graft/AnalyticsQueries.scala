@@ -80,6 +80,17 @@ object AnalyticsQueries {
                  Array(col("p_size"), col("price_cents")), "attr", "val")
         .orderBy(col("p_partkey"), col("attr"))),
 
+    // Q34 — exact percentiles (ordered-set aggregate): linear-interpolation
+    // quantiles of order value per priority, in cents so the interpolation
+    // arithmetic is identical across engines
+    "q34_percentile" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(round(expr("percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.25)"), 4).as("p25_cents"),
+             round(expr("percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)"), 4).as("p50_cents"),
+             round(expr("percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.9)"), 4).as("p90_cents"))
+        .orderBy(col("o_orderpriority"))),
+
     // Q33 — grouped distinct counts (exact twin of the x15 sketch)
     "q33_distinct_count" -> ((s, dir) =>
       Tables(s, dir, "orders")
@@ -212,6 +223,13 @@ object AnalyticsQueries {
            UNION ALL
            SELECT p_partkey, 'price_cents' AS attr, price_cents AS val FROM w)
          ORDER BY p_partkey, attr""",
+
+    "q34_percentile" ->
+      """SELECT o_orderpriority,
+           round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.25), 4) AS p25_cents,
+           round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5), 4) AS p50_cents,
+           round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9), 4) AS p90_cents
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q33_distinct_count" ->
       """SELECT o_orderpriority,

@@ -31,6 +31,45 @@ object StreamingOps {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: each streaming row picks up its
+    * lookup attributes from a static dimension (re-read per micro-batch,
+    * so slowly-changing dims refresh without restarting the query). The
+    * static side is a plain DataFrame — broadcast by Catalyst when small.
+    * This is the streaming twin of batch J1/J8. */
+  def enrich(stream: DataFrame, dim: DataFrame,
+             keys: Seq[String]): DataFrame =
+    stream.join(dim, keys, "left")
+
+  /** Streaming incremental near-dup detection against a PERSISTED corpus
+    * band index (the streaming twin of DedupOperators.incrementalCandidates):
+    * each arriving document is shingled/signed map-side (native
+    * MinHashSigMd5), exploded to its band keys, and stream-static-joined
+    * against the index; docs with any band hit are flagged as candidate
+    * duplicates of the matched corpus doc. Downstream can verify with
+    * ngramJaccard or route to quarantine. State-free: the static index
+    * carries all history, so nothing accumulates in the stream. A pair is
+    * emitted once per matching band (a streaming distinct would need
+    * unbounded state); downstream verification is idempotent. */
+  def streamingNearDupCandidates(docs: DataFrame, corpusIndex: DataFrame,
+                                 idCol: String, textCol: String,
+                                 shingleN: Int = 3, k: Int = 8,
+                                 bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val banded = docs
+      .select(col(idCol).as("new_id"),
+        graft.functions.TextFunctions.words(col(textCol)).as("_w"))
+      .select(col("new_id"),
+        graft.functions.expr.MinHashSigMd5(col("_w"), shingleN, k).as("_sig"))
+      .select(col("new_id"), posexplode(
+        graft.functions.TextFunctions.lshBands(col("_sig"), bands, rows)))
+      .toDF("new_id", "band_idx", "band_key")
+    banded.join(corpusIndex.select(col("band_idx"), col("band_key"),
+                                   col("id").as("corpus_id")),
+                Seq("band_idx", "band_key"))
+      .filter(col("corpus_id") =!= col("new_id"))
+      .select(col("new_id"), col("corpus_id"))
+  }
+
   final case class Session(userId: Long, nEvents: Long, totalValue: Double,
                            startTs: java.sql.Timestamp, endTs: java.sql.Timestamp)
   final case class SessionState(n: Long, total: Double,

@@ -71,6 +71,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch.count()) // every event lands in exactly one window
   }
 
+  test("enrich: stream-static left join picks up dimension attributes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Long)]
+    val df = mem.toDF().toDF("event_id", "user_id")
+    val q = StreamingOps.enrich(df, dim, Seq("user_id")).writeStream
+      .format("memory").queryName("enr").outputMode("append").start()
+    mem.addData((10L, 1L), (11L, 3L))
+    q.processAllAvailable()
+    val rows = spark.sql("select event_id, tier from enr order by event_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    q.stop()
+    assert(rows.toSeq == Seq((10L, Some("gold")), (11L, None)))
+  }
+
+  test("streamingNearDupCandidates flags stream docs against the static corpus index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (0L, base),
+      (1L, "completely different content about database engines and query plans"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.DedupOperators
+      .signatureIndex(corpus, "doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.streamingNearDupCandidates(docs, index, "doc_id", "text")
+      .writeStream.format("memory").queryName("nd").outputMode("append").start()
+    mem.addData(
+      (10L, base),                                           // dup of corpus 0
+      (11L, "a fresh unique document mentioning joins and shuffles"))
+    q.processAllAvailable()
+    val pairs = spark.sql("select distinct new_id, corpus_id from nd")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(pairs == Set((10L, 0L)))
+  }
+
   test("sessionize emits one summary per user once the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
