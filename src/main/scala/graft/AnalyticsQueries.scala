@@ -99,6 +99,57 @@ object AnalyticsQueries {
              count(lit(1)).as("n_orders"))
         .orderBy(col("o_orderpriority"))),
 
+    // Q35 — JSON extraction from a string column (semi-structured props)
+    "q35_json_extract" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+                get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id"))),
+
+    // Q36 — semi/anti join: customers with vs without urgent orders
+    "q36_semi_anti" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").select(col("c_custkey"))
+      val urgent = Tables(s, dir, "orders")
+        .filter(lower(col("o_orderpriority")).contains("urgent"))
+        .select(col("o_custkey"))
+      val semi = c.join(urgent, col("c_custkey") === col("o_custkey"),
+          "left_semi").withColumn("flag", lit("has_urgent"))
+      val anti = c.join(urgent, col("c_custkey") === col("o_custkey"),
+          "left_anti").withColumn("flag", lit("no_urgent"))
+      semi.unionByName(anti).orderBy(col("c_custkey"))
+    }),
+
+    // Q37 — time-series resample with gap fill: daily event counts per
+    // user INCLUDING empty days (sequence + explode + left join)
+    "q37_resample_gapfill" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val counts = e
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val days = e.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("lo"),
+             date_trunc("day", max(col("ts"))).as("hi"))
+        .select(col("user_id"),
+                explode(sequence(col("lo"), col("hi"),
+                  expr("interval 1 day"))).as("day"))
+      days.join(counts, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+                coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // Q38 — grouping sets (beyond q27's rollup): flag-only, status-only,
+    // and grand-total strata in one pass
+    "q38_grouping_sets" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+             count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)),
+
     // X14 — duplicate-group clustering: MinHash-LSH candidate pairs →
     // connected components; label = min doc_id of each component.
     // Oracled by a recursive-CTE transitive closure in DuckDB.
@@ -223,6 +274,48 @@ object AnalyticsQueries {
            UNION ALL
            SELECT p_partkey, 'price_cents' AS attr, price_cents AS val FROM w)
          ORDER BY p_partkey, attr""",
+
+    "q35_json_extract" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
+
+    "q36_semi_anti" ->
+      """SELECT * FROM (
+           SELECT c_custkey, 'has_urgent' AS flag FROM customer
+           WHERE EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND lower(o_orderpriority) LIKE '%urgent%')
+           UNION ALL
+           SELECT c_custkey, 'no_urgent' AS flag FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders
+                             WHERE o_custkey = c_custkey
+                               AND lower(o_orderpriority) LIKE '%urgent%'))
+         ORDER BY c_custkey""",
+
+    "q37_resample_gapfill" ->
+      """WITH counts AS (
+           SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n
+           FROM events GROUP BY user_id, day),
+         bounds AS (
+           SELECT user_id, date_trunc('day', min(ts)) AS lo,
+                  date_trunc('day', max(ts)) AS hi
+           FROM events GROUP BY user_id),
+         days AS (
+           SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+           FROM bounds)
+         SELECT d.user_id, d.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+         FROM days d LEFT JOIN counts c
+           ON c.user_id = d.user_id AND c.day = d.day
+         ORDER BY d.user_id, d.day""",
+
+    "q38_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
 
     "q34_percentile" ->
       """SELECT o_orderpriority,
