@@ -13,5 +13,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(MinHashSig.registration)
     ext.injectFunction(MinHashSigMd5.registration)
     ext.injectFunction(SimHash64.registration)
+    // inequality temporal joins (abs(Δsec) <= gap with no equi key) are
+    // rewritten to banded equi-joins instead of nested-loop scans
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }
