@@ -150,6 +150,24 @@ object AnalyticsQueries {
         .orderBy(col("l_returnflag").asc_nulls_first,
                  col("l_linestatus").asc_nulls_first)),
 
+    // Q39 — the NAIVE inequality-join formulation of a temporal pair join:
+    // written exactly as a user would (abs(Δsec) <= gap, no equi key), and
+    // planned scalably ONLY because the injected RangeJoinRewrite rule
+    // turns it into a banded equi-join — this query puts the optimizer
+    // rule itself in the oracle-graded path
+    "q39_range_rule" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val a = e.select(col("event_id").as("id_a"),
+                       unix_timestamp(col("ts")).as("sec_a"))
+      val b = e.select(col("event_id").as("id_b"),
+                       unix_timestamp(col("ts")).as("sec_b"))
+      a.join(b, abs(col("sec_a") - col("sec_b")) <= 60 &&
+                col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+                (col("sec_b") - col("sec_a")).as("delta_sec"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // X14 — duplicate-group clustering: MinHash-LSH candidate pairs →
     // connected components; label = min doc_id of each component.
     // Oracled by a recursive-CTE transitive closure in DuckDB.
@@ -338,6 +356,17 @@ object AnalyticsQueries {
             ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
           WHERE a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8
           ORDER BY id_a, id_b""",
+
+    // BETWEEN form (not abs) so DuckDB's IEJoin handles it
+    "q39_range_rule" ->
+      """WITH e AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                    FROM events)
+         SELECT a.event_id AS id_a, b.event_id AS id_b,
+                b.sec - a.sec AS delta_sec
+         FROM e a JOIN e b
+           ON b.sec - a.sec BETWEEN -60 AND 60
+          AND a.event_id < b.event_id
+         ORDER BY id_a, id_b""",
 
     "x14_dedup_cluster" ->
       s"""WITH RECURSIVE
