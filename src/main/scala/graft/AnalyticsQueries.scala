@@ -38,6 +38,22 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Q40 — forward as-of join: each view event picks up the same user's
+    // NEXT purchase at-or-after it (ties: min purchase ts, then id)
+    "q40_asof_forward" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val views = e.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      TemporalJoins.asofJoinForward(views, purchases, Seq("user_id"),
+          "ts", "ts", Seq("event_id"), "_p")
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("ts_p").as("purchase_ts"),
+                col("event_id_p").as("purchase_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // Q29 — interval self-join: same-user event pairs within 300 s,
     // via gap-wide time cells (equi-join, no inequality scan)
     "q29_range_join" -> ((s, dir) =>
@@ -245,6 +261,20 @@ object AnalyticsQueries {
                      ORDER BY p.ts DESC, p.event_id DESC) AS rn
                  FROM v LEFT JOIN p
                    ON p.user_id = v.user_id AND p.ts <= v.ts)
+         SELECT event_id, user_id, ts, purchase_ts, purchase_id
+         FROM m WHERE rn = 1 ORDER BY event_id""",
+
+    "q40_asof_forward" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'view'),
+           p AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+           m AS (SELECT v.event_id, v.user_id, v.ts,
+                   p.ts AS purchase_ts, p.event_id AS purchase_id,
+                   row_number() OVER (PARTITION BY v.event_id
+                     ORDER BY p.ts ASC, p.event_id ASC) AS rn
+                 FROM v LEFT JOIN p
+                   ON p.user_id = v.user_id AND p.ts >= v.ts)
          SELECT event_id, user_id, ts, purchase_ts, purchase_id
          FROM m WHERE rn = 1 ORDER BY event_id""",
 

@@ -59,6 +59,14 @@ object TableIo {
       .drop("_fp", "_ri", "_fidx")
   }
 
+  /** Large-data sink: parquet partitioned by a (low-cardinality, derived)
+    * column — e.g. event date — so downstream range scans prune whole
+    * directories instead of filtering rows. The 100 TB twin of the
+    * collect-and-write payroll sinks below. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
   /** S4 — XLSX source via the hand-rolled codec: first sheet, header row 0,
     * all values string. Driver-side parse (payroll workbooks are small by
     * contract — the distributed path is CSV/parquet). */

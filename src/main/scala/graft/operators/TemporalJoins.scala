@@ -64,6 +64,42 @@ object TemporalJoins {
         payloadCols.map(c => col(s"_match.$c").as(c + suffix)): _*)
   }
 
+  /** Forward as-of LEFT join: for every left row, attach the payload of
+    * the right row with the SMALLEST `rightTs` ≥ `leftTs` within the same
+    * `keys` group (null when none follows). Ties on `rightTs` are broken
+    * by the remaining payload columns (smallest wins). Mirror of
+    * [[asofJoinBackward]] — same single shuffle + sort, with the running
+    * window looking forward instead of back. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      rightPayload: Seq[String],
+                      suffix: String = "_r"): DataFrame = {
+    val payloadCols = rightTs +: rightPayload
+    val lrowType = StructType(left.schema.fields)
+    val rpType = StructType(
+      right.select(payloadCols.map(col): _*).schema.fields)
+    // left rows sort BEFORE right rows at an equal timestamp (side 0 < 1)
+    // so a right row at exactly leftTs is inside the following frame (≥)
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("_ats"), lit(0).as("_side"),
+        lit(null).cast(rpType).as("_rp"),
+        struct(left.columns.map(col): _*).as("_lrow")): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("_ats"), lit(1).as("_side"),
+        struct(payloadCols.map(col): _*).as("_rp"),
+        lit(null).cast(lrowType).as("_lrow")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ats").asc, col("_side").asc, col("_rp").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("_match", first(col("_rp"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select(col("_lrow.*") +:
+        payloadCols.map(c => col(s"_match.$c").as(c + suffix)): _*)
+  }
+
   /** All pairs of rows sharing `keys` whose timestamps differ by at most
     * `maxGapSec`, as `(id_a, id_b, gap_sec)` with `id_a < id_b`. */
   def rangeSelfJoin(df: DataFrame, keys: Seq[String], idCol: String,

@@ -32,6 +32,23 @@ class PlanShapeSpec extends SparkSpec {
       || plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("partitioned parquet write: date filter prunes partitions in the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
+    val df = (0 until 1000)
+      .map(i => (i.toLong, f"2024-01-${i % 9 + 1}%02d", i * 1.5))
+      .toDF("id", "day", "v")
+    graft.io.TableIo.writePartitioned(df, dir, Seq("day"))
+    val pruned = spark.read.parquet(dir).filter(col("day") === "2024-01-03")
+    // 1000 ids spread over 9 days: day 3 holds ids with id % 9 == 2
+    assert(pruned.count() == (0 until 1000).count(_ % 9 == 2))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    // the filter reaches the scan as a PARTITION filter (directory pruning),
+    // not a row-level data filter
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-01-03"),
+      scan.take(1500))
+  }
+
   test("persisted signature index: bucketed corpus side joins without its own exchange") {
     import spark.implicits._
     val docs = (0 until 200).map(i =>

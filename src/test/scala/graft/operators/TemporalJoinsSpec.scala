@@ -45,6 +45,29 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("id", "k", "ts", "extra", "ts_r", "rid_r"))
   }
 
+  test("asofJoinForward: earliest right row at-or-after each left row, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 07:00:00")),  // before both → first (101)
+      (2L, "u1", ts("2024-01-01 08:30:00")),  // between → 102
+      (3L, "u1", ts("2024-01-01 10:00:00")),  // after all → null
+      (4L, "u2", ts("2024-01-01 09:00:00")))  // exact tie → min id (103)
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, "u1", ts("2024-01-01 08:00:00")),
+      (102L, "u1", ts("2024-01-01 09:00:00")),
+      (103L, "u2", ts("2024-01-01 09:00:00")),
+      (104L, "u2", ts("2024-01-01 09:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val out = TemporalJoins.asofJoinForward(left, right, Seq("user_id"),
+        "ts", "ts", Seq("event_id"), "_p")
+      .select("event_id", "event_id_p")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out == Map(1L -> Some(101L), 2L -> Some(102L), 3L -> None,
+                      4L -> Some(103L)))
+  }
+
   test("rangeSelfJoin matches the brute-force inequality join") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
