@@ -54,6 +54,22 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Q41 — nearest as-of join: closest purchase in either direction,
+    // exact-distance ties prefer the backward match
+    "q41_asof_nearest" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val views = e.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      TemporalJoins.asofJoinNearest(views, purchases, Seq("user_id"),
+          "ts", "ts", Seq("event_id"), "_p")
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("ts_p").as("purchase_ts"),
+                col("event_id_p").as("purchase_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // Q29 — interval self-join: same-user event pairs within 300 s,
     // via gap-wide time cells (equi-join, no inequality scan)
     "q29_range_join" -> ((s, dir) =>
@@ -275,6 +291,27 @@ object AnalyticsQueries {
                      ORDER BY p.ts ASC, p.event_id ASC) AS rn
                  FROM v LEFT JOIN p
                    ON p.user_id = v.user_id AND p.ts >= v.ts)
+         SELECT event_id, user_id, ts, purchase_ts, purchase_id
+         FROM m WHERE rn = 1 ORDER BY event_id""",
+
+    // rank by |Δsec| (truncated like Spark's unix_timestamp), backward
+    // before forward on ties, then the direction's own tie-break
+    "q41_asof_nearest" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'view'),
+           p AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+           m AS (SELECT v.event_id, v.user_id, v.ts,
+                   p.ts AS purchase_ts, p.event_id AS purchase_id,
+                   row_number() OVER (PARTITION BY v.event_id ORDER BY
+                     abs(CAST(floor(epoch(p.ts)) AS BIGINT)
+                         - CAST(floor(epoch(v.ts)) AS BIGINT)) ASC,
+                     CASE WHEN p.ts <= v.ts THEN 0 ELSE 1 END ASC,
+                     CASE WHEN p.ts <= v.ts THEN -epoch(p.ts)
+                          ELSE epoch(p.ts) END ASC,
+                     CASE WHEN p.ts <= v.ts THEN -p.event_id
+                          ELSE p.event_id END ASC) AS rn
+                 FROM v LEFT JOIN p ON p.user_id = v.user_id)
          SELECT event_id, user_id, ts, purchase_ts, purchase_id
          FROM m WHERE rn = 1 ORDER BY event_id""",
 

@@ -12,7 +12,9 @@ object PlanCheck {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_scan_project", "q13_join_lookup", "q16_dedup_keepfirst",
                "b01_pricing_summary", "b02_revenue_by_nation",
-               "x05_dedup_exact", "x09_sim_topk")
+               "x05_dedup_exact", "x09_sim_topk",
+               "q28_asof_join", "q29_range_join", "q39_range_rule",
+               "x14_dedup_cluster", "x16_dedup_incremental")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")

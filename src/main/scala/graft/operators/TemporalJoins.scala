@@ -100,6 +100,30 @@ object TemporalJoins {
         payloadCols.map(c => col(s"_match.$c").as(c + suffix)): _*)
   }
 
+  /** Nearest as-of LEFT join: the right row minimizing |rightTs − leftTs|
+    * within the key group; exact-distance ties prefer the backward match
+    * (pandas merge_asof direction='nearest' semantics). Composes the two
+    * directional joins — still two shuffles total, both on the keys. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      rightPayload: Seq[String],
+                      suffix: String = "_r"): DataFrame = {
+    val payloadCols = rightTs +: rightPayload
+    val back = asofJoinBackward(left, right, keys, leftTs, rightTs,
+      rightPayload, "_gb")
+    val both = asofJoinForward(back, right, keys, leftTs, rightTs,
+      rightPayload, "_gf")
+    val lSec = unix_timestamp(col(leftTs))
+    val db = lSec - unix_timestamp(col(rightTs + "_gb"))
+    val df_ = unix_timestamp(col(rightTs + "_gf")) - lSec
+    val useBack = col(rightTs + "_gf").isNull ||
+      (col(rightTs + "_gb").isNotNull && db <= df_)
+    val picked = payloadCols.map { c =>
+      when(useBack, col(c + "_gb")).otherwise(col(c + "_gf")).as(c + suffix)
+    }
+    both.select(left.columns.map(col) ++ picked: _*)
+  }
+
   /** All pairs of rows sharing `keys` whose timestamps differ by at most
     * `maxGapSec`, as `(id_a, id_b, gap_sec)` with `id_a < id_b`. */
   def rangeSelfJoin(df: DataFrame, keys: Seq[String], idCol: String,

@@ -68,6 +68,26 @@ class TemporalJoinsSpec extends SparkSpec {
                       4L -> Some(103L)))
   }
 
+  test("asofJoinNearest: closest right row wins, exact ties prefer backward") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 08:10:00")),  // 10 min after 101, 50 before 102 → 101
+      (2L, "u1", ts("2024-01-01 08:50:00")),  // 50 after 101, 10 before 102 → 102
+      (3L, "u1", ts("2024-01-01 08:30:00")),  // exact 30/30 tie → backward (101)
+      (4L, "u2", ts("2024-01-01 05:00:00")))  // only a later right row → it
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, "u1", ts("2024-01-01 08:00:00")),
+      (102L, "u1", ts("2024-01-01 09:00:00")),
+      (103L, "u2", ts("2024-01-01 23:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val out = TemporalJoins.asofJoinNearest(left, right, Seq("user_id"),
+        "ts", "ts", Seq("event_id"), "_p")
+      .select("event_id", "event_id_p")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 101L, 2L -> 102L, 3L -> 101L, 4L -> 103L))
+  }
+
   test("rangeSelfJoin matches the brute-force inequality join") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
