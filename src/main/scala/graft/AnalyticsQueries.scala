@@ -224,6 +224,18 @@ object AnalyticsQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // X17 — the ENTIRE corpus-dedup pipeline end-to-end (exact dedup →
+    // MinHash-LSH candidates → n-gram-Jaccard verify → connected
+    // components → one survivor per duplicate group), oracled by the same
+    // dataflow in DuckDB SQL — the extension-side analogue of the q22/q23
+    // full-pipeline oracles
+    "x17_dedup_corpus" -> ((s, dir) =>
+      DedupOperators.dedupCorpus(
+          Tables(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", jaccardThreshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
     // X15 — approximate sketches at 100 TB scale: HLL distinct + quantile
     // sketch. Not ANSI-oracle-able (sketch internals differ per engine) →
     // rows-only check; the exact twin q33 is hash-checked.
@@ -434,6 +446,48 @@ object AnalyticsQueries {
            ON b.sec - a.sec BETWEEN -60 AND 60
           AND a.event_id < b.event_id
          ORDER BY id_a, id_b""",
+
+    "x17_dedup_corpus" -> {
+      val comps = (0 until 8).map(seed =>
+        s"list_aggregate(list_transform(sg, x -> md5('$seed:' || x)), 'min')")
+      val inter = "len(list_filter(a.ds, x -> list_contains(b.ds, x)))"
+      s"""WITH RECURSIVE
+          fp AS (SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+                 FROM documents),
+          keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+          d AS (SELECT doc_id, text FROM documents
+                WHERE doc_id IN (SELECT doc_id FROM keep)),
+          w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS wa
+                FROM d),
+          sh AS (SELECT doc_id,
+                   list_transform(generate_series(1, len(wa) - 2),
+                     i -> wa[i] || ' ' || wa[i+1] || ' ' || wa[i+2]) AS sg
+                 FROM w),
+          sig AS (SELECT doc_id, [${comps.mkString(", ")}] AS sg FROM sh),
+          $bandedSql,
+          cand AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                   FROM banded a JOIN banded b
+                     ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+          shd AS (SELECT doc_id, list_distinct(sg) AS ds FROM sh),
+          ver AS (SELECT c.src, c.dst
+                  FROM cand c
+                  JOIN shd a ON a.doc_id = c.src
+                  JOIN shd b ON b.doc_id = c.dst
+                  WHERE round($inter::DOUBLE /
+                          (len(a.ds) + len(b.ds) - $inter), 4) >= 0.5),
+          edges AS (SELECT src, dst FROM ver UNION SELECT dst, src FROM ver),
+          comp(id, lbl) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id),
+          victims AS (SELECT id FROM (SELECT id, min(lbl) AS label
+                                      FROM comp GROUP BY id)
+                      WHERE id <> label)
+          SELECT doc_id FROM d
+          WHERE doc_id NOT IN (SELECT id FROM victims)
+          ORDER BY doc_id"""
+    },
 
     "x14_dedup_cluster" ->
       s"""WITH RECURSIVE
