@@ -123,6 +123,17 @@ object AnalyticsQueries {
              round(expr("percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.9)"), 4).as("p90_cents"))
         .orderBy(col("o_orderpriority"))),
 
+    // Q42 — SCD2 validity intervals from a change log: each order is the
+    // customer's "current" state until the next order (open-ended last)
+    "q42_scd2_intervals" -> ((s, dir) =>
+      graft.ops.HistoryOps.validityIntervals(
+          Tables(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"),
+          Seq("o_custkey"), "o_orderdate", Seq(col("o_orderkey")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+                col("valid_from"), col("valid_to"))
+        .orderBy(col("o_orderkey"))),
+
     // Q33 — grouped distinct counts (exact twin of the x15 sketch)
     "q33_distinct_count" -> ((s, dir) =>
       Tables(s, dir, "orders")
@@ -420,6 +431,13 @@ object AnalyticsQueries {
            round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5), 4) AS p50_cents,
            round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9), 4) AS p90_cents
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q42_scd2_intervals" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS valid_to
+         FROM orders ORDER BY o_orderkey""",
 
     "q33_distinct_count" ->
       """SELECT o_orderpriority,

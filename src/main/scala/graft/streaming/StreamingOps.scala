@@ -70,6 +70,22 @@ object StreamingOps {
       .select(col("new_id"), col("corpus_id"))
   }
 
+  /** Watermarked STREAM-STREAM interval join: right rows within
+    * `[leftTs, leftTs + withinSec]` of a left row with the same `key`.
+    * Both sides carry watermarks and the join condition bounds event time
+    * in both directions, so Spark can GC join state — the property that
+    * keeps a stream-stream join runnable forever. Output columns keep
+    * their `l`/`r` qualifiers for disambiguation. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+                         leftTs: String, rightTs: String, withinSec: Long,
+                         lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness).alias("l")
+    val r = right.withWatermark(rightTs, lateness).alias("r")
+    l.join(r, expr(
+      s"""l.$key = r.$key AND r.$rightTs >= l.$leftTs AND
+          r.$rightTs <= l.$leftTs + interval $withinSec seconds"""))
+  }
+
   final case class Session(userId: Long, nEvents: Long, totalValue: Double,
                            startTs: java.sql.Timestamp, endTs: java.sql.Timestamp)
   final case class SessionState(n: Long, total: Double,

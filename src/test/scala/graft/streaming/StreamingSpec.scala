@@ -111,6 +111,30 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((10L, 0L)))
   }
 
+  test("intervalJoinStream: stream-stream join within the time window only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamingOps.intervalJoinStream(
+      views.toDF().toDF("view_id", "user_id", "ts"),
+      buys.toDF().toDF("buy_id", "user_id", "ts"),
+      "user_id", "ts", "ts", withinSec = 600)
+      .selectExpr("l.view_id", "r.buy_id")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    views.addData((1L, 7L, ts("2024-01-01 10:00:00")),
+                  (2L, 7L, ts("2024-01-01 12:00:00")))
+    buys.addData((100L, 7L, ts("2024-01-01 10:05:00")),  // within 10 min of view 1
+                 (101L, 7L, ts("2024-01-01 11:00:00")),  // matches neither
+                 (102L, 8L, ts("2024-01-01 10:05:00"))) // other user
+    q.processAllAvailable()
+    val got = spark.sql("select view_id, buy_id from ssj")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got == Set((1L, 100L)))
+  }
+
   test("sessionize emits one summary per user once the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
