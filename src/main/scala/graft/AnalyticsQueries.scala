@@ -211,6 +211,15 @@ object AnalyticsQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Q43 — cube: every grouping combination incl. both rollup chains
+    "q43_cube" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+             count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)),
+
     // X14 — duplicate-group clustering: MinHash-LSH candidate pairs →
     // connected components; label = min doc_id of each component.
     // Oracled by a recursive-CTE transitive closure in DuckDB.
@@ -453,6 +462,13 @@ object AnalyticsQueries {
             ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
           WHERE a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8
           ORDER BY id_a, id_b""",
+
+    "q43_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
 
     // BETWEEN form (not abs) so DuckDB's IEJoin handles it
     "q39_range_rule" ->
