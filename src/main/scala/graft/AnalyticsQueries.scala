@@ -256,6 +256,27 @@ object AnalyticsQueries {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // X18 — multimodal column plumbing, oracle-graded: an opaque binary
+    // payload (document bytes standing in for image bytes) flows through
+    // the media struct, the deterministic decode stub, fingerprinting, and
+    // size-classing — everything EXCEPT the codec itself is checked
+    // cross-engine, which is exactly the testable surface when real codecs
+    // are plugged in later
+    "x18_multimodal_meta" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val m = Multimodal.withMediaStruct(
+        Tables(s, dir, "documents").select("doc_id", "text"),
+        col("text").cast("binary"), lit("txt"))
+      val decoded = Multimodal.decodeImageStub(col("media.payload"))
+      m.select(col("doc_id"),
+               col("media.size_bytes").as("size_bytes"),
+               md5(col("media.payload")).as("payload_md5"),
+               decoded.getField("width").as("fake_w"),
+               decoded.getField("height").as("fake_h"),
+               Multimodal.sizeClass(col("media.payload")).as("size_class"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X15 — approximate sketches at 100 TB scale: HLL distinct + quantile
     // sketch. Not ANSI-oracle-able (sketch internals differ per engine) →
     // rows-only check; the exact twin q33 is hash-checked.
@@ -480,6 +501,19 @@ object AnalyticsQueries {
            ON b.sec - a.sec BETWEEN -60 AND 60
           AND a.event_id < b.event_id
          ORDER BY id_a, id_b""",
+
+    // md5(VARCHAR) in DuckDB hashes the UTF-8 bytes — identical to Spark's
+    // md5 over cast(text AS BINARY)
+    "x18_multimodal_meta" ->
+      """SELECT doc_id,
+           octet_length(encode(text)) AS size_bytes,
+           md5(text) AS payload_md5,
+           octet_length(encode(text)) % 640 + 1 AS fake_w,
+           (octet_length(encode(text)) * 7) % 480 + 1 AS fake_h,
+           CASE WHEN octet_length(encode(text)) < 1024 THEN 's'
+                WHEN octet_length(encode(text)) < 1048576 THEN 'm'
+                ELSE 'l' END AS size_class
+         FROM documents ORDER BY doc_id""",
 
     "x17_dedup_corpus" -> {
       val comps = (0 until 8).map(seed =>
