@@ -73,33 +73,36 @@ case class MinHashSigMd5(child: Expression, n: Int, k: Int)
 
 object MinHashSigMd5 {
 
+  private val Space = UTF8String.fromString(" ")
+
   /** The hot loop — plain bytecode, shared by interpreted and codegen
-    * paths and by every query plan. Mirrors the composed form exactly,
-    * including `concat_ws(" ", …)` skipping null word elements. */
+    * paths and by every query plan. Mirrors the composed form exactly:
+    * `concat_ws(" ", …)` skips null word elements, and hashing operates on
+    * the RAW UTF8String bytes (never a lossy java-String round trip), so
+    * results match the composed `md5(cast(concat(…) as binary))` for any
+    * byte content. */
   def compute(words: ArrayData, n: Int, k: Int): ArrayData = {
     val out = new Array[AnyRef](k)
     if (words == null) return new GenericArrayData(out)
     val nw = words.numElements()
     if (nw < n) return new GenericArrayData(out)
     val mins = new Array[UTF8String](k)
-    val sb = new java.lang.StringBuilder
+    val seedPrefix = Array.tabulate(k)(s => UTF8String.fromString(s + ":"))
+    val parts = new Array[UTF8String](n)
     var i = 0
     while (i <= nw - n) {
-      sb.setLength(0)
       var j = 0
-      var first = true
       while (j < n) {
-        if (!words.isNullAt(i + j)) { // concat_ws skips nulls
-          if (!first) sb.append(' ')
-          sb.append(words.getUTF8String(i + j).toString)
-          first = false
-        }
+        // concat_ws skips nulls (concatWs ignores null inputs the same way)
+        parts(j) = if (words.isNullAt(i + j)) null
+                   else words.getUTF8String(i + j)
         j += 1
       }
-      val shingle = sb.toString
+      val shingle = UTF8String.concatWs(Space, parts: _*)
       var s = 0
       while (s < k) {
-        val hex = UTF8String.fromString(DigestUtils.md5Hex(s + ":" + shingle))
+        val bytes = UTF8String.concat(seedPrefix(s), shingle).getBytes
+        val hex = UTF8String.fromString(DigestUtils.md5Hex(bytes))
         if (mins(s) == null || hex.compareTo(mins(s)) < 0) mins(s) = hex
         s += 1
       }

@@ -65,8 +65,13 @@ object DedupOperators {
                             idCol: String, textCol: String,
                             shingleN: Int = 3, k: Int = 8,
                             bands: Int = 4): DataFrame = {
+    // The batch index is joined twice below, so cache it. It stays cached
+    // after return because the result depends on it lazily — callers doing
+    // many batches in one session should `.count()` the result and then
+    // `spark.catalog.clearCache()` (or unpersist via the storage tab);
+    // blocks are also LRU-evicted under memory pressure.
     val newIdx = signatureIndex(newDocs, idCol, textCol, shingleN, k, bands)
-      .persist() // joined twice below; the batch index is small by design
+      .persist()
     // two separate joins — NOT a union-then-self-join, which would destroy
     // the corpus index's storage partitioning: when the corpus side is a
     // table bucketed by band_key, this join reads its buckets in place and
