@@ -86,4 +86,55 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("as-of backward ≡ brute force over random keyed timelines") {
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val r = new Random(100 + trial)
+      def mk(n: Int, base: Int) = (1 to n).map { i =>
+        ((base + i).toLong, s"k${r.nextInt(4)}",
+         new java.sql.Timestamp(1700000000000L + r.nextInt(500000) * 1000L))
+      }
+      val lv = mk(120, 0)
+      val rv = mk(80, 1000)
+      val out = graft.operators.TemporalJoins.asofJoinBackward(
+          lv.toDF("id", "k", "ts"), rv.toDF("id", "k", "ts"),
+          Seq("k"), "ts", "ts", Seq("id"), "_m")
+        .select("id", "id_m").collect()
+        .map(x => x.getLong(0) ->
+          (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+      val expected = lv.map { case (lid, lk, lts) =>
+        val cands = rv.filter(c => c._2 == lk && !c._3.after(lts))
+        lid -> (if (cands.isEmpty) None
+                else Some(cands.maxBy(c => (c._3.getTime, c._1))._1))
+      }.toMap
+      assert(out == expected, s"trial $trial")
+    }
+  }
+
+  test("validityIntervals tile the timeline for every key, every trial") {
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val r = new Random(200 + trial)
+      val log = (1 to 100).map { i =>
+        (i.toLong, s"k${r.nextInt(6)}",
+         new java.sql.Timestamp(1700000000000L + r.nextInt(100000) * 1000L))
+      }
+      val iv = HistoryOps.validityIntervals(
+          log.toDF("id", "k", "ts"), Seq("k"), "ts",
+          Seq(col("id")))
+        .collect().map(x => (x.getString(1), x.getLong(0),
+          x.getTimestamp(3), Option(x.getTimestamp(4))))
+      iv.groupBy(_._1).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(x => (x._3.getTime, x._2))
+        // exactly one open interval per key, and it is the last one
+        assert(sorted.count(_._4.isEmpty) == 1 && sorted.last._4.isEmpty)
+        // each valid_to equals the next row's valid_from
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._4.contains(b._3))
+          case _ =>
+        }
+      }
+    }
+  }
 }
