@@ -220,6 +220,42 @@ object AnalyticsQueries {
         .orderBy(col("l_returnflag").asc_nulls_first,
                  col("l_linestatus").asc_nulls_first)),
 
+    // Q44 — fuzzy matching: edit distance between successive customer
+    // names (record-linkage primitive beyond token-based similarity)
+    "q44_fuzzy_levenshtein" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"))
+      val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+                levenshtein(col("name_a"), col("name_b")).as("edit_dist"))
+        .orderBy(col("id_a"))
+    }),
+
+    // Q45 — date arithmetic battery: day diffs, offsets, month boundaries
+    "q45_date_arith" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+                datediff(lit("1998-12-31").cast("date"),
+                         col("o_orderdate").cast("date")).as("days_to_eoy"),
+                date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+                last_day(col("o_orderdate").cast("date")).as("month_end"),
+                year(col("o_orderdate")).as("yr"),
+                quarter(col("o_orderdate")).as("qtr"),
+                dayofweek(col("o_orderdate")).as("dow"))
+        .orderBy(col("o_orderkey"))),
+
+    // Q46 — tolerant coercion battery: try_cast semantics (valid prefix
+    // digit parses, non-numeric → null) — the ANSI-safe ingestion idiom
+    "q46_try_cast" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+                expr("try_cast(split(o_orderpriority, '-')[0] AS BIGINT)")
+                  .as("prio_num"),
+                expr("try_cast(o_orderstatus AS BIGINT)").as("status_num"),
+                expr("try_cast(o_orderpriority AS DOUBLE)").as("prio_dbl"))
+        .orderBy(col("o_orderkey"))),
+
     // X14 — duplicate-group clustering: MinHash-LSH candidate pairs →
     // connected components; label = min doc_id of each component.
     // Oracled by a recursive-CTE transitive closure in DuckDB.
@@ -483,6 +519,31 @@ object AnalyticsQueries {
             ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
           WHERE a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8
           ORDER BY id_a, id_b""",
+
+    "q44_fuzzy_levenshtein" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name) AS edit_dist
+         FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+         ORDER BY id_a""",
+
+    "q45_date_arith" ->
+      """SELECT o_orderkey,
+           date_diff('day', o_orderdate::DATE, DATE '1998-12-31')
+             AS days_to_eoy,
+           o_orderdate::DATE + 30 AS due_date,
+           last_day(o_orderdate::DATE) AS month_end,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+         FROM orders ORDER BY o_orderkey""",
+
+    "q46_try_cast" ->
+      """SELECT o_orderkey,
+           TRY_CAST(split_part(o_orderpriority, '-', 1) AS BIGINT)
+             AS prio_num,
+           TRY_CAST(o_orderstatus AS BIGINT) AS status_num,
+           TRY_CAST(o_orderpriority AS DOUBLE) AS prio_dbl
+         FROM orders ORDER BY o_orderkey""",
 
     "q43_cube" ->
       """SELECT l_returnflag, l_linestatus,
