@@ -313,6 +313,33 @@ object AnalyticsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X19 — vector statistics via higher-order functions (aggregate /
+    // transform over the embedding arrays — all map-side, codegen'd)
+    "x19_vector_stats" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+                round(sqrt(aggregate(col("embedding"), lit(0.0d),
+                  (acc, x) => acc + x.cast("double") * x.cast("double"))), 4)
+                  .as("l2_norm"),
+                round(aggregate(col("embedding"), lit(0.0d),
+                  (acc, x) => acc + x.cast("double")) / size(col("embedding")), 4)
+                  .as("dim_mean"),
+                size(col("embedding")).as("dims"))
+        .orderBy(col("vec_id"))),
+
+    // X20 — deterministic reproducible sampling: an md5-derived bucket in
+    // [0,256) selects ~1/8 of the corpus identically on ANY engine or
+    // cluster size — the reproducible-subsample idiom for training data
+    // (engine-native rand()/TABLESAMPLE can't cross-check)
+    "x20_det_sample" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("bucket",
+          conv(substring(md5(concat(lit("graft:"), col("doc_id"))), 1, 2),
+               16, 10).cast("int"))
+        .filter(col("bucket") < 32)
+        .select(col("doc_id"), col("bucket"))
+        .orderBy(col("doc_id"))),
+
     // X15 — approximate sketches at 100 TB scale: HLL distinct + quantile
     // sketch. Not ANSI-oracle-able (sketch internals differ per engine) →
     // rows-only check; the exact twin q33 is hash-checked.
@@ -562,6 +589,25 @@ object AnalyticsQueries {
            ON b.sec - a.sec BETWEEN -60 AND 60
           AND a.event_id < b.event_id
          ORDER BY id_a, id_b""",
+
+    // list_reduce (sequential fold) mirrors Spark aggregate()'s left fold,
+    // so double summation order — and thus the rounded result — matches
+    "x19_vector_stats" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT vec_id,
+           round(sqrt(list_reduce([0.0::DOUBLE] ||
+             list_transform(v, x -> x * x), (a, b) -> a + b)), 4) AS l2_norm,
+           round(list_reduce([0.0::DOUBLE] || v, (a, b) -> a + b)
+             / len(v), 4) AS dim_mean,
+           len(v) AS dims
+         FROM e ORDER BY vec_id""",
+
+    "x20_det_sample" ->
+      """SELECT doc_id,
+           ('0x' || substr(md5('graft:' || doc_id), 1, 2))::INT AS bucket
+         FROM documents
+         WHERE ('0x' || substr(md5('graft:' || doc_id), 1, 2))::INT < 32
+         ORDER BY doc_id""",
 
     // md5(VARCHAR) in DuckDB hashes the UTF-8 bytes — identical to Spark's
     // md5 over cast(text AS BINARY)
