@@ -321,9 +321,11 @@ object AnalyticsQueries {
                 round(sqrt(aggregate(col("embedding"), lit(0.0d),
                   (acc, x) => acc + x.cast("double") * x.cast("double"))), 4)
                   .as("l2_norm"),
-                round(aggregate(col("embedding"), lit(0.0d),
+                // + 0.0 collapses IEEE negative zero after rounding, which
+                // engines render differently
+                (round(aggregate(col("embedding"), lit(0.0d),
                   (acc, x) => acc + x.cast("double")) / size(col("embedding")), 4)
-                  .as("dim_mean"),
+                  + lit(0.0d)).as("dim_mean"),
                 size(col("embedding")).as("dims"))
         .orderBy(col("vec_id"))),
 
@@ -598,7 +600,7 @@ object AnalyticsQueries {
            round(sqrt(list_reduce([0.0::DOUBLE] ||
              list_transform(v, x -> x * x), (a, b) -> a + b)), 4) AS l2_norm,
            round(list_reduce([0.0::DOUBLE] || v, (a, b) -> a + b)
-             / len(v), 4) AS dim_mean,
+             / len(v), 4) + 0.0 AS dim_mean,
            len(v) AS dims
          FROM e ORDER BY vec_id""",
 
