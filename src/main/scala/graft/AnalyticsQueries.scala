@@ -256,6 +256,55 @@ object AnalyticsQueries {
                 expr("try_cast(o_orderpriority AS DOUBLE)").as("prio_dbl"))
         .orderBy(col("o_orderkey"))),
 
+    // Q47 — null-safe equality join (<=>): null keys MATCH each other,
+    // unlike plain = (which drops them)
+    "q47_nullsafe_join" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val a = o.select(col("o_orderkey").as("id_a"),
+        nullif(col("o_orderstatus"), lit("O")).as("k_a"))
+      val b = o.select(col("o_orderkey").as("id_b"),
+        nullif(col("o_orderstatus"), lit("O")).as("k_b"))
+      a.join(b, col("k_a") <=> col("k_b") && col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"), col("k_a"))
+        .orderBy(col("id_a"))
+    }),
+
+    // Q48 — boolean / conditional aggregates per group
+    "q48_bool_aggs" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(bool_or(col("o_totalprice") > 400000).as("any_jumbo"),
+             bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+             count_if(col("o_orderstatus") === "F").as("n_finished"))
+        .orderBy(col("o_orderpriority"))),
+
+    // Q49 — window-function completion: first/last/nth values, ntile,
+    // percent_rank, cume_dist over each customer's order history
+    "q49_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+                first(col("o_orderkey")).over(wf).as("first_ok"),
+                last(col("o_orderkey")).over(wf).as("last_ok"),
+                nth_value(col("o_orderkey"), 2).over(wf).as("second_ok"),
+                ntile(4).over(w).as("quartile"),
+                round(percent_rank().over(w), 6).as("pct_rank"),
+                round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // X21 — map/semi-structured explode: JSON props → typed map → one row
+    // per entry
+    "x21_map_explode" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          explode(from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))))
+        .toDF("event_id", "k", "v")
+        .orderBy(col("event_id"), col("k"))),
+
     // X14 — duplicate-group clustering: MinHash-LSH candidate pairs →
     // connected components; label = min doc_id of each component.
     // Oracled by a recursive-CTE transitive closure in DuckDB.
@@ -591,6 +640,46 @@ object AnalyticsQueries {
            ON b.sec - a.sec BETWEEN -60 AND 60
           AND a.event_id < b.event_id
          ORDER BY id_a, id_b""",
+
+    "q47_nullsafe_join" ->
+      """WITH o AS (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS k
+                    FROM orders)
+         SELECT a.o_orderkey AS id_a, b.o_orderkey AS id_b, a.k AS k_a
+         FROM o a JOIN o b
+           ON a.k IS NOT DISTINCT FROM b.k
+          AND b.o_orderkey = a.o_orderkey + 1
+         ORDER BY id_a""",
+
+    "q48_bool_aggs" ->
+      """SELECT o_orderpriority,
+           bool_or(o_totalprice > 400000) AS any_jumbo,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_finished
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q49_window_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER wf AS first_ok,
+           last_value(o_orderkey) OVER wf AS last_ok,
+           nth_value(o_orderkey, 2) OVER wf AS second_ok,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+         FROM orders
+         WINDOW
+           w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_orderkey""",
+
+    "x21_map_explode" ->
+      """WITH kv AS (SELECT event_id, props,
+                       unnest(json_keys(props::JSON)) AS k
+                     FROM events)
+         SELECT event_id, k,
+           CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS v
+         FROM kv ORDER BY event_id, k""",
 
     // list_reduce (sequential fold) mirrors Spark aggregate()'s left fold,
     // so double summation order — and thus the rounded result — matches
