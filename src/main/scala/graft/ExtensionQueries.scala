@@ -79,14 +79,26 @@ object ExtensionQueries {
     }),
 
     "x09_sim_topk" -> ((s, dir) => {
+      // Norms are computed ONCE per row on each side (O(N)) BEFORE the
+      // pair join, so the per-pair work is a single dot product — at scale
+      // this is the difference between 1 and 3 vector traversals per
+      // candidate. cos = dot/(na*nb) is the same IEEE arithmetic as
+      // V.cosine, so results stay oracle-identical.
       val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+                V.norm(col("embedding")).as("nrm"))
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val cand = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+                col("nrm").as("qn"))
+      val cand = e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+                          col("nrm").as("nn"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("nid").asc)
       broadcast(q).join(cand, col("nid") =!= col("qid"))
-        .withColumn("cos", V.cosine(col("qv"), col("nv")))
+        .withColumn("cos",
+          when(col("qn") === 0.0 || col("nn") === 0.0,
+            lit(null).cast("double"))
+          .otherwise(V.dot(col("qv"), col("nv")) / (col("qn") * col("nn"))))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("qid"), col("rank"), col("nid"),

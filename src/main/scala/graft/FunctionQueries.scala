@@ -1,0 +1,416 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-3 coverage: the scalar-function surface (array / string / regexp /
+  * conditional / bitwise batteries), global top-k, exact single-pass moment
+  * statistics, per-group sorted collection, RANGE window frames, positional
+  * explode, union-distinct, blocked embedding near-dup, and deterministic
+  * stratified splitting — each a `SparkEntry.queries` entry with a DuckDB
+  * oracle.
+  *
+  * Scale notes, per query:
+  *  - q50 plans as TakeOrderedAndProject (per-partition top-k, tiny merge on
+  *    the driver) — never a global sort.
+  *  - q51 computes stddev/corr from EXACT integer moments (one map-side
+  *    partial agg; long/decimal sums), so results are bit-identical across
+  *    engines and cluster sizes — float accumulation order never matters.
+  *    This is the 100 TB-safe way to cross-check statistics; the native
+  *    `stddev_samp`/`corr` aggregates are the same single pass but their
+  *    double accumulation order is partition-dependent, so they cannot be
+  *    hash-checked.
+  *  - q52/q53/q56/q54/q60 are pure map-side projections (whole-stage
+  *    codegen, no shuffle beyond the output sort).
+  *  - q55 shuffles once on the group key; collect_set is bounded by segment
+  *    cardinality (5), not row count.
+  *  - q59's RANGE frame is one shuffle + sort per user partition.
+  *  - x22 joins within `label` blocks (the blocked similarity-join idiom):
+  *    candidate pairs are O(Σ blockᵢ²), never the full N² cross join.
+  *  - x23's md5-bucket split is engine- and cluster-size-independent — the
+  *    reproducible train/val/test assignment for a training corpus.
+  */
+object FunctionQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q50 — global top-k: ORDER BY ... LIMIT plans as per-partition top-k
+    // (TakeOrderedAndProject), the only scale-safe global-order operator
+    "q50_global_topk" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+                cents(col("o_totalprice")).as("price_cents"))
+        .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+        .limit(100)),
+
+    // Q51 — single-pass exact-moment statistics: stddev / correlation
+    // derived from integer sums (see scale note above)
+    "q51_stats_moments" -> ((s, dir) => {
+      val q = col("l_quantity").cast("long")
+      val p = cents(col("l_extendedprice"))
+      val g = Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             sum(q).as("sum_q"),
+             sum(q * q).as("sum_q2"),
+             sum(p).as("sum_p"),
+             // p² fits a long per-row but the SUM does not at sf≥0.1 —
+             // decimal(38,0) keeps the moment exact at any scale
+             sum((p * p).cast(DecimalType(38, 0))).as("sum_p2"),
+             sum(q * p).as("sum_qp"))
+      val nD = col("n").cast("double")
+      val sq = col("sum_q").cast("double")
+      val sq2 = col("sum_q2").cast("double")
+      val sp = col("sum_p").cast("double")
+      val sp2 = col("sum_p2").cast("double")
+      val sqp = col("sum_qp").cast("double")
+      val varQ = (nD * sq2 - sq * sq) / (nD * (nD - 1))
+      val varP = (nD * sp2 - sp * sp) / (nD * (nD - 1))
+      g.select(col("l_returnflag"), col("n"), col("sum_q"),
+               round(sqrt(varQ), 6).as("stddev_q"),
+               round(sqrt(varP), 4).as("stddev_p_cents"),
+               (round((nD * sqp - sq * sp) /
+                  sqrt((nD * sq2 - sq * sq) * (nD * sp2 - sp * sp)), 6)
+                 + lit(0.0d)).as("corr_qp"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Q52 — array-function battery over tokenized documents
+    "q52_array_funcs" -> ((s, dir) => {
+      val w = split(trim(col("text")), "\\s+")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+                size(w).cast("long").as("n_words"),
+                size(array_distinct(w)).cast("long").as("n_distinct"),
+                array_contains(w, "spark").as("has_spark"),
+                array_join(slice(w, 1, 3), " ").as("first3"),
+                array_min(w).as("min_word"),
+                array_max(w).as("max_word"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Q53 — string-function battery over customer names
+    "q53_string_funcs" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+                lpad(col("c_name"), 22, "*").as("lpadded"),
+                rpad(col("c_mktsegment"), 12, ".").as("rpadded"),
+                reverse(col("c_name")).as("rev"),
+                translate(col("c_name"), "#", "-").as("dashed"),
+                expr("replace(c_name, 'Customer', 'Cust')").as("shortened"),
+                instr(col("c_name"), "#").cast("long").as("hash_pos"),
+                expr("left(c_name, 8)").as("l8"),
+                expr("right(c_name, 4)").as("r4"),
+                repeat(substring(col("c_name"), 1, 2), 2).as("rep2"),
+                concat_ws("|", col("c_name"), col("c_mktsegment")).as("joined"),
+                length(col("c_name")).cast("long").as("name_len"))
+        .orderBy(col("c_custkey"))),
+
+    // Q54 — conditional-expression battery: greatest/least, nullif,
+    // coalesce, CASE ladders, integer floor/ceil/abs/mod
+    "q54_conditional" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      Tables(s, dir, "orders")
+        .select(k,
+                greatest(k % 7, k % 5, lit(3L)).as("g"),
+                least(k % 7, k % 5, lit(3L)).as("l"),
+                nullif(col("o_orderstatus"), lit("O")).as("nn_status"),
+                coalesce(nullif(col("o_orderstatus"), lit("O")), lit("zz"))
+                  .as("status_or_zz"),
+                abs(k % 10 - 5).as("a"),
+                floor(col("o_totalprice") / 1000.0d).cast("long").as("flr"),
+                ceil(col("o_totalprice") / 1000.0d).cast("long").as("cl"),
+                when(col("o_totalprice") > 200000, "hi")
+                  .when(col("o_totalprice") > 100000, "mid")
+                  .otherwise("lo").as("tier"))
+        .orderBy(k)
+    }),
+
+    // Q55 — per-group sorted collection: the deterministic form of
+    // collect_set (sort_array makes the agg order-insensitive)
+    "q55_collect_sorted" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",")
+               .as("segs"),
+             count(lit(1)).as("n_cust"))
+        .orderBy(col("c_nationkey"))),
+
+    // Q56 — regexp battery: extract group, global replace, match count,
+    // case-insensitive LIKE
+    "q56_regexp_funcs" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+                regexp_extract(col("text"), "^(\\w+)", 1).as("first_word"),
+                regexp_count(col("text"), lit("[aeiou]")).cast("long")
+                  .as("n_vowels"),
+                regexp_replace(col("text"), "[aeiou]", "_").as("devoweled"),
+                col("text").ilike("%SPARK%").as("mentions_spark"))
+        .orderBy(col("doc_id"))),
+
+    // Q57 — UNION with distinct semantics (q15 covers UNION ALL)
+    "q57_union_distinct" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val b = o.filter(lower(col("o_orderpriority")).contains("urgent"))
+        .select(col("o_custkey"))
+      a.union(b).distinct().orderBy(col("o_custkey"))
+    }),
+
+    // Q58 — numeric bucketing / histogram: fixed-width buckets then a
+    // low-cardinality aggregate
+    "q58_histogram" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select(floor(col("o_totalprice") / 50000.0d).cast("long").as("bucket"),
+                cents(col("o_totalprice")).as("pc"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+             min(col("pc")).as("min_cents"),
+             max(col("pc")).as("max_cents"))
+        .orderBy(col("bucket"))),
+
+    // Q59 — RANGE window frame (value-based, not row-based): per user, the
+    // count / value sum of events in the trailing 10 minutes
+    "q59_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec")).rangeBetween(-600, 0)
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+                unix_timestamp(col("ts")).as("sec"),
+                cents(col("value")).as("vc"))
+        .select(col("event_id"), col("sec"),
+                count(lit(1)).over(w).as("n_10min"),
+                sum(col("vc")).over(w).as("vsum_cents"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Q60 — bitwise battery (partition/bucket assignment primitives)
+    "q60_bitwise" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+                expr("o_orderkey & 255").as("band"),
+                expr("o_orderkey | 16").as("bor"),
+                expr("o_orderkey ^ 5").as("bxor"),
+                expr("shiftleft(o_orderkey, 2)").as("shl"),
+                expr("bit_count(o_orderkey)").cast("long").as("popcnt"))
+        .orderBy(col("o_orderkey"))),
+
+    // Q61 — positional explode: one row per array element WITH its index
+    "q61_posexplode" -> ((s, dir) => {
+      val w = split(trim(col("text")), "\\s+")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(w))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+                col("col").as("word"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // X22 — blocked embedding near-dup: cosine-threshold pairs WITHIN each
+    // label block (the blocked similarity join — O(Σ blockᵢ²) candidates,
+    // never the full N² cross join). Norms are computed once per ROW
+    // before the pair join, so per-pair work is a single codegen'd dot.
+    "x22_embedding_neardup" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => V}
+      val e = Tables(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"), col("embedding"),
+                V.norm(col("embedding")).as("nrm"))
+      val a = e.select(col("label"), col("vec_id").as("id_a"),
+                       col("embedding").as("va"), col("nrm").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"),
+                       col("embedding").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+        .withColumn("cos",
+          when(col("na") === 0.0 || col("nb") === 0.0,
+            lit(null).cast("double"))
+          .otherwise(V.dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+        .filter(col("cos") >= 0.25)
+        .select(col("label"), col("id_a"), col("id_b"),
+                round(col("cos"), 4).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // X23 — deterministic stratified train/val/test split: md5-bucket
+    // assignment (engine- and cluster-size-independent), counted per source
+    "x23_stratified_split" -> ((s, dir) => {
+      val bucket = conv(substring(
+        md5(concat(lit("split:"), col("doc_id"))), 1, 4), 16, 10)
+        .cast("long") % 100
+      Tables(s, dir, "documents")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"), col("split"))
+    }))
+
+  // --- DuckDB oracles ------------------------------------------------------
+
+  private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  private val cosSql =
+    """CASE WHEN sqrt(list_dot_product(va, va)) = 0
+            OR sqrt(list_dot_product(vb, vb)) = 0 THEN NULL
+       ELSE list_dot_product(va, vb) /
+            (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+       END"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q50_global_topk" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 100""",
+
+    "q51_stats_moments" ->
+      """WITH g AS (
+           SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(l_quantity AS BIGINT)) AS sum_q,
+             sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+               AS sum_q2,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_p,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_p2,
+             sum(CAST(l_quantity AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_qp
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(sum_q AS BIGINT) AS sum_q,
+           round(sqrt((n::DOUBLE * sum_q2::DOUBLE - sum_q::DOUBLE * sum_q::DOUBLE)
+                      / (n::DOUBLE * (n::DOUBLE - 1))), 6) AS stddev_q,
+           round(sqrt((n::DOUBLE * sum_p2::DOUBLE - sum_p::DOUBLE * sum_p::DOUBLE)
+                      / (n::DOUBLE * (n::DOUBLE - 1))), 4) AS stddev_p_cents,
+           round((n::DOUBLE * sum_qp::DOUBLE - sum_q::DOUBLE * sum_p::DOUBLE)
+                 / sqrt((n::DOUBLE * sum_q2::DOUBLE - sum_q::DOUBLE * sum_q::DOUBLE)
+                        * (n::DOUBLE * sum_p2::DOUBLE - sum_p::DOUBLE * sum_p::DOUBLE)),
+                 6) + 0.0 AS corr_qp
+         FROM g ORDER BY l_returnflag""",
+
+    "q52_array_funcs" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS wa FROM documents)
+          SELECT doc_id,
+            len(wa)::BIGINT AS n_words,
+            len(list_distinct(wa))::BIGINT AS n_distinct,
+            list_contains(wa, 'spark') AS has_spark,
+            array_to_string(wa[1:3], ' ') AS first3,
+            list_aggregate(wa, 'min') AS min_word,
+            list_aggregate(wa, 'max') AS max_word
+          FROM w ORDER BY doc_id""",
+
+    "q53_string_funcs" ->
+      """SELECT c_custkey,
+           lpad(c_name, 22, '*') AS lpadded,
+           rpad(c_mktsegment, 12, '.') AS rpadded,
+           reverse(c_name) AS rev,
+           translate(c_name, '#', '-') AS dashed,
+           replace(c_name, 'Customer', 'Cust') AS shortened,
+           instr(c_name, '#')::BIGINT AS hash_pos,
+           left(c_name, 8) AS l8,
+           right(c_name, 4) AS r4,
+           repeat(substr(c_name, 1, 2), 2) AS rep2,
+           concat_ws('|', c_name, c_mktsegment) AS joined,
+           length(c_name)::BIGINT AS name_len
+         FROM customer ORDER BY c_custkey""",
+
+    "q54_conditional" ->
+      """SELECT o_orderkey,
+           greatest(o_orderkey % 7, o_orderkey % 5, 3) AS g,
+           least(o_orderkey % 7, o_orderkey % 5, 3) AS l,
+           nullif(o_orderstatus, 'O') AS nn_status,
+           coalesce(nullif(o_orderstatus, 'O'), 'zz') AS status_or_zz,
+           abs(o_orderkey % 10 - 5) AS a,
+           CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS flr,
+           CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS cl,
+           CASE WHEN o_totalprice > 200000 THEN 'hi'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'lo' END AS tier
+         FROM orders ORDER BY o_orderkey""",
+
+    "q55_collect_sorted" ->
+      """SELECT c_nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+             AS segs,
+           count(*) AS n_cust
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "q56_regexp_funcs" ->
+      """SELECT doc_id,
+           regexp_extract(text, '^(\w+)', 1) AS first_word,
+           len(regexp_extract_all(text, '[aeiou]'))::BIGINT AS n_vowels,
+           regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled,
+           text ILIKE '%SPARK%' AS mentions_spark
+         FROM documents ORDER BY doc_id""",
+
+    "q57_union_distinct" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         UNION
+         SELECT o_custkey FROM orders
+         WHERE lower(o_orderpriority) LIKE '%urgent%'
+         ORDER BY o_custkey""",
+
+    "q58_histogram" ->
+      """WITH b AS (SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT)
+                      AS bucket,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+                    FROM orders)
+         SELECT bucket, count(*) AS n, min(pc) AS min_cents,
+                max(pc) AS max_cents
+         FROM b GROUP BY bucket ORDER BY bucket""",
+
+    "q59_range_frame" ->
+      """WITH e AS (SELECT event_id, user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                      CAST(round(value * 100) AS BIGINT) AS vc
+                    FROM events)
+         SELECT event_id, sec,
+           count(*) OVER w AS n_10min,
+           CAST(sum(vc) OVER w AS BIGINT) AS vsum_cents
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                      RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "q60_bitwise" ->
+      """SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 16 AS bor,
+           xor(o_orderkey, 5) AS bxor,
+           o_orderkey << 2 AS shl,
+           bit_count(o_orderkey)::BIGINT AS popcnt
+         FROM orders ORDER BY o_orderkey""",
+
+    "q61_posexplode" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS wa FROM documents)
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, wa[i] AS word
+          FROM w, unnest(generate_series(1, len(wa))) AS t(i)
+          ORDER BY doc_id, pos""",
+
+    "x22_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+          p AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+                       a.v AS va, b.v AS vb
+                FROM e a JOIN e b
+                  ON b.label = a.label AND a.vec_id < b.vec_id),
+          r AS (SELECT label, id_a, id_b, $cosSql AS cos FROM p)
+          SELECT label, id_a, id_b, round(cos, 4) AS cos
+          FROM r WHERE cos >= 0.25 ORDER BY id_a, id_b""",
+
+    "x23_stratified_split" ->
+      """WITH s AS (SELECT source, n_chars,
+                      CASE WHEN b < 80 THEN 'train'
+                           WHEN b < 90 THEN 'val'
+                           ELSE 'test' END AS split
+                    FROM (SELECT source, n_chars,
+                            ('0x' || substr(md5('split:' || doc_id), 1, 4))::BIGINT
+                              % 100 AS b
+                          FROM documents))
+         SELECT source, split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM s GROUP BY source, split ORDER BY source, split""")
+}

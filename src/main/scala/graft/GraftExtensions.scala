@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.expr.{MinHashSig, MinHashSigMd5, SimHash64}
+import graft.functions.expr.{MinHashSig, MinHashSigMd5, SimHash64, VecDot}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions so SQL users get them too.
@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(MinHashSig.registration)
     ext.injectFunction(MinHashSigMd5.registration)
     ext.injectFunction(SimHash64.registration)
+    ext.injectFunction(VecDot.registration)
     // inequality temporal joins (abs(Δsec) <= gap with no equi key) are
     // rewritten to banded equi-joins instead of nested-loop scans
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)

@@ -9,11 +9,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ graft.pipeline.PayrollQueries.queries ++
       ExtensionQueries.queries ++ AnalyticsQueries.queries ++
-      BenchQueries.queries
+      FunctionQueries.queries ++ BenchQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ graft.pipeline.PayrollQueries.oracleSql ++
       ExtensionQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
-      BenchQueries.oracleSql
+      FunctionQueries.oracleSql ++ BenchQueries.oracleSql
 }

@@ -3,19 +3,28 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `ArrayType(FloatType)` embedding columns, composed from
-  * higher-order built-ins (`zip_with`/`aggregate`/`transform`) so the whole
-  * computation stays in codegen — no UDFs, no driver-side collection.
+/** Vector math over `ArrayType(FloatType)` embedding columns.
   *
   * Floats are widened to double BEFORE any arithmetic, and accumulation is
   * a sequential left fold — both properties make results bit-identical to
-  * a straightforward loop in any other engine (the oracle requirement). */
+  * a straightforward loop in any other engine (the oracle requirement).
+  *
+  * `dot` is the native codegen'd [[graft.functions.expr.VecDot]] expression
+  * (higher-order-function lambdas are evaluated interpreted in Spark — too
+  * slow for per-pair similarity math); [[dotComposed]] keeps the pure
+  * built-in form, and `VecDotSpec` proves them bit-identical. */
 object VectorFunctions {
 
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sequential dot product of two equal-length vectors. */
+  /** Sequential dot product of two equal-length vectors (native codegen'd
+    * expression; registered by GraftExtensions). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.expr.VecDot(a, b)
+
+  /** The same fold composed from built-in higher-order functions — the
+    * cross-engine-readable reference form of [[dot]]. */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), _ * _),
       lit(0.0), (acc, x) => acc + x)
 

@@ -32,6 +32,21 @@ class PlanShapeSpec extends SparkSpec {
       || plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("q50 global top-k plans as TakeOrderedAndProject — never a global sort") {
+    val plan = planOf("q50_global_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // per-partition top-k + driver merge; a total Sort exchange would be
+    // the 100 TB failure mode (the only Sort allowed is none)
+    assert(!plan.contains("rangepartitioning"), plan.take(2000))
+  }
+
+  test("x22 blocked near-dup joins on the block key — no cartesian product") {
+    val plan = planOf("x22_embedding_neardup")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("vec_dot"), "per-pair math must be the native expr")
+  }
+
   test("partitioned parquet write: date filter prunes partitions in the scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
