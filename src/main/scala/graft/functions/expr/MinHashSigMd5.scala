@@ -1,6 +1,5 @@
 package graft.functions.expr
 
-import org.apache.commons.codec.digest.DigestUtils
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -86,8 +85,16 @@ object MinHashSigMd5 {
     if (words == null) return new GenericArrayData(out)
     val nw = words.numElements()
     if (nw < n) return new GenericArrayData(out)
-    val mins = new Array[UTF8String](k)
-    val seedPrefix = Array.tabulate(k)(s => UTF8String.fromString(s + ":"))
+    // Hot-loop economics (this runs once per shingle × k per row):
+    //  - ONE MessageDigest reused for the whole row (DigestUtils allocates a
+    //    fresh instance per call — the dominant cost measured);
+    //  - minima tracked as RAW 16-byte digests: lowercase-hex strings order
+    //    exactly as their digest bytes compare unsigned, so the comparison
+    //    is Arrays.compareUnsigned and hex encoding happens only for the k
+    //    winners at the end — not per candidate.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = new Array[Array[Byte]](k)
+    val seedPrefix = Array.tabulate(k)(s => (s + ":").getBytes("UTF-8"))
     val parts = new Array[UTF8String](n)
     var i = 0
     while (i <= nw - n) {
@@ -98,18 +105,27 @@ object MinHashSigMd5 {
                    else words.getUTF8String(i + j)
         j += 1
       }
-      val shingle = UTF8String.concatWs(Space, parts: _*)
+      val shingleBytes = UTF8String.concatWs(Space, parts: _*).getBytes
       var s = 0
       while (s < k) {
-        val bytes = UTF8String.concat(seedPrefix(s), shingle).getBytes
-        val hex = UTF8String.fromString(DigestUtils.md5Hex(bytes))
-        if (mins(s) == null || hex.compareTo(mins(s)) < 0) mins(s) = hex
+        md.reset()
+        md.update(seedPrefix(s))
+        md.update(shingleBytes)
+        val digest = md.digest()
+        if (mins(s) == null ||
+            java.util.Arrays.compareUnsigned(digest, mins(s)) < 0)
+          mins(s) = digest
         s += 1
       }
       i += 1
     }
     var s = 0
-    while (s < k) { out(s) = mins(s); s += 1 }
+    while (s < k) {
+      if (mins(s) != null)
+        out(s) = UTF8String.fromString(
+          org.apache.commons.codec.binary.Hex.encodeHexString(mins(s)))
+      s += 1
+    }
     new GenericArrayData(out)
   }
 

@@ -101,8 +101,11 @@ object DedupOperators {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 8,
                         bands: Int = 4): DataFrame = {
+    // persist the band index before the self-join: the two join sides carry
+    // different aliases, so Catalyst cannot reuse one exchange for both and
+    // would otherwise run the whole shingle+hash pipeline twice
     val banded = signatureIndex(df, idCol, textCol, shingleN, k, bands)
-      .toDF("_id", "_band_idx", "_band_key")
+      .toDF("_id", "_band_idx", "_band_key").persist()
     val a = banded.select(col("_band_idx"), col("_band_key"), col("_id").as("id_a"))
     val b = banded.select(col("_band_idx").as("_bi2"), col("_band_key").as("_bk2"),
                           col("_id").as("id_b"))
@@ -221,13 +224,23 @@ object DedupOperators {
                              maxIters: Int = 10): (DataFrame, Boolean) = {
     // cache the edge list: it is re-joined every round, and its lineage
     // (e.g. MinHash candidate generation) can be far more expensive than
-    // the propagation itself
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // the propagation itself. Symmetrize with ONE explode, not
+    // union(pairs, pairs.swap) — a union's branches each re-execute the
+    // unpersisted pair lineage when the cache first materializes, doubling
+    // exactly the expensive part
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .persist()
+    // localCheckpoint LAZILY (eager=false): the labelSum action below is the
+    // job that materializes each round's checkpoint, so every round costs ONE
+    // Spark job, not two — iteration overhead, not data volume, dominates
+    // this loop's wall clock
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
@@ -246,7 +259,7 @@ object DedupOperators {
       val next = labels.select(col("id"), col("label"))
         .union(viaEdges).union(viaLabels)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
@@ -270,7 +283,13 @@ object DedupOperators {
                   jaccardThreshold: Double = 0.7,
                   shingleN: Int = 3, k: Int = 8, bands: Int = 4,
                   clusterIters: Int = 10): DataFrame = {
-    val exact = exactDedup(df, idCol, textCol)
+    // exactDedup's result feeds FOUR consumers (candidate generation, the
+    // two text joins of the Jaccard verify, and the final anti-join) —
+    // without a persist its scan+agg+semi-join lineage re-executes per
+    // consumer. Freed lazily by LRU / session end; the survivors result is
+    // typically written immediately, after which the cache is dead weight
+    // the evictor reclaims.
+    val exact = exactDedup(df, idCol, textCol).persist()
     val nearPairs = minhashNearDups(exact, idCol, textCol,
       jaccardThreshold, shingleN, k, bands)
     val labels = clusterPairs(nearPairs, clusterIters)

@@ -35,6 +35,19 @@ object PerfProbe {
     time("x16_warm") {
       graft.AnalyticsQueries.queries("x16_dedup_incremental")(spark, sfDir).count()
     }
+    // x17 stage breakdown
+    val d2 = docs.select("doc_id", "text")
+    val exact = DedupOperators.exactDedup(d2, "doc_id", "text").persist()
+    time("x17_exact") { exact.count() }
+    val nearPairs = DedupOperators.minhashNearDups(
+      exact, "doc_id", "text", 0.5, 3, 8, 4)
+    time("x17_nearpairs") { nearPairs.count() }
+    time("x17_cluster") {
+      DedupOperators.clusterPairs(nearPairs, 10).count()
+    }
+    time("x17_full") {
+      graft.AnalyticsQueries.queries("x17_dedup_corpus")(spark, sfDir).count()
+    }
     DedupOperators.signatureIndex(docs, "doc_id", "text").explain("formatted")
     spark.stop()
   }
