@@ -233,6 +233,94 @@ object FunctionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Q62 — higher-order-function battery: filter / exists / forall /
+    // aggregate / transform over the tokenized word array. Pure map-side
+    // projection; HOF lambdas evaluate interpreted in Spark, which is fine
+    // here (once per ROW, not per candidate pair — contrast VecDot)
+    "q62_hof_battery" -> ((s, dir) => {
+      val w = split(trim(col("text")), "\\s+")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+                size(filter(w, x => length(x) > 4)).cast("long").as("n_long"),
+                exists(w, x => x.rlike("^[A-Z]")).as("any_cap"),
+                forall(w, x => length(x) <= 12).as("all_short"),
+                aggregate(w, lit(0L), (acc, x) => acc + length(x))
+                  .as("total_len"),
+                concat_ws(",", transform(slice(w, 1, 3),
+                  x => length(x).cast("string"))).as("first3_lens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Q63 — tumbling time-window aggregation via the `window()` function
+    // (the batch twin of the Structured Streaming windowed agg): one
+    // shuffle on (bucket, type); buckets are epoch-aligned so this equals
+    // date_trunc('hour') in any engine
+    "q63_tumbling_window" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(cents(col("value"))).as("sum_cents"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+                col("n"), col("sum_cents"))
+        .orderBy(col("hour_start"), col("event_type"))),
+
+    // Q64 — correlated scalar subqueries (Catalyst decorrelates each into
+    // an aggregate + join): orders priced above 1.5× their customer's
+    // average, in exact integer arithmetic (2·price·count > 3·sum) so the
+    // threshold is engine- and partition-order-independent
+    "q64_corr_subquery" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_q64")
+      s.sql("""
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders_q64 o
+        WHERE 2 * CAST(round(o_totalprice * 100) AS BIGINT) *
+              (SELECT count(*) FROM orders_q64 o2
+               WHERE o2.o_custkey = o.o_custkey)
+              > 3 * (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+                     FROM orders_q64 o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    }),
+
+    // X24 — TF-IDF top term per document, in EXACT integer arithmetic:
+    // idf_scaled = (1e6·N) div df is monotone in N/df and reproducible on
+    // any engine/cluster size (ln() differs by ulps across libm
+    // implementations — unacceptable for a rank that feeds dedup/filter
+    // decisions at 100 TB). Dataflow: explode → per-doc term counts →
+    // doc-freq agg → broadcast N → top-1 per doc by (score, term).
+    "x24_tfidf_top_term" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val terms = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      val tf = terms.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfreq, Seq("word"))
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * expr("(1000000 * n) div df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("word").asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("word").as("top_term"),
+                col("tf"), col("df"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X25 — corpus-level bigram counts, global top-25: zip_with over the
+    // shifted word array (map-side, no shuffle) → one hash agg → top-k as
+    // TakeOrderedAndProject. Deterministic ties via (count desc, bigram)
+    "x25_bigram_topk" -> ((s, dir) => {
+      val w = split(trim(col("text")), "\\s+")
+      Tables(s, dir, "documents")
+        .select(explode(zip_with(
+          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(25)
+    }),
+
     // X23 — deterministic stratified train/val/test split: md5-bucket
     // assignment (engine- and cluster-size-independent), counted per source
     "x23_stratified_split" -> ((s, dir) => {
@@ -400,6 +488,62 @@ object FunctionQueries {
           r AS (SELECT label, id_a, id_b, $cosSql AS cos FROM p)
           SELECT label, id_a, id_b, round(cos, 4) AS cos
           FROM r WHERE cos >= 0.25 ORDER BY id_a, id_b""",
+
+    "q62_hof_battery" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS wa FROM documents)
+          SELECT doc_id,
+            len(list_filter(wa, x -> len(x) > 4))::BIGINT AS n_long,
+            list_aggregate(list_transform(wa,
+              x -> regexp_matches(x, '^[A-Z]')), 'bool_or') AS any_cap,
+            list_aggregate(list_transform(wa, x -> len(x) <= 12),
+              'bool_and') AS all_short,
+            CAST(list_sum(list_transform(wa, x -> len(x))) AS BIGINT)
+              AS total_len,
+            array_to_string(list_transform(wa[1:3], x -> len(x)::VARCHAR),
+              ',') AS first3_lens
+          FROM w ORDER BY doc_id""",
+
+    "q63_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+
+    "q64_corr_subquery" ->
+      """SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders o
+         WHERE 2 * CAST(round(o_totalprice * 100) AS BIGINT) *
+               (SELECT count(*) FROM orders o2
+                WHERE o2.o_custkey = o.o_custkey)
+               > 3 * (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
+
+    "x24_tfidf_top_term" ->
+      s"""WITH w AS (SELECT doc_id,
+                       unnest($wordsSql) AS word FROM documents),
+          tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+          dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+          nn AS (SELECT count(*) AS n FROM documents),
+          scored AS (
+            SELECT tf.doc_id, tf.word, tf.tf, dfq.df,
+                   tf.tf * ((1000000 * nn.n) // dfq.df) AS score
+            FROM tf JOIN dfq USING (word) CROSS JOIN nn),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, word) AS rn
+            FROM scored)
+          SELECT doc_id, word AS top_term, tf, df, score
+          FROM ranked WHERE rn = 1 ORDER BY doc_id""",
+
+    "x25_bigram_topk" ->
+      s"""WITH w AS (SELECT $wordsSql AS wa FROM documents),
+          b AS (SELECT wa[i] || ' ' || wa[i + 1] AS bigram
+                FROM w, unnest(generate_series(1, len(wa) - 1)) AS t(i))
+          SELECT bigram, count(*) AS n FROM b
+          GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25""",
 
     "x23_stratified_split" ->
       """WITH s AS (SELECT source, n_chars,
