@@ -152,8 +152,19 @@ object TextFunctions {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** Jaccard similarity of the distinct word n-gram shingle sets. */
-  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+  /** Jaccard similarity of the distinct word n-gram shingle sets — the
+    * native one-pass [[graft.functions.expr.NgramJaccard]] expression
+    * (registered by GraftExtensions); this runs once per CANDIDATE PAIR in
+    * near-dup verification, where the composed form's interpreted lambdas
+    * and per-pair array allocations dominate. [[ngramJaccardComposed]] is
+    * the built-in reference form; `NgramJaccardSpec` proves them
+    * bit-identical. */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column =
+    graft.functions.expr.NgramJaccard(a, b, n)
+
+  /** The same Jaccard composed from built-ins — the cross-engine-readable
+    * reference form of [[ngramJaccard]]. */
+  def ngramJaccardComposed(a: Column, b: Column, n: Int): Column = {
     val sa = array_distinct(shingles(a, n))
     val sb = array_distinct(shingles(b, n))
     val inter = size(array_intersect(sa, sb)).cast("double")
