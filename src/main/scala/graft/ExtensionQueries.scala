@@ -144,6 +144,34 @@ object ExtensionQueries {
         .select(col("id_a"), col("id_b"),
                 round(V.cosine(col("va"), col("vb")), 4).as("cos"))
         .orderBy(col("id_a"))
+    }),
+
+    // X27 — the training-corpus PREPARATION pipeline end-to-end: language
+    // gate → quality gate → token-length gate → exact dedup (keep min id)
+    // → deterministic split assignment. Every stage is an operator already
+    // oracled on its own (x03/x02/x01/x05/x23); this checks their
+    // COMPOSITION as one dataflow — the flagship "prepare a corpus" query.
+    // All gates are map-side; dedup is the single shuffle; split is a pure
+    // md5 projection.
+    "x27_corpus_prep" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+                T.langId(col("text")).as("lang_guess"),
+                T.qualityScore(col("text")).as("quality"),
+                T.tokenCount(col("text")).cast("long").as("n_tokens"),
+                T.fingerprint(col("text")).as("fp"))
+        .filter(col("lang_guess") === "en" && col("quality") >= 0.3 &&
+                col("n_tokens").between(5, 1000))
+      val keep = d.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      val bucket = conv(substring(
+        md5(concat(lit("split:"), col("doc_id"))), 1, 4), 16, 10)
+        .cast("long") % 100
+      d.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test"))
+        .select(col("doc_id"), col("quality"), col("n_tokens"), col("split"))
+        .orderBy(col("doc_id"))
     }))
 
   // --- DuckDB oracles ------------------------------------------------------
@@ -299,5 +327,36 @@ object ExtensionQueries {
             round((SELECT $cosSql
                    FROM (SELECT a.v AS va, b.v AS vb) t), 4) AS cos
           FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
-          ORDER BY id_a""")
+          ORDER BY id_a""",
+
+    "x27_corpus_prep" ->
+      s"""WITH d AS (
+            SELECT doc_id,
+              CASE WHEN ${mc(markers("en"))} >= ${mc(markers("de"))}
+                    AND ${mc(markers("en"))} >= ${mc(markers("es"))}
+                    AND ${mc(markers("en"))} >= ${mc(markers("fr"))} THEN 'en'
+                   WHEN ${mc(markers("de"))} >= ${mc(markers("es"))}
+                    AND ${mc(markers("de"))} >= ${mc(markers("fr"))} THEN 'de'
+                   WHEN ${mc(markers("es"))} >= ${mc(markers("fr"))} THEN 'es'
+                   ELSE 'fr' END AS lang_guess,
+              round(${mc(enStop)}::DOUBLE / len($wordsSql) * 0.5
+                    + length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                      / length(text) * 0.3
+                    + (1 - length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+                         / length(text)) * 0.2, 4) AS quality,
+              len($wordsSql) AS n_tokens,
+              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents),
+          f AS (SELECT * FROM d
+                WHERE lang_guess = 'en' AND quality >= 0.3
+                  AND n_tokens BETWEEN 5 AND 1000),
+          keep AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY fp)
+          SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+            CASE WHEN b < 80 THEN 'train'
+                 WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT f.doc_id, f.quality, f.n_tokens,
+                  ('0x' || substr(md5('split:' || f.doc_id), 1, 4))::BIGINT
+                    % 100 AS b
+                FROM f JOIN keep USING (doc_id)) t
+          ORDER BY doc_id""")
 }

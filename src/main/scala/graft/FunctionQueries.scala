@@ -321,6 +321,33 @@ object FunctionQueries {
         .limit(25)
     }),
 
+    // Q65 — multiset set operations (EXCEPT ALL / INTERSECT ALL keep
+    // duplicate cardinalities, unlike q24/q25's set forms)
+    "q65_multiset_ops" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") =!= "P").select(col("o_custkey"))
+      val b = o.filter(lower(col("o_orderpriority")).contains("urgent"))
+        .select(col("o_custkey"))
+      a.exceptAll(b).withColumn("tag", lit("except_all"))
+        .unionByName(a.intersectAll(b).withColumn("tag", lit("intersect_all")))
+        .orderBy(col("tag"), col("o_custkey"))
+    }),
+
+    // Q66 — min_by / max_by (argmin/argmax aggregates): deterministic via
+    // a unique ordering value (cents ⊕ orderkey), since ties are
+    // engine-nondeterministic in both Spark and DuckDB
+    "q66_argminmax" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+                cents(col("o_totalprice")).as("pc"))
+        .withColumn("uk", col("pc") * 10000000L + col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(min_by(col("o_orderkey"), col("uk")).as("cheapest_order"),
+             max_by(col("o_orderkey"), col("uk")).as("priciest_order"),
+             min(col("pc")).as("min_cents"),
+             max(col("pc")).as("max_cents"))
+        .orderBy(col("o_custkey"))),
+
     // X23 — deterministic stratified train/val/test split: md5-bucket
     // assignment (engine- and cluster-size-independent), counted per source
     "x23_stratified_split" -> ((s, dir) => {
@@ -544,6 +571,32 @@ object FunctionQueries {
                 FROM w, unnest(generate_series(1, len(wa) - 1)) AS t(i))
           SELECT bigram, count(*) AS n FROM b
           GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25""",
+
+    "q65_multiset_ops" ->
+      """SELECT o_custkey, 'except_all' AS tag FROM (
+           SELECT o_custkey FROM orders WHERE o_orderstatus <> 'P'
+           EXCEPT ALL
+           SELECT o_custkey FROM orders
+           WHERE lower(o_orderpriority) LIKE '%urgent%')
+         UNION ALL
+         SELECT o_custkey, 'intersect_all' AS tag FROM (
+           SELECT o_custkey FROM orders WHERE o_orderstatus <> 'P'
+           INTERSECT ALL
+           SELECT o_custkey FROM orders
+           WHERE lower(o_orderpriority) LIKE '%urgent%')
+         ORDER BY tag, o_custkey""",
+
+    "q66_argminmax" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+                    FROM orders)
+         SELECT o_custkey,
+           arg_min(o_orderkey, pc * 10000000 + o_orderkey)
+             AS cheapest_order,
+           arg_max(o_orderkey, pc * 10000000 + o_orderkey)
+             AS priciest_order,
+           min(pc) AS min_cents, max(pc) AS max_cents
+         FROM o GROUP BY o_custkey ORDER BY o_custkey""",
 
     "x23_stratified_split" ->
       """WITH s AS (SELECT source, n_chars,

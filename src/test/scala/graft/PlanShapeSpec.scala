@@ -47,6 +47,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("vec_dot"), "per-pair math must be the native expr")
   }
 
+  test("x25 bigram top-k plans as TakeOrderedAndProject with partial aggregation") {
+    val plan = planOf("x25_bigram_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("rangepartitioning"), plan.take(2000))
+    // map-side combine: a partial HashAggregate must appear below the
+    // exchange so each distinct bigram crosses the wire once per partition
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      plan.take(2000))
+  }
+
+  test("x24 TF-IDF broadcasts the corpus-size scalar — no cartesian blowup") {
+    val plan = planOf("x24_tfidf_top_term")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastHashJoin"),
+      "the one-row N must arrive by broadcast: " + plan.take(2000))
+  }
+
+  test("q63 tumbling window aggregates in one shuffle — no join, no sort of rows") {
+    val plan = planOf("q63_tumbling_window")
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+  }
+
   test("partitioned parquet write: date filter prunes partitions in the scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
