@@ -348,6 +348,23 @@ object FunctionQueries {
              max(col("pc")).as("max_cents"))
         .orderBy(col("o_custkey"))),
 
+    // X28 — symmetric int8 embedding quantization: scale = max|x|,
+    // q_i = round(127·x/scale). Pure elementwise projection (no shuffle,
+    // no accumulation) ⇒ bit-identical across engines and cluster sizes;
+    // the 4× storage/bandwidth reduction step of an ANN pipeline.
+    "x28_quantize_int8" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => V}
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+                V.absMax(col("embedding")).as("scale"))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+                when(col("scale") === 0.0, lit("ZERO"))
+                  .otherwise(concat_ws(",",
+                    V.quantizeInt8(col("embedding"), col("scale"))))
+                  .as("q_str"))
+        .orderBy(col("vec_id"))
+    }),
+
     // X23 — deterministic stratified train/val/test split: md5-bucket
     // assignment (engine- and cluster-size-independent), counted per source
     "x23_stratified_split" -> ((s, dir) => {
@@ -597,6 +614,19 @@ object FunctionQueries {
              AS priciest_order,
            min(pc) AS min_cents, max(pc) AS max_cents
          FROM o GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "x28_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          sc AS (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS scale
+                 FROM e)
+         SELECT vec_id, round(scale, 6) AS scale_r,
+           CASE WHEN scale = 0 THEN 'ZERO'
+                ELSE array_to_string(list_transform(v,
+                       x -> CAST(round(127 * x / scale) AS INTEGER)::VARCHAR),
+                     ',')
+           END AS q_str
+         FROM sc ORDER BY vec_id""",
 
     "x23_stratified_split" ->
       """WITH s AS (SELECT source, n_chars,

@@ -30,6 +30,24 @@ object VectorFunctions {
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** Largest |component| — the symmetric-quantization scale. Max is
+    * order-independent, so this is safe under any partitioning. */
+  def absMax(v: Column): Column = array_max(transform(toDouble(v), abs(_)))
+
+  /** Symmetric int8 quantization against a precomputed scale: each
+    * component → round(127·x/scale) ∈ [-127,127] (|x| ≤ scale by
+    * construction, so no clamp is needed). Elementwise double math — no
+    * accumulation — so results are bit-identical on any engine/cluster.
+    * The caller guards scale = 0 (the all-zero vector). At 100 TB this is
+    * the 4× storage/bandwidth reduction step before ANN indexing. */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(toDouble(v), x => round(x * 127.0d / scale).cast("int"))
+
+  /** Dequantize back to doubles (q·scale/127) — same elementwise-exact
+    * contract as [[quantizeInt8]]. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale / 127.0d)
+
   /** Cosine similarity; null when either norm is zero. */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
