@@ -365,6 +365,33 @@ object FunctionQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // X29 — ANN top-k over the QUANTIZED corpus: int8 vectors, integer dot
+    // product (exact ≤ 2^53 in doubles, so bit-identical cross-engine,
+    // unlike float cosine which needs the fold-order contract). This is
+    // x09's production shape after x28's 4× compression: rank by integer
+    // dot, deterministic ties by neighbor id.
+    "x29_quantized_topk" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => V}
+      val q8 = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+                V.absMax(col("embedding")).as("scale"))
+        .filter(col("scale") > 0.0)
+        .select(col("vec_id"),
+                transform(V.quantizeInt8(col("embedding"), col("scale")),
+                  _.cast("double")).as("qv"))
+      val q = q8.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("qv").as("qa"))
+      val cand = q8.select(col("vec_id").as("nid"), col("qv").as("qb"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("qdot").desc, col("nid").asc)
+      broadcast(q).join(cand, col("nid") =!= col("qid"))
+        .withColumn("qdot", V.dot(col("qa"), col("qb")).cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("nid"), col("qdot"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // X23 — deterministic stratified train/val/test split: md5-bucket
     // assignment (engine- and cluster-size-independent), counted per source
     "x23_stratified_split" -> ((s, dir) => {
@@ -627,6 +654,25 @@ object FunctionQueries {
                      ',')
            END AS q_str
          FROM sc ORDER BY vec_id""",
+
+    "x29_quantized_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          sc AS (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS scale
+                 FROM e WHERE list_max(list_transform(v, x -> abs(x))) > 0),
+          q8 AS (SELECT vec_id,
+                   list_transform(v, x -> round(127 * x / scale)) AS qv
+                 FROM sc),
+          p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                  CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS qdot
+                FROM q8 a JOIN q8 b ON b.vec_id <> a.vec_id
+                WHERE a.vec_id < 5),
+          r AS (SELECT qid, nid, qdot,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY qdot DESC, nid) AS rank
+                FROM p)
+          SELECT qid, rank, nid, qdot FROM r WHERE rank <= 3
+          ORDER BY qid, rank""",
 
     "x23_stratified_split" ->
       """WITH s AS (SELECT source, n_chars,
