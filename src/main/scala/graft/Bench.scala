@@ -24,10 +24,16 @@ object Bench {
       System.err.println(f"[bench] $name ${sec}%.2fs")
       name -> (if (ok) sec else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The harness captures only the last ~2000 chars of output; the JSON
+    // line must fit entirely inside that window or it cannot be parsed.
+    // Keys are shortened to their unique id prefix (q34_percentile → q34)
+    // and values rounded to ms precision; full names go to stderr above.
+    val qs = results.map { case (k, v) =>
+      val short = k.takeWhile(_ != '_')
+      f""""$short":$v%.3f"""
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
