@@ -1,0 +1,210 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{TextFunctions => T}
+
+/** Training-corpus preparation operators beyond x01–x29: PII redaction,
+  * benchmark decontamination, sequence packing, repetition filtering,
+  * inverted-index build, and deterministic shuffle-sharding — the
+  * remaining standard stages of an LLM data pipeline, each expressed as
+  * map-side projections plus one keyed exchange so the dataflow is the
+  * same at 5 k docs and at 100 TB.
+  *
+  * Scale notes per query:
+  *  - x30: pure per-row regex projection — no shuffle at all.
+  *  - x31: the benchmark side of the contamination join is DISTINCT
+  *    shingles of a (small by definition) eval set → broadcast; the corpus
+  *    side streams through map-side, then one hash agg keyed by doc.
+  *  - x32: packing is windowed PER SOURCE SHARD (partitionBy(source)), not
+  *    a single global ordering — the shard is the parallelism unit, as in
+  *    a real tokenizer-sharding layout.
+  *  - x33: explode + two-level hash agg on (doc, bigram) — AQE-coalesced.
+  *  - x34: one hash agg keyed by term; posting lists are capped (top-5
+  *    ids) so no unbounded per-group state reaches the driver.
+  *  - x35: md5-keyed ordering is deterministic on any cluster topology;
+  *    the window is per shard, never global.
+  */
+object CorpusQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X30 — PII redaction: deterministic synthetic PII is injected per doc
+    // (the testdata has none), then e-mail/phone patterns are counted and
+    // redacted. Output carries the md5 of the redacted text so the oracle
+    // checks the REDACTION BYTES, not just the counts.
+    "x30_pii_redact" -> ((s, dir) => {
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phonePat = "\\+1-555-[0-9]{4}"
+      val injected = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), injected.as("_t"))
+        .select(col("doc_id"),
+          regexp_count(col("_t"), lit(emailPat)).cast("long").as("n_emails"),
+          regexp_count(col("_t"), lit(phonePat)).cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("_t"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>").cast("binary")).as("red_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X31 — benchmark decontamination: docs sharing any 5-word shingle
+    // with the "benchmark" slice (doc_id % 97 = 0 stands in for an eval
+    // set) are flagged with their overlap count — the standard n-gram
+    // contamination check run before training.
+    "x31_decontaminate" -> ((s, dir) => {
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"), T.words(col("text")).as("_w"))
+        .select(col("doc_id"),
+          explode(array_distinct(T.shinglesFromWords(col("_w"), 5))).as("s"))
+      val bench = sh.filter(col("doc_id") % 97 === 0).select(col("s")).distinct()
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("s"))
+        .groupBy(col("doc_id"))
+        .agg(count_distinct(col("s")).as("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X32 — sequence packing (concatenate-then-chunk): per source shard,
+    // docs are laid out in doc_id order, token offsets accumulate, and
+    // each doc learns its 2048-token training-chunk id and offset — the
+    // deterministic pretraining packing layout.
+    "x32_seq_packing" -> ((s, dir) => {
+      val win = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), T.words(col("text")).as("_w"))
+        .select(col("doc_id"), col("source"),
+                size(col("_w")).cast("long").as("n_tokens"))
+        .withColumn("start_off", sum(col("n_tokens")).over(win) - col("n_tokens"))
+        .withColumn("bin_id", expr("start_off div 2048"))
+        .withColumn("bin_off", col("start_off") % 2048)
+        .orderBy(col("doc_id"))
+    }),
+
+    // X33 — repetition / boilerplate signals (Gopher-style filters):
+    // duplicate-word fraction and most-frequent-bigram fraction per doc.
+    "x33_repetition" -> ((s, dir) => {
+      val w = Tables(s, dir, "documents")
+        .select(col("doc_id"), T.words(col("text")).as("_w"))
+      val stats = w.select(col("doc_id"), size(col("_w")).as("n_words"),
+        round(lit(1.0) - size(array_distinct(col("_w"))).cast("double") /
+          size(col("_w")), 4).as("dup_word_frac"))
+      val top = w
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("_w"), lit(1), size(col("_w")) - 1),
+          slice(col("_w"), lit(2), size(col("_w")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(round(max(col("n")).cast("double") / sum(col("n")), 4)
+          .as("top_bigram_frac"))
+      stats.join(top, Seq("doc_id"), "left")
+        .orderBy(col("doc_id"))
+    }),
+
+    // X34 — inverted-index build: term → document frequency, total count,
+    // and the first 5 posting ids — the retrieval-side index structure,
+    // with per-term state bounded by the posting cap.
+    "x34_inverted_index" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(T.words(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count_distinct(col("doc_id")).as("df"),
+             count(lit(1)).as("n"),
+             concat_ws(",", transform(
+               slice(sort_array(collect_set(col("doc_id"))), 1, 5),
+               _.cast("string"))).as("postings"))
+        .orderBy(col("word"))),
+
+    // X35 — deterministic global shuffle + sharding: md5-keyed order and
+    // shard assignment reproduce EXACTLY on any engine or cluster size —
+    // the reproducible data-ordering contract for training runs.
+    "x35_shuffle_shard" -> ((s, dir) => {
+      val keyed = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("shuf:"), col("doc_id"))).as("k"))
+        .withColumn("shard", conv(substring(col("k"), 1, 2), 16, 10)
+          .cast("int") % 8)
+      val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+      keyed.withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
+    }))
+
+  private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** DuckDB fragment: word 5-gram shingles. */
+  private val shingles5Sql =
+    s"""list_transform(generate_series(1, len($wordsSql) - 4),
+        i -> $wordsSql[i] || ' ' || $wordsSql[i+1] || ' ' || $wordsSql[i+2]
+             || ' ' || $wordsSql[i+3] || ' ' || $wordsSql[i+4])"""
+
+  val oracleSql: Map[String, String] = Map(
+    "x30_pii_redact" ->
+      s"""WITH t AS (SELECT doc_id,
+            text || ' contact user' || doc_id || '@example.com or call +1-555-'
+                 || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS tt
+          FROM documents)
+          SELECT doc_id,
+            len(regexp_extract_all(tt,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+            len(regexp_extract_all(tt, '\\+1-555-[0-9]{4}')) AS n_phones,
+            md5(regexp_replace(regexp_replace(tt,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS red_md5
+          FROM t ORDER BY doc_id""",
+
+    "x31_decontaminate" ->
+      s"""WITH sh AS (SELECT doc_id, unnest(list_distinct($shingles5Sql)) AS s
+                      FROM documents),
+          bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+          SELECT sh.doc_id, count(DISTINCT sh.s) AS n_shared
+          FROM sh JOIN bench USING (s)
+          WHERE sh.doc_id % 97 <> 0
+          GROUP BY sh.doc_id ORDER BY sh.doc_id""",
+
+    "x32_seq_packing" ->
+      s"""WITH d AS (SELECT doc_id, source,
+            len($wordsSql)::BIGINT AS n_tokens FROM documents),
+          s AS (SELECT doc_id, source, n_tokens,
+            sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+            FROM d)
+          SELECT doc_id, source, n_tokens, start_off::BIGINT AS start_off,
+            (start_off // 2048)::BIGINT AS bin_id,
+            (start_off % 2048)::BIGINT AS bin_off
+          FROM s ORDER BY doc_id""",
+
+    "x33_repetition" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS wl FROM documents),
+          b AS (SELECT doc_id, unnest(list_transform(
+                  generate_series(1, len(wl) - 1),
+                  i -> wl[i] || ' ' || wl[i+1])) AS bg FROM w),
+          c AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2),
+          t AS (SELECT doc_id, round(max(n)::DOUBLE / sum(n), 4)
+                  AS top_bigram_frac FROM c GROUP BY doc_id)
+          SELECT w.doc_id, len(wl) AS n_words,
+            round(1.0 - len(list_distinct(wl))::DOUBLE / len(wl), 4)
+              AS dup_word_frac,
+            t.top_bigram_frac
+          FROM w LEFT JOIN t USING (doc_id) ORDER BY doc_id""",
+
+    "x34_inverted_index" ->
+      s"""SELECT word, count(DISTINCT doc_id) AS df, count(*) AS n,
+            array_to_string(list_slice(
+              list(DISTINCT doc_id ORDER BY doc_id), 1, 5), ',') AS postings
+          FROM (SELECT doc_id, unnest($wordsSql) AS word FROM documents) t
+          GROUP BY word ORDER BY word""",
+
+    "x35_shuffle_shard" ->
+      """WITH k AS (SELECT doc_id, md5('shuf:' || doc_id) AS k,
+             ('0x' || substr(md5('shuf:' || doc_id), 1, 2))::BIGINT % 8 AS shard
+           FROM documents)
+         SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+         FROM k ORDER BY doc_id""")
+}

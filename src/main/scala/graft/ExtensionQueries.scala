@@ -154,6 +154,10 @@ object ExtensionQueries {
     // All gates are map-side; dedup is the single shuffle; split is a pure
     // md5 projection.
     "x27_corpus_prep" -> ((s, dir) => {
+      // persisted: the gated frame feeds BOTH the dedup groupBy and the
+      // semi-join probe — without a cache the expensive per-doc text
+      // analysis (4 marker regex counts + quality ratios + fingerprint)
+      // runs twice
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text"),
                 T.langId(col("text")).as("lang_guess"),
@@ -162,6 +166,7 @@ object ExtensionQueries {
                 T.fingerprint(col("text")).as("fp"))
         .filter(col("lang_guess") === "en" && col("quality") >= 0.3 &&
                 col("n_tokens").between(5, 1000))
+        .persist()
       val keep = d.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       val bucket = conv(substring(
         md5(concat(lit("split:"), col("doc_id"))), 1, 4), 16, 10)
