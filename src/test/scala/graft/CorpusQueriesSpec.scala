@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{TextFunctions => T}
+
+/** Edge-case semantics of the x30–x35 corpus-prep operators (the oracle
+  * checks parity on real testdata; these pin the boundary behaviors the
+  * testdata may not contain). */
+class CorpusQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("x31 shingle basis: docs shorter than the shingle width contribute nothing") {
+    val sh = Seq((1L, "a b c d"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), T.words(col("text")).as("_w"))
+      .select(col("doc_id"),
+        explode(array_distinct(T.shinglesFromWords(col("_w"), 5))).as("s"))
+      .collect()
+    assert(sh.map(_.getLong(0)).toSet === Set(2L))
+    assert(sh.map(_.getString(1)).toSeq === Seq("a b c d e"))
+  }
+
+  test("x33 bigram stage: a one-word doc yields no bigrams (left join keeps it)") {
+    val w = Seq((1L, "solo"), (2L, "a a b"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), T.words(col("text")).as("_w"))
+    val bg = w.select(col("doc_id"), explode(zip_with(
+        slice(col("_w"), lit(1), size(col("_w")) - 1),
+        slice(col("_w"), lit(2), size(col("_w")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val rows = bg.collect()
+    assert(!rows.exists(_.getLong(0) == 1L))
+    assert(rows.filter(_.getLong(0) == 2L).map(_.getString(1)).toSet ===
+      Set("a a", "a b"))
+  }
+
+  test("x32 packing: offsets accumulate per source shard and chunk ids are exact") {
+    val win = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = Seq(
+        (1L, "s0", 1500L), (2L, "s0", 1000L), (3L, "s0", 600L),
+        (4L, "s1", 2048L), (5L, "s1", 1L))
+      .toDF("doc_id", "source", "n_tokens")
+      .withColumn("start_off", sum(col("n_tokens")).over(win) - col("n_tokens"))
+      .withColumn("bin_id", expr("start_off div 2048"))
+      .withColumn("bin_off", col("start_off") % 2048)
+      .orderBy("doc_id")
+      .select("doc_id", "start_off", "bin_id", "bin_off")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out === Array(
+      (1L, 0L, 0L, 0L),       // first doc of s0 opens chunk 0
+      (2L, 1500L, 0L, 1500L), // still inside chunk 0
+      (3L, 2500L, 1L, 452L),  // crossed the 2048 boundary → chunk 1
+      (4L, 0L, 0L, 0L),       // s1 packs independently of s0
+      (5L, 2048L, 1L, 0L)))   // exactly at the boundary → chunk 1, offset 0
+  }
+
+  test("x35 shard assignment is invariant under repartitioning") {
+    def run(parts: Int) = {
+      val keyed = spark.range(0, 64).toDF("doc_id")
+        .repartition(parts)
+        .select(col("doc_id"),
+          md5(concat(lit("shuf:"), col("doc_id"))).as("k"))
+        .withColumn("shard", conv(substring(col("k"), 1, 2), 16, 10)
+          .cast("int") % 8)
+      val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+      keyed.withColumn("pos", row_number().over(w))
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+        .as[(Long, Int, Int)].collect().toSeq
+    }
+    assert(run(1) === run(7))
+  }
+
+  test("x30 redaction patterns: multiple hits all redact; counts match") {
+    val t = Seq("mail a@b.co and c.d@e.org tel +1-555-0000 +1-555-9999 x")
+      .toDF("_t")
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\+1-555-[0-9]{4}"
+    val r = t.select(
+      regexp_count(col("_t"), lit(emailPat)).as("ne"),
+      regexp_count(col("_t"), lit(phonePat)).as("np"),
+      regexp_replace(regexp_replace(col("_t"), emailPat, "<EMAIL>"),
+        phonePat, "<PHONE>").as("red"))
+      .as[(Int, Int, String)].head()
+    assert(r._1 === 2 && r._2 === 2)
+    assert(r._3 === "mail <EMAIL> and <EMAIL> tel <PHONE> <PHONE> x")
+  }
+}
