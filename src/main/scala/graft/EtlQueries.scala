@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Warehouse-maintenance operators: SCD1 upsert (MERGE), snapshot diff
+  * (CDC), and column profiling — the remaining ETL verbs a user of a
+  * batch pipeline engine reaches for between the ingest and the
+  * analytics layers.
+  *
+  * Scale notes: the upsert and the diff are ONE full-outer shuffled join
+  * each, keyed on the natural key — the exact dataflow a MERGE INTO
+  * compiles to; AQE handles skew. Profiling is a melt (columns→rows,
+  * map-side) plus one hash agg keyed by column name — column count,
+  * not row count, bounds the group cardinality. */
+object EtlQueries {
+
+  private def cents(c: Column) = round(c * 100).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q67 — SCD1 upsert (MERGE INTO ... WHEN MATCHED UPDATE / WHEN NOT
+    // MATCHED INSERT), expressed engine-agnostically as a full-outer join
+    // with source-wins coalescing. The source batch is derived
+    // deterministically from the target so the oracle sees the same data.
+    "q67_upsert" -> ((s, dir) => {
+      val t = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+                cents(col("c_acctbal")).as("bal_cents"))
+      val upd = t.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), concat(col("c_name"), lit("*")).as("c_name"),
+                lit("UPDATED").as("c_mktsegment"),
+                (col("bal_cents") + 100).as("bal_cents"))
+      val ins = t.filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_name"),
+                lit("NEWSEG").as("c_mktsegment"), lit(0L).as("bal_cents"))
+      val src = upd.unionByName(ins)
+      val tt = t.select(col("c_custkey"), col("c_name").as("_tn"),
+                        col("c_mktsegment").as("_tm"), col("bal_cents").as("_tb"))
+      val ss = src.select(col("c_custkey"), col("c_name").as("_sn"),
+                          col("c_mktsegment").as("_sm"), col("bal_cents").as("_sb"))
+      tt.join(ss, Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"),
+                coalesce(col("_sn"), col("_tn")).as("c_name"),
+                coalesce(col("_sm"), col("_tm")).as("c_mktsegment"),
+                coalesce(col("_sb"), col("_tb")).as("bal_cents"),
+                when(col("_tn").isNull, "I")
+                  .when(col("_sn").isNull, ".").otherwise("U").as("op"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Q68 — snapshot diff (change data capture between two table
+    // versions): one full-outer join keyed on the natural key classifies
+    // every row as added / removed / changed, emitting old and new
+    // values side by side. Version B is derived deterministically:
+    // %7 keys deleted, %5 prices bumped, %11 statuses flipped,
+    // %13 keys re-inserted under a new id.
+    "q68_snapshot_diff" -> ((s, dir) => {
+      val a = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+                cents(col("o_totalprice")).as("price_cents"))
+      val b0 = a.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 11 === 0, "X")
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("o_orderkey") % 5 === 0, col("price_cents") + 500)
+            .otherwise(col("price_cents")).as("price_cents"))
+      val badd = a.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 5000000).as("o_orderkey"),
+                col("o_orderstatus"), col("price_cents"))
+      val b = b0.unionByName(badd)
+      val aa = a.select(col("o_orderkey"), col("o_orderstatus").as("_as"),
+                        col("price_cents").as("_ap"))
+      val bb = b.select(col("o_orderkey"), col("o_orderstatus").as("_bs"),
+                        col("price_cents").as("_bp"))
+      aa.join(bb, Seq("o_orderkey"), "full_outer")
+        .withColumn("change_type",
+          when(col("_as").isNull, "added")
+            .when(col("_bs").isNull, "removed")
+            .when(col("_as") =!= col("_bs") || col("_ap") =!= col("_bp"),
+                  "changed")
+            .otherwise("unchanged"))
+        .filter(col("change_type") =!= "unchanged")
+        .select(col("o_orderkey"), col("change_type"),
+                col("_as").as("old_status"), col("_bs").as("new_status"),
+                col("_ap").as("old_cents"), col("_bp").as("new_cents"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Q69 — column profiling (data-quality observability): per column,
+    // row count, null count (after ''-marker normalization), distinct
+    // count, and min/max — the standard profile report, computed as a
+    // melt + one agg keyed by column name.
+    "q69_profile" -> ((s, dir) => {
+      val base = Tables(s, dir, "events").select(
+        col("event_type").as("c_event_type"),
+        nullif(trim(col("props")), lit("")).as("c_props"),
+        col("user_id").cast("string").as("c_user_id"))
+      base.unpivot(Array.empty[Column],
+          Array(col("c_event_type"), col("c_props"), col("c_user_id")),
+          "col_name", "val")
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n"),
+             (count(lit(1)) - count(col("val"))).as("n_null"),
+             count_distinct(col("val")).as("n_distinct"),
+             min(col("val")).as("min_s"), max(col("val")).as("max_s"))
+        .orderBy(col("col_name"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q67_upsert" ->
+      """WITH t AS (SELECT c_custkey, c_name, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+           FROM customer),
+         upd AS (SELECT c_custkey, c_name || '*' AS c_name,
+                   'UPDATED' AS c_mktsegment, bal_cents + 100 AS bal_cents
+                 FROM t WHERE c_custkey % 10 = 0),
+         ins AS (SELECT c_custkey + 1000000 AS c_custkey, c_name,
+                   'NEWSEG' AS c_mktsegment, 0::BIGINT AS bal_cents
+                 FROM t WHERE c_custkey % 100 = 0),
+         src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+         SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+           COALESCE(s.c_name, t.c_name) AS c_name,
+           COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment,
+           COALESCE(s.bal_cents, t.bal_cents) AS bal_cents,
+           CASE WHEN t.c_custkey IS NULL THEN 'I'
+                WHEN s.c_custkey IS NULL THEN '.' ELSE 'U' END AS op
+         FROM t FULL JOIN src s USING (c_custkey)
+         ORDER BY c_custkey""",
+
+    "q68_snapshot_diff" ->
+      """WITH a AS (SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+           FROM orders),
+         b AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 0 THEN price_cents + 500
+                  ELSE price_cents END AS price_cents
+           FROM a WHERE o_orderkey % 7 <> 0
+           UNION ALL
+           SELECT o_orderkey + 5000000, o_orderstatus, price_cents
+           FROM a WHERE o_orderkey % 13 = 0)
+         SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.o_orderstatus <> b.o_orderstatus
+                  OR a.price_cents <> b.price_cents THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           a.o_orderstatus AS old_status, b.o_orderstatus AS new_status,
+           a.price_cents AS old_cents, b.price_cents AS new_cents
+         FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+         WHERE NOT (a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                    AND a.o_orderstatus = b.o_orderstatus
+                    AND a.price_cents = b.price_cents)
+         ORDER BY o_orderkey""",
+
+    "q69_profile" ->
+      """WITH base AS (SELECT event_type AS c_event_type,
+             nullif(trim(props), '') AS c_props,
+             user_id::VARCHAR AS c_user_id FROM events)
+         SELECT col_name, count(*) AS n, count(*) - count(v) AS n_null,
+           count(DISTINCT v) AS n_distinct,
+           min(v) AS min_s, max(v) AS max_s
+         FROM (
+           SELECT 'c_event_type' AS col_name, c_event_type AS v FROM base
+           UNION ALL
+           SELECT 'c_props', c_props FROM base
+           UNION ALL
+           SELECT 'c_user_id', c_user_id FROM base) m
+         GROUP BY col_name ORDER BY col_name""")
+}

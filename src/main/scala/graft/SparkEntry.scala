@@ -9,12 +9,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ graft.pipeline.PayrollQueries.queries ++
       ExtensionQueries.queries ++ AnalyticsQueries.queries ++
-      FunctionQueries.queries ++ BenchQueries.queries ++ CorpusQueries.queries
+      FunctionQueries.queries ++ BenchQueries.queries ++
+      CorpusQueries.queries ++ EtlQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ graft.pipeline.PayrollQueries.oracleSql ++
       ExtensionQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
       FunctionQueries.oracleSql ++ BenchQueries.oracleSql ++
-      CorpusQueries.oracleSql
+      CorpusQueries.oracleSql ++ EtlQueries.oracleSql
 }
