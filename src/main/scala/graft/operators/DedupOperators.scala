@@ -238,8 +238,14 @@ object DedupOperators {
     // job that materializes each round's checkpoint, so every round costs ONE
     // Spark job, not two — iteration overhead, not data volume, dominates
     // this loop's wall clock
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed labels with least(id, min neighbor) — the same single shuffle a
+    // plain distinct-ids init would cost (each node appears as dst in the
+    // symmetrized edges), but it bakes round 1's neighbor propagation into
+    // the init, so dense star-shaped dup groups typically converge one
+    // full round earlier
+    var labels = edges.groupBy(col("dst"))
+      .agg(min(col("src")).as("_m"))
+      .select(col("dst").as("id"), least(col("_m"), col("dst")).as("label"))
       .localCheckpoint(false)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
