@@ -71,6 +71,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan.take(2000))
   }
 
+  test("x31 decontamination broadcasts the benchmark shingle set") {
+    val plan = planOf("x31_decontaminate")
+    // the eval-set side must arrive by broadcast — shuffling the corpus
+    // against it would turn a small-dimension join into a full exchange
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q67 upsert and q68 snapshot diff plan as single equi-joins — no nested loops") {
+    for (q <- Seq("q67_upsert", "q68_snapshot_diff")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"), s"$q: " + plan.take(2000))
+      assert(plan.contains("FullOuter"), s"$q must merge via one full-outer join")
+    }
+  }
+
+  test("q69 profile aggregates with map-side partial aggregation") {
+    val plan = planOf("q69_profile")
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      plan.take(2000))
+  }
+
+  test("x32 packing windows per source shard — no single-partition global window") {
+    val plan = planOf("x32_seq_packing")
+    // the cumulative sum must be hash-partitioned by the shard column; a
+    // global Window.orderBy would show a SinglePartition exchange
+    assert(plan.contains("hashpartitioning(source"), plan.take(3000))
+  }
+
   test("partitioned parquet write: date filter prunes partitions in the scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
