@@ -406,7 +406,62 @@ object FunctionQueries {
         .agg(count(lit(1)).as("n_docs"),
              sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("source"), col("split"))
-    }))
+    }),
+
+    // X36 — kNN classification by majority vote: integer-dot ranking over
+    // the quantized corpus (x29's deterministic ANN shape), top-5
+    // neighbors per query, label decided by (votes desc, label asc) — the
+    // embedding-space labeler for weak supervision / data curation.
+    "x36_knn_classify" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => V}
+      val q8 = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+                V.absMax(col("embedding")).as("scale"))
+        .filter(col("scale") > 0.0)
+        .select(col("vec_id"), col("label"),
+                transform(V.quantizeInt8(col("embedding"), col("scale")),
+                  _.cast("double")).as("qv"))
+      val q = q8.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("qv").as("qa"))
+      val cand = q8.filter(col("vec_id") >= 20)
+        .select(col("vec_id").as("nid"), col("label").as("nlabel"),
+                col("qv").as("qb"))
+      val wRank = Window.partitionBy(col("qid"))
+        .orderBy(col("qdot").desc, col("nid").asc)
+      val wVote = Window.partitionBy(col("qid"))
+        .orderBy(col("votes").desc, col("nlabel").asc)
+      cand.join(broadcast(q), col("nid") =!= col("qid"))
+        .withColumn("qdot", V.dot(col("qa"), col("qb")).cast("long"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .groupBy(col("qid"), col("nlabel"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rn", row_number().over(wVote))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("nlabel").as("pred_label"), col("votes"))
+        .orderBy(col("qid"))
+    }),
+
+    // X37 — per-label centroids in EXACT integer arithmetic: components
+    // are scaled to micro-units and integer-summed (associative — the
+    // same value on any partitioning), then integer-divided; float mean
+    // accumulation order would differ per cluster topology. The K-means
+    // E-step / class-prototype primitive over embedding columns.
+    "x37_label_centroids" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos"),
+                round(col("col").cast("double") * 1000000).cast("long").as("v"))
+        .filter(col("pos") < 8)
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("c"))
+        .withColumn("mean_scaled", expr("sv div c"))
+        .groupBy(col("label"))
+        .agg(max(col("c")).as("n_members"),
+             concat_ws(",", transform(
+               array_sort(collect_list(struct(col("pos"), col("mean_scaled")))),
+               s => s.getField("mean_scaled").cast("string"))).as("centroid8"))
+        .orderBy(col("label"))))
 
   // --- DuckDB oracles ------------------------------------------------------
 
@@ -673,6 +728,42 @@ object FunctionQueries {
                 FROM p)
           SELECT qid, rank, nid, qdot FROM r WHERE rank <= 3
           ORDER BY qid, rank""",
+
+    "x36_knn_classify" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+          sc AS (SELECT vec_id, label, v,
+                   list_max(list_transform(v, x -> abs(x))) AS scale
+                 FROM e WHERE list_max(list_transform(v, x -> abs(x))) > 0),
+          q8 AS (SELECT vec_id, label,
+                   list_transform(v, x -> round(127 * x / scale)) AS qv
+                 FROM sc),
+          p AS (SELECT a.vec_id AS qid, b.vec_id AS nid, b.label AS nlabel,
+                  CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS qdot
+                FROM q8 a JOIN q8 b ON b.vec_id >= 20
+                WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id),
+          r AS (SELECT qid, nid, nlabel,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY qdot DESC, nid) AS rank
+                FROM p),
+          v AS (SELECT qid, nlabel, count(*) AS votes
+                FROM r WHERE rank <= 5 GROUP BY qid, nlabel),
+          w AS (SELECT qid, nlabel, votes, row_number() OVER (
+                  PARTITION BY qid ORDER BY votes DESC, nlabel) AS rn
+                FROM v)
+          SELECT qid, nlabel AS pred_label, votes
+          FROM w WHERE rn = 1 ORDER BY qid""",
+
+    "x37_label_centroids" ->
+      """WITH s1 AS (SELECT label, embedding,
+             unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+          s2 AS (SELECT label, i - 1 AS pos,
+             (round(embedding[i]::DOUBLE * 1000000))::BIGINT AS v
+           FROM s1 WHERE i <= 8),
+          g AS (SELECT label, pos, sum(v) AS sv, count(*) AS c
+                FROM s2 GROUP BY label, pos)
+          SELECT label, max(c) AS n_members,
+            array_to_string(list((sv // c) ORDER BY pos), ',') AS centroid8
+          FROM g GROUP BY label ORDER BY label""",
 
     "x23_stratified_split" ->
       """WITH s AS (SELECT source, n_chars,
