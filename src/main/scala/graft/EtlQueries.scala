@@ -105,7 +105,33 @@ object EtlQueries {
              count_distinct(col("val")).as("n_distinct"),
              min(col("val")).as("min_s"), max(col("val")).as("max_s"))
         .orderBy(col("col_name"))
-    }))
+    }),
+
+    // Q70 — SLIDING time-window aggregation (1 h window, 30 min slide):
+    // each event lands in exactly two overlapping epoch-aligned windows.
+    // Window membership is a pure projection (constant fan-out 2), so the
+    // shuffle key count is active-buckets × types, not event count.
+    "q70_sliding_window" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(cents(col("value"))).as("sum_cents"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+                col("n"), col("sum_cents"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    // Q71 — session windows via the NATIVE session_window function (the
+    // batch twin of streaming session aggregation; x13 is the same
+    // semantics composed from gaps-and-islands windows). A new session
+    // starts when the gap is ≥ the 30-minute timeout — microsecond-exact.
+    "q71_session_window" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+        .select(col("user_id"), col("start_ts"), col("end_ts"),
+                col("n_events"))
+        .orderBy(col("user_id"), col("start_ts"))))
 
   val oracleSql: Map[String, String] = Map(
     "q67_upsert" ->
@@ -169,5 +195,34 @@ object EtlQueries {
            SELECT 'c_props', c_props FROM base
            UNION ALL
            SELECT 'c_user_id', c_user_id FROM base) m
-         GROUP BY col_name ORDER BY col_name""")
+         GROUP BY col_name ORDER BY col_name""",
+
+    "q70_sliding_window" ->
+      """WITH b AS (SELECT
+             epoch_us(ts) // 1000000 - (epoch_us(ts) // 1000000) % 1800 AS s0,
+             event_type, value FROM events),
+         e2 AS (SELECT make_timestamp(s0 * 1000000) AS win_start,
+                  event_type, value FROM b
+                UNION ALL
+                SELECT make_timestamp((s0 - 1800) * 1000000),
+                  event_type, value FROM b)
+         SELECT win_start, event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM e2 GROUP BY 1, 2 ORDER BY win_start, event_type""",
+
+    "q71_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS flag
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, ts,
+                 sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+               FROM flagged)
+         SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts,
+           count(*) AS n_events
+         FROM s GROUP BY user_id, sid ORDER BY user_id, start_ts""")
 }
