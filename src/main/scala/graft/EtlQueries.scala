@@ -212,7 +212,7 @@ object EtlQueries {
 
     "q71_session_window" ->
       """WITH flagged AS (
-           SELECT user_id, ts,
+           SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS flag
