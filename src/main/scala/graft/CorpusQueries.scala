@@ -133,6 +133,40 @@ object CorpusQueries {
       keyed.withColumn("pos", row_number().over(w))
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("doc_id"))
+    }),
+
+    // X38 — document chunking with overlap (context-window preparation):
+    // token windows of 50 with stride 40 (10-token overlap). Chunk starts
+    // are a per-row sequence() — constant fan-out ⌈n/40⌉, no shuffle at
+    // all; the md5 pins the exact chunk BYTES cross-engine.
+    "x38_chunk_overlap" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("_w"))
+        .select(col("doc_id"), col("_w"), size(col("_w")).as("_n"))
+        .select(col("doc_id"), col("_w"), col("_n"),
+          posexplode(sequence(lit(0), col("_n") - 1, lit(40))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          least(lit(50), col("_n") - col("col")).cast("long").as("n_tokens"),
+          md5(array_join(slice(col("_w"), col("col") + 1, lit(50)), " ")
+            .cast("binary")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // X39 — vocabulary build: corpus-wide token counts, min-count 5,
+    // ids ranked by (count desc, token). The explode+agg is the scale
+    // path (shuffle keyed by token); the ranking window is global but
+    // runs over the VOCABULARY (post-threshold, bounded by type count —
+    // a few 100k for real corpora), not the corpus.
+    "x39_vocab_build" -> ((s, dir) => {
+      val counts = Tables(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+      counts
+        .withColumn("token_id", row_number().over(
+          Window.orderBy(col("n").desc, col("token"))).cast("long"))
+        .select(col("token_id"), col("token"), col("n"))
+        .orderBy(col("token_id"))
     }))
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -144,6 +178,23 @@ object CorpusQueries {
              || ' ' || $wordsSql[i+3] || ' ' || $wordsSql[i+4])"""
 
   val oracleSql: Map[String, String] = Map(
+    "x38_chunk_overlap" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+         n AS (SELECT doc_id, w, len(w) AS n FROM w),
+         s AS (SELECT doc_id, w, n, unnest(range(0, n, 40)) AS start FROM n)
+         SELECT doc_id, start // 40 AS chunk_id,
+           least(50, n - start) AS n_tokens,
+           md5(array_to_string(w[start+1:start+50], ' ')) AS chunk_md5
+         FROM s ORDER BY doc_id, chunk_id""",
+
+    "x39_vocab_build" ->
+      s"""WITH t AS (SELECT unnest($wordsSql) AS token FROM documents),
+         c AS (SELECT token, count(*) AS n FROM t WHERE token <> ''
+               GROUP BY token HAVING count(*) >= 5)
+         SELECT row_number() OVER (ORDER BY n DESC, token) AS token_id,
+           token, n
+         FROM c ORDER BY token_id""",
+
     "x30_pii_redact" ->
       s"""WITH t AS (SELECT doc_id,
             text || ' contact user' || doc_id || '@example.com or call +1-555-'

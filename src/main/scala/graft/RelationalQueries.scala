@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+
+/** Relational-surface completion: subquery decorrelation (EXISTS /
+  * NOT EXISTS), LATERAL correlated subqueries, bloom-prefiltered semi
+  * joins, and the map-typed / array-set / listagg function families.
+  *
+  * Scale notes:
+  *  - q72/q73: Catalyst decorrelates both into joins (EXISTS → left-semi,
+  *    NOT EXISTS → left-anti, LATERAL top-k → window-limited join) — no
+  *    per-row subquery execution ever happens, so these hold at any SF.
+  *  - q74: the bloom prefilter drops non-matching fact rows MAP-SIDE
+  *    before the semi join's shuffle — see [[graft.ops.BloomOps]].
+  *  - q75/q76: pure per-row map/array expressions plus one keyed hash agg.
+  *  - q77: listagg groups are region-sized (bounded); the global ORDER BY
+  *    is over 5 rows.
+  */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q72 — EXISTS / NOT EXISTS subqueries: customers with at least one
+    // big order and no small finished order. Catalyst decorrelates to a
+    // left-semi + left-anti join pair (no correlated re-execution).
+    "q72_exists_subquery" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_q72")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_q72")
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer_q72 c
+        WHERE EXISTS (SELECT 1 FROM orders_q72 o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000)
+          AND NOT EXISTS (SELECT 1 FROM orders_q72 o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice < 50000)
+        ORDER BY c_custkey""")
+    }),
+
+    // Q73 — LATERAL correlated subquery with per-row ORDER BY + LIMIT:
+    // the two highest-quantity lineitems of each expensive order.
+    // Catalyst plans the lateral top-k as a join + per-key window limit,
+    // not a per-order subquery loop.
+    "q73_lateral_topk" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_q73")
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q73")
+      s.sql("""
+        SELECT o.o_orderkey, t.l_linenumber, t.qty
+        FROM orders_q73 o, LATERAL (
+          SELECT l_linenumber, CAST(round(l_quantity) AS BIGINT) AS qty
+          FROM lineitem_q73 WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_quantity DESC, l_linenumber LIMIT 2) t
+        WHERE o.o_totalprice > 300000
+        ORDER BY o_orderkey, l_linenumber""")
+    }),
+
+    // Q74 — bloom-prefiltered semi join (exact result; the bloom only
+    // cuts shuffled volume — false positives are removed by the semi
+    // join). Oracle = the plain IN-subquery semi join.
+    "q74_bloom_semi" -> ((s, dir) =>
+      graft.ops.BloomOps.bloomPrefilterSemiJoin(
+          Tables(s, dir, "customer"),
+          Tables(s, dir, "orders").filter(col("o_totalprice") > 250000),
+          "c_custkey", "o_custkey", expectedItems = 100000L)
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // Q75 — map-typed column battery: parse → map_concat a constructed
+    // entry → map_keys / map_values / map_filter / HOF-aggregate, all
+    // map-side; one row per event.
+    "q75_map_funcs" -> ((s, dir) => {
+      val m = from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          map_concat(m, map(lit("evt"), col("event_id") % 100)).as("_m"))
+        .select(col("event_id"),
+          size(col("_m")).cast("long").as("n_keys"),
+          array_join(array_sort(map_keys(col("_m"))), ",").as("keys_sorted"),
+          aggregate(map_values(col("_m")), lit(0L), _ + _).as("sum_v"),
+          size(map_filter(col("_m"), (_, v) => v > 50))
+            .cast("long").as("n_big"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Q76 — array set operations per group: per order, the lineitem
+    // numbers matching two predicates, intersected / unioned / differenced
+    // (collect_list drops the when()'s nulls; every output is sorted so
+    // the result is partition-order-independent).
+    "q76_array_setops" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sort_array(collect_list(
+            when(col("l_quantity") > 25, col("l_linenumber")))).as("_a"),
+          sort_array(collect_list(
+            when(col("l_discount") > 0.05, col("l_linenumber")))).as("_b"))
+        .select(col("l_orderkey"),
+          array_sort(array_intersect(col("_a"), col("_b"))).as("ln_both"),
+          array_sort(array_union(col("_a"), col("_b"))).as("ln_any"),
+          array_sort(array_except(col("_a"), col("_b"))).as("ln_only_a"))
+        .orderBy(col("l_orderkey"))),
+
+    // Q77 — listagg / string_agg (SQL:2023 ordered-set aggregate) with
+    // WITHIN GROUP ordering — deterministic by construction.
+    "q77_listagg" -> ((s, dir) => {
+      Tables(s, dir, "nation").createOrReplaceTempView("nation_q77")
+      Tables(s, dir, "region").createOrReplaceTempView("region_q77")
+      s.sql("""
+        SELECT r.r_name,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+                 AS nations
+        FROM nation_q77 n JOIN region_q77 r
+          ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name""")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q72_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 200000)
+           AND NOT EXISTS (SELECT 1 FROM orders o2
+                           WHERE o2.o_custkey = c.c_custkey
+                             AND o2.o_orderstatus = 'F'
+                             AND o2.o_totalprice < 50000)
+         ORDER BY c_custkey""",
+
+    "q73_lateral_topk" ->
+      """SELECT o.o_orderkey, t.l_linenumber, t.qty
+         FROM orders o, LATERAL (
+           SELECT l_linenumber, CAST(round(l_quantity) AS BIGINT) AS qty
+           FROM lineitem WHERE l_orderkey = o.o_orderkey
+           ORDER BY l_quantity DESC, l_linenumber LIMIT 2) t
+         WHERE o.o_totalprice > 300000
+         ORDER BY o_orderkey, l_linenumber""",
+
+    "q74_bloom_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders
+                             WHERE o_totalprice > 250000)
+         ORDER BY c_custkey""",
+
+    "q75_map_funcs" ->
+      """WITH kv AS (SELECT event_id, unnest(json_keys(props::JSON)) AS k,
+                       props FROM events),
+         v AS (SELECT event_id, k,
+                 CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS v
+               FROM kv
+               UNION ALL
+               SELECT event_id, 'evt', event_id % 100 FROM events)
+         SELECT event_id, count(*) AS n_keys,
+           array_to_string(list_sort(array_agg(k)), ',') AS keys_sorted,
+           CAST(sum(v) AS BIGINT) AS sum_v,
+           count(*) FILTER (WHERE v > 50) AS n_big
+         FROM v GROUP BY event_id ORDER BY event_id""",
+
+    "q76_array_setops" ->
+      """WITH agg AS (SELECT l_orderkey,
+           coalesce(list_sort(list_distinct(array_agg(l_linenumber)
+             FILTER (WHERE l_quantity > 25))), []) AS a,
+           coalesce(list_sort(list_distinct(array_agg(l_linenumber)
+             FILTER (WHERE l_discount > 0.05))), []) AS b
+          FROM lineitem GROUP BY l_orderkey)
+         SELECT l_orderkey,
+           list_sort(list_intersect(a, b)) AS ln_both,
+           list_sort(list_distinct(list_concat(a, b))) AS ln_any,
+           list_sort(list_filter(a, x -> NOT list_contains(b, x)))
+             AS ln_only_a
+         FROM agg ORDER BY l_orderkey""",
+
+    "q77_listagg" ->
+      """SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY r.r_name ORDER BY r.r_name""")
+}

@@ -10,12 +10,14 @@ object SparkEntry {
     ParityQueries.queries ++ graft.pipeline.PayrollQueries.queries ++
       ExtensionQueries.queries ++ AnalyticsQueries.queries ++
       FunctionQueries.queries ++ BenchQueries.queries ++
-      CorpusQueries.queries ++ EtlQueries.queries
+      CorpusQueries.queries ++ EtlQueries.queries ++
+      RelationalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ graft.pipeline.PayrollQueries.oracleSql ++
       ExtensionQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
       FunctionQueries.oracleSql ++ BenchQueries.oracleSql ++
-      CorpusQueries.oracleSql ++ EtlQueries.oracleSql
+      CorpusQueries.oracleSql ++ EtlQueries.oracleSql ++
+      RelationalQueries.oracleSql
 }
