@@ -167,6 +167,68 @@ object CorpusQueries {
           Window.orderBy(col("n").desc, col("token"))).cast("long"))
         .select(col("token_id"), col("token"), col("n"))
         .orderBy(col("token_id"))
+    }),
+
+    // X40 — BM25-style retrieval scoring, top-3 docs per query term, in
+    // EXACT integer arithmetic (k1=1.2, b=0.75 fixed-point ×1000; idf is
+    // the same 1e6·N÷df monotone proxy as x24 — ln() ulp drift across
+    // libms is unacceptable for a ranking that picks training passages at
+    // 100 TB). Dataflow: explode → tf/dl/df aggs (token- and doc-keyed
+    // shuffles) → broadcast corpus stats + query terms → per-term window
+    // top-3. Every division is a positive-integer DIV, identical on any
+    // engine.
+    "x40_bm25_topk" -> ((s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+      val tf = tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val stats = tok.agg(count_distinct(col("doc_id")).as("n"),
+                          count(lit(1)).as("total"))
+      val qterms = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(5)
+        .select(col("token"))
+      val scored = tf
+        .join(broadcast(qterms), Seq("token"), "left_semi")
+        .join(dfreq, Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("score", expr(
+          """((1000000 * n) DIV df DIV 1000) *
+             ((tf * 2200 * 1000) DIV
+              (tf * 1000 +
+               (1200 * (250 + (750 * ((1000 * dl * n) DIV total)) DIV 1000))
+               DIV 1000))"""))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("token"))
+            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("token"), col("rank"), col("doc_id"), col("score"))
+        .orderBy(col("token"), col("rank"))
+    }),
+
+    // X41 — weighted dataset interleave (domain mixing): each source gets
+    // an integer weight; a source's k-th document is scheduled at virtual
+    // time 1000·k÷w, so sources appear in the global order proportionally
+    // to their weights — the deterministic batch twin of weighted sampling
+    // for training mixes. Per-source windows (parallel by source), then a
+    // global TakeOrderedAndProject for the schedule head — never a full
+    // global sort.
+    "x41_weighted_mix" -> ((s, dir) => {
+      val w = lit(1) + substring(col("source"), 4, 10).cast("int") % 4
+      val pos = row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id")))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), w.as("_w"))
+        .withColumn("_pos", pos.cast("long"))
+        .withColumn("t", expr("(_pos * 1000) DIV _w"))
+        .select(col("doc_id"), col("source"), col("t"))
+        .orderBy(col("t"), col("source"), col("doc_id"))
+        .limit(500)
     }))
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -194,6 +256,45 @@ object CorpusQueries {
          SELECT row_number() OVER (ORDER BY n DESC, token) AS token_id,
            token, n
          FROM c ORDER BY token_id""",
+
+    "x40_bm25_topk" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($wordsSql) AS token
+            FROM documents),
+         tok2 AS (SELECT * FROM tok WHERE token <> ''),
+         tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                FROM tok2 GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok2 GROUP BY 1),
+         stats AS (SELECT count(DISTINCT doc_id)::BIGINT AS n,
+                     count(*)::BIGINT AS total FROM tok2),
+         dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         qterms AS (SELECT token FROM
+             (SELECT token, count(*)::BIGINT AS cnt FROM tok2 GROUP BY 1)
+           ORDER BY cnt DESC, token LIMIT 5),
+         scored AS (
+           SELECT t.token, t.doc_id,
+             ((1000000 * s.n // d.df) // 1000) *
+             ((t.tf * 2200 * 1000) //
+              (t.tf * 1000 +
+               (1200 * (250 + (750 * ((1000 * l.dl * s.n) // s.total))
+                // 1000)) // 1000)) AS score
+           FROM tf t JOIN dfreq d USING (token) JOIN dl l USING (doc_id)
+           CROSS JOIN stats s
+           WHERE t.token IN (SELECT token FROM qterms)),
+         ranked AS (SELECT token, doc_id, score,
+             row_number() OVER (PARTITION BY token
+                                ORDER BY score DESC, doc_id) AS rank
+           FROM scored)
+         SELECT token, rank, doc_id, score FROM ranked
+         WHERE rank <= 3 ORDER BY token, rank""",
+
+    "x41_weighted_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+             1 + (CAST(substr(source, 4) AS INT) % 4) AS w FROM documents),
+         p AS (SELECT doc_id, source, w,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS pos
+           FROM d)
+         SELECT doc_id, source, (pos * 1000) // w AS t
+         FROM p ORDER BY t, source, doc_id LIMIT 500""",
 
     "x30_pii_redact" ->
       s"""WITH t AS (SELECT doc_id,

@@ -54,7 +54,7 @@ object RelationalQueries {
           FROM lineitem_q73 WHERE l_orderkey = o.o_orderkey
           ORDER BY l_quantity DESC, l_linenumber LIMIT 2) t
         WHERE o.o_totalprice > 300000
-        ORDER BY o_orderkey, l_linenumber""")
+        ORDER BY o_orderkey, l_linenumber, qty DESC""")
     }),
 
     // Q74 — bloom-prefiltered semi join (exact result; the bloom only
@@ -116,6 +116,37 @@ object RelationalQueries {
         FROM nation_q77 n JOIN region_q77 r
           ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name ORDER BY r.r_name""")
+    }),
+
+    // Q78 — custom typed-Aggregator UDAF (deterministic mode): the
+    // engine's user-defined-aggregate surface. Same semantics as q18's
+    // composed form, exercised through ObjectHashAggregate with map-side
+    // partial buffers instead of a count+window.
+    "q78_mode_udaf" -> ((s, dir) => {
+      val modeU = udaf(graft.functions.ModeAggregator)
+      Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(modeU(col("c_mktsegment")).as("seg_mode"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Q79 — IGNORE NULLS window battery: last-observation-carried-forward
+    // (the canonical sparse-sensor fill), previous non-null, and first
+    // non-null per partition — one shuffle on user_id, one sort.
+    "q79_ignore_nulls" -> ((s, dir) => {
+      val v = when(col("event_type") === "click",
+        round(col("value") * 100).cast("long"))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val upToHere = ord.rowsBetween(Window.unboundedPreceding,
+                                     Window.currentRow)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), v.as("_v"))
+        .select(col("user_id"), col("event_id"),
+          last(col("_v"), ignoreNulls = true).over(upToHere).as("carried"),
+          lag(col("_v"), 1, null, ignoreNulls = true).over(ord).as("prev_v"),
+          first(col("_v"), ignoreNulls = true).over(upToHere).as("first_v"))
+        .orderBy(col("user_id"), col("event_id"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -137,7 +168,7 @@ object RelationalQueries {
            FROM lineitem WHERE l_orderkey = o.o_orderkey
            ORDER BY l_quantity DESC, l_linenumber LIMIT 2) t
          WHERE o.o_totalprice > 300000
-         ORDER BY o_orderkey, l_linenumber""",
+         ORDER BY o_orderkey, l_linenumber, qty DESC""",
 
     "q74_bloom_semi" ->
       """SELECT c_custkey, c_name FROM customer
@@ -177,5 +208,30 @@ object RelationalQueries {
       """SELECT r.r_name,
            string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
          FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
-         GROUP BY r.r_name ORDER BY r.r_name""")
+         GROUP BY r.r_name ORDER BY r.r_name""",
+
+    "q78_mode_udaf" ->
+      """SELECT c_nationkey, c_mktsegment AS seg_mode FROM (
+           SELECT c_nationkey, c_mktsegment,
+                  row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY cnt DESC, c_mktsegment ASC) AS rn
+           FROM (SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+                 FROM customer GROUP BY 1, 2))
+         WHERE rn = 1 ORDER BY c_nationkey""",
+
+    "q79_ignore_nulls" ->
+      """WITH b AS (SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'click'
+                  THEN CAST(round(value * 100) AS BIGINT) END AS v
+           FROM events)
+         SELECT user_id, event_id,
+           last_value(v IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried,
+           lag(v IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+           first_value(v IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v
+         FROM b ORDER BY user_id, event_id""")
 }
