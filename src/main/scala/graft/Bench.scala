@@ -49,7 +49,7 @@ object Bench {
     // and values rounded to ms precision; full names go to stderr above.
     val qs = results.map { case (k, v) =>
       val short = k.takeWhile(_ != '_')
-      f""""$short":$v%.3f"""
+      f""""$short":$v%.2f"""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
