@@ -102,6 +102,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(source"), plan.take(3000))
   }
 
+  test("x41 weighted interleave: schedule head is TakeOrderedAndProject, window is per-source") {
+    val plan = planOf("x41_weighted_mix")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // the only exchange is the per-source window's hash partitioning;
+    // a global range sort of the corpus would be the 100 TB failure mode
+    assert(plan.contains("hashpartitioning(source"), plan.take(3000))
+    assert(!plan.contains("rangepartitioning"), plan.take(3000))
+  }
+
+  test("x38 chunking is shuffle-free up to the output sort (constant fan-out generate)") {
+    val df = SparkEntry.queries("x38_chunk_overlap")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // one exchange total: the final presentation orderBy; chunk generation
+    // itself (split → sequence → posexplode → slice/md5) is map-side
+    assert(plan.split("Exchange").length - 1 <= 1, plan.take(3000))
+    assert(plan.contains("Generate"), plan.take(2000))
+  }
+
+  test("q73 lateral top-k decorrelates to a join — no per-row subquery loop") {
+    val plan = planOf("q73_lateral_topk")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the per-order LIMIT shows up as a window/limit over the join, and
+    // the correlation as an equi-join on l_orderkey
+    assert(plan.contains("Join"), plan.take(3000))
+  }
+
+  test("x40 BM25 broadcasts query terms and corpus stats; tf/df aggs are partial") {
+    val plan = planOf("x40_bm25_topk")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin") ||
+           plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      plan.take(3000))
+  }
+
   test("partitioned parquet write: date filter prunes partitions in the scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
