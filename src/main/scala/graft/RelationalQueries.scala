@@ -147,7 +147,21 @@ object RelationalQueries {
           lag(col("_v"), 1, null, ignoreNulls = true).over(ord).as("prev_v"),
           first(col("_v"), ignoreNulls = true).over(upToHere).as("first_v"))
         .orderBy(col("user_id"), col("event_id"))
-    }))
+    }),
+
+    // Q80 — DYNAMIC pivot (no explicit value list): Spark first runs a
+    // distinct job to discover the pivot columns, then pivots — the
+    // runtime-schema variant of q31. Missing (group, value) combos are
+    // zero-filled to match SQL PIVOT's count semantics. The value domain
+    // is contractually small (a categorical column); the distinct job is
+    // a partial-agg over that domain.
+    "q80_dynamic_pivot" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .pivot("c_mktsegment")
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy(col("c_nationkey"))))
 
   val oracleSql: Map[String, String] = Map(
     "q72_exists_subquery" ->
@@ -233,5 +247,9 @@ object RelationalQueries {
            first_value(v IGNORE NULLS) OVER
              (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v
-         FROM b ORDER BY user_id, event_id""")
+         FROM b ORDER BY user_id, event_id""",
+
+    "q80_dynamic_pivot" ->
+      """PIVOT customer ON c_mktsegment USING count(*)
+         GROUP BY c_nationkey ORDER BY c_nationkey""")
 }

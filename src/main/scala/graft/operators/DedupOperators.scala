@@ -273,6 +273,8 @@ object DedupOperators {
       iter += 1
     }
     edges.unpersist()
+    log.info(s"clusterPairs: ${if (converged) "converged" else "STOPPED"} " +
+      s"after $iter propagation rounds")
     // (id, label) where label = min id of the duplicate group
     (labels, converged)
   }
