@@ -137,4 +137,29 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("x38 chunking: windows cover every token, overlap is exactly size−stride") {
+    for (n <- Seq(1, 5, 39, 40, 41, 50, 51, 89, 90, 91, 200) ++
+              List.fill(5)(1 + rnd.nextInt(400))) {
+      val text = (0 until n).map(i => s"w$i").mkString(" ")
+      val chunks = graft.RelationalQueriesSpecHelper
+        .chunks(spark, Seq((1L, text)))
+      // starts are 0, 40, 80, …, ≤ n-1
+      assert(chunks.size == (n - 1) / 40 + 1, s"n=$n")
+      chunks.foreach { case (_, cid, len) =>
+        val start = cid * 40
+        assert(len == math.min(50, n - start), s"n=$n chunk=$cid")
+      }
+      // coverage: the union of [start, start+len) is [0, n)
+      val covered = chunks.flatMap { case (_, cid, len) =>
+        (cid * 40) until (cid * 40 + len) }.toSet
+      assert(covered == (0L until n.toLong).toSet, s"n=$n")
+      // full interior chunks overlap the next chunk by exactly 10 tokens
+      chunks.sliding(2).foreach {
+        case Seq((_, c1, l1), (_, c2, _)) if l1 == 50 && c2 == c1 + 1 =>
+          assert(c1 * 40 + l1 - c2 * 40 == 10)
+        case _ =>
+      }
+    }
+  }
 }
