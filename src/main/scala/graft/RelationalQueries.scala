@@ -161,7 +161,27 @@ object RelationalQueries {
         .pivot("c_mktsegment")
         .agg(count(lit(1)))
         .na.fill(0)
-        .orderBy(col("c_nationkey"))))
+        .orderBy(col("c_nationkey"))),
+
+    // Q81 — RECURSIVE CTE (hierarchy traversal): ancestor chains over the
+    // derived parent edge k → k÷2, with a JOIN back to the table in the
+    // recursive step. Spark 4 executes this as an iterative union loop
+    // (one distributed join per level, ~log₂(maxkey) levels) — the DAG
+    // depth is the HIERARCHY depth, never the row count, and each level
+    // is a fully parallel equi-join.
+    "q81_recursive_cte" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_q81")
+      s.sql("""
+        WITH RECURSIVE anc(start_k, k, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer_q81
+          WHERE c_custkey % 100 = 0 AND c_custkey > 0
+          UNION ALL
+          SELECT a.start_k, c.c_custkey, a.depth + 1
+          FROM anc a JOIN customer_q81 c ON c.c_custkey = a.k DIV 2
+          WHERE a.k > 1)
+        SELECT start_k, k, depth FROM anc
+        ORDER BY start_k, depth""")
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q72_exists_subquery" ->
@@ -251,5 +271,16 @@ object RelationalQueries {
 
     "q80_dynamic_pivot" ->
       """PIVOT customer ON c_mktsegment USING count(*)
-         GROUP BY c_nationkey ORDER BY c_nationkey""")
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "q81_recursive_cte" ->
+      """WITH RECURSIVE anc(start_k, k, depth) AS (
+           SELECT c_custkey, c_custkey, 0 FROM customer
+           WHERE c_custkey % 100 = 0 AND c_custkey > 0
+           UNION ALL
+           SELECT a.start_k, c.c_custkey, a.depth + 1
+           FROM anc a JOIN customer c ON c.c_custkey = a.k // 2
+           WHERE a.k > 1)
+         SELECT start_k, k, depth FROM anc
+         ORDER BY start_k, depth""")
 }
