@@ -14,7 +14,10 @@ object PlanCheck {
                "b01_pricing_summary", "b02_revenue_by_nation",
                "x05_dedup_exact", "x09_sim_topk",
                "q28_asof_join", "q29_range_join", "q39_range_rule",
-               "x14_dedup_cluster", "x16_dedup_incremental")
+               "x14_dedup_cluster", "x16_dedup_incremental",
+               "q72_exists_subquery", "q73_lateral_topk", "q74_bloom_semi",
+               "q81_recursive_cte", "x38_chunk_overlap", "x40_bm25_topk",
+               "x41_weighted_mix")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")
