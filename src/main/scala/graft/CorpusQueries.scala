@@ -229,7 +229,60 @@ object CorpusQueries {
         .select(col("doc_id"), col("source"), col("t"))
         .orderBy(col("t"), col("source"), col("doc_id"))
         .limit(500)
-    }))
+    }),
+
+    // X42 — C4-style line-level corpus dedup: documents are cut into
+    // non-overlapping 10-token segments (the "lines" — the testdata has no
+    // newlines), every segment that occurs more than once in the WHOLE
+    // corpus survives only at its first (doc_id, seg_id) occurrence, and
+    // each doc is reassembled from its kept segments. Dataflow is exactly
+    // the production shape: one hash agg keyed by segment text (min
+    // first-occurrence key), one join back keyed by segment, one per-doc
+    // agg — no global sort, no driver state. The md5 pins the surviving
+    // BYTES, not just counts.
+    "x42_line_dedup" -> ((s, dir) =>
+      graft.ops.DedupOps.segmentDedup(Tables(s, dir, "documents"), 10)
+        .orderBy(col("doc_id"))),
+
+    // X43 — vocabulary application (corpus → token-id sequences): the
+    // x39 vocabulary (min-count 5, ids ranked by count desc, token) is
+    // built and then APPLIED — every token becomes its id, OOV → 0, and
+    // each doc emits its exact id sequence as an md5 plus its OOV count.
+    // The vocab is broadcast (bounded by type count, not corpus size);
+    // the token explode never shuffles — the only exchange is the per-doc
+    // reassembly agg keyed by doc_id.
+    "x43_vocab_apply" -> ((s, dir) =>
+      vocabApply(Tables(s, dir, "documents"), minCount = 5)
+        .orderBy(col("doc_id"))))
+
+  /** X43 core — build the x39 vocabulary (ids ranked by count desc, token)
+    * and APPLY it: every token becomes its id, OOV → 0, and each doc emits
+    * its exact id sequence as an md5 plus its OOV count. The vocab is
+    * broadcast (bounded by type count, not corpus size); the only exchange
+    * is the per-doc reassembly agg keyed by doc_id. The ranking window runs
+    * over the post-threshold VOCABULARY, never the corpus. */
+  def vocabApply(docs: DataFrame, minCount: Int): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+              col("col").as("token"))
+      .filter(col("token") =!= "")
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .withColumn("token_id", row_number().over(
+        Window.orderBy(col("n").desc, col("token"))).cast("long"))
+      .select(col("token"), col("token_id"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .withColumn("id", coalesce(col("token_id"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_oov"),
+           md5(array_join(transform(
+               sort_array(collect_list(struct(col("pos"), col("id")))),
+               x => x.getField("id").cast("string")), ",")
+             .cast("binary")).as("ids_md5"))
+  }
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -358,5 +411,39 @@ object CorpusQueries {
            FROM documents)
          SELECT doc_id, shard,
            row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
-         FROM k ORDER BY doc_id""")
+         FROM k ORDER BY doc_id""",
+
+    "x42_line_dedup" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+         segs AS (SELECT doc_id, (start // 10)::BIGINT AS seg_id,
+             array_to_string(w[start+1:start+10], ' ') AS seg
+           FROM (SELECT doc_id, w, unnest(range(0, len(w), 10)) AS start
+                 FROM w)),
+         keyed AS (SELECT doc_id, seg_id, seg,
+             doc_id * 100000 + seg_id AS k FROM segs),
+         keeper AS (SELECT seg, min(k) AS kmin FROM keyed GROUP BY seg)
+         SELECT doc_id, count(*) AS n_segs,
+           count(*) FILTER (WHERE k = kmin) AS n_kept,
+           md5(coalesce(array_to_string(
+             list(seg ORDER BY seg_id) FILTER (WHERE k = kmin), ' '), ''))
+             AS kept_md5
+         FROM keyed JOIN keeper USING (seg)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "x43_vocab_apply" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+         tok AS (SELECT doc_id,
+             unnest(generate_series(1, len(w))) AS pos,
+             unnest(w) AS token FROM w),
+         tok2 AS (SELECT * FROM tok WHERE token <> ''),
+         c AS (SELECT token, count(*) AS n FROM tok2
+               GROUP BY token HAVING count(*) >= 5),
+         v AS (SELECT token,
+             row_number() OVER (ORDER BY n DESC, token) AS token_id FROM c),
+         j AS (SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS id
+               FROM tok2 t LEFT JOIN v USING (token))
+         SELECT doc_id, count(*) AS n_tokens,
+           count(*) FILTER (WHERE id = 0) AS n_oov,
+           md5(string_agg(id::VARCHAR, ',' ORDER BY pos)) AS ids_md5
+         FROM j GROUP BY doc_id ORDER BY doc_id""")
 }

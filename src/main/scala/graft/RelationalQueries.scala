@@ -181,6 +181,77 @@ object RelationalQueries {
           WHERE a.k > 1)
         SELECT start_k, k, depth FROM anc
         ORDER BY start_k, depth""")
+    }),
+
+    // Q82 — linear-regression aggregates (regr_slope / intercept / r²)
+    // from EXACT integer moments, the q51 pattern: one map-side partial
+    // agg accumulates n, Σx, Σx², Σy, Σy², Σxy (long where a long can
+    // never overflow — x ≤ 50 so Σx² ≤ 2500·n — decimal(38,0) where it
+    // can), then ONE double computation per group at the end. Native
+    // regr_* aggregates accumulate doubles in partition order and are
+    // not bit-reproducible across cluster sizes; the moment form is.
+    "q82_regr_agg" -> ((s, dir) => {
+      val x = round(col("l_quantity")).cast("long")
+      val y = round(col("l_extendedprice") * 100).cast("long")
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val g = Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             sum(x).as("sx"), sum(x * x).as("sxx"),
+             sum(y).as("sy"),
+             sum((y * y).cast(dec)).as("syy"),
+             sum((x * y).cast(dec)).as("sxy"))
+      val nD = col("n").cast("double")
+      val sx = col("sx").cast("double");  val sxx = col("sxx").cast("double")
+      val sy = col("sy").cast("double");  val syy = col("syy").cast("double")
+      val sxy = col("sxy").cast("double")
+      val covN = nD * sxy - sx * sy          // n·cov numerator
+      val varXN = nD * sxx - sx * sx         // n·var(x) numerator
+      val varYN = nD * syy - sy * sy
+      g.select(col("l_returnflag"), col("n"),
+          (round(covN / varXN, 6) + lit(0.0d)).as("slope"),
+          (round((sy * sxx - sx * sxy) / varXN, 4) + lit(0.0d)).as("intercept"),
+          (round(covN * covN / (varXN * varYN), 6) + lit(0.0d)).as("r2"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Q83 — BFS / shortest-hop graph traversal over the order↔supplier
+    // bipartite graph (distinct lineitem (orderkey, suppkey) pairs are the
+    // edges). Level-synchronous frontier expansion: each level is ONE
+    // distributed equi-join on the frontier plus an anti join against the
+    // visited set — job-DAG depth = traversal depth (4), never row count.
+    // The anti join guarantees first-visit = min-hop, so the result equals
+    // the oracle's min-over-all-paths recursive CTE.
+    "q83_graph_bfs" -> ((s, dir) => {
+      val e = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("su"))
+        .distinct()
+      val edges = e.select(concat(lit("S"), col("su")).as("src"),
+                           concat(lit("O"), col("o")).as("dst"))
+        .unionAll(e.select(concat(lit("O"), col("o")).as("src"),
+                           concat(lit("S"), col("su")).as("dst")))
+      val seeds = e.filter(col("su") % 50 === 1)
+        .select(concat(lit("S"), col("su")).as("node"))
+      graft.ops.GraphOps.bfs(edges, seeds, maxDepth = 4)
+        .orderBy(col("dist"), col("node"))
+    }),
+
+    // Q84 — key-skew profiler: per-key counts, then the top-10 heaviest
+    // keys with their corpus share (ppm) and ratio to the mean key load
+    // (×1000) — the diagnostic run before choosing salting / AQE skew
+    // thresholds on a 100 TB join. One hash agg + a broadcast of the
+    // 1-row stats + TakeOrderedAndProject; integer DIV end to end.
+    "q84_skew_profile" -> ((s, dir) => {
+      val counts = Tables(s, dir, "lineitem")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(sum(col("cnt")).as("total"),
+                             count(lit(1)).as("n_keys"))
+      counts.crossJoin(broadcast(stats))
+        .select(col("l_suppkey"), col("cnt"),
+          expr("(cnt * 1000000) DIV total").as("share_ppm"),
+          expr("(cnt * n_keys * 1000) DIV total").as("skew_x1000"))
+        .orderBy(col("cnt").desc, col("l_suppkey"))
+        .limit(10)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -282,5 +353,56 @@ object RelationalQueries {
            FROM anc a JOIN customer c ON c.c_custkey = a.k // 2
            WHERE a.k > 1)
          SELECT start_k, k, depth FROM anc
-         ORDER BY start_k, depth""")
+         ORDER BY start_k, depth""",
+
+    "q82_regr_agg" ->
+      """WITH m AS (
+           SELECT l_returnflag, count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(x*x)::BIGINT AS sxx,
+             sum(y)::BIGINT AS sy,
+             sum(y::HUGEINT * y) AS syy, sum(x::HUGEINT * y) AS sxy
+           FROM (SELECT l_returnflag,
+                   CAST(round(l_quantity) AS BIGINT) AS x,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                 FROM lineitem)
+           GROUP BY l_returnflag),
+         d AS (SELECT l_returnflag, n,
+             n::DOUBLE AS nd, sx::DOUBLE AS sxd, sxx::DOUBLE AS sxxd,
+             sy::DOUBLE AS syd, syy::DOUBLE AS syyd, sxy::DOUBLE AS sxyd
+           FROM m)
+         SELECT l_returnflag, n,
+           round((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd), 6) + 0.0
+             AS slope,
+           round((syd*sxxd - sxd*sxyd) / (nd*sxxd - sxd*sxd), 4) + 0.0
+             AS intercept,
+           round((nd*sxyd - sxd*syd)*(nd*sxyd - sxd*syd) /
+                 ((nd*sxxd - sxd*sxd)*(nd*syyd - syd*syd)), 6) + 0.0 AS r2
+         FROM d ORDER BY l_returnflag""",
+
+    "q83_graph_bfs" ->
+      """WITH RECURSIVE e AS (
+           SELECT DISTINCT l_orderkey AS o, l_suppkey AS su FROM lineitem),
+         edges AS (
+           SELECT 'S' || su AS src, 'O' || o AS dst FROM e
+           UNION ALL
+           SELECT 'O' || o, 'S' || su FROM e),
+         bfs(node, dist) AS (
+           SELECT DISTINCT 'S' || su, 0 FROM e WHERE su % 50 = 1
+           UNION
+           SELECT edges.dst, bfs.dist + 1
+           FROM bfs JOIN edges ON edges.src = bfs.node
+           WHERE bfs.dist < 4)
+         SELECT node, CAST(min(dist) AS BIGINT) AS dist
+         FROM bfs GROUP BY node ORDER BY dist, node""",
+
+    "q84_skew_profile" ->
+      """WITH c AS (SELECT l_suppkey, count(*)::BIGINT AS cnt
+                    FROM lineitem GROUP BY l_suppkey),
+         s AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_keys
+               FROM c)
+         SELECT l_suppkey, cnt,
+           (cnt * 1000000) // total AS share_ppm,
+           (cnt * n_keys * 1000) // total AS skew_x1000
+         FROM c CROSS JOIN s
+         ORDER BY cnt DESC, l_suppkey LIMIT 10""")
 }

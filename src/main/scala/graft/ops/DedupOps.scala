@@ -105,4 +105,38 @@ object DedupOps {
   def sortAndDropOrdinal(df: DataFrame): DataFrame =
     if (df.columns.contains(OrdinalCol)) df.orderBy(col(OrdinalCol)).drop(OrdinalCol)
     else df
+
+  /** C4-style line-level corpus dedup, with non-overlapping `segTokens`-token
+    * segments standing in for lines: a segment occurring anywhere else in the
+    * corpus survives only at its first (doc_id, segment) position, and every
+    * doc is reassembled from its kept segments in order.
+    *
+    * Dataflow: one hash agg keyed by segment text (min first-occurrence key),
+    * one join back keyed by segment, one per-doc agg — the same three
+    * exchanges at 5k docs and at 100 TB; nothing global, nothing on the
+    * driver. Input needs `doc_id` (long) and `text`; seg ordinals are bounded
+    * by ⌈words/segTokens⌉ and must stay < 100000 for the packed key.
+    *
+    * @return (doc_id, n_segs, n_kept, kept_md5) — kept_md5 hashes the
+    *         surviving text bytes, space-joined in segment order. */
+  def segmentDedup(docs: DataFrame, segTokens: Int = 10): DataFrame = {
+    val keyed = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("_w"))
+      .select(col("doc_id"), col("_w"),
+        posexplode(sequence(lit(0), size(col("_w")) - 1, lit(segTokens))))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_id"),
+        array_join(slice(col("_w"), col("col") + 1, lit(segTokens)), " ")
+          .as("seg"))
+      .withColumn("k", col("doc_id") * 100000L + col("seg_id"))
+    val keeper = keyed.groupBy(col("seg")).agg(min(col("k")).as("kmin"))
+    keyed.join(keeper, Seq("seg"))
+      .withColumn("kept", col("k") === col("kmin"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+           md5(array_join(transform(
+               sort_array(collect_list(
+                 when(col("kept"), struct(col("seg_id"), col("seg"))))),
+               _.getField("seg")), " ").cast("binary")).as("kept_md5"))
+  }
 }

@@ -87,4 +87,52 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(r._1 === 2 && r._2 === 2)
     assert(r._3 === "mail <EMAIL> and <EMAIL> tel <PHONE> <PHONE> x")
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("x42 segment dedup: a repeated segment survives only at its first occurrence") {
+    val segA = (0 until 10).map(i => s"w$i").mkString(" ")
+    val segB = (0 until 10).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$segA $segB"),       // both segments first here → both kept
+      (2L, s"$segA tail words"))  // segA is a corpus dup → dropped
+      .toDF("doc_id", "text")
+    val got = graft.ops.DedupOps.segmentDedup(docs, 10)
+      .orderBy("doc_id")
+      .select("doc_id", "n_segs", "n_kept", "kept_md5")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got(0) === ((1L, 2L, 2L, md5Hex(s"$segA $segB"))))
+    assert(got(1) === ((2L, 2L, 1L, md5Hex("tail words"))))
+  }
+
+  test("x42 segment dedup: within-doc repeats collapse; fully-duplicate doc hashes empty") {
+    val segA = (0 until 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$segA $segA"),  // same segment twice in one doc → second dropped
+      (2L, segA))            // whole doc already seen → nothing kept
+      .toDF("doc_id", "text")
+    val got = graft.ops.DedupOps.segmentDedup(docs, 10)
+      .orderBy("doc_id")
+      .select("doc_id", "n_kept", "kept_md5")
+      .as[(Long, Long, String)].collect()
+    assert(got(0) === ((1L, 1L, md5Hex(segA))))
+    assert(got(1) === ((2L, 0L, md5Hex(""))))
+  }
+
+  test("x43 vocab apply: ids rank by count then token; below-min-count tokens → OOV 0") {
+    // "b" ×6, "a" ×6, "rare" ×1 with minCount 5: ids a→1, b→2 (count tie →
+    // token order); rare → 0
+    val docs = Seq(
+      (1L, "a b a b a b rare"),
+      (2L, "b a b a b a"))
+      .toDF("doc_id", "text")
+    val got = CorpusQueries.vocabApply(docs, minCount = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_oov", "ids_md5")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got(0) === ((1L, 7L, 1L, md5Hex("1,2,1,2,1,2,0"))))
+    assert(got(1) === ((2L, 6L, 0L, md5Hex("2,1,2,1,2,1"))))
+  }
 }

@@ -72,6 +72,51 @@ class RelationalQueriesSpec extends SparkSpec {
       .as[(Seq[Long], Seq[Long], Seq[Long])].head()
     assert(row === ((Seq.empty[Long], Seq(1L, 2L), Seq(1L))))
   }
+
+  test("q83 BFS: minimum hop wins when a node is reachable at several depths") {
+    // diamond a→{b,c}, b→c: c is reachable at depth 1 (direct) and 2 (via b)
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val got = graft.ops.GraphOps.bfs(edges, seeds, maxDepth = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L, "e" -> 3L))
+  }
+
+  test("q83 BFS: maxDepth bounds expansion; disconnected nodes never appear") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val got = graft.ops.GraphOps.bfs(edges, seeds, maxDepth = 1)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 0L, "b" -> 1L))
+  }
+
+  test("q82 exact-moment regression agrees with Spark's native regr_* aggregates") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q82_regr_agg")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    Tables(spark, sf, "lineitem").createOrReplaceTempView("li_q82spec")
+    val native = spark.sql(
+      """SELECT l_returnflag, regr_slope(y, x), regr_intercept(y, x),
+                corr(x, y) * corr(x, y)
+         FROM (SELECT l_returnflag,
+                 CAST(round(l_quantity) AS DOUBLE) AS x,
+                 CAST(round(l_extendedprice * 100) AS DOUBLE) AS y
+               FROM li_q82spec)
+         GROUP BY l_returnflag""").collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet === native.keySet)
+    def close(a: Double, b: Double) =
+      math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b))
+    for (k <- got.keySet) {
+      val ((s1, i1, r1), (s2, i2, r2)) = (got(k), native(k))
+      assert(close(s1, s2), s"slope $k: $s1 vs $s2")
+      assert(close(i1, i2), s"intercept $k: $i1 vs $i2")
+      assert(close(r1, r2), s"r2 $k: $r1 vs $r2")
+    }
+  }
 }
 
 object RelationalQueriesSpecHelper {
