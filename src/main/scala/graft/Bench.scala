@@ -23,15 +23,20 @@ object Bench {
     // the timed run reuses. Skipped if no smoke dir is present.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       sfDir.replaceAll("sf[0-9.]+$", "sf0.001"))
+    var warmed = false
+    var warmFails = 0
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
+      warmed = true
       val t0 = System.nanoTime()
       SparkEntry.queries.foreach { case (name, fn) =>
         try fn(spark, warmDir).count()
         catch { case e: Throwable =>
+          warmFails += 1
           System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
       }
       System.err.println(
-        f"[bench] warmup pass ($warmDir): ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        f"[bench] warmup pass ($warmDir): ${(System.nanoTime() - t0) / 1e9}%.1fs" +
+        (if (warmFails > 0) s" — $warmFails FAILED (timed cold below)" else ""))
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -52,7 +57,10 @@ object Bench {
       f""""$short":$v%.2f"""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // warm=true: timed pass measured steady-state (post-smoke-warm-up);
+    // wfail>0 means that many queries failed warm-up and were timed cold —
+    // cross-round comparisons are only valid on same-methodology runs
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","warm":$warmed,"wfail":$warmFails,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

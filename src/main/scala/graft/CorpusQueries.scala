@@ -219,7 +219,14 @@ object CorpusQueries {
     // global TakeOrderedAndProject for the schedule head — never a full
     // global sort.
     "x41_weighted_mix" -> ((s, dir) => {
-      val w = lit(1) + substring(col("source"), 4, 10).cast("int") % 4
+      // weight from the source id, defensively: a source that doesn't match
+      // src<digits> FAILS the query (both here and in the oracle) instead
+      // of silently null-weighting — a silent null would reorder the whole
+      // mix schedule. 1-9 digits keeps the cast exact on both engines.
+      val digits = regexp_extract(col("source"), "^src([0-9]{1,9})$", 1)
+      val w = lit(1) + when(digits.isNull || digits === "",
+          raise_error(concat(lit("x41: malformed source id: "), col("source"))))
+        .otherwise(digits.cast("int")) % 4
       val pos = row_number().over(
         Window.partitionBy(col("source")).orderBy(col("doc_id")))
       Tables(s, dir, "documents")
@@ -342,7 +349,10 @@ object CorpusQueries {
 
     "x41_weighted_mix" ->
       """WITH d AS (SELECT doc_id, source,
-             1 + (CAST(substr(source, 4) AS INT) % 4) AS w FROM documents),
+             1 + (CAST(CASE WHEN regexp_matches(source, '^src[0-9]{1,9}$')
+                       THEN substr(source, 4)
+                       ELSE error('x41: malformed source id: ' || source)
+                       END AS INT) % 4) AS w FROM documents),
          p AS (SELECT doc_id, source, w,
              row_number() OVER (PARTITION BY source ORDER BY doc_id) AS pos
            FROM d)

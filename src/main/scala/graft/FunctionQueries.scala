@@ -370,6 +370,11 @@ object FunctionQueries {
     // unlike float cosine which needs the fold-order contract). This is
     // x09's production shape after x28's 4× compression: rank by integer
     // dot, deterministic ties by neighbor id.
+    // q8 feeds both sides, but this is NOT a doubled quantize of the
+    // corpus: the query side's vec_id<5 filter pushes into its scan, so
+    // that branch quantizes 5 rows while the candidate side makes the one
+    // full pass — plan-checked in PlanShapeSpec. Run-to-run variance on
+    // this query is broadcast-build latency, not recompute.
     "x29_quantized_topk" -> ((s, dir) => {
       import graft.functions.{VectorFunctions => V}
       val q8 = Tables(s, dir, "embeddings")

@@ -89,7 +89,9 @@ object RelationalQueries {
     // Q76 — array set operations per group: per order, the lineitem
     // numbers matching two predicates, intersected / unioned / differenced
     // (collect_list drops the when()'s nulls; every output is sorted so
-    // the result is partition-order-independent).
+    // the result is partition-order-independent). The arrays are emitted
+    // as ','-joined strings (q52's pattern): the driver's checker loads
+    // results into pandas, whose sort can't hash raw array cells.
     "q76_array_setops" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
@@ -99,9 +101,12 @@ object RelationalQueries {
           sort_array(collect_list(
             when(col("l_discount") > 0.05, col("l_linenumber")))).as("_b"))
         .select(col("l_orderkey"),
-          array_sort(array_intersect(col("_a"), col("_b"))).as("ln_both"),
-          array_sort(array_union(col("_a"), col("_b"))).as("ln_any"),
-          array_sort(array_except(col("_a"), col("_b"))).as("ln_only_a"))
+          array_join(array_sort(array_intersect(col("_a"), col("_b"))), ",")
+            .as("ln_both"),
+          array_join(array_sort(array_union(col("_a"), col("_b"))), ",")
+            .as("ln_any"),
+          array_join(array_sort(array_except(col("_a"), col("_b"))), ",")
+            .as("ln_only_a"))
         .orderBy(col("l_orderkey"))),
 
     // Q77 — listagg / string_agg (SQL:2023 ordered-set aggregate) with
@@ -303,10 +308,12 @@ object RelationalQueries {
              FILTER (WHERE l_discount > 0.05))), []) AS b
           FROM lineitem GROUP BY l_orderkey)
          SELECT l_orderkey,
-           list_sort(list_intersect(a, b)) AS ln_both,
-           list_sort(list_distinct(list_concat(a, b))) AS ln_any,
-           list_sort(list_filter(a, x -> NOT list_contains(b, x)))
-             AS ln_only_a
+           coalesce(array_to_string(list_sort(list_intersect(a, b)), ','),
+             '') AS ln_both,
+           coalesce(array_to_string(
+             list_sort(list_distinct(list_concat(a, b))), ','), '') AS ln_any,
+           coalesce(array_to_string(list_sort(list_filter(a,
+             x -> NOT list_contains(b, x))), ','), '') AS ln_only_a
          FROM agg ORDER BY l_orderkey""",
 
     "q77_listagg" ->

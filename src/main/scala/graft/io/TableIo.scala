@@ -164,8 +164,13 @@ object TableIo {
       r.toSeq.map(v => Option(v).map(_.toString)))
   }
 
+  // pandas' C writer (lineterminator '\n', QUOTE_MINIMAL) quotes a field
+  // only when it contains the delimiter, the quote char, or the line
+  // terminator — a bare '\r' ships UNQUOTED (verified against pandas 2.2.2,
+  // pinned byte-for-byte in CsvRoundtripSpec). Do not "fix" this to quote
+  // '\r': byte parity with the reference's to_csv output is the contract.
   private def csvQuote(s: String): String =
-    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+    if (s.exists(c => c == ',' || c == '"' || c == '\n'))
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
 }

@@ -114,8 +114,11 @@ object DedupOps {
     * Dataflow: one hash agg keyed by segment text (min first-occurrence key),
     * one join back keyed by segment, one per-doc agg — the same three
     * exchanges at 5k docs and at 100 TB; nothing global, nothing on the
-    * driver. Input needs `doc_id` (long) and `text`; seg ordinals are bounded
-    * by ⌈words/segTokens⌉ and must stay < 100000 for the packed key.
+    * driver. Input needs `doc_id` (long) and `text`. The first-occurrence
+    * key is min(struct(doc_id, seg_id)) — lexicographic struct ordering, so
+    * it is exact for any segment count per doc (a packed
+    * doc_id*K+seg_id long would silently mis-order once a doc exceeds K
+    * segments, which million-token docs at corpus scale would hit).
     *
     * @return (doc_id, n_segs, n_kept, kept_md5) — kept_md5 hashes the
     *         surviving text bytes, space-joined in segment order. */
@@ -127,7 +130,7 @@ object DedupOps {
       .select(col("doc_id"), col("pos").cast("long").as("seg_id"),
         array_join(slice(col("_w"), col("col") + 1, lit(segTokens)), " ")
           .as("seg"))
-      .withColumn("k", col("doc_id") * 100000L + col("seg_id"))
+      .withColumn("k", struct(col("doc_id"), col("seg_id")))
     val keeper = keyed.groupBy(col("seg")).agg(min(col("k")).as("kmin"))
     keyed.join(keeper, Seq("seg"))
       .withColumn("kept", col("k") === col("kmin"))

@@ -13,8 +13,15 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB the edge list is the big side: it stays partitioned by `src`
   * across levels (one shuffle, reused), while the frontier — bounded by
-  * the reachable node set — is the probe side. Frontiers are persisted
-  * per level because each is consumed twice (join + union).
+  * the reachable node set — is the probe side.
+  *
+  * Each level's frontier and visited set are lazily `localCheckpoint`ed
+  * (the pattern of
+  * [[graft.operators.DedupOperators.clusterPairsWithStatus]]): one count
+  * job per level materializes both, truncating lineage so the logical
+  * plan — and Catalyst analysis time — stays O(1) per level instead of
+  * growing with the union chain, and superseded intermediates are
+  * unpersisted immediately rather than leaking for the JVM lifetime.
   */
 object GraphOps {
 
@@ -23,22 +30,42 @@ object GraphOps {
     * @param edges   DataFrame with `src` and `dst` columns (directed; pass
     *                both directions for an undirected graph)
     * @param seeds   DataFrame with a `node` column (distance 0)
-    * @param maxDepth levels to expand (bounds state and DAG depth)
+    * @param maxDepth levels to expand (bounds state and DAG depth; the loop
+    *                 exits early once a frontier drains)
     * @return (node, dist) — one row per reached node, dist = min hops ≤ maxDepth
     */
   def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist()
     var visited = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L))
+      .localCheckpoint(false)
     var frontier = visited
-    for (d <- 1 to maxDepth) {
-      frontier = frontier.join(e, frontier("node") === e("src"))
+    var visitedCount = visited.count()
+    var d = 1
+    var exhausted = false
+    while (d <= maxDepth && !exhausted) {
+      val prevFrontier = frontier
+      val prevVisited = visited
+      frontier = prevFrontier.join(e, prevFrontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+        .join(prevVisited, Seq("node"), "left_anti")
         .withColumn("dist", lit(d.toLong))
-        .persist()
-      visited = visited.unionAll(frontier)
+        .localCheckpoint(false)
+      visited = prevVisited.unionAll(frontier).localCheckpoint(false)
+      // ONE job per level: counting the new visited set materializes both
+      // checkpoints (frontier is its dependency) and doubles as the
+      // early-exit test — an unchanged count means the frontier drained
+      val newCount = visited.count()
+      exhausted = newCount == visitedCount
+      visitedCount = newCount
+      // the superseded frontier/visited are never read again (the new
+      // visited is materialized above, so nothing recomputes through them)
+      if (prevFrontier ne prevVisited) prevFrontier.unpersist()
+      prevVisited.unpersist()
+      d += 1
     }
+    if (frontier ne visited) frontier.unpersist() // maxDepth=0: same df
+    e.unpersist()
     visited
   }
 }

@@ -121,6 +121,25 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(got(1) === ((2L, 0L, md5Hex(""))))
   }
 
+  test("x42 segment dedup: first occurrence ranks by (doc_id, seg_id), doc before offset") {
+    // the dup appears LATE in doc 1 (seg_id 1) and FIRST in doc 2 (seg_id
+    // 0): lexicographic (doc_id, seg_id) ordering must keep doc 1's copy —
+    // a key that weighted seg_id over doc_id (or overflowed a packed
+    // encoding) would keep doc 2's instead
+    val seg = (0 until 10).map(i => s"s$i").mkString(" ")
+    val filler = (0 until 10).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$filler $seg"),
+      (2L, seg))
+      .toDF("doc_id", "text")
+    val got = graft.ops.DedupOps.segmentDedup(docs, 10)
+      .orderBy("doc_id")
+      .select("doc_id", "n_kept")
+      .as[(Long, Long)].collect()
+    assert(got(0) === ((1L, 2L)))
+    assert(got(1) === ((2L, 0L)))
+  }
+
   test("x43 vocab apply: ids rank by count then token; below-min-count tokens → OOV 0") {
     // "b" ×6, "a" ×6, "rare" ×1 with minCount 5: ids a→1, b→2 (count tie →
     // token order); rare → 0

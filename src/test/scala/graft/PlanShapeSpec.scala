@@ -137,6 +137,67 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("q83 BFS: level plan is equi-join + anti join with bounded exchanges; result lineage is flat") {
+    import spark.implicits._
+    // one BFS level, exactly as GraphOps.bfs builds it
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val frontier = Seq(1L).toDF("node")
+    val visited = Seq((1L, 0L)).toDF("node", "dist")
+    val level = frontier.join(e, frontier("node") === e("src"))
+      .select(col("dst").as("node")).distinct()
+      .join(visited, Seq("node"), "left_anti")
+      .withColumn("dist", lit(1L))
+    val plan = level.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the join key is the node id on both joins — never a nested loop over
+    // frontier × edges
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // equi-join + distinct + anti join: at most 4 exchanges per level
+    // (edges, frontier, distinct, anti-join build side)
+    assert(plan.split("Exchange").length - 1 <= 4, plan.take(3000))
+    // the full query's RETURNED plan must be flat — a checkpoint scan, not
+    // a depth-4 union-of-joins chain (the r5 bench pathology)
+    val result = SparkEntry.queries("q83_graph_bfs")(spark, sfDir)
+    val full = result.queryExecution.optimizedPlan.toString
+    assert(full.contains("LogicalRDD") || full.contains("ExistingRDD"),
+      "bfs result should read its checkpoint: " + full.take(2000))
+    assert(!full.contains("Join"),
+      "bfs lineage must be truncated per level: " + full.take(2000))
+  }
+
+  test("x42 segment dedup: generate + keyed aggs, no cartesian, no global row sort") {
+    val df = SparkEntry.queries("x42_line_dedup")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // segment explode is a Generate; keeper/rebuild are hash aggs keyed by
+    // segment text and doc_id — the three-exchange dataflow plus the final
+    // presentation orderBy is all the shuffling there is
+    assert(plan.contains("Generate"), plan.take(2000))
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+      plan.take(2000))
+    assert(plan.split("Exchange").length - 1 <= 6, plan.take(3000))
+  }
+
+  test("x43 vocab apply: vocab arrives by broadcast; corpus tokens never shuffle for the lookup") {
+    val df = SparkEntry.queries("x43_vocab_apply")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the token→id lookup must be a broadcast hash join (vocab is bounded
+    // by type count); a shuffled join would exchange the whole token stream
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("x29 quantized top-k: query-side id filter reaches the scan — one full quantize pass") {
+    val plan = SparkEntry.queries("x29_quantized_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the broadcast (query) branch must quantize only its 5 scanned rows:
+    // the vec_id<5 predicate has to appear as a parquet PushedFilter, not
+    // as a post-quantize row filter over a second full corpus pass
+    assert(plan.contains("LessThan(vec_id,5)"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("partitioned parquet write: date filter prunes partitions in the scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"

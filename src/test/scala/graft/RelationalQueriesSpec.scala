@@ -91,6 +91,31 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(got === Map("a" -> 0L, "b" -> 1L))
   }
 
+  test("q83 BFS: exits early when the frontier drains; no leaked cache blocks") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    // maxDepth far beyond the graph's diameter: the drained-frontier exit
+    // must stop the loop, and the answer must equal the exact-depth run
+    val r1 = graft.ops.GraphOps.bfs(edges, seeds, maxDepth = 10)
+    val got = r1.as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L, "e" -> 3L))
+    // everything except the returned (checkpointed) result is unpersisted
+    // synchronously inside bfs — repeated runs must not accumulate blocks
+    val afterFirst = sc.getPersistentRDDs.size
+    assert(afterFirst <= before + 1,
+      s"bfs leaked cache blocks: before=$before after=$afterFirst")
+    r1.unpersist()
+    val r2 = graft.ops.GraphOps.bfs(edges, seeds, maxDepth = 10)
+    assert(r2.count() === 5)
+    val afterSecond = sc.getPersistentRDDs.size
+    assert(afterSecond <= before + 1,
+      s"bfs rerun leaked cache blocks: before=$before after=$afterSecond")
+    r2.unpersist()
+  }
+
   test("q82 exact-moment regression agrees with Spark's native regr_* aggregates") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q82_regr_agg")(spark, sf).collect()

@@ -53,6 +53,38 @@ class CsvRoundtripSpec extends SparkSpec {
     assert(lines(3) == "") // trailing LF after last row
   }
 
+  test("csvBytes quoting edge cases are byte-equal to pinned pandas 2.2.2 output") {
+    import spark.implicits._
+    // fixture generated with pandas 2.2.2 (the driver's oracle version):
+    //   pd.DataFrame({...}).to_csv(buf, index=False)
+    // covers: embedded comma, embedded+doubled quotes, embedded LF, bare CR
+    // (pandas ships it UNQUOTED), leading zeros, padded spaces, fully-quoted
+    // values, null vs empty string, unicode, decimal-looking strings
+    val df = Seq(
+      ("1", Option("has,comma"), "plain"),
+      ("2", Option("has \"quotes\""), ""),
+      ("3", Option("has\nnewline"), "a,b\"c\nd"),
+      ("4", Option("has\rcr"), "tab\there"),
+      ("5", Option("007"), "0.50"),
+      ("6", Option("  padded  "), "unicode é»"),
+      ("7", Option("\"wrapped\""), "end\""),
+      ("8", None, "x"))
+      .toDF("id", "tricky", "other")
+      .withColumn("_ingest_ord", monotonically_increasing_id())
+    val expected = "id,tricky,other\n" +
+      "1,\"has,comma\",plain\n" +
+      "2,\"has \"\"quotes\"\"\",\n" +
+      "3,\"has\nnewline\",\"a,b\"\"c\nd\"\n" +
+      "4,has\rcr,tab\there\n" +
+      "5,007,0.50\n" +
+      "6,  padded  ,unicode é»\n" +
+      "7,\"\"\"wrapped\"\"\",\"end\"\"\"\n" +
+      "8,,x\n"
+    val got = new String(TableIo.csvBytes(df), "UTF-8")
+    assert(got == expected,
+      s"pandas byte parity broken:\n got=${got.replace("\n", "\\n").replace("\r", "\\r")}\n exp=${expected.replace("\n", "\\n").replace("\r", "\\r")}")
+  }
+
   test("withIngestOrdinalFrom: contiguous 1-based ordinal in key order, no global window") {
     import spark.implicits._
     val df = (1 to 200).map(i => (s"k${300 - i}", i)).toDF("k", "v")

@@ -22,6 +22,15 @@ class XlsxSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rows.head == Seq(Some("1"), None, Some("3")))
   }
 
+  test("binary .xls (BIFF/OLE2 magic) fails loudly, not with a zip error") {
+    // an OLE2 compound-file header: D0 CF 11 E0 A1 B1 1A E1 + padding
+    val biff = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
+      .map(_.toByte) ++ Array.fill[Byte](504)(0)
+    val ex = intercept[IllegalArgumentException](Xlsx.read(biff))
+    assert(ex.getMessage.contains("binary .xls"))
+    assert(ex.getMessage.contains("convert the workbook to .xlsx"))
+  }
+
   test("shared-strings workbooks parse (synthetic sharedStrings.xml)") {
     // minimal workbook using the shared-strings table instead of inline
     import java.io.ByteArrayOutputStream
