@@ -267,6 +267,10 @@ object DedupOperators {
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(false)
       val nextSum = labelSum(next)
+      // the labelSum job materialized next's checkpoint, so the previous
+      // round's blocks are now unreachable by any future computation —
+      // free them instead of waiting for a GC-driven ContextCleaner pass
+      graft.ops.CheckpointOps.free(labels)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

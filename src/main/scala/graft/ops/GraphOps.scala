@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.CheckpointOps.free
 
 /** Distributed graph traversal primitives.
   *
@@ -35,37 +36,43 @@ object GraphOps {
     * @return (node, dist) — one row per reached node, dist = min hops ≤ maxDepth
     */
   def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist()
-    var visited = seeds.select(col("node")).distinct()
+    // hash-partition the edge list by the join key BEFORE caching: the
+    // cached InMemoryRelation keeps that outputPartitioning, so every
+    // level's frontier join reuses it and only the (small) frontier side
+    // shuffles — the edge list crosses the wire once, not once per level
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    val seed = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint(false)
-    var frontier = visited
-    var visitedCount = visited.count()
+    seed.count()
+    // levels(i) = the checkpointed frontier of depth i — visited at any
+    // point is the flat union of these leaves (≤ maxDepth+1 branches, no
+    // growing join/union lineage to re-analyze)
+    var levels = Vector(seed)
+    var frontier = seed
     var d = 1
     var exhausted = false
     while (d <= maxDepth && !exhausted) {
-      val prevFrontier = frontier
-      val prevVisited = visited
-      frontier = prevFrontier.join(e, prevFrontier("node") === e("src"))
+      val visited = levels.reduce(_ unionAll _)
+      frontier = frontier.join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
-        .join(prevVisited, Seq("node"), "left_anti")
+        .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(d.toLong))
         .localCheckpoint(false)
-      visited = prevVisited.unionAll(frontier).localCheckpoint(false)
-      // ONE job per level: counting the new visited set materializes both
-      // checkpoints (frontier is its dependency) and doubles as the
-      // early-exit test — an unchanged count means the frontier drained
-      val newCount = visited.count()
-      exhausted = newCount == visitedCount
-      visitedCount = newCount
-      // the superseded frontier/visited are never read again (the new
-      // visited is materialized above, so nothing recomputes through them)
-      if (prevFrontier ne prevVisited) prevFrontier.unpersist()
-      prevVisited.unpersist()
+      // ONE job per level: the count materializes the new frontier's
+      // checkpoint and drives the early exit the moment it drains
+      exhausted = frontier.count() == 0L
+      if (!exhausted) levels :+= frontier
       d += 1
     }
-    if (frontier ne visited) frontier.unpersist() // maxDepth=0: same df
+    // consolidate into a single checkpointed result so exactly ONE cached
+    // block set survives the call — then free every per-level leaf
+    val result = levels.reduce(_ unionAll _).localCheckpoint(false)
+    result.count()
+    levels.foreach(free)
+    if (exhausted) free(frontier) // the drained, non-kept frontier
     e.unpersist()
-    visited
+    result
   }
 }

@@ -102,18 +102,20 @@ class RelationalQueriesSpec extends SparkSpec {
     val r1 = graft.ops.GraphOps.bfs(edges, seeds, maxDepth = 10)
     val got = r1.as[(String, Long)].collect().toMap
     assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L, "e" -> 3L))
-    // everything except the returned (checkpointed) result is unpersisted
+    // everything except the returned (checkpointed) result is freed
     // synchronously inside bfs — repeated runs must not accumulate blocks
     val afterFirst = sc.getPersistentRDDs.size
     assert(afterFirst <= before + 1,
       s"bfs leaked cache blocks: before=$before after=$afterFirst")
-    r1.unpersist()
+    graft.ops.CheckpointOps.free(r1)
     val r2 = graft.ops.GraphOps.bfs(edges, seeds, maxDepth = 10)
     assert(r2.count() === 5)
     val afterSecond = sc.getPersistentRDDs.size
     assert(afterSecond <= before + 1,
       s"bfs rerun leaked cache blocks: before=$before after=$afterSecond")
-    r2.unpersist()
+    graft.ops.CheckpointOps.free(r2)
+    assert(sc.getPersistentRDDs.size <= before,
+      "CheckpointOps.free must release the returned checkpoint's blocks")
   }
 
   test("q82 exact-moment regression agrees with Spark's native regr_* aggregates") {

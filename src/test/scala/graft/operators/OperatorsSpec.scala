@@ -139,6 +139,22 @@ class OperatorsSpec extends SparkSpec {
     assert(full.select("label").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("clusterPairs frees superseded round checkpoints — only the result stays cached") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val chain = (1L to 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = DedupOperators.clusterPairs(chain, maxIters = 10)
+    assert(labels.count() === 9)
+    // each propagation round checkpoints a labels frame; all but the last
+    // must be freed inside the loop (Dataset.unpersist can't do it — the
+    // checkpoint's RDD-level persist is invisible to the SQL cache manager)
+    val after = sc.getPersistentRDDs.size
+    assert(after <= before + 1,
+      s"clusterPairs leaked round checkpoints: before=$before after=$after")
+    graft.ops.CheckpointOps.free(labels)
+  }
+
   test("dedupCorpus keeps one representative per duplicate cluster") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
