@@ -260,7 +260,69 @@ object CorpusQueries {
     // reassembly agg keyed by doc_id.
     "x43_vocab_apply" -> ((s, dir) =>
       vocabApply(Tables(s, dir, "documents"), minCount = 5)
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // X44 — per-source length-band quality trim: docs ranked by token
+    // count within their source; the shortest and longest ~5% (integer
+    // cnt DIV 20 from each end) are dropped — the distribution-outlier
+    // filter a corpus-quality stage runs before training. RANK-based
+    // (integer-exact on every engine) rather than interpolated
+    // percentiles, whose float math is not bit-stable cross-engine.
+    // Per-source windows — parallelism = source count, never a global
+    // sort; at 100 TB each source shard trims independently.
+    "x44_length_trim" -> ((s, dir) =>
+      lengthTrim(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    // X45 — cross-document n-gram novelty: per doc, the share (ppm,
+    // integer DIV) of its DISTINCT 8-gram shingles that occur in at least
+    // one other document — the boilerplate/contamination diagnostic
+    // between x31's doc-level decontamination and x42's segment dedup.
+    // Dataflow: distinct (doc, shingle) pairs → one hash agg keyed by
+    // shingle (doc frequency) → join back on shingle → per-doc agg. Every
+    // exchange is keyed; nothing all-pairs, nothing on the driver. Words
+    // are materialized before shingling (the O(words²) inlining hazard
+    // documented at TextFunctions.shinglesFromWords).
+    "x45_ngram_novelty" -> ((s, dir) =>
+      ngramNovelty(Tables(s, dir, "documents"), 8).orderBy(col("doc_id"))))
+
+  /** X44 core — per-source length-band trim: rank docs by token count
+    * within their source and drop the shortest and longest cnt DIV 20
+    * (~5% each end; a source with fewer than 20 docs trims nothing).
+    * Rank-based so the cut is integer-exact on any engine; the windows
+    * partition by source, so parallelism = source count and no global
+    * sort exists at any scale. */
+  def lengthTrim(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("source"),
+      T.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    t.withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .filter(col("rk") > expr("cnt DIV 20") &&
+              col("rk") <= col("cnt") - expr("cnt DIV 20"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
+  /** X45 core — cross-document n-gram novelty: per doc, how many of its
+    * DISTINCT word n-gram shingles occur in at least one OTHER document,
+    * as an integer ppm share. Docs with fewer than n words have no
+    * shingles and are absent from the output (documented; the oracle
+    * matches). Dataflow: distinct (doc, shingle) → shingle-keyed doc
+    * frequency → join back → per-doc agg — keyed exchanges only. */
+  def ngramNovelty(docs: DataFrame, n: Int): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), T.words(col("text")).as("_w"))
+      .select(col("doc_id"),
+        explode(T.shinglesFromWords(col("_w"), n)).as("sh"))
+      .distinct()
+    val docFreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
+    sh.join(docFreq, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ppm",
+        expr("(n_shared * 1000000) DIV n_shingles"))
+  }
 
   /** X43 core — build the x39 vocabulary (ids ranked by count desc, token)
     * and APPLY it: every token becomes its id, OOV → 0, and each doc emits
@@ -455,5 +517,32 @@ object CorpusQueries {
          SELECT doc_id, count(*) AS n_tokens,
            count(*) FILTER (WHERE id = 0) AS n_oov,
            md5(string_agg(id::VARCHAR, ',' ORDER BY pos)) AS ids_md5
-         FROM j GROUP BY doc_id ORDER BY doc_id""")
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
+
+    "x44_length_trim" ->
+      s"""WITH t AS (SELECT doc_id, source,
+             len($wordsSql) AS n_tokens FROM documents),
+         r AS (SELECT doc_id, source, n_tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_tokens, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS cnt
+           FROM t)
+         SELECT doc_id, source, n_tokens FROM r
+         WHERE rk > cnt // 20 AND rk <= cnt - cnt // 20
+         ORDER BY doc_id""",
+
+    "x45_ngram_novelty" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS wa FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+             wa[i] || ' ' || wa[i+1] || ' ' || wa[i+2] || ' ' || wa[i+3]
+               || ' ' || wa[i+4] || ' ' || wa[i+5] || ' ' || wa[i+6]
+               || ' ' || wa[i+7] AS sh
+           FROM w, unnest(generate_series(1, len(wa) - 7)) AS t(i)),
+         c AS (SELECT sh, count(*) AS n_docs FROM sh GROUP BY sh)
+         SELECT s.doc_id, count(*) AS n_shingles,
+           CAST(count(*) FILTER (WHERE c.n_docs > 1) AS BIGINT) AS n_shared,
+           (CAST(count(*) FILTER (WHERE c.n_docs > 1) AS BIGINT)
+             * 1000000) // count(*) AS shared_ppm
+         FROM sh s JOIN c USING (sh)
+         GROUP BY s.doc_id ORDER BY s.doc_id""")
 }

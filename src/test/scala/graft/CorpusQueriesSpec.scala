@@ -140,6 +140,55 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(got(1) === ((2L, 0L)))
   }
 
+  test("x44 length trim: drops cnt DIV 20 from each end; small sources trim nothing") {
+    // source A: 20 docs, lengths 1..20 tokens → trims exactly rank 1
+    // (shortest) and rank 20 (longest); source B: 3 docs → 3 DIV 20 = 0,
+    // everything survives
+    val a = (1 to 20).map(i => (i.toLong, "A", ("w " * i).trim))
+    val b = (21 to 23).map(i => (i.toLong, "B", ("w " * (i - 20)).trim))
+    val docs = (a ++ b).toDF("doc_id", "source", "text")
+    val kept = CorpusQueries.lengthTrim(docs)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens")
+      .as[(Long, Long)].collect()
+    assert(kept.map(_._1).toSeq === ((2L to 19L) ++ (21L to 23L)))
+    assert(kept.find(_._1 == 5L).map(_._2) === Some(5L))
+  }
+
+  test("x44 length trim: length ties broken by doc_id, so the cut is deterministic") {
+    // 20 docs all the same length: ranks follow doc_id; rank 1 (doc 1) and
+    // rank 20 (doc 20) are dropped regardless of partitioning
+    val docs = (1 to 20).map(i => (i.toLong, "A", "w w w")).toDF("doc_id", "source", "text")
+      .repartition(7)
+    val kept = CorpusQueries.lengthTrim(docs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === (2L to 19L))
+  }
+
+  test("x45 ngram novelty: full-overlap doc → 1000000 ppm, unique doc → 0, short doc absent") {
+    val shared = (0 until 10).map(i => s"c$i").mkString(" ") // 10 words, 3 3-shingle... use n=8: 3 shingles
+    val docs = Seq(
+      (1L, shared + " unique tail of words here now"), // shares a prefix block with doc 2
+      (2L, shared),                                     // every shingle also in doc 1 → 1000000
+      (3L, (0 until 12).map(i => s"z$i").mkString(" ")), // fully unique → 0
+      (4L, "too short"))                                // < 8 words → absent
+      .toDF("doc_id", "text")
+    val got = CorpusQueries.ngramNovelty(docs, 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_shared", "shared_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    val d2 = got.find(_._1 == 2L).get
+    assert(d2._2 === 3L && d2._3 === 3L && d2._4 === 1000000L)
+    val d3 = got.find(_._1 == 3L).get
+    assert(d3._3 === 0L && d3._4 === 0L)
+    // doc 1: 9 shingles of its 16 words... exactly the 3 from the shared
+    // prefix are shared
+    val d1 = got.find(_._1 == 1L).get
+    assert(d1._3 === 3L)
+    assert(d1._4 === 3L * 1000000L / d1._2)
+  }
+
   test("x43 vocab apply: ids rank by count then token; below-min-count tokens → OOV 0") {
     // "b" ×6, "a" ×6, "rare" ×1 with minCount 5: ids a→1, b→2 (count tie →
     // token order); rare → 0
