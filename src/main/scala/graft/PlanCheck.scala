@@ -17,7 +17,8 @@ object PlanCheck {
                "x14_dedup_cluster", "x16_dedup_incremental",
                "q72_exists_subquery", "q73_lateral_topk", "q74_bloom_semi",
                "q81_recursive_cte", "x38_chunk_overlap", "x40_bm25_topk",
-               "x41_weighted_mix")
+               "x41_weighted_mix", "q84_skew_profile", "x42_line_dedup",
+               "x43_vocab_apply", "x44_length_trim", "x45_ngram_novelty")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")

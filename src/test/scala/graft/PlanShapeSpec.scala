@@ -188,6 +188,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("x44 length trim: windows partition by source — no single-partition global window") {
+    val plan = planOf("x44_length_trim")
+    assert(plan.contains("hashpartitioning(source"), plan.take(3000))
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("x45 ngram novelty: keyed aggs + equi-join on shingle, no cartesian, bounded exchanges") {
+    val plan = planOf("x45_ngram_novelty")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    // distinct (doc,shingle), shingle df agg, join back, per-doc agg, final
+    // presentation sort — nothing else may shuffle
+    assert(plan.split("Exchange").length - 1 <= 6, plan.take(3000))
+  }
+
   test("x29 quantized top-k: query-side id filter reaches the scan — one full quantize pass") {
     val plan = SparkEntry.queries("x29_quantized_topk")(spark, sfDir)
       .queryExecution.executedPlan.toString
