@@ -283,7 +283,29 @@ object CorpusQueries {
     // are materialized before shingling (the O(words²) inlining hazard
     // documented at TextFunctions.shinglesFromWords).
     "x45_ngram_novelty" -> ((s, dir) =>
-      ngramNovelty(Tables(s, dir, "documents"), 8).orderBy(col("doc_id"))))
+      ngramNovelty(Tables(s, dir, "documents"), 8).orderBy(col("doc_id"))),
+
+    // X46 — integer-exact unigram surprise (LM-quality proxy): per doc,
+    // the mean of bitlen(N) − bitlen(count(token)) over its token
+    // occurrences — monotone in −log₂ p(token), so it ranks "surprising"
+    // (rare-token-heavy) documents exactly like a unigram cross-entropy
+    // filter, but in pure integer arithmetic that is bit-identical across
+    // engines (libm log is not). Vocab counts broadcast (bounded by type
+    // count, x43's pattern); the corpus-size scalar rides a 1-row
+    // broadcast; the only big exchange is the per-doc agg.
+    "x46_unigram_surprise" -> ((s, dir) =>
+      unigramSurprise(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    // X47 — source-overlap matrix: for every pair of sources, how many
+    // distinct 5-gram shingles they share — the corpus-curation
+    // diagnostic for "which domains duplicate each other" before mixing
+    // weights are chosen. The pair fan-out per shingle is bounded by the
+    // (small, enumerable) source dimension squared; the heavy keys are
+    // the (source, shingle) distinct and the shingle-keyed set agg, both
+    // partial-combine keyed exchanges.
+    "x47_source_overlap" -> ((s, dir) =>
+      sourceOverlap(Tables(s, dir, "documents"), 5)
+        .orderBy(col("src_a"), col("src_b"))))
 
   /** X44 core — per-source length-band trim: rank docs by token count
     * within their source and drop the shortest and longest cnt DIV 20
@@ -301,6 +323,48 @@ object CorpusQueries {
       .filter(col("rk") > expr("cnt DIV 20") &&
               col("rk") <= col("cnt") - expr("cnt DIV 20"))
       .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
+  /** X46 core — integer-exact unigram surprise. bitlen(x) = floor(log₂ x)
+    * + 1 via `length(bin(x))`, so surprise = bitlen(N) − bitlen(cnt) ∈
+    * [0, bitlen(N)−1] approximates −log₂(cnt/N) within 1 bit — exact,
+    * deterministic, engine-independent. Returns (doc_id, n_tokens,
+    * surprise_sum, avg_surprise_c) with avg ×100 by integer DIV. */
+  def unigramSurprise(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(T.words(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val nTotal = vocab.agg(sum(col("cnt")).cast("long").as("n_total"))
+    tok.join(broadcast(vocab), Seq("token"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("surprise",
+        (length(bin(col("n_total"))) - length(bin(col("cnt")))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(col("surprise")).as("surprise_sum"))
+      .withColumn("avg_surprise_c",
+        expr("(surprise_sum * 100) DIV n_tokens"))
+  }
+
+  /** X47 core — shared distinct n-gram shingles per source pair. The
+    * per-shingle source set is bounded by the source dimension (an
+    * enumerable handful, like languages), so the pair explode is a
+    * constant-factor map-side expansion, never data-sized. */
+  def sourceOverlap(docs: DataFrame, n: Int): DataFrame = {
+    val ss = docs
+      .select(col("source"), T.words(col("text")).as("_w"))
+      .select(col("source"),
+        explode(T.shinglesFromWords(col("_w"), n)).as("sh"))
+      .distinct()
+    ss.groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
   }
 
   /** X45 core — cross-document n-gram novelty: per doc, how many of its
@@ -544,5 +608,30 @@ object CorpusQueries {
            (CAST(count(*) FILTER (WHERE c.n_docs > 1) AS BIGINT)
              * 1000000) // count(*) AS shared_ppm
          FROM sh s JOIN c USING (sh)
-         GROUP BY s.doc_id ORDER BY s.doc_id""")
+         GROUP BY s.doc_id ORDER BY s.doc_id""",
+
+    "x46_unigram_surprise" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($wordsSql) AS token
+             FROM documents),
+         tok2 AS (SELECT * FROM tok WHERE token <> ''),
+         v AS (SELECT token, count(*) AS cnt FROM tok2 GROUP BY token),
+         n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM v)
+         SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(length(to_base(n_total, 2))
+                    - length(to_base(cnt, 2))) AS BIGINT) AS surprise_sum,
+           (CAST(sum(length(to_base(n_total, 2))
+                     - length(to_base(cnt, 2))) AS BIGINT) * 100)
+             // count(*) AS avg_surprise_c
+         FROM tok2 JOIN v USING (token) CROSS JOIN n
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "x47_source_overlap" ->
+      s"""WITH s AS (SELECT DISTINCT source, t.sh
+           FROM documents, unnest($shingles5Sql) AS t(sh)),
+         g AS (SELECT sh, list_sort(list(source)) AS srcs
+               FROM s GROUP BY sh HAVING count(*) > 1),
+         p AS (SELECT a, b FROM g,
+               unnest(srcs) AS t1(a), unnest(srcs) AS t2(b) WHERE a < b)
+         SELECT a AS src_a, b AS src_b, count(*) AS shared_shingles
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""")
 }

@@ -189,6 +189,33 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(d1._4 === 3L * 1000000L / d1._2)
   }
 
+  test("x46 unigram surprise: uniform corpus scores 0; rare tokens add bitlen gap") {
+    // corpus tokens: a×3, b×1 → N=4 (bitlen 3), cnt(a)=3 (bitlen 2),
+    // cnt(b)=1 (bitlen 1); surprise(a)=1, surprise(b)=2
+    val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val got = CorpusQueries.unigramSurprise(docs)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "surprise_sum", "avg_surprise_c")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got(0) === ((1L, 3L, 3L, 100L))) // 3 × surprise 1 → avg 1.00
+    assert(got(1) === ((2L, 1L, 2L, 200L))) // 1 × surprise 2 → avg 2.00
+  }
+
+  test("x47 source overlap: counts distinct shared shingles per source pair, ordered") {
+    val shared = (0 until 5).map(i => s"s$i").mkString(" ") // one 5-shingle
+    val docs = Seq(
+      (1L, "A", s"$shared alpha beta gamma delta"), // A and B share `shared`
+      (2L, "B", shared),
+      (3L, "B", shared),                            // same shingle twice in B — counted once
+      (4L, "C", "c0 c1 c2 c3 c4"))                  // C shares nothing
+      .toDF("doc_id", "source", "text")
+    val got = CorpusQueries.sourceOverlap(docs, 5)
+      .orderBy("src_a", "src_b")
+      .select("src_a", "src_b", "shared_shingles")
+      .as[(String, String, Long)].collect()
+    assert(got.toSeq === Seq(("A", "B", 1L)))
+  }
+
   test("x43 vocab apply: ids rank by count then token; below-min-count tokens → OOV 0") {
     // "b" ×6, "a" ×6, "rare" ×1 with minCount 5: ids a→1, b→2 (count tie →
     // token order); rare → 0

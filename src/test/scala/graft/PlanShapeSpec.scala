@@ -205,6 +205,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.split("Exchange").length - 1 <= 6, plan.take(3000))
   }
 
+  test("x46 unigram surprise: vocab and corpus-N arrive by broadcast") {
+    val plan = planOf("x46_unigram_surprise")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // token→count lookup must be a broadcast hash join; shuffling the full
+    // token stream against the vocab would be the 100 TB failure mode
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("x47 source overlap: keyed aggs + bounded pair explode, no cartesian") {
+    val plan = planOf("x47_source_overlap")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("Generate"), plan.take(2000))
+    assert(plan.split("Exchange").length - 1 <= 6, plan.take(3000))
+  }
+
   test("x29 quantized top-k: query-side id filter reaches the scan — one full quantize pass") {
     val plan = SparkEntry.queries("x29_quantized_topk")(spark, sfDir)
       .queryExecution.executedPlan.toString
