@@ -305,7 +305,83 @@ object CorpusQueries {
     // partial-combine keyed exchanges.
     "x47_source_overlap" -> ((s, dir) =>
       sourceOverlap(Tables(s, dir, "documents"), 5)
-        .orderBy(col("src_a"), col("src_b"))))
+        .orderBy(col("src_a"), col("src_b"))),
+
+    // X48 — quality-filter funnel with first-fail attribution: every doc
+    // runs the standard pre-training filter chain (length band →
+    // repetition → langid allowlist) and is attributed to the FIRST stage
+    // it fails — the audit a curation run emits so each filter's marginal
+    // kill rate is visible per source. All metrics are integer (token
+    // counts, top-token ppm), so attribution is bit-stable cross-engine.
+    // Dataflow: explode → (doc, token) hash agg → per-doc agg →
+    // per-source conditional-count agg — keyed, combiner-friendly
+    // exchanges only; nothing driver-side.
+    "x48_filter_funnel" -> ((s, dir) =>
+      filterFunnel(Tables(s, dir, "documents")).orderBy(col("source"))),
+
+    // X49 — per-source document cap: keep at most K docs per source,
+    // preferring the longest (n_chars desc, doc_id tie-break) — the
+    // per-domain cap a web-corpus build applies so no single domain
+    // dominates the mix. One window partitioned by source; parallelism =
+    // source count, and under heavy-domain skew the same semantics run as
+    // two-phase partial top-K per partition then final per-source top-K
+    // (rank only ever needs the K best of each partial).
+    "x49_source_cap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .orderBy(col("source"), col("rk"))
+    }),
+
+    // X50 — language-balanced quota sampling: each language contributes at
+    // most Q docs, drawn in md5 order (x20's reproducible-sampling idiom),
+    // so the draw is identical on any engine, cluster size, or input
+    // split layout — the rebalancing stage before a multilingual mix.
+    // One window per language; the hash order makes the quota a uniform
+    // sample without any engine-native rand().
+    "x50_lang_quota" -> ((s, dir) => {
+      val h = md5(concat(lit("graft:lang:"), col("doc_id")))
+      val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 40)
+        .orderBy(col("lang"), col("rk"))
+    }))
+
+  /** X48 core — first-fail filter attribution per source. Stage order is
+    * the chain order a curation pipeline applies: length band, then
+    * within-doc repetition (top-token share in ppm), then language
+    * allowlist; a doc counts against exactly one stage. */
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(T.words(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("source"), col("lang"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val m = tf.groupBy(col("doc_id"), col("source"), col("lang"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("max_tf"))
+      .withColumn("top_ppm", expr("(max_tf * 1000000) DIV n_tokens"))
+    val staged = m.withColumn("first_fail",
+      when(col("n_tokens") < 30, lit("len"))
+        .when(col("top_ppm") > 150000, lit("rep"))
+        .when(col("lang") === "zh", lit("lang"))
+        .otherwise(lit("pass")))
+    staged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("first_fail") === "len", 1L).otherwise(0L))
+          .as("n_fail_len"),
+        sum(when(col("first_fail") === "rep", 1L).otherwise(0L))
+          .as("n_fail_rep"),
+        sum(when(col("first_fail") === "lang", 1L).otherwise(0L))
+          .as("n_fail_lang"),
+        sum(when(col("first_fail") === "pass", 1L).otherwise(0L))
+          .as("n_pass"))
+  }
 
   /** X44 core — per-source length-band trim: rank docs by token count
     * within their source and drop the shortest and longest cnt DIV 20
@@ -633,5 +709,44 @@ object CorpusQueries {
          p AS (SELECT a, b FROM g,
                unnest(srcs) AS t1(a), unnest(srcs) AS t2(b) WHERE a < b)
          SELECT a AS src_a, b AS src_b, count(*) AS shared_shingles
-         FROM p GROUP BY 1, 2 ORDER BY 1, 2""")
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "x48_filter_funnel" ->
+      s"""WITH tok AS (SELECT doc_id, source, lang,
+             unnest($wordsSql) AS token FROM documents),
+         tok2 AS (SELECT * FROM tok WHERE token <> ''),
+         tf AS (SELECT doc_id, source, lang, token, count(*)::BIGINT AS c
+                FROM tok2 GROUP BY 1, 2, 3, 4),
+         m AS (SELECT doc_id, source, lang,
+                 CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(max(c) AS BIGINT) AS max_tf
+               FROM tf GROUP BY 1, 2, 3),
+         st AS (SELECT source,
+                 CASE WHEN n_tokens < 30 THEN 'len'
+                      WHEN (max_tf * 1000000) // n_tokens > 150000 THEN 'rep'
+                      WHEN lang = 'zh' THEN 'lang'
+                      ELSE 'pass' END AS ff
+               FROM m)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           count(*) FILTER (WHERE ff = 'len')::BIGINT AS n_fail_len,
+           count(*) FILTER (WHERE ff = 'rep')::BIGINT AS n_fail_rep,
+           count(*) FILTER (WHERE ff = 'lang')::BIGINT AS n_fail_lang,
+           count(*) FILTER (WHERE ff = 'pass')::BIGINT AS n_pass
+         FROM st GROUP BY source ORDER BY source""",
+
+    "x49_source_cap" ->
+      """SELECT doc_id, source, n_chars, rk FROM (
+           SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id)::BIGINT AS rk
+           FROM documents)
+         WHERE rk <= 10 ORDER BY source, rk""",
+
+    "x50_lang_quota" ->
+      """SELECT doc_id, lang, rk FROM (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY md5('graft:lang:' || doc_id), doc_id)::BIGINT AS rk
+           FROM documents)
+         WHERE rk <= 40 ORDER BY lang, rk""")
 }

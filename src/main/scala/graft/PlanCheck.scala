@@ -19,7 +19,10 @@ object PlanCheck {
                "q81_recursive_cte", "x38_chunk_overlap", "x40_bm25_topk",
                "x41_weighted_mix", "q84_skew_profile", "x42_line_dedup",
                "x43_vocab_apply", "x44_length_trim", "x45_ngram_novelty",
-               "x46_unigram_surprise", "x47_source_overlap")
+               "x46_unigram_surprise", "x47_source_overlap",
+               "q85_event_funnel", "q86_retention_cohorts",
+               "q87_mad_outliers", "x48_filter_funnel",
+               "x49_source_cap", "x50_lang_quota")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")

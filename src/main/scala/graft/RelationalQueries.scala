@@ -257,7 +257,117 @@ object RelationalQueries {
           expr("(cnt * n_keys * 1000) DIV total").as("skew_x1000"))
         .orderBy(col("cnt").desc, col("l_suppkey"))
         .limit(10)
+    }),
+
+    // Q85 — sequential conversion funnel (view → click within 24 h of the
+    // first view → purchase within 24 h of that click): the canonical
+    // product-analytics query, with the bounded conversion window that
+    // makes stage drop-off real. Each stage is one keyed min-timestamp agg
+    // joined to the next stage's events on user_id with a strictly-later,
+    // interval-bounded predicate — three user_id-keyed exchanges total, no
+    // window over the whole event log, no cross product. At 100 TB the
+    // working set per task is one user's events; stage frames shrink
+    // monotonically, so later joins are cheaper than earlier ones (and
+    // broadcastable once the funnel narrows).
+    "q85_event_funnel" -> ((s, dir) =>
+      eventFunnel(Tables(s, dir, "events"),
+        Seq("view", "click", "purchase"), "INTERVAL 24 HOURS")),
+
+    // Q86 — retention cohorts: users grouped by first-purchase day,
+    // counted per day-offset since their cohort day (conversion events
+    // only, so the activity matrix is sparse and the retention curve is
+    // real). Days are integer date arithmetic — bit-stable on any engine.
+    // Dataflow: distinct (user, day) → per-user min → self-join on
+    // user_id → one keyed agg; the distinct collapses the event volume
+    // FIRST, so the join input is user×day, not raw events.
+    "q86_retention_cohorts" -> ((s, dir) =>
+      retentionCohorts(
+        Tables(s, dir, "events").filter(col("event_type") === "purchase"),
+        "2024-01-01")),
+
+    // Q87 — robust outlier profile per group: discrete (rank-based) median
+    // and MAD over o_totalprice, then the count of |x − med| > 2·MAD rows.
+    // Scale design: the windows run over per-(group, value) COUNTS, not
+    // rows — the cumulative-sum median over the collapsed value domain —
+    // so a 100 TB table first shrinks through a combiner-friendly hash agg
+    // and the window input is |distinct values|, orders of magnitude
+    // smaller. Discrete median (k-th smallest, k = (n+1) DIV 2) avoids
+    // interpolated-percentile float drift across engines; the only float
+    // ops are exactly-rounded subtract/multiply/compare.
+    "q87_mad_outliers" -> ((s, dir) => {
+      val vc = Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"), col("o_totalprice").as("v"))
+        .groupBy(col("prio"), col("v")).agg(count(lit(1)).as("c"))
+      val med = discreteMedian(vc, "v").withColumnRenamed("v", "med")
+      val devc = vc.join(broadcast(med), Seq("prio"))
+        .groupBy(col("prio"), abs(col("v") - col("med")).as("dev"))
+        .agg(sum(col("c")).as("c"))
+      val mad = discreteMedian(devc, "dev").withColumnRenamed("dev", "mad")
+      devc.join(broadcast(mad), Seq("prio"))
+        .groupBy(col("prio"))
+        .agg(sum(col("c")).as("n"),
+             sum(when(col("dev") > col("mad") * 2, col("c")).otherwise(0L))
+               .as("n_outliers"),
+             min(col("mad")).as("mad"))
+        .join(broadcast(med), Seq("prio"))
+        .select(col("prio"), col("med"), col("mad"), col("n"),
+                col("n_outliers"))
+        .orderBy(col("prio"))
     }))
+
+  /** Q85 core — sequential funnel over (user_id, event_type, ts): stage
+    * i+1 counts users whose first stage-(i+1) event falls strictly after
+    * and within `window` of their first qualifying stage-i event. */
+  def eventFunnel(events: DataFrame, stages: Seq[String],
+                  window: String): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    val win = expr(window)
+    val first = ev.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
+    val frames = stages.tail.scanLeft(first) { (prev, st) =>
+      ev.filter(col("event_type") === st)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") > col("t_prev") &&
+                col("ts") <= col("t_prev") + win)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
+    }
+    frames.zip(stages).zipWithIndex.map { case ((df, nm), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit((i + 1).toLong).as("stage"), lit(nm).as("stage_name"),
+                col("users"))
+    }.reduce(_ unionAll _).orderBy(col("stage"))
+  }
+
+  /** Q86 core — retention cohorts over pre-filtered activity events:
+    * distinct (user, day-since-epoch0) → per-user min (cohort day) →
+    * count of users per (cohort_day, offset_day). */
+  def retentionCohorts(events: DataFrame, epoch0: String): DataFrame = {
+    val w = events
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit(epoch0).cast("date"))
+          .cast("long").as("d"))
+      .distinct()
+    val coh = w.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    w.join(coh, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("d") - col("cohort_day")).as("offset_day"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("offset_day"))
+  }
+
+  /** Discrete grouped median over a (prio, value, count) frame: the k-th
+    * smallest element of the expanded multiset, k = (n+1) DIV 2, found by
+    * cumulative counts — the window sorts |distinct values| rows per
+    * group, never the raw data. */
+  private[graft] def discreteMedian(vc: DataFrame, valCol: String): DataFrame = {
+    val wCum = Window.partitionBy(col("prio")).orderBy(col(valCol))
+    val wAll = Window.partitionBy(col("prio"))
+    vc.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("cnt", sum(col("c")).over(wAll))
+      .filter(col("cum") - col("c") < expr("(cnt + 1) DIV 2") &&
+              expr("(cnt + 1) DIV 2") <= col("cum"))
+      .select(col("prio"), col(valCol))
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q72_exists_subquery" ->
@@ -411,5 +521,60 @@ object RelationalQueries {
            (cnt * 1000000) // total AS share_ppm,
            (cnt * n_keys * 1000) // total AS skew_x1000
          FROM c CROSS JOIN s
-         ORDER BY cnt DESC, l_suppkey LIMIT 10""")
+         ORDER BY cnt DESC, l_suppkey LIMIT 10""",
+
+    "q85_event_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t_click
+               FROM events e JOIN v USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > v.t_view
+                 AND e.ts <= v.t_view + INTERVAL 24 HOURS
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t_buy
+               FROM events e JOIN c USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                 AND e.ts <= c.t_click + INTERVAL 24 HOURS
+               GROUP BY e.user_id)
+         SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+                count(*)::BIGINT AS users FROM v
+         UNION ALL
+         SELECT 2, 'click', count(*)::BIGINT FROM c
+         UNION ALL
+         SELECT 3, 'purchase', count(*)::BIGINT FROM p
+         ORDER BY stage""",
+
+    "q86_retention_cohorts" ->
+      """WITH w AS (SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d
+           FROM events WHERE event_type = 'purchase'),
+         coh AS (SELECT user_id, min(d) AS cohort_day FROM w
+                 GROUP BY user_id)
+         SELECT cohort_day, d - cohort_day AS offset_day,
+           count(*)::BIGINT AS n_users
+         FROM w JOIN coh USING (user_id)
+         GROUP BY cohort_day, offset_day
+         ORDER BY cohort_day, offset_day""",
+
+    "q87_mad_outliers" ->
+      """WITH vc AS (SELECT o_orderpriority AS prio, o_totalprice AS v,
+                       count(*)::BIGINT AS c FROM orders GROUP BY 1, 2),
+         m AS (SELECT prio, v AS med FROM (
+             SELECT prio, v, c,
+               sum(c) OVER (PARTITION BY prio ORDER BY v) AS cum,
+               sum(c) OVER (PARTITION BY prio) AS cnt FROM vc)
+           WHERE cum - c < (cnt + 1) // 2 AND (cnt + 1) // 2 <= cum),
+         dc AS (SELECT vc.prio, abs(v - med) AS dev, sum(c)::BIGINT AS c
+                FROM vc JOIN m USING (prio) GROUP BY 1, 2),
+         md AS (SELECT prio, dev AS mad FROM (
+             SELECT prio, dev, c,
+               sum(c) OVER (PARTITION BY prio ORDER BY dev) AS cum,
+               sum(c) OVER (PARTITION BY prio) AS cnt FROM dc)
+           WHERE cum - c < (cnt + 1) // 2 AND (cnt + 1) // 2 <= cum)
+         SELECT prio, min(med) AS med, min(mad) AS mad,
+           sum(c)::BIGINT AS n,
+           sum(CASE WHEN dev > mad * 2 THEN c ELSE 0 END)::BIGINT
+             AS n_outliers
+         FROM dc JOIN md USING (prio) JOIN m USING (prio)
+         GROUP BY prio ORDER BY prio""")
 }

@@ -230,4 +230,56 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(got(0) === ((1L, 7L, 1L, md5Hex("1,2,1,2,1,2,0"))))
     assert(got(1) === ((2L, 6L, 0L, md5Hex("2,1,2,1,2,1"))))
   }
+
+  test("x48 filter funnel: a doc is attributed to the FIRST failing stage only") {
+    val distinct40 = (1 to 40).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      // fails len AND rep AND lang → counted against len only
+      (1L, "zh", ("x " * 9) + "x"),
+      // 40 tokens, one repeated 30× (750 000 ppm) and lang zh → rep wins
+      (2L, "zh", ("x " * 30) + (1 to 10).map(i => s"u$i").mkString(" ")),
+      // long and diverse but lang zh → lang
+      (3L, "zh", distinct40),
+      // long, diverse, allow-listed lang → pass
+      (4L, "en", distinct40))
+      .map { case (id, lang, text) => (id, "s0", lang, text) }
+      .toDF("doc_id", "source", "lang", "text")
+    val got = CorpusQueries.filterFunnel(docs)
+      .select("source", "n_docs", "n_fail_len", "n_fail_rep", "n_fail_lang",
+              "n_pass")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("s0", 4L, 1L, 1L, 1L, 1L)))
+  }
+
+  test("x49 cap idiom: ties broken by doc_id, cap keeps exactly K per source") {
+    val docs = (1L to 12L).map(i => (i, "s0", 100L)) :+ ((13L, "s1", 5L))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val kept = docs.toDF("doc_id", "source", "n_chars")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select("doc_id", "source")
+      .as[(Long, String)].collect().toSeq.sorted
+    // equal n_chars in s0 → the 10 lowest doc_ids survive; s1 untouched
+    assert(kept === ((1L to 10L).map((_, "s0")) :+ ((13L, "s1"))).sorted)
+  }
+
+  test("x50 quota draw is invariant under repartitioning") {
+    def run(parts: Int) = {
+      val docs = spark.range(0, 64).toDF("doc_id")
+        .withColumn("lang", when(col("doc_id") % 2 === 0, "en")
+          .otherwise("fr"))
+        .repartition(parts)
+      val h = md5(concat(lit("graft:lang:"), col("doc_id")))
+      val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
+      docs.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 8)
+        .select("doc_id", "lang", "rk")
+        .orderBy("lang", "rk")
+        .as[(Long, String, Long)].collect().toSeq
+    }
+    val r1 = run(1)
+    assert(r1 === run(7))
+    assert(r1.count(_._2 == "en") === 8 && r1.count(_._2 == "fr") === 8)
+  }
 }

@@ -144,6 +144,66 @@ class RelationalQueriesSpec extends SparkSpec {
       assert(close(r1, r2), s"r2 $k: $r1 vs $r2")
     }
   }
+  test("q85 funnel: pre-view clicks and out-of-window events don't convert; bounds are (strict, inclusive]") {
+    val ev = Seq(
+      // user 1: clean view → click → purchase chain, all inside 24 h
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:30:00"),
+      (1L, "purchase", "2024-01-01 11:00:00"),
+      // user 2: a click BEFORE the first view (ignored) and one > 24 h
+      // after it (outside the window) → stage 1 only
+      (2L, "click", "2024-01-01 09:00:00"),
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "click", "2024-01-02 11:01:00"),
+      // user 3: converts to click; purchase lands 2 days later → stage 2
+      (3L, "view", "2024-01-01 10:00:00"),
+      (3L, "click", "2024-01-01 10:05:00"),
+      (3L, "purchase", "2024-01-03 10:05:00"),
+      // user 5: click EXACTLY 24 h after the view (inclusive bound → in),
+      // purchase at the same instant as the click (strict bound → out)
+      (5L, "view", "2024-01-01 10:00:00"),
+      (5L, "click", "2024-01-02 10:00:00"),
+      (5L, "purchase", "2024-01-02 10:00:00"),
+      // user 6: purchase with no view at all → no stage
+      (6L, "purchase", "2024-01-01 12:00:00"))
+      .toDF("user_id", "event_type", "_t")
+      .withColumn("ts", to_timestamp(col("_t")))
+    val got = RelationalQueries
+      .eventFunnel(ev, Seq("view", "click", "purchase"), "INTERVAL 24 HOURS")
+      .select("stage", "stage_name", "users")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "view", 4L), (2L, "click", 3L),
+                       (3L, "purchase", 1L)))
+  }
+
+  test("q86 retention: same-day repeats collapse; offsets are from each user's own cohort day") {
+    val ev = Seq(
+      (1L, "2024-01-02 09:00:00"), // user 1 cohort day 1...
+      (1L, "2024-01-02 21:00:00"), // same day again → counted once
+      (1L, "2024-01-05 09:00:00"), // offset 3
+      (2L, "2024-01-05 10:00:00")) // user 2 cohort day 4, offset 0
+      .toDF("user_id", "_t")
+      .withColumn("ts", to_timestamp(col("_t")))
+    val got = RelationalQueries.retentionCohorts(ev, "2024-01-01")
+      .select("cohort_day", "offset_day", "n_users")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 0L, 1L), (1L, 3L, 1L), (4L, 0L, 1L)))
+  }
+
+  test("q87 discrete median: k-th smallest of the expanded multiset, k = (n+1) DIV 2") {
+    val vc = Seq(
+      // even count, distinct values: k = 2 → 2nd smallest (no interpolation)
+      ("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 1L), ("a", 4.0, 1L),
+      // a single value with multiplicity: k = 2 lands inside its run
+      ("b", 5.0, 3L),
+      // multiplicities spanning the midpoint: n = 3, k = 2 → the c=2 value
+      ("c", 1.0, 2L), ("c", 10.0, 1L))
+      .toDF("prio", "v", "c")
+    val got = RelationalQueries.discreteMedian(vc, "v")
+      .orderBy("prio").as[(String, Double)].collect().toSeq
+    assert(got === Seq(("a", 2.0), ("b", 5.0), ("c", 1.0)))
+  }
+
 }
 
 object RelationalQueriesSpecHelper {
