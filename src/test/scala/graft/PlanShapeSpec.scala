@@ -282,4 +282,55 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"),
       "corpus side should scan its buckets directly:\n" + plan.take(3000))
   }
+
+  test("q85 funnel: stage joins are keyed on user_id — no cartesian, no nested loop") {
+    val plan = planOf("q85_event_funnel")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // each stage is a hash agg keyed by user_id joined to the next stage's
+    // events; the timestamp-window predicate must ride the equi-join as a
+    // post-join filter, never turn the join into a nested loop
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+  }
+
+  test("q86 retention: distinct collapses events before the self-join") {
+    val df = SparkEntry.queries("q86_retention_cohorts")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the (user, day) distinct must sit BELOW the join in the plan — the
+    // join input is user×day, not raw events (the 100 TB difference)
+    val joinAt = plan.indexOf("Join")
+    val aggAt = plan.indexOf("HashAggregate", joinAt)
+    assert(joinAt >= 0 && aggAt > joinAt,
+      "distinct agg should appear beneath the join:\n" + plan.take(3000))
+  }
+
+  test("q87 MAD: windows run over value-count frames, not raw rows") {
+    val df = SparkEntry.queries("q87_mad_outliers")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // both medians must consume a pre-aggregated (prio, value, count)
+    // frame: a HashAggregate must sit below every Window in the plan
+    val firstWindow = plan.indexOf("Window")
+    assert(firstWindow >= 0 &&
+           plan.indexOf("HashAggregate", firstWindow) > firstWindow,
+      "value-count agg should appear beneath the windows:\n" + plan.take(3000))
+    // the tiny per-group medians arrive back by broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("x48 filter funnel: keyed aggregations only — no join at all in the plan") {
+    val plan = planOf("x48_filter_funnel")
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+  }
+
+  test("x49/x50 cap+quota: windows partition by their key — no single-partition window") {
+    val capPlan = planOf("x49_source_cap")
+    assert(capPlan.contains("hashpartitioning(source"), capPlan.take(3000))
+    assert(!capPlan.contains("SinglePartition"), capPlan.take(3000))
+    val quotaPlan = planOf("x50_lang_quota")
+    assert(quotaPlan.contains("hashpartitioning(lang"), quotaPlan.take(3000))
+    assert(!quotaPlan.contains("SinglePartition"), quotaPlan.take(3000))
+  }
 }
