@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{DedupOperators, TemporalJoins}
+import graft.functions.{TextFunctions => T}
 
 /** Round-2 analytics operators: temporal joins (as-of, range), window
   * analytics, pivot/unpivot reshapes, grouped distinct counts, dup-group
@@ -401,7 +402,67 @@ object AnalyticsQueries {
                .as("approx_cust"),
              percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
                .as("approx_median_price"))
-        .orderBy(col("o_orderpriority"))))
+        .orderBy(col("o_orderpriority"))),
+
+    // X52 — near-dup candidate QUALITY histogram: the LSH tuning
+    // diagnostic. Every MinHash band-collision pair gets its exact
+    // 3-gram Jaccard, integer-bucketed into deciles (ppm DIV 100000) —
+    // the precision-per-band report read before committing band/row
+    // parameters on a real corpus. Candidates come from the banded
+    // equi-join (never all pairs); the verify is two keyed joins to fetch
+    // shingle sets plus a per-pair intersect, then one tiny agg.
+    "x52_candidate_quality" -> ((s, dir) =>
+      candidateQuality(Tables(s, dir, "documents")).orderBy(col("bucket"))),
+
+    // X53 — leakage-safe train/val/test split: the split is drawn per
+    // DUPLICATE-CLUSTER root, not per document, so near-duplicates can
+    // never straddle train and eval — the contamination mode a naive
+    // per-doc split produces. Clusters are x14's dataflow (banded
+    // candidates → pointer-jumping components); singletons root at their
+    // own id; the md5 draw over the root is x20's reproducible-sampling
+    // idiom, so membership is identical on any engine or topology.
+    "x53_leakage_split" -> ((s, dir) =>
+      leakageSplit(Tables(s, dir, "documents")).orderBy(col("doc_id"))))
+
+  /** X52 core — decile histogram of exact 3-gram Jaccard over the MinHash
+    * band-collision candidates (banded equi-join, never all pairs). */
+  def candidateQuality(docs: DataFrame): DataFrame = {
+    val pairs = DedupOperators.minhashCandidates(docs, "doc_id", "text",
+      shingleN = 3, k = 8, bands = 4)
+    val sh = docs.select(col("doc_id"),
+      array_distinct(T.shinglesFromWords(T.words(col("text")), 3)).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+            Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+            Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("un",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
+      .withColumn("bucket", expr("((inter * 1000000) DIV un) DIV 100000"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** X53 core — cluster-aware split assignment: every member of a dup
+    * cluster draws the SAME split from the md5 of the cluster root, so
+    * near-duplicates never straddle train and eval. */
+  def leakageSplit(docs: DataFrame): DataFrame = {
+    val pairs = DedupOperators.minhashCandidates(docs, "doc_id", "text",
+      shingleN = 3, k = 8, bands = 4)
+    val labels = DedupOperators.clusterPairs(pairs, maxIters = 30)
+    docs.select(col("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("label")),
+            Seq("doc_id"), "left")
+      .withColumn("root", coalesce(col("label"), col("doc_id")))
+      .withColumn("_b",
+        conv(substring(md5(concat(lit("split:"), col("root"))), 1, 2),
+             16, 10).cast("int"))
+      .withColumn("split", when(col("_b") < 26, "test")
+        .when(col("_b") < 52, "val").otherwise("train"))
+      .select(col("doc_id"), col("root"), col("split"))
+  }
 
   // --- DuckDB oracles ------------------------------------------------------
 
@@ -769,5 +830,49 @@ object AnalyticsQueries {
             SELECT DISTINCT src, src FROM edges
             UNION
             SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id)
-          SELECT id, min(lbl) AS label FROM comp GROUP BY id ORDER BY id""")
+          SELECT id, min(lbl) AS label FROM comp GROUP BY id ORDER BY id""",
+
+    "x52_candidate_quality" ->
+      s"""$minhashSigSql,
+          $bandedSql,
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM banded a JOIN banded b
+                      ON a.bi = b.bi AND a.bk = b.bk
+                     AND a.doc_id < b.doc_id),
+          shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+          j AS (SELECT
+                  len(list_filter(a.sh, x -> list_contains(b.sh, x)))::BIGINT
+                    AS inter,
+                  (len(a.sh) + len(b.sh))::BIGINT AS tot
+                FROM pairs p JOIN shd a ON a.doc_id = p.id_a
+                             JOIN shd b ON b.doc_id = p.id_b)
+          SELECT ((inter * 1000000) // (tot - inter)) // 100000 AS bucket,
+            count(*)::BIGINT AS n_pairs
+          FROM j GROUP BY 1 ORDER BY 1""",
+
+    "x53_leakage_split" ->
+      s"""WITH RECURSIVE ${minhashSigSql.stripPrefix("WITH ")},
+          $bandedSql,
+          pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                    FROM banded a JOIN banded b
+                      ON a.bi = b.bi AND a.bk = b.bk
+                     AND a.doc_id < b.doc_id),
+          edges AS (SELECT src, dst FROM pairs
+                    UNION SELECT dst, src FROM pairs),
+          comp(id, lbl) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id),
+          lab AS (SELECT id, min(lbl) AS label FROM comp GROUP BY id),
+          r AS (SELECT d.doc_id,
+                  coalesce(l.label, d.doc_id) AS root
+                FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+          b AS (SELECT doc_id, root,
+                  ('0x' || substr(md5('split:' || root), 1, 2))::INT AS bk
+                FROM r)
+          SELECT doc_id, root,
+            CASE WHEN bk < 26 THEN 'test'
+                 WHEN bk < 52 THEN 'val'
+                 ELSE 'train' END AS split
+          FROM b ORDER BY doc_id""")
 }

@@ -350,7 +350,45 @@ object CorpusQueries {
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 40)
         .orderBy(col("lang"), col("rk"))
-    }))
+    }),
+
+    // X51 — per-source distinctive tokens ("domain signature"): for each
+    // source, the top-5 tokens by lift = (token share within the source) /
+    // (token share in the corpus), as an integer ×1000 ratio — the
+    // mixing-time diagnostic for what a domain actually contributes.
+    // Dataflow: one (source, token) hash agg; corpus counts derive from it
+    // (never a second pass over raw text); per-source totals and the 1-row
+    // corpus total ride broadcasts; the ranking window partitions by
+    // source.
+    "x51_distinctive_tokens" -> ((s, dir) =>
+      distinctiveTokens(Tables(s, dir, "documents"),
+        minCorpusCount = 5L, topK = 5)
+        .orderBy(col("source"), col("rank"))))
+
+  /** X51 core — per-source token lift. lift_x1000 = (sc·ctot·1000) DIV
+    * (cc·stot) where sc/cc are source/corpus token counts and stot/ctot
+    * the totals — integer-exact on any engine. The sc·ctot·1000 product
+    * needs ~(log₂ corpus tokens + log₂ doc tokens + 10) bits; at extreme
+    * corpus sizes promote the product to decimal(38,0) before the DIV. */
+  def distinctiveTokens(docs: DataFrame, minCorpusCount: Long,
+                        topK: Int): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(T.words(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("sc"))
+    val ct = st.groupBy(col("token")).agg(sum(col("sc")).as("cc"))
+    val stot = st.groupBy(col("source")).agg(sum(col("sc")).as("stot"))
+    val ctot = st.agg(sum(col("sc")).as("ctot"))
+    val lifted = st.join(ct.filter(col("cc") >= minCorpusCount), Seq("token"))
+      .join(broadcast(stot), Seq("source"))
+      .crossJoin(broadcast(ctot))
+      .withColumn("lift_x1000", expr("(sc * ctot * 1000) DIV (cc * stot)"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("lift_x1000").desc, col("token"))
+    lifted.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("source"), col("rank"), col("token"), col("lift_x1000"))
+  }
 
   /** X48 core — first-fail filter attribution per source. Stage order is
     * the chain order a curation pipeline applies: length band, then
@@ -748,5 +786,29 @@ object CorpusQueries {
              row_number() OVER (PARTITION BY lang
                  ORDER BY md5('graft:lang:' || doc_id), doc_id)::BIGINT AS rk
            FROM documents)
-         WHERE rk <= 40 ORDER BY lang, rk""")
+         WHERE rk <= 40 ORDER BY lang, rk""",
+
+    "x51_distinctive_tokens" ->
+      s"""WITH tok AS (SELECT source, unnest($wordsSql) AS token
+             FROM documents),
+         tok2 AS (SELECT * FROM tok WHERE token <> ''),
+         st AS (SELECT source, token, count(*)::BIGINT AS sc
+                FROM tok2 GROUP BY 1, 2),
+         ct AS (SELECT token, CAST(sum(sc) AS BIGINT) AS cc FROM st
+                GROUP BY 1),
+         stot AS (SELECT source, CAST(sum(sc) AS BIGINT) AS stot FROM st
+                  GROUP BY 1),
+         ctot AS (SELECT CAST(sum(sc) AS BIGINT) AS ctot FROM st),
+         l AS (SELECT st.source, st.token,
+                 (st.sc * ctot.ctot * 1000) // (ct.cc * stot.stot)
+                   AS lift_x1000
+               FROM st JOIN ct USING (token) JOIN stot USING (source)
+               CROSS JOIN ctot
+               WHERE ct.cc >= 5),
+         r AS (SELECT source, token, lift_x1000,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY lift_x1000 DESC, token)::BIGINT AS rank
+               FROM l)
+         SELECT source, rank, token, lift_x1000 FROM r
+         WHERE rank <= 5 ORDER BY source, rank""")
 }

@@ -22,7 +22,9 @@ object PlanCheck {
                "x46_unigram_surprise", "x47_source_overlap",
                "q85_event_funnel", "q86_retention_cohorts",
                "q87_mad_outliers", "x48_filter_funnel",
-               "x49_source_cap", "x50_lang_quota")
+               "x49_source_cap", "x50_lang_quota",
+               "x51_distinctive_tokens", "x52_candidate_quality",
+               "x53_leakage_split")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")

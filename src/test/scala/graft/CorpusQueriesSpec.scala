@@ -282,4 +282,47 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(r1 === run(7))
     assert(r1.count(_._2 == "en") === 8 && r1.count(_._2 == "fr") === 8)
   }
+
+  test("x51 distinctive tokens: lift is integer-exact share ratio; source-unique tokens rank first") {
+    val docs = Seq(
+      // src A: "aaa" ×6 is A-only; "w" ×6 is shared
+      (1L, "A", Array.fill(6)("aaa").mkString(" ") + " " +
+                Array.fill(6)("w").mkString(" ")),
+      // src B: "w" ×12 — over-represented in B relative to the corpus
+      (2L, "B", Array.fill(12)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusQueries.distinctiveTokens(docs, minCorpusCount = 5L,
+        topK = 5)
+      .orderBy("source", "rank")
+      .as[(String, Long, String, Long)].collect().toSeq
+    // ctot=24, stot=12 each; aaa: (6·24·1000) DIV (6·12) = 2000;
+    // w in A: (6·24·1000) DIV (18·12) = 666; w in B: 12·24·1000 DIV 216 = 1333
+    assert(got === Seq(
+      ("A", 1L, "aaa", 2000L), ("A", 2L, "w", 666L),
+      ("B", 1L, "w", 1333L)))
+  }
+
+  test("x52 candidate quality: exact dup pair lands in bucket 10; disjoint docs produce no pair") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "the quick brown fox jumps high"), // exact dup of 1
+      (3L, "entirely different words appear here now"))
+      .toDF("doc_id", "text")
+    val got = AnalyticsQueries.candidateQuality(docs)
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((10L, 1L)))
+  }
+
+  test("x53 leakage split: every member of a dup cluster draws the same split") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "the quick brown fox jumps high"), // dup of 1 → same cluster
+      (3L, "entirely different words appear here now"))
+      .toDF("doc_id", "text")
+    val got = AnalyticsQueries.leakageSplit(docs)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) === Seq((1L, 1L), (2L, 1L), (3L, 3L)))
+    assert(got(0)._3 === got(1)._3, "dup pair must share a split")
+    assert(Set("train", "val", "test").contains(got(2)._3))
+  }
 }

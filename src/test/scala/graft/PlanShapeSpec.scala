@@ -325,6 +325,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan.take(2000))
   }
 
+  test("x51 distinctive tokens: corpus counts derive from the source agg; totals broadcast") {
+    val plan = planOf("x51_distinctive_tokens")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // per-source totals and the 1-row corpus total must arrive by
+    // broadcast; the only shuffled join key is token
+    assert(plan.contains("BroadcastHashJoin") ||
+           plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("hashpartitioning(source"), plan.take(3000))
+  }
+
+  test("x52 candidate quality: banded equi-join feeds the verify — no all-pairs join") {
+    val plan = planOf("x52_candidate_quality")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("x49/x50 cap+quota: windows partition by their key — no single-partition window") {
     val capPlan = planOf("x49_source_cap")
     assert(capPlan.contains("hashpartitioning(source"), capPlan.take(3000))
