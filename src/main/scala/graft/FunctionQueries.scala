@@ -292,8 +292,12 @@ object FunctionQueries {
       val docs = Tables(s, dir, "documents")
       val terms = docs.select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("word"))
+      // tf is persisted: its two consumers (the doc-freq agg and the
+      // scored join) would otherwise each re-evaluate the explode+agg
+      // chain — two corpus tokenizations instead of one (Catalyst cannot
+      // reuse one exchange across differently-aliased subtrees)
       val tf = terms.groupBy(col("doc_id"), col("word"))
-        .agg(count(lit(1)).as("tf"))
+        .agg(count(lit(1)).as("tf")).persist()
       val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       val scored = tf.join(dfreq, Seq("word"))
