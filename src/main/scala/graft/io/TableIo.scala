@@ -67,6 +67,29 @@ object TableIo {
                        partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** JSONL (one JSON object per line) source — the interchange format of
+    * training-data pipelines. An explicit schema skips Spark's
+    * inference pass (which reads the data twice) and pins types against
+    * drift; without one, inference is accepted for exploration. Sharded
+    * and splittable: a directory of .jsonl parts scans in parallel like
+    * any file source. */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val reader = spark.read
+    schema.fold(reader)(s => reader.schema(s)).json(path)
+  }
+
+  /** JSONL sink: one object per line, sharded by partition (a 100 TB
+    * corpus writes N files in parallel — never a single driver-side
+    * file). `shards` repartitions when the caller wants a fixed output
+    * layout (e.g. one shard per downstream loader worker). */
+  def writeJsonl(df: DataFrame, path: String,
+                 shards: Option[Int] = None): Unit = {
+    val out = shards.fold(df)(n => df.repartition(n))
+    out.write.mode("overwrite").json(path)
+  }
+
   /** S4 — XLSX source via the hand-rolled codec: first sheet, header row 0,
     * all values string. Driver-side parse (payroll workbooks are small by
     * contract — the distributed path is CSV/parquet). */

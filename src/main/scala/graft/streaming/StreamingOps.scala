@@ -91,6 +91,56 @@ object StreamingOps {
   final case class SessionState(n: Long, total: Double,
                                 start: Long, last: Long)
 
+  final case class FunnelAdvance(userId: Long, stage: Int, stageName: String,
+                                 tsMs: Long)
+  final case class FunnelState(stage: Int, lastTs: Long)
+
+  /** Streaming conversion funnel — the streaming twin of batch
+    * [[graft.RelationalQueries.eventFunnel]] (q85): per-user state machine
+    * that emits one `FunnelAdvance` row each time a user reaches the next
+    * stage, where stage i+1 must land strictly after and within `windowMs`
+    * of the stage-i event. State is one (stage, lastTs) pair per active
+    * user and is GC'd by an event-time timeout once the conversion window
+    * has lapsed (no further advance is possible from it). Caveat vs batch:
+    * after state GC a user's LATER first-stage event re-opens the funnel,
+    * whereas the batch query anchors on the all-time first occurrence —
+    * identical results within any horizon shorter than the GC window. */
+  def funnelAdvances(events: Dataset[(Long, String, java.sql.Timestamp)],
+                     stages: Seq[String], windowMs: Long,
+                     lateness: String = "1 second"): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    events.toDF("user_id", "event_type", "ts")
+      .withWatermark("ts", lateness)
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(FunnelState(0, 0L))
+            val out = Vector.newBuilder[FunnelAdvance]
+            rows.toSeq.sortBy(r => (r._3.getTime, r._2)).foreach {
+              case (_, et, ts) =>
+                val t = ts.getTime
+                if (st.stage < stages.length && et == stages(st.stage) &&
+                    (st.stage == 0 ||
+                     (t > st.lastTs && t <= st.lastTs + windowMs))) {
+                  st = FunnelState(st.stage + 1, t)
+                  out += FunnelAdvance(userId, st.stage, et, t)
+                }
+            }
+            if (st.stage > 0) {
+              state.update(st)
+              // a timeout in the watermark's past would throw; clamp forward
+              state.setTimeoutTimestamp(math.max(st.lastTs + windowMs,
+                state.getCurrentWatermarkMs + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Per-user sessionization via flatMapGroupsWithState: a session closes
     * when the WATERMARK passes `gapMs` of inactivity (event-time timeout),
     * emitting one summary row. Custom state the built-in windows can't

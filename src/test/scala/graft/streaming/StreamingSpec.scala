@@ -155,4 +155,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(r => r.getLong(0) == 7L && r.getLong(1) == 2L &&
       r.getDouble(2) == 4.0))
   }
+
+  test("funnelAdvances: stage advances match the batch q85 semantics within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val adv = StreamingOps.funnelAdvances(mem.toDS(),
+      Seq("view", "click", "purchase"), windowMs = 24L * 3600 * 1000)
+    val q = adv.writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    mem.addData(
+      // user 1: full clean chain inside the window
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:30:00")),
+      (1L, "purchase", ts("2024-01-01 11:00:00")),
+      // user 2: click BEFORE any view is ignored; the later click is
+      // outside the 24 h window of the first view
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-02 11:01:00")),
+      // user 5: click exactly at the window bound (inclusive) advances;
+      // a purchase at the same instant as the click (strict bound) doesn't
+      (5L, "view", ts("2024-01-01 10:00:00")),
+      (5L, "click", ts("2024-01-02 10:00:00")),
+      (5L, "purchase", ts("2024-01-02 10:00:00")))
+    q.processAllAvailable()
+    val got = spark.sql("select userId, stage from funnel").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    q.stop()
+    // identical to RelationalQueriesSpec's batch q85 case: stage counts
+    // 3 views / 2 clicks / 1 purchase over these users
+    assert(got === Set((1L, 1), (1L, 2), (1L, 3),
+                       (2L, 1), (5L, 1), (5L, 2)))
+  }
 }
