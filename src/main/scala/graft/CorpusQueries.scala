@@ -370,7 +370,40 @@ object CorpusQueries {
     "x51_distinctive_tokens" -> ((s, dir) =>
       distinctiveTokens(Tables(s, dir, "documents"),
         minCorpusCount = 5L, topK = 5)
-        .orderBy(col("source"), col("rank"))))
+        .orderBy(col("source"), col("rank"))),
+
+    // X54 — per-doc contamination fraction: the share (ppm) of each
+    // non-benchmark doc's DISTINCT 5-gram shingles that appear in the
+    // benchmark slice — x31 gives the contaminated docs their overlap
+    // count; this gives EVERY doc the normalized score a threshold
+    // decontamination decision actually consumes. Left join keeps clean
+    // docs (ppm 0) in the output. The benchmark side stays distinct +
+    // broadcast (eval sets are small by construction); the only heavy
+    // exchange is the per-doc agg.
+    "x54_contamination_ppm" -> ((s, dir) =>
+      contaminationPpm(Tables(s, dir, "documents"), benchMod = 97L, n = 5)
+        .orderBy(col("doc_id"))),
+
+    // X56 — bigram LM surprise (conditional twin of x46): per doc, the
+    // mean of bitlen(c(a)) − bitlen(c(a,b)) over its adjacent token
+    // pairs — monotone in −log₂ p(b|a), so it ranks documents like a
+    // bigram cross-entropy quality filter in pure integer arithmetic.
+    // Unlike x46's type-bounded vocab, the bigram table is NOT
+    // broadcastable at corpus scale: both count joins are keyed shuffles
+    // (combiner-friendly), and the context counts derive from the bigram
+    // agg — one pass over the text, total.
+    "x56_bigram_surprise" -> ((s, dir) =>
+      bigramSurprise(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    // X57 — per-language token-length bands: discrete p10/p50/p90 of the
+    // token count, per lang — the report that sets min/max-length cutoffs
+    // before filtering. q87's value-domain design: one hash agg collapses
+    // the corpus to (lang, n_tokens) counts, the window sorts THAT, and
+    // the k-th-smallest rule (k = ceil(q·n/100)) avoids interpolated
+    // percentiles so every engine agrees bit-for-bit.
+    "x57_length_bands" -> ((s, dir) =>
+      lengthBands(Tables(s, dir, "documents"), Seq(10L, 50L, 90L))
+        .orderBy(col("lang"), col("q"))))
 
   /** X51 core — per-source token lift. lift_x1000 = (sc·ctot·1000) DIV
     * (cc·stot) where sc/cc are source/corpus token counts and stot/ctot
@@ -541,6 +574,72 @@ object CorpusQueries {
                sort_array(collect_list(struct(col("pos"), col("id")))),
                x => x.getField("id").cast("string")), ",")
              .cast("binary")).as("ids_md5"))
+  }
+
+  /** X54 core — per-doc contamination ppm against the benchmark slice
+    * (doc_id % benchMod = 0): the share of each non-benchmark doc's
+    * DISTINCT n-gram shingles that appear in any benchmark doc. Left join
+    * keeps clean docs (ppm 0); docs shorter than n words are absent (no
+    * shingles on either engine). The benchmark side stays distinct +
+    * broadcast — eval sets are small by construction. */
+  def contaminationPpm(docs: DataFrame, benchMod: Long, n: Int): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), T.words(col("text")).as("_w"))
+      .select(col("doc_id"),
+        explode(array_distinct(T.shinglesFromWords(col("_w"), n))).as("s"))
+    val bench = sh.filter(col("doc_id") % benchMod === 0)
+      .select(col("s")).distinct().withColumn("hit", lit(1L))
+    sh.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(bench), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"),
+              expr("(n_shared * 1000000) DIV n_shingles").as("shared_ppm"))
+  }
+
+  /** X56 core — bigram surprise: per doc, mean of bitlen(c(a)) −
+    * bitlen(c(a,b)) over adjacent token pairs — monotone in −log₂ p(b|a)
+    * in pure integer arithmetic. Context counts c(a) derive from the
+    * bigram agg (one pass over text total); both count joins are KEYED
+    * shuffles — the bigram table, unlike x46's type-bounded vocab, is not
+    * broadcastable at corpus scale. Docs with < 2 words are absent. */
+  def bigramSurprise(docs: DataFrame): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), T.words(col("text")).as("_w"))
+      .select(col("doc_id"),
+        explode(T.shinglesFromWords(col("_w"), 2)).as("bg"))
+      .withColumn("a", split(col("bg"), " ").getItem(0))
+    val cb = occ.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+    val ca = cb.withColumn("a", split(col("bg"), " ").getItem(0))
+      .groupBy(col("a")).agg(sum(col("cbg")).as("ca"))
+    occ.join(cb, Seq("bg")).join(ca, Seq("a"))
+      .withColumn("surprise",
+        (length(bin(col("ca"))) - length(bin(col("cbg")))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(col("surprise")).as("surprise_sum"))
+      .withColumn("avg_surprise_x100",
+        expr("(surprise_sum * 100) DIV n_bigrams"))
+  }
+
+  /** X57 core — per-language discrete percentile bands of the token
+    * count: for each q in `qs` (percent), the k-th smallest value with
+    * k = ceil(q·n/100) — q87's value-domain design (hash agg collapses
+    * the corpus to (lang, n_tokens) counts; the window sorts THAT), and
+    * the k-th-smallest rule avoids interpolated-percentile float drift. */
+  def lengthBands(docs: DataFrame, qs: Seq[Long]): DataFrame = {
+    val vc = docs
+      .select(col("lang"), size(T.words(col("text"))).cast("long").as("v"))
+      .groupBy(col("lang"), col("v")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("lang"))
+    vc.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wAll))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter(col("cum") - col("c") < expr("(tot * q + 99) DIV 100") &&
+              expr("(tot * q + 99) DIV 100") <= col("cum"))
+      .select(col("lang"), col("q"), col("v").as("n_tokens"))
   }
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -822,5 +921,48 @@ object CorpusQueries {
                    ORDER BY lift_x1000 DESC, token)::BIGINT AS rank
                FROM l)
          SELECT source, rank, token, lift_x1000 FROM r
-         WHERE rank <= 5 ORDER BY source, rank""")
+         WHERE rank <= 5 ORDER BY source, rank""",
+
+    "x54_contamination_ppm" ->
+      s"""WITH sh AS (SELECT doc_id, unnest(list_distinct($shingles5Sql)) AS s
+                      FROM documents),
+         bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+         SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+           (sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             * 1000000) // count(*) AS shared_ppm
+         FROM sh LEFT JOIN bench ON sh.s = bench.s
+         WHERE sh.doc_id % 97 <> 0
+         GROUP BY sh.doc_id ORDER BY sh.doc_id""",
+
+    "x56_bigram_surprise" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS w FROM documents),
+         occ AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS a FROM (
+             SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1])) AS bg FROM w)),
+         cb AS (SELECT bg, count(*)::BIGINT AS cbg FROM occ GROUP BY bg),
+         ca AS (SELECT string_split(bg, ' ')[1] AS a,
+                  CAST(sum(cbg) AS BIGINT) AS ca FROM cb GROUP BY 1)
+         SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           CAST(sum(length(to_base(ca, 2))
+                    - length(to_base(cbg, 2))) AS BIGINT) AS surprise_sum,
+           (CAST(sum(length(to_base(ca, 2))
+                     - length(to_base(cbg, 2))) AS BIGINT) * 100)
+             // count(*) AS avg_surprise_x100
+         FROM occ JOIN cb USING (bg) JOIN ca USING (a)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "x57_length_bands" ->
+      s"""WITH vc AS (SELECT lang, len($wordsSql)::BIGINT AS v,
+                        count(*)::BIGINT AS c
+                      FROM documents GROUP BY 1, 2),
+         cw AS (SELECT lang, v, c,
+                  sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                  sum(c) OVER (PARTITION BY lang) AS tot FROM vc)
+         SELECT lang, q, v AS n_tokens
+         FROM cw CROSS JOIN
+           (SELECT CAST(unnest([10, 50, 90]) AS BIGINT) AS q) qs
+         WHERE cum - c < (tot * q + 99) // 100
+           AND (tot * q + 99) // 100 <= cum
+         ORDER BY lang, q""")
 }

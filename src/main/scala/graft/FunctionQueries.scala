@@ -233,6 +233,50 @@ object FunctionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // X55 — cross-source near-dup audit: x22's blocked cosine pairs,
+    // attributed to each document's source and rolled up per source pair
+    // — the "which domains paraphrase each other" matrix that exact
+    // hashing cannot see (this corpus has zero byte-identical dups; all
+    // duplication is near-dup). Pair generation stays blocked by label
+    // (never N²); the source lookups are ordinary equi-joins on the slim
+    // (doc_id, source) projection — at corpus scale the post-threshold
+    // pair side is the small side, so AQE picks the broadcast direction.
+    "x55_cross_source_neardup" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => V}
+      val e = Tables(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"), col("embedding"),
+                V.norm(col("embedding")).as("nrm"))
+      val a = e.select(col("label"), col("vec_id").as("id_a"),
+                       col("embedding").as("va"), col("nrm").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"),
+                       col("embedding").as("vb"), col("nrm").as("nb"))
+      val src = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val pairs = a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+        .withColumn("cos",
+          when(col("na") === 0.0 || col("nb") === 0.0,
+            lit(null).cast("double"))
+          .otherwise(V.dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+        .filter(col("cos") >= 0.25)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")),
+              Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")),
+              Seq("id_b"))
+        .select(least(col("src_a"), col("src_b")).as("src_lo"),
+                greatest(col("src_a"), col("src_b")).as("src_hi"),
+                col("id_a"), col("id_b"))
+      val np = pairs.groupBy(col("src_lo"), col("src_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val nd = pairs.select(col("src_lo"), col("src_hi"),
+                            col("id_a").as("id"))
+        .unionAll(pairs.select(col("src_lo"), col("src_hi"),
+                               col("id_b").as("id")))
+        .groupBy(col("src_lo"), col("src_hi"))
+        .agg(count_distinct(col("id")).as("n_docs"))
+      np.join(nd, Seq("src_lo", "src_hi"))
+        .orderBy(col("src_lo"), col("src_hi"))
+    }),
+
     // Q62 — higher-order-function battery: filter / exists / forall /
     // aggregate / transform over the tokenized word array. Pure map-side
     // projection; HOF lambdas evaluate interpreted in Spark, which is fine
@@ -623,6 +667,31 @@ object FunctionQueries {
           r AS (SELECT label, id_a, id_b, $cosSql AS cos FROM p)
           SELECT label, id_a, id_b, round(cos, 4) AS cos
           FROM r WHERE cos >= 0.25 ORDER BY id_a, id_b""",
+
+    "x55_cross_source_neardup" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       a.v AS va, b.v AS vb
+                FROM e a JOIN e b
+                  ON b.label = a.label AND a.vec_id < b.vec_id),
+          r AS (SELECT id_a, id_b FROM
+                  (SELECT id_a, id_b, $cosSql AS cos FROM p)
+                WHERE cos >= 0.25),
+          sp AS (SELECT least(da.source, db.source) AS src_lo,
+                        greatest(da.source, db.source) AS src_hi,
+                        id_a, id_b
+                 FROM r JOIN documents da ON da.doc_id = r.id_a
+                        JOIN documents db ON db.doc_id = r.id_b),
+          np AS (SELECT src_lo, src_hi, count(*)::BIGINT AS n_pairs
+                 FROM sp GROUP BY src_lo, src_hi),
+          nd AS (SELECT src_lo, src_hi, count(DISTINCT id)::BIGINT AS n_docs
+                 FROM (SELECT src_lo, src_hi, id_a AS id FROM sp
+                       UNION ALL SELECT src_lo, src_hi, id_b FROM sp)
+                 GROUP BY src_lo, src_hi)
+          SELECT src_lo, src_hi, n_pairs, n_docs
+          FROM np JOIN nd USING (src_lo, src_hi)
+          ORDER BY src_lo, src_hi""",
 
     "q62_hof_battery" ->
       s"""WITH w AS (SELECT doc_id, $wordsSql AS wa FROM documents)

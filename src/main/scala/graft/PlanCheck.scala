@@ -24,7 +24,11 @@ object PlanCheck {
                "q87_mad_outliers", "x48_filter_funnel",
                "x49_source_cap", "x50_lang_quota",
                "x51_distinctive_tokens", "x52_candidate_quality",
-               "x53_leakage_split")
+               "x53_leakage_split",
+               "q88_markov_transitions", "q89_interval_peak",
+               "q90_weighted_median", "x54_contamination_ppm",
+               "x55_cross_source_neardup", "x56_bigram_surprise",
+               "x57_length_bands")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -313,7 +313,48 @@ object RelationalQueries {
         .select(col("prio"), col("med"), col("mad"), col("n"),
                 col("n_outliers"))
         .orderBy(col("prio"))
-    }))
+    }),
+
+    // Q88 — first-order Markov transition matrix over per-user event
+    // sequences: P(next event_type | event_type) as an integer ppm — the
+    // behavioral-model summary behind "what do users do after X".
+    // Dataflow: ONE user_id-keyed window (lead) builds adjacent pairs,
+    // then a keyed hash agg bounded by |event types|²; the per-state
+    // totals derive from that agg (never a second pass) and ride a
+    // broadcast. At 100 TB the only heavy exchange is the window's
+    // user_id shuffle — each task sorts one user's events.
+    "q88_markov_transitions" -> ((s, dir) =>
+      markovTransitions(Tables(s, dir, "events"))),
+
+    // Q89 — peak interval overlap by sweep line: each lineitem occupies
+    // [shipdate, shipdate + quantity days]; per return flag, the maximum
+    // number of simultaneously open intervals and the first day it is
+    // reached. The sweep turns an O(N²) interval-overlap into ±1 deltas →
+    // keyed agg → prefix sum: the delta agg collapses N rows to distinct
+    // (flag, day) FIRST, so the cumulative window sorts the date domain,
+    // not the data. Days are integer offsets from a fixed epoch so the
+    // result hashes identically cross-engine.
+    "q89_interval_peak" -> ((s, dir) =>
+      intervalPeak(Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+                col("l_shipdate").cast("date").as("d0"),
+                col("l_quantity").cast("int").as("qty")),
+        epoch0 = "1992-01-01")),
+
+    // Q90 — weighted discrete median: per return flag, the smallest price
+    // (cents) at which cumulative quantity-weight reaches half the total —
+    // the robust "typical price per shipped unit". Same scale design as
+    // q87: one combiner-friendly hash agg collapses the table to the
+    // (flag, cents) value domain, and the windows run over THAT — never a
+    // per-row sort of the fact table. All arithmetic is integer.
+    "q90_weighted_median" -> ((s, dir) =>
+      weightedMedian(Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+                round(col("l_extendedprice") * 100).cast("long").as("v"),
+                col("l_quantity").cast("long").as("w")))
+        .select(col("flag"), col("v").as("wmedian_cents"),
+                col("tot").as("total_w"))
+        .orderBy(col("flag"))))
 
   /** Q85 core — sequential funnel over (user_id, event_type, ts): stage
     * i+1 counts users whose first stage-(i+1) event falls strictly after
@@ -353,6 +394,68 @@ object RelationalQueries {
         (col("d") - col("cohort_day")).as("offset_day"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_day"), col("offset_day"))
+  }
+
+  /** Q88 core — first-order Markov transition matrix over per-user
+    * sequences: ONE user_id-keyed window (lead) builds adjacent pairs,
+    * the transition agg is bounded by |event types|², and the per-state
+    * totals derive from that agg (never a second pass over the events)
+    * and ride a broadcast. */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_type").as("a"),
+              col("ts"), col("event_id"))
+      .withColumn("b", lead(col("a"), 1).over(w))
+      .filter(col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy(col("a")).agg(sum(col("n")).as("tot"))
+    pairs.join(broadcast(tot), Seq("a"))
+      .select(col("a"), col("b"), col("n"),
+              expr("(n * 1000000) DIV tot").as("p_ppm"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Q89 core — sweep-line peak overlap over closed integer-day intervals
+    * (flag, d0, qty) ↦ [d0, d0 + qty days]: ±1 deltas → keyed agg
+    * (collapses N rows to the distinct (flag, day) domain FIRST) →
+    * prefix-sum window over that domain. Returns per flag the max
+    * concurrent count and the first day (offset from `epoch0`) it is
+    * reached. */
+  def intervalPeak(intervals: DataFrame, epoch0: String): DataFrame = {
+    val deltas = intervals
+      .select(col("flag"), col("d0").as("d"), lit(1L).as("delta"))
+      .unionAll(intervals.select(col("flag"),
+        date_add(col("d0"), col("qty") + lit(1)).as("d"),
+        lit(-1L).as("delta")))
+      .groupBy(col("flag"), col("d")).agg(sum(col("delta")).as("delta"))
+    val wCum = Window.partitionBy(col("flag")).orderBy(col("d"))
+    val wAll = Window.partitionBy(col("flag"))
+    deltas.withColumn("conc", sum(col("delta")).over(wCum))
+      .withColumn("peak", max(col("conc")).over(wAll))
+      .filter(col("conc") === col("peak"))
+      .groupBy(col("flag"))
+      .agg(min(col("peak")).as("peak"),
+           min(datediff(col("d"), lit(epoch0).cast("date")))
+             .cast("long").as("peak_day"))
+      .orderBy(col("flag"))
+  }
+
+  /** Q90 core — weighted discrete median over (flag, v, w) rows: the
+    * smallest v whose cumulative weight reaches (W+1) DIV 2. Same
+    * value-domain design as [[discreteMedian]]: one combiner-friendly
+    * hash agg collapses the input to (flag, v) weight totals and the
+    * windows sort THAT. Returns (flag, v, tot). */
+  def weightedMedian(rows: DataFrame): DataFrame = {
+    val vc = rows.groupBy(col("flag"), col("v")).agg(sum(col("w")).as("c"))
+    val wCum = Window.partitionBy(col("flag")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("flag"))
+    vc.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wAll))
+      .filter(col("cum") - col("c") < expr("(tot + 1) DIV 2") &&
+              expr("(tot + 1) DIV 2") <= col("cum"))
+      .select(col("flag"), col("v"), col("tot"))
   }
 
   /** Discrete grouped median over a (prio, value, count) frame: the k-th
@@ -576,5 +679,46 @@ object RelationalQueries {
            sum(CASE WHEN dev > mad * 2 THEN c ELSE 0 END)::BIGINT
              AS n_outliers
          FROM dc JOIN md USING (prio) JOIN m USING (prio)
-         GROUP BY prio ORDER BY prio""")
+         GROUP BY prio ORDER BY prio""",
+
+    "q88_markov_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+           FROM events),
+         p AS (SELECT a, b, count(*)::BIGINT AS n FROM seq
+               WHERE b IS NOT NULL GROUP BY a, b),
+         t AS (SELECT a, sum(n)::BIGINT AS tot FROM p GROUP BY a)
+         SELECT a, b, n, (n * 1000000) // tot AS p_ppm
+         FROM p JOIN t USING (a) ORDER BY a, b""",
+
+    "q89_interval_peak" ->
+      """WITH li AS (SELECT l_returnflag AS flag, l_shipdate::DATE AS d0,
+                       CAST(l_quantity AS INT) AS qty FROM lineitem),
+         pts AS (SELECT flag, d0 AS d, 1::BIGINT AS delta FROM li
+                 UNION ALL
+                 SELECT flag, d0 + qty + 1, -1::BIGINT FROM li),
+         dd AS (SELECT flag, d, sum(delta)::BIGINT AS delta FROM pts
+                GROUP BY flag, d),
+         cum AS (SELECT flag, d,
+                   sum(delta) OVER (PARTITION BY flag ORDER BY d) AS conc
+                 FROM dd),
+         pk AS (SELECT flag, max(conc)::BIGINT AS peak FROM cum
+                GROUP BY flag)
+         SELECT flag, min(peak)::BIGINT AS peak,
+           CAST(min(d - DATE '1992-01-01') AS BIGINT) AS peak_day
+         FROM cum JOIN pk USING (flag) WHERE conc = peak
+         GROUP BY flag ORDER BY flag""",
+
+    "q90_weighted_median" ->
+      """WITH vc AS (SELECT l_returnflag AS flag,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                       sum(CAST(l_quantity AS BIGINT))::BIGINT AS c
+                     FROM lineitem GROUP BY flag, v)
+         SELECT flag, v AS wmedian_cents, tot::BIGINT AS total_w FROM (
+           SELECT flag, v, c,
+             sum(c) OVER (PARTITION BY flag ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY flag) AS tot FROM vc)
+         WHERE cum - c < (tot + 1) // 2 AND (tot + 1) // 2 <= cum
+         ORDER BY flag""")
 }

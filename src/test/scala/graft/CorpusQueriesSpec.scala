@@ -325,4 +325,46 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(got(0)._3 === got(1)._3, "dup pair must share a split")
     assert(Set("train", "val", "test").contains(got(2)._3))
   }
+
+  test("x54 contamination ppm: full overlap → 1e6, clean → 0, short and benchmark docs absent") {
+    val bench = "one two three four five six"
+    val docs = Seq(
+      (0L, bench),                            // benchMod hit → benchmark side
+      (1L, bench),                            // all shingles contaminated
+      (2L, "alpha beta gamma delta epsilon"), // clean → 0 ppm
+      (3L, "too short"))                      // < 5 words → absent
+      .toDF("doc_id", "text")
+    val got = CorpusQueries.contaminationPpm(docs, benchMod = 97L, n = 5)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1000000L), (2L, 1L, 0L)))
+  }
+
+  test("x56 bigram surprise: deterministic context flattens to 0; rare continuations score the bitlen gap") {
+    val docs = Seq(
+      // "a b" ×3 is the only continuation of "a" → c(a)=c(ab) → surprise 0
+      (1L, "a b a b a b"),
+      // doc 2: "x y" once and "x z" once → c(x)=2, each bigram 1 →
+      // surprise = bitlen(2)−bitlen(1) = 1 for the x-pairs
+      (2L, "x y x z"))
+      .toDF("doc_id", "text")
+    val got = CorpusQueries.bigramSurprise(docs)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1: bigrams a-b,b-a,a-b,b-a,a-b: c(ab)=3,c(ba)=2, c(a)=3,c(b)=2
+    //   → every surprise 0; doc 2: x-y,y-x,x-z: c(xy)=c(yx)=c(xz)=1,
+    //   c(x)=2,c(y)=1 → surprises 1,0,1 → sum 2, avg ×100 = 66
+    assert(got === Seq((1L, 5L, 0L, 0L), (2L, 3L, 2L, 66L)))
+  }
+
+  test("x57 length bands: k = ceil(q·n/100) picks exact order statistics per language") {
+    // en: token counts 1..10 (one doc each) → p10=1, p50=5, p90=9
+    // fr: a single doc → every band is its own length
+    val docs = (1 to 10).map(i =>
+        (i.toLong, "en", Seq.fill(i)("w").mkString(" "))) :+
+      ((11L, "fr", "a b c"))
+    val got = CorpusQueries.lengthBands(
+        docs.toDF("doc_id", "lang", "text"), Seq(10L, 50L, 90L))
+      .orderBy("lang", "q").as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("en", 10L, 1L), ("en", 50L, 5L), ("en", 90L, 9L),
+                       ("fr", 10L, 3L), ("fr", 50L, 3L), ("fr", 90L, 3L)))
+  }
 }

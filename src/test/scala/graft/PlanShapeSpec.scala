@@ -349,4 +349,58 @@ class PlanShapeSpec extends SparkSpec {
     assert(quotaPlan.contains("hashpartitioning(lang"), quotaPlan.take(3000))
     assert(!quotaPlan.contains("SinglePartition"), quotaPlan.take(3000))
   }
+
+  test("q88 markov: lead window shuffles by user_id; per-state totals broadcast") {
+    val plan = planOf("q88_markov_transitions")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("hashpartitioning(user_id"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("q89 interval peak: delta agg collapses rows BELOW the cumulative window") {
+    val plan = planOf("q89_interval_peak")
+    assert(!plan.contains("Join"), plan.take(3000))
+    val firstWindow = plan.indexOf("Window")
+    assert(firstWindow >= 0 &&
+           plan.indexOf("HashAggregate", firstWindow) > firstWindow,
+      "the ±1 delta agg should appear beneath the window:\n" + plan.take(3000))
+    assert(plan.contains("hashpartitioning(flag"), plan.take(3000))
+  }
+
+  test("q90 weighted median: value-domain agg below the window, window keyed by flag") {
+    val plan = planOf("q90_weighted_median")
+    assert(!plan.contains("Join"), plan.take(3000))
+    val firstWindow = plan.indexOf("Window")
+    assert(firstWindow >= 0 &&
+           plan.indexOf("HashAggregate", firstWindow) > firstWindow,
+      "weight-count agg should appear beneath the windows:\n" + plan.take(3000))
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+  }
+
+  test("x54 contamination: benchmark shingles arrive by broadcast; no cartesian") {
+    val plan = planOf("x54_contamination_ppm")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("x55 cross-source near-dup: pair join keyed on label — no all-pairs join") {
+    val plan = planOf("x55_cross_source_neardup")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("vec_dot"), "per-pair math must be the native expr")
+  }
+
+  test("x56 bigram surprise: both count joins are keyed equi-joins, never broadcast-nested-loop") {
+    val plan = planOf("x56_bigram_surprise")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
+  test("x57 length bands: value-count agg below windows; windows keyed by lang") {
+    val plan = planOf("x57_length_bands")
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(plan.contains("hashpartitioning(lang"), plan.take(3000))
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+  }
 }

@@ -204,6 +204,55 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(got === Seq(("a", 2.0), ("b", 5.0), ("c", 1.0)))
   }
 
+  test("q88 markov: pairs are per-user adjacent, ppm is over outgoing total, single events drop") {
+    val ev = Seq(
+      // user 1: A → B → B  (pairs A→B, B→B)
+      (1L, 1L, "A", "2024-01-01 10:00:00"),
+      (2L, 1L, "B", "2024-01-01 10:01:00"),
+      (3L, 1L, "B", "2024-01-01 10:02:00"),
+      // user 2: A → C; the tie on ts is broken by event_id (4 before 5)
+      (4L, 2L, "A", "2024-01-01 09:00:00"),
+      (5L, 2L, "C", "2024-01-01 09:00:00"),
+      // user 3: a single event yields no transition
+      (6L, 3L, "B", "2024-01-01 08:00:00"))
+      .toDF("event_id", "user_id", "event_type", "_t")
+      .withColumn("ts", to_timestamp(col("_t")))
+    val got = RelationalQueries.markovTransitions(ev)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // A's outgoing total is 2 → each A-pair is 500000 ppm
+    assert(got === Seq(("A", "B", 1L, 500000L), ("A", "C", 1L, 500000L),
+                       ("B", "B", 1L, 1000000L)))
+  }
+
+  test("q89 interval peak: closed intervals, earliest peak day wins") {
+    val li = Seq(
+      // flag R: [Jan2,Jan4] and [Jan3,Jan5] overlap Jan3–Jan4
+      // (peak 2, first reached on Jan3 = day 2)
+      ("R", "1992-01-02", 2), ("R", "1992-01-03", 2),
+      // flag N: [Jan3,Jan5] and [Jan5,Jan6] meet ONLY at the shared
+      // endpoint — closed intervals → both open on Jan5 (= day 4)
+      ("N", "1992-01-03", 2), ("N", "1992-01-05", 1))
+      .toDF("flag", "_d", "qty")
+      .withColumn("d0", col("_d").cast("date"))
+    val got = RelationalQueries.intervalPeak(li, "1992-01-01")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("N", 2L, 4L), ("R", 2L, 2L)))
+  }
+
+  test("q90 weighted median: smallest value whose cumulative weight reaches (W+1) DIV 2") {
+    val rows = Seq(
+      // flag a: W=10, k=5 → v=2 (cum 3 < 5 ≤ 7)
+      ("a", 1L, 3L), ("a", 2L, 4L), ("a", 3L, 3L),
+      // flag b: heavy head — W=101, k=51 lands inside v=1's run
+      ("b", 1L, 100L), ("b", 9L, 1L),
+      // flag c: duplicate (v) rows merge before the cumulative pass
+      ("c", 5L, 1L), ("c", 5L, 1L), ("c", 4L, 1L))
+      .toDF("flag", "v", "w")
+    val got = RelationalQueries.weightedMedian(rows)
+      .orderBy("flag").as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 2L, 10L), ("b", 1L, 101L), ("c", 5L, 3L)))
+  }
+
 }
 
 object RelationalQueriesSpecHelper {
