@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
-import graft.functions.{TextFunctions => T}
+import graft.functions.{SpaceSavingAggregator, TextFunctions => T}
 
 /** Training-corpus preparation operators beyond x01–x29: PII redaction,
   * benchmark decontamination, sequence packing, repetition filtering,
@@ -403,7 +403,28 @@ object CorpusQueries {
     // percentiles so every engine agrees bit-for-bit.
     "x57_length_bands" -> ((s, dir) =>
       lengthBands(Tables(s, dir, "documents"), Seq(10L, 50L, 90L))
-        .orderBy(col("lang"), col("q"))))
+        .orderBy(col("lang"), col("q"))),
+
+    // X58 — bounded-memory heavy hitters per source: top-5 tokens via the
+    // SpaceSaving summary (O(capacity) state per group, merged map-side as
+    // an ObjectHashAggregate partial) — the top-k that still works when
+    // the per-group value domain is too large to hash-aggregate exactly.
+    // On this corpus the 31-token vocab sits far under capacity 64, so the
+    // summary is provably exact and the plain count-rank oracle applies;
+    // the eviction/merge-truncation regime is pinned by SpaceSavingSpec.
+    "x58_heavy_hitters" -> ((s, dir) => {
+      val hh = udaf(new SpaceSavingAggregator(capacity = 64, emitK = 5),
+                    org.apache.spark.sql.Encoders.STRING)
+      Tables(s, dir, "documents")
+        .select(col("source"), explode(T.words(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("source")).agg(hh(col("token")).as("hh"))
+        .select(col("source"), posexplode(col("hh")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+                col("col._1").as("token"), col("col._2").as("cnt"),
+                col("col._3").as("err"))
+        .orderBy(col("source"), col("rank"))
+    }))
 
   /** X51 core — per-source token lift. lift_x1000 = (sc·ctot·1000) DIV
     * (cc·stot) where sc/cc are source/corpus token counts and stot/ctot
@@ -964,5 +985,17 @@ object CorpusQueries {
            (SELECT CAST(unnest([10, 50, 90]) AS BIGINT) AS q) qs
          WHERE cum - c < (tot * q + 99) // 100
            AND (tot * q + 99) // 100 <= cum
-         ORDER BY lang, q""")
+         ORDER BY lang, q""",
+
+    "x58_heavy_hitters" ->
+      s"""WITH tok AS (SELECT source, unnest($wordsSql) AS token
+                       FROM documents),
+         c AS (SELECT source, token, count(*)::BIGINT AS cnt FROM tok
+               WHERE token <> '' GROUP BY source, token),
+         r AS (SELECT source, token, cnt,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY cnt DESC, token)::BIGINT AS rank
+               FROM c)
+         SELECT source, rank, token, cnt, 0::BIGINT AS err
+         FROM r WHERE rank <= 5 ORDER BY source, rank""")
 }

@@ -228,16 +228,24 @@ object RelationalQueries {
     // The anti join guarantees first-visit = min-hop, so the result equals
     // the oracle's min-over-all-paths recursive CTE.
     "q83_graph_bfs" -> ((s, dir) => {
+      // nodes travel as packed longs (supplier = su·2, order = o·2+1):
+      // every per-level hash, shuffle, and broadcast handles an 8-byte
+      // key instead of a string; the labels the oracle compares against
+      // are reconstructed once, over the final 1-row-per-node result
       val e = Tables(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_suppkey").as("su"))
         .distinct()
-      val edges = e.select(concat(lit("S"), col("su")).as("src"),
-                           concat(lit("O"), col("o")).as("dst"))
-        .unionAll(e.select(concat(lit("O"), col("o")).as("src"),
-                           concat(lit("S"), col("su")).as("dst")))
-      val seeds = e.filter(col("su") % 50 === 1)
-        .select(concat(lit("S"), col("su")).as("node"))
+      val sId = (col("su") * 2).cast("long")
+      val oId = (col("o") * 2 + 1).cast("long")
+      val edges = e.select(sId.as("src"), oId.as("dst"))
+        .unionAll(e.select(oId.as("src"), sId.as("dst")))
+      val seeds = e.filter(col("su") % 50 === 1).select(sId.as("node"))
       graft.ops.GraphOps.bfs(edges, seeds, maxDepth = 4)
+        .select(when(col("node") % 2 === 0,
+                  concat(lit("S"), (col("node") / 2).cast("long")))
+                .otherwise(concat(lit("O"), ((col("node") - 1) / 2)
+                  .cast("long"))).as("node"),
+                col("dist"))
         .orderBy(col("dist"), col("node"))
     }),
 

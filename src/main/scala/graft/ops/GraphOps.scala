@@ -33,15 +33,27 @@ object GraphOps {
     * @param seeds   DataFrame with a `node` column (distance 0)
     * @param maxDepth levels to expand (bounds state and DAG depth; the loop
     *                 exits early once a frontier drains)
+    * @param smallFrontier when true (default), each level broadcasts the
+    *                 materialized frontier and visited set against the
+    *                 once-cached edge list — ZERO per-level shuffle or sort
+    *                 of the edges, the right plan whenever the reachable
+    *                 set fits an executor (a checkpointed frontier scans as
+    *                 an RDD with unknown stats, so Catalyst would never
+    *                 pick this broadcast on its own). Set false for
+    *                 traversals whose frontier itself is cluster-scale:
+    *                 the edge list is then hash-partitioned by `src` once
+    *                 and every level reuses that exchange, shuffling only
+    *                 the frontier.
     * @return (node, dist) — one row per reached node, dist = min hops ≤ maxDepth
     */
-  def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+  def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
+          smallFrontier: Boolean = true): DataFrame = {
     // hash-partition the edge list by the join key BEFORE caching: the
     // cached InMemoryRelation keeps that outputPartitioning, so every
     // level's frontier join reuses it and only the (small) frontier side
     // shuffles — the edge list crosses the wire once, not once per level
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).persist()
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = (if (smallFrontier) e0 else e0.repartition(col("src"))).persist()
     val seed = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint(false)
@@ -55,9 +67,17 @@ object GraphOps {
     var exhausted = false
     while (d <= maxDepth && !exhausted) {
       val visited = levels.reduce(_ unionAll _)
-      frontier = frontier.join(e, frontier("node") === e("src"))
+      val expanded =
+        if (smallFrontier)
+          // cached edges scan + broadcast-hash probe: the 1-row-per-edge
+          // pass is map-side; nothing about the edge list moves or sorts
+          e.join(broadcast(frontier), frontier("node") === e("src"))
+        else
+          frontier.join(e, frontier("node") === e("src"))
+      frontier = expanded
         .select(col("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+        .join(if (smallFrontier) broadcast(visited) else visited,
+              Seq("node"), "left_anti")
         .withColumn("dist", lit(d.toLong))
         .localCheckpoint(false)
       // ONE job per level: the count materializes the new frontier's

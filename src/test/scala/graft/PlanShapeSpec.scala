@@ -139,22 +139,28 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q83 BFS: level plan is equi-join + anti join with bounded exchanges; result lineage is flat") {
     import spark.implicits._
-    // one BFS level, exactly as GraphOps.bfs builds it
+    // one smallFrontier BFS level, exactly as GraphOps.bfs builds it:
+    // cached-edge scan probed by the broadcast frontier, distinct, then a
+    // broadcast anti join against visited
     val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val frontier = Seq(1L).toDF("node")
     val visited = Seq((1L, 0L)).toDF("node", "dist")
-    val level = frontier.join(e, frontier("node") === e("src"))
+    val level = e.join(broadcast(frontier), frontier("node") === e("src"))
       .select(col("dst").as("node")).distinct()
-      .join(visited, Seq("node"), "left_anti")
+      .join(broadcast(visited), Seq("node"), "left_anti")
       .withColumn("dist", lit(1L))
     val plan = level.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     // the join key is the node id on both joins — never a nested loop over
     // frontier × edges
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
-    // equi-join + distinct + anti join: at most 4 exchanges per level
-    // (edges, frontier, distinct, anti-join build side)
-    assert(plan.split("Exchange").length - 1 <= 4, plan.take(3000))
+    // the edge list must NEVER shuffle or sort in a level: the only
+    // shuffle is the frontier distinct; frontier and visited arrive by
+    // broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.split("Exchange hashpartitioning").length - 1 <= 1,
+      plan.take(3000))
     // the full query's RETURNED plan must be flat — a checkpoint scan, not
     // a depth-4 union-of-joins chain (the r5 bench pathology)
     val result = SparkEntry.queries("q83_graph_bfs")(spark, sfDir)
@@ -395,6 +401,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
            !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
+  test("x58 heavy hitters: ObjectHashAggregate with map-side partial summaries") {
+    val plan = planOf("x58_heavy_hitters")
+    assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
+    // partial_spacesavingaggregator below the exchange: each partition
+    // ships one bounded summary per source, never its token rows
+    assert(plan.toLowerCase.contains("partial_spacesaving"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
   }
 
   test("x57 length bands: value-count agg below windows; windows keyed by lang") {

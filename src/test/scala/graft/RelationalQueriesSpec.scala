@@ -118,6 +118,16 @@ class RelationalQueriesSpec extends SparkSpec {
       "CheckpointOps.free must release the returned checkpoint's blocks")
   }
 
+  test("q83 BFS: the shuffled-frontier path (smallFrontier=false) returns identical hops") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val got = graft.ops.GraphOps
+      .bfs(edges, seeds, maxDepth = 4, smallFrontier = false)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L, "e" -> 3L))
+  }
+
   test("q82 exact-moment regression agrees with Spark's native regr_* aggregates") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q82_regr_agg")(spark, sf).collect()
