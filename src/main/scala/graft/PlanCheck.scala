@@ -28,7 +28,8 @@ object PlanCheck {
                "q88_markov_transitions", "q89_interval_peak",
                "q90_weighted_median", "x54_contamination_ppm",
                "x55_cross_source_neardup", "x56_bigram_surprise",
-               "x57_length_bands", "x58_heavy_hitters")
+               "x57_length_bands", "x58_heavy_hitters",
+               "q91_triangle_count")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -362,7 +362,30 @@ object RelationalQueries {
                 col("l_quantity").cast("long").as("w")))
         .select(col("flag"), col("v").as("wmedian_cents"),
                 col("tot").as("total_w"))
-        .orderBy(col("flag"))))
+        .orderBy(col("flag"))),
+
+    // Q91 — triangle counting over the co-purchase graph (parts sharing a
+    // high-value order) by DEGREE ORIENTATION: every edge points from its
+    // lower-(degree, id) endpoint to the higher one, so each triangle has
+    // exactly ONE apex with out-arcs to the other two and the wedge join's
+    // fan-out per node is bounded by O(√m) instead of the hub's full
+    // degree — the standard trick that keeps distributed triangle counting
+    // at Σ outdeg² ≪ Σ deg² under power-law skew. All joins are keyed; the
+    // tiny degree table broadcasts; the identical edge-list subplans
+    // collapse into one via exchange reuse (asserted in PlanShapeSpec).
+    "q91_triangle_count" -> ((s, dir) => {
+      val big = Tables(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey").as("ok"))
+      val items = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .join(big, Seq("ok")).distinct()
+      val e = items.select(col("ok"), col("p").as("pa"))
+        .join(items.select(col("ok"), col("p").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .select(col("pa").as("u"), col("pb").as("v")).distinct()
+      triangleCount(e)
+    }))
 
   /** Q85 core — sequential funnel over (user_id, event_type, ts): stage
     * i+1 counts users whose first stage-(i+1) event falls strictly after
@@ -464,6 +487,35 @@ object RelationalQueries {
       .filter(col("cum") - col("c") < expr("(tot + 1) DIV 2") &&
               expr("(tot + 1) DIV 2") <= col("cum"))
       .select(col("flag"), col("v"), col("tot"))
+  }
+
+  /** Q91 core — triangle count over a distinct undirected edge list
+    * (u < v) by degree orientation: each edge points from its
+    * lower-(degree, id) endpoint to the higher one, so each triangle has
+    * exactly one apex with out-arcs to both others (counted once) and the
+    * wedge fan-out per node is bounded by O(√m), not the hub degree.
+    * Returns one row: (n_nodes, n_edges, n_triangles). */
+  def triangleCount(e: DataFrame): DataFrame = {
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val arcs = e
+      .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))),
+            Seq("u"))
+      .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))),
+            Seq("v"))
+      .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
+              when(fwd, col("v")).otherwise(col("u")).as("t"))
+    val wedges = arcs.select(col("s"), col("t").as("t1"))
+      .join(arcs.select(col("s"), col("t").as("t2")), Seq("s"))
+      .filter(col("t1") < col("t2"))
+      .select(col("t1").as("u"), col("t2").as("v"))
+    val tri = wedges.join(e, Seq("u", "v"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(tri))
   }
 
   /** Discrete grouped median over a (prio, value, count) frame: the k-th
@@ -728,5 +780,21 @@ object RelationalQueries {
              sum(c) OVER (PARTITION BY flag ORDER BY v) AS cum,
              sum(c) OVER (PARTITION BY flag) AS tot FROM vc)
          WHERE cum - c < (tot + 1) // 2 AND (tot + 1) // 2 <= cum
-         ORDER BY flag""")
+         ORDER BY flag""",
+
+    "q91_triangle_count" ->
+      """WITH big AS (SELECT o_orderkey FROM orders
+                      WHERE o_totalprice > 400000),
+         it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                FROM lineitem JOIN big ON l_orderkey = o_orderkey),
+         e AS (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM it a JOIN it b ON a.ok = b.ok AND a.p < b.p)
+         SELECT
+           (SELECT count(*)::BIGINT FROM
+             (SELECT u AS n FROM e UNION SELECT v FROM e)) AS n_nodes,
+           (SELECT count(*)::BIGINT FROM e) AS n_edges,
+           (SELECT count(*)::BIGINT
+            FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+             AS n_triangles""")
 }

@@ -403,6 +403,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan.take(3000))
   }
 
+  test("q91 triangles: no cartesian; the repeated edge-list subplan is computed once") {
+    val df = SparkEntry.queries("q91_triangle_count")(spark, sfDir)
+    df.collect() // AQE resolves reuse at runtime; inspect the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the only nested-loop joins are the 1-row stat-frame crosses; a
+    // CartesianProduct over data-sized inputs must never appear
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // e feeds degree, orientation, and the closing semi join — exchange
+    // reuse must collapse the identical distinct-edge subplans
+    assert(plan.contains("ReusedExchange"),
+      "edge-list subplan should be reused, not recomputed:\n" + plan.take(3000))
+  }
+
   test("x58 heavy hitters: ObjectHashAggregate with map-side partial summaries") {
     val plan = planOf("x58_heavy_hitters")
     assert(plan.contains("ObjectHashAggregate"), plan.take(3000))

@@ -249,6 +249,22 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(got === Seq(("N", 2L, 4L), ("R", 2L, 2L)))
   }
 
+  test("q91 triangle count: each triangle counted once under degree orientation") {
+    // two triangles sharing the edge 2–3, plus an isolated edge 5–6
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (5L, 6L))
+      .toDF("u", "v")
+    val got = RelationalQueries.triangleCount(e)
+      .as[(Long, Long, Long)].head()
+    assert(got === ((6L, 6L, 2L)))
+  }
+
+  test("q91 triangle count: a triangle-free bipartite square yields zero") {
+    val e = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("u", "v")
+    val got = RelationalQueries.triangleCount(e)
+      .as[(Long, Long, Long)].head()
+    assert(got === ((4L, 4L, 0L)))
+  }
+
   test("q90 weighted median: smallest value whose cumulative weight reaches (W+1) DIV 2") {
     val rows = Seq(
       // flag a: W=10, k=5 → v=2 (cum 3 < 5 ≤ 7)
