@@ -29,7 +29,10 @@ object PlanCheck {
                "q90_weighted_median", "x54_contamination_ppm",
                "x55_cross_source_neardup", "x56_bigram_surprise",
                "x57_length_bands", "x58_heavy_hitters",
-               "q91_triangle_count")
+               "q91_triangle_count",
+               "q92_pagerank", "q93_streaks", "q94_allocation",
+               "x59_temperature_mix", "x60_dedup_survivorship",
+               "x61_token_fertility")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")

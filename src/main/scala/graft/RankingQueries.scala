@@ -1,0 +1,305 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** Round-6 ranking & allocation analytics: iterative PageRank over the
+  * co-purchase graph, calendar-day activity streaks, largest-remainder
+  * (Hamilton) apportionment, temperature-smoothed source mixing, dedup
+  * survivorship audit, and tokenizer-fertility profiling.
+  *
+  * Everything that crosses engines is integer-exact: ranks are quantized
+  * longs ([[graft.ops.GraphOps.pageRank]]), allocations use `DIV` +
+  * largest-remainder tie-broken by name, ratios are emitted ×1000 as
+  * longs. The only floating-point op is `sqrt` (x59), which IEEE 754
+  * requires to be exactly rounded — identical in any engine; its result
+  * is immediately floor-quantized to a long, and all downstream
+  * arithmetic (sums, divisions) is integral and order-independent.
+  *
+  * Scale notes: q92 is one keyed join + agg per iteration with
+  * checkpointed, freed round state — the Pregel shape without lineage
+  * growth; q93/x61 are one hash-agg plus one window each; q94/x59
+  * broadcast a 1-row total against a per-group frame (the grand-total
+  * idiom, never a driver collect); x60's dup lookup joins on the
+  * fingerprint's min-id, both sides hash-partitioned by the same key.
+  */
+object RankingQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  /** The q91 co-purchase graph: parts linked when they share a
+    * high-value order, symmetrized so every node has out-degree ≥ 1. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables(s, dir, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as("ok"))
+    val items = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .join(big, Seq("ok")).distinct()
+    val und = items.select(col("ok"), col("p").as("pa"))
+      .join(items.select(col("ok"), col("p").as("pb")), Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa").as("u"), col("pb").as("v")).distinct()
+    und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q92 — 3-iteration quantized PageRank over the co-purchase graph:
+    // the canonical iterative-convergence workload. Top-20 hubs by rank.
+    "q92_pagerank" -> ((s, dir) =>
+      graft.ops.GraphOps.pageRank(coPurchaseEdges(s, dir), iters = 3)
+        .orderBy(col("r").desc, col("node"))
+        .limit(20)
+        .select(col("node").as("part"), col("r").as("rank_q"))),
+
+    // Q93 — longest consecutive-calendar-day activity streak per user
+    // (gaps-and-islands via the day − row_number grouping key; ties on
+    // length prefer the earliest streak). Distinct from x13's
+    // sessionization: day-granular, keyed arithmetic, no lag state.
+    "q93_streaks" -> ((s, dir) => {
+      val days = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val runs = days
+        .withColumn("grp", date_sub(col("day"), row_number().over(byDay)))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("day")).as("streak_start"),
+             count(lit(1)).as("len"))
+      val best = Window.partitionBy(col("user_id"))
+        .orderBy(col("len").desc, col("streak_start"))
+      runs.withColumn("rn", row_number().over(best))
+        .filter(col("rn") === 1 && col("len") >= 2)
+        .select(col("user_id"),
+                col("streak_start").cast("string").as("streak_start"),
+                col("len"))
+        .orderBy(col("len").desc, col("user_id"))
+    }),
+
+    // Q94 — largest-remainder (Hamilton) apportionment: 1000 audit slots
+    // across nations proportional to order revenue. base = floor share,
+    // the leftover slots go to the largest remainders (ties: nation
+    // name) — integer-exact, sums to exactly 1000 by construction.
+    "q94_allocation" -> ((s, dir) => {
+      val K = 1000L
+      val rev = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+              col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, dir, "nation"),
+              col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("o_totalprice"))).as("cents"))
+      val total = rev.agg(sum(col("cents")).as("total"),
+                          lit(K).as("k"))
+      val based = rev.crossJoin(broadcast(total))
+        .withColumn("base", expr("(k * cents) DIV total"))
+        .withColumn("rem", expr("k * cents - base * total"))
+      val leftover = based.agg((lit(K) - sum(col("base"))).as("left"))
+      val byRem = Window.orderBy(col("rem").desc, col("n_name"))
+      based.crossJoin(broadcast(leftover))
+        .withColumn("rk", row_number().over(byRem))
+        .select(col("n_name"), col("cents"),
+                (col("base") + when(col("rk") <= col("left"), 1L)
+                  .otherwise(0L)).as("slots"))
+        .orderBy(col("slots").desc, col("n_name"))
+    }),
+
+    // X59 — temperature-smoothed source mixture (the multilingual-
+    // pretraining upsampling rule, α = 0.5): sampling weight ∝ n^α, so
+    // small sources are upsampled relative to proportional mixing. The
+    // smoothed mass is quantized (floor(sqrt(n)·1e6)) before summing, so
+    // weights and the 100k-sample allocation are integer-exact.
+    "x59_temperature_mix" -> ((s, dir) => {
+      val K = 100000L
+      val src = Tables(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("s", floor(sqrt(col("n_docs")) * 1e6).cast("long"))
+      val total = src.agg(sum(col("s")).as("total"), lit(K).as("k"))
+      val based = src.crossJoin(broadcast(total))
+        .withColumn("weight_ppm", expr("(s * 1000000) DIV total"))
+        .withColumn("base", expr("(k * s) DIV total"))
+        .withColumn("rem", expr("k * s - base * total"))
+      val leftover = based.agg((lit(K) - sum(col("base"))).as("left"))
+      val byRem = Window.orderBy(col("rem").desc, col("source"))
+      based.crossJoin(broadcast(leftover))
+        .withColumn("rk", row_number().over(byRem))
+        .select(col("source"), col("n_docs"), col("weight_ppm"),
+                (col("base") + when(col("rk") <= col("left"), 1L)
+                  .otherwise(0L)).as("samples"))
+        .orderBy(col("source"))
+    }),
+
+    // X60 — dedup survivorship audit: when prefix-fingerprint dedup
+    // (md5 of the lowercased first 10 tokens — the cheap first pass that
+    // catches near-dup families sharing a head) collapses a group,
+    // keeper = min doc_id: which source absorbs which? The
+    // keeper→duplicate source matrix is the governance artifact behind
+    // "source B lost 12% of its docs to source A" reports.
+    "x60_dedup_survivorship" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+                md5(lower(array_join(
+                  slice(T.words(col("text")), 1, 10), " "))).as("fp"))
+      val keep = d.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+      val keeperSrc = d.select(col("doc_id").as("keep_id"),
+                               col("source").as("src_keeper"))
+      d.join(keep, Seq("fp"))
+        .filter(col("doc_id") =!= col("keep_id"))
+        .join(keeperSrc, Seq("keep_id"))
+        .groupBy(col("src_keeper"), col("source").as("src_dup"))
+        .agg(count(lit(1)).as("n_absorbed"))
+        .orderBy(col("src_keeper"), col("src_dup"))
+    }),
+
+    // X61 — tokenizer-fertility profile per language: whitespace tokens,
+    // BPE-ish subword estimate (ceil(len/4) per word), and the two
+    // ratios every tokenizer evaluation reports — subwords per token and
+    // chars per token — ×1000 as integer-exact longs.
+    "x61_token_fertility" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(T.tokenCount(col("text")).cast("long")).as("tokens"),
+             sum(T.subwordCount(col("text"))).as("subwords"),
+             sum(length(col("text")).cast("long")).as("chars"))
+        .withColumn("fertility_x1000",
+                    expr("(subwords * 1000) DIV nullif(tokens, 0)"))
+        .withColumn("chars_per_token_x1000",
+                    expr("(chars * 1000) DIV nullif(tokens, 0)"))
+        .orderBy(col("lang"))))
+
+  private val coPurchaseSql =
+    """big AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000),
+       it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+              FROM lineitem JOIN big ON l_orderkey = o_orderkey),
+       und AS (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM it a JOIN it b ON a.ok = b.ok AND a.p < b.p),
+       e AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und)"""
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q92_pagerank" ->
+      s"""WITH $coPurchaseSql,
+          deg AS (SELECT u, count(*)::BIGINT AS d FROM e GROUP BY u),
+          r0 AS (SELECT u AS node, 1000000000::BIGINT AS r FROM deg),
+          c1 AS (SELECT e.v AS node, sum(r0.r // deg.d)::BIGINT AS s
+                 FROM e JOIN deg USING (u) JOIN r0 ON r0.node = e.u
+                 GROUP BY e.v),
+          r1 AS (SELECT node, (150000000 + (s * 85) // 100)::BIGINT AS r
+                 FROM c1),
+          c2 AS (SELECT e.v AS node, sum(r1.r // deg.d)::BIGINT AS s
+                 FROM e JOIN deg USING (u) JOIN r1 ON r1.node = e.u
+                 GROUP BY e.v),
+          r2 AS (SELECT node, (150000000 + (s * 85) // 100)::BIGINT AS r
+                 FROM c2),
+          c3 AS (SELECT e.v AS node, sum(r2.r // deg.d)::BIGINT AS s
+                 FROM e JOIN deg USING (u) JOIN r2 ON r2.node = e.u
+                 GROUP BY e.v),
+          r3 AS (SELECT node, (150000000 + (s * 85) // 100)::BIGINT AS r
+                 FROM c3)
+          SELECT node AS part, r AS rank_q FROM r3
+          ORDER BY r DESC, node LIMIT 20""",
+
+    "q93_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day
+                       FROM events),
+         runs AS (SELECT user_id, day,
+                    day - (row_number() OVER (
+                      PARTITION BY user_id ORDER BY day))::INT AS grp
+                  FROM days),
+         agg AS (SELECT user_id, min(day) AS streak_start,
+                   count(*)::BIGINT AS len
+                 FROM runs GROUP BY user_id, grp),
+         best AS (SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY len DESC, streak_start) AS rn
+                  FROM agg)
+         SELECT user_id, streak_start::VARCHAR AS streak_start, len
+         FROM best WHERE rn = 1 AND len >= 2
+         ORDER BY len DESC, user_id""",
+
+    "q94_allocation" ->
+      """WITH rev AS (SELECT n_name,
+             sum(round(o_totalprice * 100))::BIGINT AS cents
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name),
+         t AS (SELECT sum(cents)::BIGINT AS total FROM rev),
+         based AS (SELECT n_name, cents,
+             (1000 * cents) // total AS base,
+             1000 * cents - ((1000 * cents) // total) * total AS rem
+           FROM rev CROSS JOIN t),
+         lo AS (SELECT (1000 - sum(base))::BIGINT AS leftover FROM based),
+         rk AS (SELECT *, row_number() OVER (
+                  ORDER BY rem DESC, n_name) AS rk
+                FROM based)
+         SELECT n_name, cents,
+           (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
+             AS slots
+         FROM rk CROSS JOIN lo
+         ORDER BY slots DESC, n_name""",
+
+    "x59_temperature_mix" ->
+      """WITH src AS (SELECT source, count(*)::BIGINT AS n_docs,
+             floor(sqrt(count(*)) * 1e6)::BIGINT AS s
+           FROM documents GROUP BY source),
+         t AS (SELECT sum(s)::BIGINT AS total FROM src),
+         based AS (SELECT source, n_docs,
+             (s * 1000000) // total AS weight_ppm,
+             (100000 * s) // total AS base,
+             100000 * s - ((100000 * s) // total) * total AS rem
+           FROM src CROSS JOIN t),
+         lo AS (SELECT (100000 - sum(base))::BIGINT AS leftover
+                FROM based),
+         rk AS (SELECT *, row_number() OVER (
+                  ORDER BY rem DESC, source) AS rk
+                FROM based)
+         SELECT source, n_docs, weight_ppm::BIGINT AS weight_ppm,
+           (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
+             AS samples
+         FROM rk CROSS JOIN lo
+         ORDER BY source""",
+
+    "x60_dedup_survivorship" ->
+      """WITH d AS (SELECT doc_id, source,
+             md5(lower(array_to_string(
+               regexp_split_to_array(trim(text), '\s+')[1:10], ' ')))
+               AS fp
+           FROM documents),
+         keep AS (SELECT fp, min(doc_id) AS keep_id, count(*) AS n
+                  FROM d GROUP BY fp HAVING count(*) > 1),
+         ks AS (SELECT doc_id AS keep_id, source AS src_keeper FROM d)
+         SELECT ks.src_keeper, d.source AS src_dup,
+           count(*)::BIGINT AS n_absorbed
+         FROM d JOIN keep USING (fp) JOIN ks USING (keep_id)
+         WHERE d.doc_id <> keep.keep_id
+         GROUP BY ks.src_keeper, d.source
+         ORDER BY src_keeper, src_dup""",
+
+    "x61_token_fertility" ->
+      """WITH per AS (SELECT lang,
+             len(regexp_split_to_array(trim(text), '\s+'))::BIGINT
+               AS tokens,
+             CAST(list_sum(list_transform(
+               regexp_split_to_array(trim(text), '\s+'),
+               w -> ceil(length(w) / 4.0)::BIGINT)) AS BIGINT)
+               AS subwords,
+             length(text)::BIGINT AS chars
+           FROM documents)
+         SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(tokens)::BIGINT AS tokens,
+           sum(subwords)::BIGINT AS subwords,
+           sum(chars)::BIGINT AS chars,
+           ((sum(subwords) * 1000) // nullif(sum(tokens), 0))::BIGINT
+             AS fertility_x1000,
+           ((sum(chars) * 1000) // nullif(sum(tokens), 0))::BIGINT
+             AS chars_per_token_x1000
+         FROM per GROUP BY lang ORDER BY lang""")
+}

@@ -11,7 +11,7 @@ object SparkEntry {
       ExtensionQueries.queries ++ AnalyticsQueries.queries ++
       FunctionQueries.queries ++ BenchQueries.queries ++
       CorpusQueries.queries ++ EtlQueries.queries ++
-      RelationalQueries.queries
+      RelationalQueries.queries ++ RankingQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -19,5 +19,5 @@ object SparkEntry {
       ExtensionQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
       FunctionQueries.oracleSql ++ BenchQueries.oracleSql ++
       CorpusQueries.oracleSql ++ EtlQueries.oracleSql ++
-      RelationalQueries.oracleSql
+      RelationalQueries.oracleSql ++ RankingQueries.oracleSql
 }

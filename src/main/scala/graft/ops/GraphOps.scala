@@ -95,4 +95,52 @@ object GraphOps {
     e.unpersist()
     result
   }
+
+  /** Integer-quantized PageRank: ranks live as longs scaled by `scale`
+    * (1e9 = rank 1.0), so every step is integer arithmetic — `DIV` for
+    * the out-degree split, `(s*85) DIV 100` for the damping — and the
+    * result is bit-identical on any engine and any aggregation order
+    * (long sums commute; double sums do not). The truncation the
+    * quantization introduces is ≤ outdeg ulps per node per round —
+    * irrelevant for ranking, essential for a cross-engine hash check.
+    *
+    * One shuffle-heavy join per iteration is inherent to PageRank; what
+    * must NOT grow per iteration is plan lineage or cached state. Edges
+    * join their degree once (both sides already hash-partitioned by `u`
+    * from the groupBy — no extra exchange) and stay persisted; each
+    * round's ranks are `localCheckpoint`ed (one job, flat lineage) and
+    * the superseded round is freed immediately ([[CheckpointOps.free]]).
+    *
+    * Dangling nodes: callers pass a symmetrized edge list (every node
+    * has out-degree ≥ 1), so no mass-leak redistribution is needed.
+    *
+    * @param edges directed (u, v) pairs
+    * @param iters fixed iteration count (the oracle unrolls the same)
+    * @return (node, rank_q) — rank scaled by `scale`, all nodes
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+               scale: Long = 1000000000L): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    // (u, v, d) — the static per-edge state every round probes
+    val linked = e.join(deg, Seq("u")).persist()
+    var ranks = deg.select(col("u").as("node"), lit(scale).as("r"))
+      .localCheckpoint(false)
+    ranks.count()
+    val teleport = scale * 15 / 100
+    for (_ <- 1 to iters) {
+      val next = linked
+        .join(ranks, linked("u") === ranks("node"))
+        .select(col("v"), expr("r DIV d").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
+        .select(col("v").as("node"),
+                (lit(teleport) + expr("(s * 85) DIV 100")).as("r"))
+        .localCheckpoint(false)
+      next.count()
+      free(ranks)
+      ranks = next
+    }
+    linked.unpersist()
+    ranks
+  }
 }
