@@ -37,6 +37,7 @@ object Bench {
       System.err.println(
         f"[bench] warmup pass ($warmDir): ${(System.nanoTime() - t0) / 1e9}%.1fs" +
         (if (warmFails > 0) s" — $warmFails FAILED (timed cold below)" else ""))
+      spark.catalog.clearCache() // drop smoke-scale frames before timing
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -46,6 +47,11 @@ object Bench {
                  false }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name ${sec}%.2fs")
+      // queries that persist() multi-consumer frames lean on the SQL
+      // CacheManager; release between queries (outside the timer) so each
+      // measurement is independent and a 150-query session doesn't
+      // accumulate every query's cached frames
+      spark.catalog.clearCache()
       name -> (if (ok) sec else -1.0)
     }
     // The harness captures only the last ~2000 chars of output; the JSON

@@ -631,7 +631,11 @@ object CorpusQueries {
       .select(col("doc_id"),
         explode(T.shinglesFromWords(col("_w"), 2)).as("bg"))
       .withColumn("a", split(col("bg"), " ").getItem(0))
-    val cb = occ.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+    // persist the count model (distinct bigrams — vocabulary-sized), NOT
+    // the exploded occurrence stream (corpus-token-sized): the model is
+    // read twice (context rollup + scoring join); the stream is cheaper
+    // to recompute map-side than to cache at corpus scale
+    val cb = occ.groupBy(col("bg")).agg(count(lit(1)).as("cbg")).persist()
     val ca = cb.withColumn("a", split(col("bg"), " ").getItem(0))
       .groupBy(col("a")).agg(sum(col("cbg")).as("ca"))
     occ.join(cb, Seq("bg")).join(ca, Seq("a"))

@@ -157,9 +157,11 @@ object ExtensionQueries {
       // persisted: the gated frame feeds BOTH the dedup groupBy and the
       // semi-join probe — without a cache the expensive per-doc text
       // analysis (4 marker regex counts + quality ratios + fingerprint)
-      // runs twice
+      // runs twice. `text` is NOT in the projection: nothing downstream
+      // reads it, and caching the raw corpus besides its derived columns
+      // would multiply the cache footprint by the document size.
       val d = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
+        .select(col("doc_id"),
                 T.langId(col("text")).as("lang_guess"),
                 T.qualityScore(col("text")).as("quality"),
                 T.tokenCount(col("text")).cast("long").as("n_tokens"),

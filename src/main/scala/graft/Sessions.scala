@@ -15,6 +15,13 @@ object Sessions {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     // testdata events.parquet is TIMESTAMP(NANOS) — see Tables
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the janino generated-class cache defaults to 100 entries; a session
+    // running the whole 150-query surface (Verify, Bench, a long-lived
+    // analytics service) compiles several codegen stages per query, so at
+    // the default the cache thrashes and queries recompile classes that
+    // were already built — pure driver-side latency. Static conf, cheap
+    // (class metadata), sized for the full surface with headroom.
+    .config("spark.sql.codegen.cache.maxEntries", "5000")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val s = tuned(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
