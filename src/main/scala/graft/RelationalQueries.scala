@@ -303,13 +303,19 @@ object RelationalQueries {
     // interpolated-percentile float drift across engines; the only float
     // ops are exactly-rounded subtract/multiply/compare.
     "q87_mad_outliers" -> ((s, dir) => {
+      // both value-count frames feed two consumers each (a median pass +
+      // the next derivation) — cached so the orders scan+agg runs once,
+      // not four times; they are value-domain-collapsed, so the cache is
+      // bounded by |distinct (prio, value)|, not the row count
       val vc = Tables(s, dir, "orders")
         .select(col("o_orderpriority").as("prio"), col("o_totalprice").as("v"))
         .groupBy(col("prio"), col("v")).agg(count(lit(1)).as("c"))
+        .persist()
       val med = discreteMedian(vc, "v").withColumnRenamed("v", "med")
       val devc = vc.join(broadcast(med), Seq("prio"))
         .groupBy(col("prio"), abs(col("v") - col("med")).as("dev"))
         .agg(sum(col("c")).as("c"))
+        .persist()
       val mad = discreteMedian(devc, "dev").withColumnRenamed("dev", "mad")
       devc.join(broadcast(mad), Seq("prio"))
         .groupBy(col("prio"))
@@ -495,7 +501,13 @@ object RelationalQueries {
     * exactly one apex with out-arcs to both others (counted once) and the
     * wedge fan-out per node is bounded by O(√m), not the hub degree.
     * Returns one row: (n_nodes, n_edges, n_triangles). */
-  def triangleCount(e: DataFrame): DataFrame = {
+  def triangleCount(e0: DataFrame): DataFrame = {
+    // the edge list feeds four consumers (degree union, orientation
+    // join, closing semi-join, edge count) and is typically an expensive
+    // construction (q91: two joins + distincts) — cache it, and cache
+    // the oriented arcs the wedge self-join reads twice. Both are
+    // edge-sized; at cluster scale MEMORY_AND_DISK spills, never OOMs.
+    val e = e0.persist()
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val fwd = col("du") < col("dv") ||
@@ -507,6 +519,7 @@ object RelationalQueries {
             Seq("v"))
       .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
               when(fwd, col("v")).otherwise(col("u")).as("t"))
+      .persist()
     val wedges = arcs.select(col("s"), col("t").as("t1"))
       .join(arcs.select(col("s"), col("t").as("t2")), Seq("s"))
       .filter(col("t1") < col("t2"))
