@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.ZOrderOps
+
+/** Round-6 layout & linkage operators: Z-order multi-dimensional
+  * clustering (q95), blocked fuzzy entity resolution (q96), bitmap-index
+  * distinct counting (q97), and content-defined chunk dedup (x62).
+  *
+  * Cross-engine determinism: the z-interleave is pure integer bit
+  * arithmetic (the oracle gets the identical formula via
+  * [[graft.ops.ZOrderOps.zvalueSql]]); entity resolution corrupts names
+  * positionally from the key (no randomness) and both engines run the
+  * same `levenshtein`; chunk boundaries come from md5 of fixed 8-char
+  * windows (md5-over-UTF-8 is engine-independent).
+  *
+  * Scale notes: q95 is map-side arithmetic plus one keyed agg; q96 joins
+  * only within blocking buckets (first3+last3 of the name — never a
+  * cross join; bucket fan-in is bounded by name-suffix cardinality);
+  * q97's two-level bitmap agg ships one fixed-size bitmap per
+  * (group, 32k-key bucket) instead of every raw key — the partial-
+  * aggregatable form of COUNT(DISTINCT) for high-cardinality keys; x62
+  * fans out per-doc (constant work per char, no shuffle) and reduces by
+  * chunk hash.
+  */
+object LayoutQueries {
+
+  private val Z_BITS = 16
+
+  /** q95 dims: both non-negative, < 2^16. `y` folds the signed cent
+    * balance into [0, 65536). */
+  private val zx = "c_custkey % 65536"
+  private val zy = "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) % 65536"
+
+  /** q96: deterministic single-char deletion at position 10 + key%5 —
+    * inside the digit run of `Customer#NNNNNNNNN`, so the blocking key
+    * (first 3 + last 3 chars) survives the corruption by construction. */
+  private val dirtySql =
+    "concat(substring(c_name, 1, 9 + c_custkey % 5), " +
+    "substring(c_name, 11 + c_custkey % 5, 30))"
+
+  private def blockKey(nm: String): String =
+    s"concat(substring($nm, 1, 3), substring($nm, -3, 3))"
+
+  /** x62: boundary positions = p ≥ 2 where md5 of the 8-char window at p
+    * hits 0 mod 32 (expected chunk length ≈ 32 chars). */
+  private val boundsSql =
+    """concat(array(1),
+         if(_n >= 9,
+            filter(sequence(2, _n - 7),
+              p -> cast(conv(substr(md5(cast(substring(text, p, 8)
+                     as binary)), 1, 6), 16, 10) as bigint) % 32 = 0),
+            array()),
+         array(_n + 1))"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q95 — Z-order clustering kernel: interleave (custkey, balance)
+    // into a Morton code, bucket by the curve's high bits, and profile
+    // each bucket's bounding box. The per-bucket (max−min) spans are
+    // tight in BOTH dims — the property that makes a z-range-partitioned
+    // layout prunable by two-dimensional predicates (ZOrderSpec asserts
+    // the layout side; this query hash-checks the kernel itself).
+    "q95_zorder_locality" -> ((s, dir) => {
+      val d = Tables(s, dir, "customer")
+        .select(expr(zx).as("x"), expr(zy).as("y"))
+      d.withColumn("z", ZOrderOps.zvalue(col("x"), col("y"), Z_BITS))
+        .groupBy((col("z") / lit(4194304L)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+             min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+             min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Q96 — blocked fuzzy entity resolution: resolve deterministically
+    // corrupted names back to the master list. Candidates come from an
+    // equality join on the blocking key (never all-pairs), are verified
+    // with edit distance ≤ 2, and survivorship keeps the (min distance,
+    // min key) match — the block/verify/survive shape of record linkage
+    // at corpus scale.
+    "q96_entity_resolution" -> ((s, dir) => {
+      val clean = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+                expr(blockKey("c_name")).as("bk"))
+      val dirty = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("d_id"), expr(dirtySql).as("d_name"))
+        .withColumn("bk", expr(blockKey("d_name")))
+      val cand = dirty.join(clean, Seq("bk"))
+        .withColumn("lev", levenshtein(col("d_name"), col("c_name")))
+        .filter(col("lev") <= 2)
+      val byBest = Window.partitionBy(col("d_id"))
+        .orderBy(col("lev"), col("c_custkey"))
+      cand
+        .withColumn("rn", row_number().over(byBest))
+        .withColumn("n_cands",
+          count(lit(1)).over(Window.partitionBy(col("d_id"))))
+        .filter(col("rn") === 1)
+        .select(col("d_id"), col("c_custkey").as("matched"),
+                col("lev"), col("n_cands"))
+        .orderBy(col("d_id"))
+    }),
+
+    // Q97 — bitmap-index COUNT(DISTINCT): keys are bucketed into fixed
+    // 32k-bit bitmaps, OR-merged by partial aggregation, and counted.
+    // Each (group, bucket) ships ONE 4 KB bitmap through the shuffle
+    // regardless of how many raw keys an executor saw — the scalable
+    // form of exact distinct counting over high-cardinality keys
+    // (contrast q33's expand-based count_distinct, which shuffles every
+    // key).
+    "q97_bitmap_distinct" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+                 expr("bitmap_bucket_number(l_orderkey)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_orderkey))")
+               .as("bm"),
+             count(lit(1)).as("rows_"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n_orders"),
+             sum(col("rows_")).as("n_rows"))
+        .orderBy(col("l_returnflag"))),
+
+    // X62 — content-defined chunking dedup (the storage-dedup/CDC trick
+    // applied to corpus text): chunk boundaries are picked by content
+    // (rolling window hash ≡ 0 mod 32), so an insertion near the head of
+    // a near-duplicate document shifts ONE chunk instead of re-aligning
+    // every fixed-width block — shared tails still hash to identical
+    // chunks. Emits the most-duplicated chunks across the corpus.
+    "x62_cdc_chunks" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+                length(col("text")).as("_n"))
+        .withColumn("_bounds", expr(boundsSql))
+        .withColumn("c", explode(expr(
+          """zip_with(slice(_bounds, 1, size(_bounds) - 1),
+                      slice(_bounds, 2, size(_bounds) - 1),
+                      (a, b) -> named_struct(
+                        'h', md5(cast(substring(text, cast(a as int),
+                                      cast(b - a as int)) as binary)),
+                        'l', b - a))""")))
+        .groupBy(col("c.h").as("chunk_md5"))
+        .agg(count(lit(1)).as("cnt"),
+             count_distinct(col("doc_id")).as("n_docs"),
+             max(col("c.l")).as("chunk_len"))
+        .filter(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("chunk_md5"))
+        .limit(100))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q95_zorder_locality" -> {
+      val z = ZOrderOps.zvalueSql("x", "y", Z_BITS)
+      s"""WITH d AS (SELECT $zx AS x, $zy AS y FROM customer),
+         z AS (SELECT x, y, $z AS z FROM d)
+         SELECT z // 4194304 AS bucket, count(*) AS n,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y
+         FROM z GROUP BY 1 ORDER BY 1"""
+    },
+
+    "q96_entity_resolution" ->
+      s"""WITH clean AS (SELECT c_custkey, c_name,
+             ${blockKey("c_name")} AS bk FROM customer),
+         dirty AS (SELECT c_custkey AS d_id, $dirtySql AS d_name,
+             ${blockKey(dirtySql)} AS bk FROM customer),
+         cand AS (SELECT d.d_id, c.c_custkey,
+             levenshtein(d.d_name, c.c_name) AS lev
+           FROM dirty d JOIN clean c USING (bk)
+           WHERE levenshtein(d.d_name, c.c_name) <= 2),
+         best AS (SELECT *,
+             row_number() OVER (PARTITION BY d_id
+                                ORDER BY lev, c_custkey) AS rn,
+             count(*) OVER (PARTITION BY d_id) AS n_cands
+           FROM cand)
+         SELECT d_id, c_custkey AS matched, lev, n_cands
+         FROM best WHERE rn = 1 ORDER BY d_id""",
+
+    "q97_bitmap_distinct" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_orderkey)::BIGINT AS n_orders,
+           count(*)::BIGINT AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "x62_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         b AS (SELECT doc_id, text,
+             list_concat(list_concat([1],
+               CASE WHEN n >= 9 THEN
+                 list_filter(range(2, n - 6),
+                   p -> ('0x' || substr(md5(substr(text, p::INT, 8)),
+                                        1, 6))::BIGINT % 32 = 0)
+               ELSE []::BIGINT[] END), [n + 1]) AS bs
+           FROM d),
+         c AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(bs)),
+               i -> struct_pack(
+                 h := md5(substr(text, bs[i::INT]::INT,
+                                 (bs[(i+1)::INT] - bs[i::INT])::INT)),
+                 l := bs[(i+1)::INT] - bs[i::INT]))) AS ch
+           FROM b)
+         SELECT ch.h AS chunk_md5, count(*) AS cnt,
+           count(DISTINCT doc_id) AS n_docs, max(ch.l) AS chunk_len
+         FROM c GROUP BY 1 HAVING count(*) >= 2
+         ORDER BY cnt DESC, chunk_md5 LIMIT 100"""
+  )
+}

@@ -11,7 +11,8 @@ object SparkEntry {
       ExtensionQueries.queries ++ AnalyticsQueries.queries ++
       FunctionQueries.queries ++ BenchQueries.queries ++
       CorpusQueries.queries ++ EtlQueries.queries ++
-      RelationalQueries.queries ++ RankingQueries.queries
+      RelationalQueries.queries ++ RankingQueries.queries ++
+      LayoutQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -19,5 +20,6 @@ object SparkEntry {
       ExtensionQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
       FunctionQueries.oracleSql ++ BenchQueries.oracleSql ++
       CorpusQueries.oracleSql ++ EtlQueries.oracleSql ++
-      RelationalQueries.oracleSql ++ RankingQueries.oracleSql
+      RelationalQueries.oracleSql ++ RankingQueries.oracleSql ++
+      LayoutQueries.oracleSql
 }
