@@ -131,7 +131,55 @@ object EtlQueries {
              min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
         .select(col("user_id"), col("start_ts"), col("end_ts"),
                 col("n_events"))
-        .orderBy(col("user_id"), col("start_ts"))))
+        .orderBy(col("user_id"), col("start_ts"))),
+
+    // Q98 — last-touch marketing attribution: each purchase is credited
+    // to the user's most recent click/view at-or-before it (none →
+    // 'direct'). The per-conversion lookup is ONE as-of join — a single
+    // shuffle + sort per user group ([[graft.operators.TemporalJoins]]),
+    // never a per-row correlated probe — then a tiny keyed rollup.
+    "q98_attribution" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+                cents(col("value")).as("cents"))
+      val touch = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts"),
+                col("event_type").as("channel"))
+      graft.operators.TemporalJoins
+        .asofJoinBackward(conv, touch, Seq("user_id"),
+                          leftTs = "ts", rightTs = "ts",
+                          rightPayload = Seq("channel"))
+        .groupBy(coalesce(col("channel_r"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_conv"),
+             sum(col("cents")).as("revenue_cents"))
+        .orderBy(col("channel"))
+    }),
+
+    // Q99 — incremental rollup maintenance: the nightly-delta pattern.
+    // The base partition's partial aggregate (at 100 TB: a tiny persisted
+    // state table) merges with the delta's partial via union + re-agg —
+    // the base RAW data is never rescanned. All aggregates here are
+    // decomposable (count/sum/max re-aggregate; avg derives from sum and
+    // count at the end), which is exactly what makes the pattern valid;
+    // the oracle recomputes from scratch, proving merge ≡ full recompute.
+    "q99_incremental_rollup" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"),
+                col("o_orderdate").as("d"),
+                cents(col("o_totalprice")).as("c"))
+      def partial(df: DataFrame) = df.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+             max(col("c")).as("mx"))
+      val base = partial(o.filter(col("d") < lit("1997-01-01")))
+      val delta = partial(o.filter(col("d") >= lit("1997-01-01")))
+      base.unionAll(delta)
+        .groupBy(col("prio"))
+        .agg(sum(col("n")).as("n_orders"), sum(col("s")).as("revenue_cents"),
+             max(col("mx")).as("max_cents"))
+        .withColumn("avg_cents", expr("revenue_cents DIV n_orders"))
+        .orderBy(col("prio"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q67_upsert" ->
@@ -224,5 +272,29 @@ object EtlQueries {
                FROM flagged)
          SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts,
            count(*) AS n_events
-         FROM s GROUP BY user_id, sid ORDER BY user_id, start_ts""")
+         FROM s GROUP BY user_id, sid ORDER BY user_id, start_ts""",
+
+    // the as-of join is inclusive (ts ≤ conv ts) with ties broken by the
+    // GREATEST payload — mirrored by ORDER BY ts DESC, channel DESC
+    "q98_attribution" ->
+      """WITH conv AS (SELECT user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         touch AS (SELECT user_id, ts, event_type AS channel
+           FROM events WHERE event_type IN ('click', 'view')),
+         lt AS (SELECT c.cents,
+             (SELECT t.channel FROM touch t
+              WHERE t.user_id = c.user_id AND t.ts <= c.ts
+              ORDER BY t.ts DESC, t.channel DESC LIMIT 1) AS channel
+           FROM conv c)
+         SELECT coalesce(channel, 'direct') AS channel,
+           count(*) AS n_conv, sum(cents)::BIGINT AS revenue_cents
+         FROM lt GROUP BY 1 ORDER BY 1""",
+
+    "q99_incremental_rollup" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n_orders,
+           sum(round(o_totalprice * 100))::BIGINT AS revenue_cents,
+           max(round(o_totalprice * 100))::BIGINT AS max_cents,
+           sum(round(o_totalprice * 100))::BIGINT // count(*) AS avg_cents
+         FROM orders GROUP BY 1 ORDER BY 1""")
 }

@@ -105,11 +105,12 @@ object GraphOps {
     * irrelevant for ranking, essential for a cross-engine hash check.
     *
     * One shuffle-heavy join per iteration is inherent to PageRank; what
-    * must NOT grow per iteration is plan lineage or cached state. Edges
-    * join their degree once (both sides already hash-partitioned by `u`
-    * from the groupBy — no extra exchange) and stay persisted; each
-    * round's ranks are `localCheckpoint`ed (one job, flat lineage) and
-    * the superseded round is freed immediately ([[CheckpointOps.free]]).
+    * must NOT grow per iteration is plan lineage or cached state. The
+    * per-edge state (u, v, outdeg) is built in a single pass — an
+    * unordered count window rides the same exchange that keys the edges
+    * by `u` — and stays persisted as the one cached frame; each round's
+    * ranks are `localCheckpoint`ed (one job, flat lineage) and the
+    * superseded round is freed immediately ([[CheckpointOps.free]]).
     *
     * Dangling nodes: callers pass a symmetrized edge list (every node
     * has out-degree ≥ 1), so no mass-leak redistribution is needed.
@@ -129,14 +130,17 @@ object GraphOps {
   def pageRank(edges: DataFrame, iters: Int,
                scale: Long = 1000000000L,
                smallRanks: Boolean = true): DataFrame = {
-    // the edge list feeds three consumers (degree build, the per-round
-    // probe, rank init) and is itself often an expensive construction
-    // (q92: joins + distincts) — cache it once, release before returning
-    val e = edges.select(col("u"), col("v")).persist()
-    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
-    // (u, v, d) — the static per-edge state every round probes
-    val linked = e.join(deg, Seq("u")).persist()
-    var ranks = deg.select(col("u").as("node"), lit(scale).as("r"))
+    // (u, v, d) — the static per-edge state every round probes. Degrees
+    // come from ONE pass over the edges (an unordered count window =
+    // partial + final agg fused into the same shuffle that keys the
+    // frame by u) instead of a separate groupBy + self-join — one
+    // materialization, one cached frame, no second exchange.
+    val linked = edges.select(col("u"), col("v"))
+      .withColumn("d", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("u"))))
+      .persist()
+    var ranks = linked.select(col("u").as("node")).distinct()
+      .withColumn("r", lit(scale))
       .localCheckpoint(false)
     ranks.count()
     val teleport = scale * 15 / 100
@@ -154,7 +158,6 @@ object GraphOps {
       ranks = next
     }
     linked.unpersist()
-    e.unpersist()
     ranks
   }
 }

@@ -175,4 +175,48 @@ object StreamingOps {
           }
       }
   }
+
+  final case class HeavyHitter(shard: Int, key: String,
+                               countMin: Long, countMax: Long)
+
+  /** Streaming heavy hitters: the SpaceSaving summary (the batch x58
+    * UDAF, [[graft.functions.SpaceSavingAggregator]]) maintained as
+    * flatMapGroupsWithState state — per shard, a bounded map of at most
+    * `capacity` (key → count, overestimate) entries, updated per
+    * micro-batch and emitting the current top-`k` estimates in Update
+    * mode. Sharding by key hash bounds BOTH state size (shards ×
+    * capacity entries total) and per-task work; any key's true count is
+    * within [countMax − err, countMax] and a global top-k is the union
+    * of the per-shard reports (SpaceSaving is merge-closed, so shard
+    * reports can themselves be re-merged downstream).
+    */
+  def streamingHeavyHitters(keys: Dataset[String], capacity: Int, k: Int,
+                            shards: Int = 16): Dataset[HeavyHitter] = {
+    import keys.sparkSession.implicits._
+    require(capacity > 0 && k > 0 && shards > 0)
+    keys
+      .groupByKey(key => ((key.hashCode % shards) + shards) % shards)
+      .flatMapGroupsWithState[Map[String, (Long, Long)], HeavyHitter](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (shard, rows, state: GroupState[Map[String, (Long, Long)]]) =>
+          var m = state.getOption.getOrElse(Map.empty[String, (Long, Long)])
+          rows.foreach { key =>
+            m.get(key) match {
+              case Some((c, e)) => m = m.updated(key, (c + 1, e))
+              case None if m.size < capacity => m = m.updated(key, (1L, 0L))
+              case None =>
+                // evict the minimum (ties: lexicographic — deterministic);
+                // the newcomer inherits its count as the overestimate
+                val (mk, (mc, _)) = m.minBy { case (kk, (c, _)) => (c, kk) }
+                m = (m - mk).updated(key, (mc + 1, mc))
+            }
+          }
+          state.update(m)
+          m.toSeq
+            .sortBy { case (kk, (c, _)) => (-c, kk) }
+            .take(k)
+            .iterator
+            .map { case (kk, (c, e)) => HeavyHitter(shard, kk, c - e, c) }
+      }
+  }
 }

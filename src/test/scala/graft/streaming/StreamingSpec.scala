@@ -188,4 +188,51 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 1), (1L, 2), (1L, 3),
                        (2L, 1), (5L, 1), (5L, 2)))
   }
+
+  test("streamingHeavyHitters: exact when capacity holds all keys, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamingOps.streamingHeavyHitters(mem.toDS(), capacity = 100,
+        k = 3, shards = 1)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("update").start()
+    mem.addData(Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"): _*)
+    q.processAllAvailable()
+    mem.addData(Seq.fill(2)("b") ++ Seq.fill(4)("d"): _*)   // b overtakes a
+    q.processAllAvailable()
+    // Update mode re-emits per batch; the LAST report per key is current
+    val last = spark.sql("select key, countMin, countMax from hh").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (k0, rs) => k0 -> rs.last }
+    q.stop()
+    assert(last("a") == ("a", 5L, 5L))
+    assert(last("b") == ("b", 5L, 5L))
+    assert(last("d") == ("d", 4L, 4L))
+    // capacity covered every key: estimates are exact (err = 0)
+    assert(last.values.forall { case (_, lo, hi) => lo == hi })
+  }
+
+  test("streamingHeavyHitters: bounded state still brackets true counts under eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamingOps.streamingHeavyHitters(mem.toDS(), capacity = 2,
+        k = 2, shards = 1)
+      .writeStream.format("memory").queryName("hh2")
+      .outputMode("update").start()
+    // 6×hot, then 5 distinct one-off keys churning the second slot
+    mem.addData(Seq.fill(6)("hot") ++ Seq("u1", "u2", "u3", "u4", "u5"): _*)
+    q.processAllAvailable()
+    val rows = spark.sql("select key, countMin, countMax from hh2").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    q.stop()
+    val hot = rows.find(_._1 == "hot").get
+    assert(hot._2 == 6L && hot._3 == 6L,
+      "the heavy key must never be evicted by one-off churn")
+    // every reported interval must bracket the true count (≤ 1 here for u*)
+    rows.filter(_._1.startsWith("u")).foreach { case (_, lo, hi) =>
+      assert(lo <= 1 && 1 <= hi)
+    }
+  }
 }
