@@ -32,7 +32,10 @@ object PlanCheck {
                "q91_triangle_count",
                "q92_pagerank", "q93_streaks", "q94_allocation",
                "x59_temperature_mix", "x60_dedup_survivorship",
-               "x61_token_fertility")
+               "x61_token_fertility",
+               "q95_zorder_locality", "q96_entity_resolution",
+               "q97_bitmap_distinct", "x62_cdc_chunks",
+               "q98_attribution", "q99_incremental_rollup")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")
