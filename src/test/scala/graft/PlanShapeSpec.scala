@@ -431,4 +431,55 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(lang"), plan.take(3000))
     assert(!plan.contains("SinglePartition"), plan.take(3000))
   }
+
+  test("q95 z-order: pure projection into one keyed agg — no join, no window") {
+    val plan = planOf("q95_zorder_locality")
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
+  test("q96 ER: candidates via hash join on the blocking key, never nested-loop") {
+    val plan = planOf("q96_entity_resolution")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(3000))
+  }
+
+  test("q97 bitmap distinct: two-level agg, no Expand-based count_distinct") {
+    val plan = planOf("q97_bitmap_distinct")
+    // the bitmap path must NOT compile to the expand/dedup dataflow that
+    // shuffles every raw key (that is q33's shape); the bitmap partials
+    // ride SortAggregate (binary buffers aren't hash-mutable) — the sort
+    // is per-partition over (flag, bucket), and what crosses the wire is
+    // one 4 KB bitmap per group-bucket, not the raw keys
+    assert(!plan.contains("Expand"), plan.take(3000))
+    assert(plan.contains("bitmapBucketNumber") ||
+           plan.contains("bitmap_bucket_number"), plan.take(3000))
+  }
+
+  test("q98 attribution: as-of rides one keyed window — no per-row subquery join") {
+    val plan = planOf("q98_attribution")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("hashpartitioning(user_id"), plan.take(3000))
+  }
+
+  test("q99 incremental rollup: both partials push their date filter to the scan") {
+    val df = SparkEntry.queries("q99_incremental_rollup")(spark, sfDir)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("LessThan(o_orderdate"), formatted.take(3000))
+    assert(formatted.contains("GreaterThanOrEqual(o_orderdate"),
+      formatted.take(3000))
+  }
+
+  test("x62 CDC chunks: per-doc fan-out only — no join, one chunk-hash agg") {
+    val plan = planOf("x62_cdc_chunks")
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(plan.contains("Generate"), "chunk explode must be a Generate")
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
 }
