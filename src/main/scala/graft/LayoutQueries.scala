@@ -7,7 +7,8 @@ import graft.ops.ZOrderOps
 
 /** Round-6 layout & linkage operators: Z-order multi-dimensional
   * clustering (q95), blocked fuzzy entity resolution (q96), bitmap-index
-  * distinct counting (q97), and content-defined chunk dedup (x62).
+  * distinct counting (q97), content-defined chunk dedup (x62), and
+  * strict-adjacency sequence-pattern matching (q100).
   *
   * Cross-engine determinism: the z-interleave is pure integer bit
   * arithmetic (the oracle gets the identical formula via
@@ -145,7 +146,29 @@ object LayoutQueries {
              max(col("c.l")).as("chunk_len"))
         .filter(col("cnt") >= 2)
         .orderBy(col("cnt").desc, col("chunk_md5"))
-        .limit(100))
+        .limit(100)),
+
+    // Q100 — strict-adjacency sequence patterns (the MATCH_RECOGNIZE
+    // shape): find view→click→purchase runs of IMMEDIATELY consecutive
+    // events per user. Two lag windows over one per-user shuffle+sort —
+    // row-pattern matching compiles to windows, never a per-row scan of
+    // the user's history. Contrast q85's funnel, which matches first
+    // occurrences within a time bound rather than strict adjacency.
+    "q100_seq_pattern" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type"))
+        .withColumn("p1", lag(col("event_type"), 1).over(w))
+        .withColumn("p2", lag(col("event_type"), 2).over(w))
+        .filter(col("event_type") === "purchase" &&
+                col("p1") === "click" && col("p2") === "view")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matches"),
+             min(col("ts")).as("first_match_ts"))
+        .orderBy(col("user_id"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -203,6 +226,18 @@ object LayoutQueries {
          SELECT ch.h AS chunk_md5, count(*) AS cnt,
            count(DISTINCT doc_id) AS n_docs, max(ch.l) AS chunk_len
          FROM c GROUP BY 1 HAVING count(*) >= 2
-         ORDER BY cnt DESC, chunk_md5 LIMIT 100"""
+         ORDER BY cnt DESC, chunk_md5 LIMIT 100""",
+
+    "q100_seq_pattern" ->
+      """WITH g AS (SELECT user_id, ts, event_type,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, count(*) AS n_matches,
+           min(ts) AS first_match_ts
+         FROM g
+         WHERE event_type = 'purchase' AND p1 = 'click' AND p2 = 'view'
+         GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -151,4 +151,27 @@ class LayoutQueriesSpec extends SparkSpec {
     val rows = run("x62_cdc_chunks").collect()
     rows.foreach(r => assert(r.getLong(1) >= 2))
   }
+
+  test("q100 pattern: strict adjacency — an interleaved event breaks the run") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, t(1), 1L, "view"), (1L, t(2), 2L, "click"),
+      (1L, t(3), 3L, "purchase"),                       // match
+      (2L, t(1), 4L, "view"), (2L, t(2), 5L, "error"),
+      (2L, t(3), 6L, "click"), (2L, t(4), 7L, "purchase") // broken by error
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val got = ev
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .withColumn("p2", lag(col("event_type"), 2).over(w))
+      .filter(col("event_type") === "purchase" &&
+              col("p1") === "click" && col("p2") === "view")
+      .select("user_id").as[Long].collect().toSeq
+    assert(got == Seq(1L), "only user 1 has an unbroken view,click,purchase run")
+    // and the declared query runs green on the real events table
+    assert(run("q100_seq_pattern").collect().forall(_.getLong(1) >= 1))
+  }
 }
