@@ -168,6 +168,28 @@ object LayoutQueries {
         .agg(count(lit(1)).as("n_matches"),
              min(col("ts")).as("first_match_ts"))
         .orderBy(col("user_id"))
+    }),
+
+    // Q101 — 7-day rolling distinct active users (the WAU-per-day
+    // metric). Sliding COUNT(DISTINCT) can't ride a window frame at
+    // scale (per-frame sets); the scalable form dedupes to (user, day)
+    // FIRST, fans each activity day out to the ≤ 7 window-ends it
+    // contributes to (constant fan-out, map-side), and runs ONE distinct
+    // agg keyed by window-end — work is O(active-pairs × 7), never
+    // O(days × history).
+    "q101_sliding_distinct" -> ((s, dir) => {
+      val ud = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val maxd = ud.agg(max(col("day")).as("maxd"))
+      ud.select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6)))
+            .as("wday"))
+        .crossJoin(broadcast(maxd))
+        .filter(col("wday") <= col("maxd"))
+        .groupBy(col("wday"))
+        .agg(count_distinct(col("user_id")).as("wau_7d"))
+        .select(col("wday").cast("string").as("wday"), col("wau_7d"))
+        .orderBy(col("wday"))
     })
   )
 
@@ -238,6 +260,16 @@ object LayoutQueries {
            min(ts) AS first_match_ts
          FROM g
          WHERE event_type = 'purchase' AND p1 = 'click' AND p2 = 'view'
+         GROUP BY 1 ORDER BY 1""",
+
+    "q101_sliding_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+         c AS (SELECT user_id,
+             (day + INTERVAL (i) DAY)::DATE AS wday
+           FROM ud, unnest(range(0, 7)) AS t(i))
+         SELECT wday::VARCHAR AS wday,
+           count(DISTINCT user_id)::BIGINT AS wau_7d
+         FROM c WHERE wday <= (SELECT max(day) FROM ud)
          GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -35,7 +35,8 @@ object PlanCheck {
                "x61_token_fertility",
                "q95_zorder_locality", "q96_entity_resolution",
                "q97_bitmap_distinct", "x62_cdc_chunks",
-               "q98_attribution", "q99_incremental_rollup")
+               "q98_attribution", "q99_incremental_rollup",
+               "q100_seq_pattern", "q101_sliding_distinct")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")
