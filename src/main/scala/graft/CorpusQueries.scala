@@ -269,6 +269,43 @@ object CorpusQueries {
       vocabApply(Tables(s, dir, "documents"), minCount = 5)
         .orderBy(col("doc_id"))),
 
+    // X63 — per-source dataset datasheet: the one-page report card a
+    // corpus release ships with (counts, token mass, short-doc and
+    // exact-dup rates, dominant language), all integer per-mille so the
+    // numbers hash cross-engine. Dataflow: one map-side signal
+    // projection feeding three keyed aggs (dup counts join back on the
+    // text md5; language mode is a per-source window over collapsed
+    // (source, lang) counts — value-domain, never raw rows).
+    "x63_source_datasheet" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("source"), col("lang"),
+                md5(col("text").cast("binary")).as("h"),
+                T.tokenCount(col("text")).cast("long").as("ntok"))
+        .persist()
+      val dupH = d.groupBy(col("h")).agg(count(lit(1)).as("hc"))
+      val base = d.join(dupH, Seq("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("ntok")).as("tokens_total"),
+             sum(when(col("ntok") < 20, 1L).otherwise(0L)).as("_n_short"),
+             sum(when(col("hc") > 1, 1L).otherwise(0L)).as("_n_dup"))
+      val byCnt = Window.partitionBy(col("source"))
+        .orderBy(col("_lc").desc, col("lang"))
+      val langTop = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("_lc"))
+        .withColumn("_rn", row_number().over(byCnt))
+        .filter(col("_rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"), col("_lc"))
+      base.join(langTop, Seq("source"))
+        .select(col("source"), col("n_docs"), col("tokens_total"),
+                expr("tokens_total DIV n_docs").as("mean_tokens"),
+                expr("(1000 * _n_short) DIV n_docs").as("short_permille"),
+                expr("(1000 * _n_dup) DIV n_docs").as("dup_permille"),
+                col("top_lang"),
+                expr("(1000 * _lc) DIV n_docs").as("top_lang_permille"))
+        .orderBy(col("source"))
+    }),
+
     // X44 — per-source length-band quality trim: docs ranked by token
     // count within their source; the shortest and longest ~5% (integer
     // cnt DIV 20 from each end) are dropped — the distribution-outlier
@@ -832,6 +869,29 @@ object CorpusQueries {
            count(*) FILTER (WHERE id = 0) AS n_oov,
            md5(string_agg(id::VARCHAR, ',' ORDER BY pos)) AS ids_md5
          FROM j GROUP BY doc_id ORDER BY doc_id""",
+
+    "x63_source_datasheet" ->
+      s"""WITH d AS (SELECT source, lang, md5(text) AS h,
+             len($wordsSql)::BIGINT AS ntok FROM documents),
+         hc AS (SELECT h, count(*) AS hc FROM d GROUP BY 1),
+         dd AS (SELECT d.source, d.ntok, hc.hc FROM d JOIN hc USING (h)),
+         base AS (SELECT source, count(*) AS n_docs,
+             sum(ntok)::BIGINT AS tokens_total,
+             sum(CASE WHEN ntok < 20 THEN 1 ELSE 0 END)::BIGINT AS n_short,
+             sum(CASE WHEN hc > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+           FROM dd GROUP BY 1),
+         lt AS (SELECT source, lang, count(*) AS lc,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY count(*) DESC, lang) AS rn
+           FROM d GROUP BY source, lang)
+         SELECT b.source AS source, n_docs, tokens_total,
+           tokens_total // n_docs AS mean_tokens,
+           (1000 * n_short) // n_docs AS short_permille,
+           (1000 * n_dup) // n_docs AS dup_permille,
+           l.lang AS top_lang,
+           (1000 * l.lc) // n_docs AS top_lang_permille
+         FROM base b JOIN lt l ON b.source = l.source AND l.rn = 1
+         ORDER BY 1""",
 
     "x44_length_trim" ->
       s"""WITH t AS (SELECT doc_id, source,

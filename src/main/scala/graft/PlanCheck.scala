@@ -36,7 +36,8 @@ object PlanCheck {
                "q95_zorder_locality", "q96_entity_resolution",
                "q97_bitmap_distinct", "x62_cdc_chunks",
                "q98_attribution", "q99_incremental_rollup",
-               "q100_seq_pattern", "q101_sliding_distinct")
+               "q100_seq_pattern", "q101_sliding_distinct",
+               "x63_source_datasheet")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")

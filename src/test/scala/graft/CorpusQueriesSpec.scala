@@ -367,4 +367,20 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(got === Seq(("en", 10L, 1L), ("en", 50L, 5L), ("en", 90L, 9L),
                        ("fr", 10L, 3L), ("fr", 50L, 3L), ("fr", 90L, 3L)))
   }
+
+  test("x63 datasheet: rates are per-mille, dominant language ties break lexically") {
+    val rows = SparkEntry.queries("x63_source_datasheet")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, tokens) = (r.getLong(1), r.getLong(2))
+      assert(r.getLong(3) == tokens / nDocs, "mean must be the integer DIV")
+      Seq(4, 5, 7).foreach(i =>
+        assert(r.getLong(i) >= 0 && r.getLong(i) <= 1000,
+          s"per-mille field $i out of range: ${r.getLong(i)}"))
+      // the dominant language can never account for less than 1/n_langs
+      assert(r.getLong(7) * 5 >= 1000 - 5 * 5,
+        "top-lang share below the 5-language uniform floor")
+    }
+  }
 }
