@@ -190,6 +190,44 @@ object LayoutQueries {
         .agg(count_distinct(col("user_id")).as("wau_7d"))
         .select(col("wday").cast("string").as("wday"), col("wau_7d"))
         .orderBy(col("wday"))
+    }),
+
+    // Q102 — market-basket association rules (a-priori's pair stage):
+    // support from one keyed pair-count (the self-join fan-out is
+    // Σ basket-size², bounded by basket width, never catalog²),
+    // confidence and lift in integer thousandths. Item supports are a
+    // catalog-sized frame — broadcast to the rules; at a larger minsup
+    // the standard a-priori prune (drop items below minsup BEFORE
+    // pairing) bounds the fan-out further.
+    "q102_market_basket" -> ((s, dir) => {
+      val it = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val nOrders = it.agg(count_distinct(col("ok")).as("n_orders"))
+      val supItem = it.groupBy(col("p")).agg(count(lit(1)).as("sup_i"))
+      val supPair = it.select(col("ok"), col("p").as("pa"))
+        .join(it.select(col("ok"), col("p").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("sup_ab"))
+        .filter(col("sup_ab") >= 2)
+      val rules = supPair
+        .select(col("pa").as("ante"), col("pb").as("cons"), col("sup_ab"))
+        .unionAll(supPair.select(col("pb").as("ante"),
+                                 col("pa").as("cons"), col("sup_ab")))
+      rules
+        .join(broadcast(supItem.select(col("p").as("ante"),
+                                       col("sup_i").as("sup_a"))), Seq("ante"))
+        .join(broadcast(supItem.select(col("p").as("cons"),
+                                       col("sup_i").as("sup_c"))), Seq("cons"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("ante"), col("cons"), col("sup_ab"),
+                expr("(1000 * sup_ab) DIV sup_a").as("conf_x1000"),
+                expr("(1000 * sup_ab * n_orders) DIV (sup_a * sup_c)")
+                  .as("lift_x1000"))
+        .orderBy(col("sup_ab").desc, col("conf_x1000").desc,
+                 col("ante"), col("cons"))
+        .limit(200)
     })
   )
 
@@ -270,6 +308,26 @@ object LayoutQueries {
          SELECT wday::VARCHAR AS wday,
            count(DISTINCT user_id)::BIGINT AS wau_7d
          FROM c WHERE wday <= (SELECT max(day) FROM ud)
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    "q102_market_basket" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                     FROM lineitem),
+         n AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM it),
+         si AS (SELECT p, count(*)::BIGINT AS sup_i FROM it GROUP BY 1),
+         sp AS (SELECT a.p AS pa, b.p AS pb, count(*)::BIGINT AS sup_ab
+                FROM it a JOIN it b ON a.ok = b.ok AND a.p < b.p
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         r AS (SELECT pa AS ante, pb AS cons, sup_ab FROM sp
+               UNION ALL
+               SELECT pb AS ante, pa AS cons, sup_ab FROM sp)
+         SELECT ante, cons, sup_ab,
+           (1000 * sup_ab) // sa.sup_i AS conf_x1000,
+           (1000 * sup_ab * n.n_orders) // (sa.sup_i * sc.sup_i)
+             AS lift_x1000
+         FROM r JOIN si sa ON r.ante = sa.p
+                JOIN si sc ON r.cons = sc.p
+                CROSS JOIN n
+         ORDER BY sup_ab DESC, conf_x1000 DESC, ante, cons LIMIT 200"""
   )
 }

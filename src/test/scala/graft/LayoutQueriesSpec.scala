@@ -174,4 +174,22 @@ class LayoutQueriesSpec extends SparkSpec {
     // and the declared query runs green on the real events table
     assert(run("q100_seq_pattern").collect().forall(_.getLong(1) >= 1))
   }
+
+  test("q102 rules: confidence bounded, pair support symmetric across directions") {
+    val rows = run("q102_market_basket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, sup, conf, lift) =>
+      assert(sup >= 2, "minsup filter")
+      assert(conf >= 0 && conf <= 1000, s"confidence $conf out of [0,1000]")
+      assert(lift > 0)
+    }
+    // a→b and b→a carry the same pair support when both rank in the top-k
+    val bySup = rows.map { case (a, c, s0, _, _) => ((a min c, a max c), s0) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    bySup.foreach { case (pair, sups) =>
+      assert(sups.length == 1, s"pair $pair reported differing supports: $sups")
+    }
+  }
 }
