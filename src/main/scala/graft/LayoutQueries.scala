@@ -88,9 +88,13 @@ object LayoutQueries {
       val dirty = Tables(s, dir, "customer")
         .select(col("c_custkey").as("d_id"), expr(dirtySql).as("d_name"))
         .withColumn("bk", expr(blockKey("d_name")))
+      // bounded edit distance: the threshold form early-exits the DP for
+      // far pairs (returns -1 past the bound) — at corpus scale most
+      // candidates are far, so the scan cost per pair is O(len·k), not
+      // O(len²). Kept rows carry the same distance the oracle computes.
       val cand = dirty.join(clean, Seq("bk"))
-        .withColumn("lev", levenshtein(col("d_name"), col("c_name")))
-        .filter(col("lev") <= 2)
+        .withColumn("lev", levenshtein(col("d_name"), col("c_name"), 2))
+        .filter(col("lev") >= 0 && col("lev") <= 2)
       val byBest = Window.partitionBy(col("d_id"))
         .orderBy(col("lev"), col("c_custkey"))
       cand

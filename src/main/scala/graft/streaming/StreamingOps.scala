@@ -219,4 +219,42 @@ object StreamingOps {
             .map { case (kk, (c, e)) => HeavyHitter(shard, kk, c - e, c) }
       }
   }
+
+  final case class Anomaly(key: Long, value: Double, n: Long,
+                           mean: Double, std: Double)
+  final case class WelfordState(n: Long, mean: Double, m2: Double)
+
+  /** Streaming z-score anomaly detection: per key, a running Welford
+    * (n, mean, M2) state — O(1) memory per key, numerically stable —
+    * flags values more than `kSigma` standard deviations from the mean
+    * seen SO FAR (the state updates after the test, so a spike is judged
+    * against history, not against itself). The monitoring primitive for
+    * pipeline health at ingest: no windows to size, no history replay.
+    */
+  def streamingAnomalies(points: Dataset[(Long, Double)],
+                         kSigma: Double = 3.0,
+                         minN: Long = 5): Dataset[Anomaly] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[WelfordState, Anomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[WelfordState]) =>
+          var st = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
+          val out = Vector.newBuilder[Anomaly]
+          rows.foreach { case (_, v) =>
+            if (st.n >= minN) {
+              val std = math.sqrt(st.m2 / (st.n - 1))
+              if (std > 0 && math.abs(v - st.mean) > kSigma * std)
+                out += Anomaly(key, v, st.n, st.mean, std)
+            }
+            val n1 = st.n + 1
+            val d = v - st.mean
+            val mean1 = st.mean + d / n1
+            st = WelfordState(n1, mean1, st.m2 + d * (v - mean1))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

@@ -235,4 +235,24 @@ class StreamingSpec extends SparkSpec {
       assert(lo <= 1 && 1 <= hi)
     }
   }
+
+  test("streamingAnomalies flags a spike against history, not against itself") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val q = StreamingOps.streamingAnomalies(mem.toDS(), kSigma = 3.0, minN = 5)
+      .writeStream.format("memory").queryName("anom")
+      .outputMode("append").start()
+    // steady baseline ~10±1 for key 7, then a spike; key 8 stays calm
+    mem.addData((7L, 9.0), (7L, 10.0), (7L, 11.0), (7L, 10.0), (7L, 9.5),
+                (8L, 5.0), (8L, 5.1), (8L, 4.9), (8L, 5.0), (8L, 5.2))
+    q.processAllAvailable()
+    mem.addData((7L, 50.0), (7L, 10.5), (8L, 5.1))
+    q.processAllAvailable()
+    val rows = spark.sql("select key, value from anom").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    q.stop()
+    assert(rows == Set((7L, 50.0)),
+      s"only the key-7 spike should flag, got $rows")
+  }
 }
