@@ -204,21 +204,39 @@ object LayoutQueries {
     // the standard a-priori prune (drop items below minsup BEFORE
     // pairing) bounds the fan-out further.
     "q102_market_basket" -> ((s, dir) => {
-      val it = Tables(s, dir, "lineitem")
+      // ONE shuffle keyed by order builds the basket arrays (collect_set
+      // dedupes in-basket repeats); pair expansion is a per-basket HOF
+      // over the sorted array — Σ basket² work map-side, no basket
+      // self-join (which would shuffle the item list twice more: once
+      // per join side, keyed by ok)
+      val baskets = Tables(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val nOrders = it.agg(count_distinct(col("ok")).as("n_orders"))
-      val supItem = it.groupBy(col("p")).agg(count(lit(1)).as("sup_i"))
-      val supPair = it.select(col("ok"), col("p").as("pa"))
-        .join(it.select(col("ok"), col("p").as("pb")), Seq("ok"))
-        .filter(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb"))
+        .groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("p"))).as("ps"))
+        .persist()
+      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+      val supItem = baskets
+        .select(explode(col("ps")).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("sup_i"))
+      val supPair = baskets
+        .select(explode(expr(
+          """flatten(transform(ps, (a, i) ->
+               transform(slice(ps, i + 2, size(ps)), b ->
+                 named_struct('pa', a, 'pb', b))))""")).as("e"))
+        .groupBy(col("e.pa").as("pa"), col("e.pb").as("pb"))
         .agg(count(lit(1)).as("sup_ab"))
         .filter(col("sup_ab") >= 2)
+      // both rule directions from ONE pass over the pair counts (a
+      // unionAll of two selects would re-run the whole pair aggregation
+      // per branch — no exchange reuse across union branches)
       val rules = supPair
-        .select(col("pa").as("ante"), col("pb").as("cons"), col("sup_ab"))
-        .unionAll(supPair.select(col("pb").as("ante"),
-                                 col("pa").as("cons"), col("sup_ab")))
+        .select(explode(array(
+          struct(col("pa").as("ante"), col("pb").as("cons"),
+                 col("sup_ab")),
+          struct(col("pb").as("ante"), col("pa").as("cons"),
+                 col("sup_ab")))).as("r"))
+        .select(col("r.ante").as("ante"), col("r.cons").as("cons"),
+                col("r.sup_ab").as("sup_ab"))
       rules
         .join(broadcast(supItem.select(col("p").as("ante"),
                                        col("sup_i").as("sup_a"))), Seq("ante"))
