@@ -344,7 +344,10 @@ object FunctionQueries {
         .agg(count(lit(1)).as("tf")).persist()
       val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
-      val scored = tf.join(dfreq, Seq("word"))
+      // dfreq is VOCABULARY-sized and derives from the stats-less cached
+      // tf — broadcast explicitly or the planner intermittently
+      // sort-merges the (doc × term)-sized side against it (x56's flip)
+      val scored = tf.join(broadcast(dfreq), Seq("word"))
         .crossJoin(broadcast(n))
         .withColumn("score", col("tf") * expr("(1000000 * n) div df"))
       val w = Window.partitionBy(col("doc_id"))

@@ -68,7 +68,7 @@ object LayoutQueries {
       val d = Tables(s, dir, "customer")
         .select(expr(zx).as("x"), expr(zy).as("y"))
       d.withColumn("z", ZOrderOps.zvalue(col("x"), col("y"), Z_BITS))
-        .groupBy((col("z") / lit(4194304L)).cast("long").as("bucket"))
+        .groupBy(expr("z DIV 4194304").as("bucket"))
         .agg(count(lit(1)).as("n"),
              min(col("x")).as("min_x"), max(col("x")).as("max_x"),
              min(col("y")).as("min_y"), max(col("y")).as("max_y"))
