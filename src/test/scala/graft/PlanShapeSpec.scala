@@ -482,4 +482,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Generate"), "chunk explode must be a Generate")
     assert(plan.contains("HashAggregate"), plan.take(3000))
   }
+
+  test("x24/x56: vocabulary-sized models join the corpus stream by broadcast only") {
+    // the flip class: a model frame derived from a stats-less cached
+    // parent has no size estimate, so without an explicit broadcast the
+    // planner intermittently sort-merges the corpus-sized probe side
+    // (x56 measured 1.3 s broadcast vs 10.9 s flipped)
+    Seq("x24_tfidf_top_term", "x56_bigram_surprise").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: model join must broadcast, got:\n" + plan.take(3000))
+    }
+  }
 }
