@@ -517,6 +517,34 @@ object FunctionQueries {
              concat_ws(",", transform(
                array_sort(collect_list(struct(col("pos"), col("mean_scaled")))),
                s => s.getField("mean_scaled").cast("string"))).as("centroid8"))
+        .orderBy(col("label"))),
+
+    // X64 — embedding-distribution drift monitor: per label, the L1
+    // distance between the centroid of two deterministic cohorts (even
+    // vs odd vec_id — stand-ins for yesterday/today snapshots). x37's
+    // micro-unit integer arithmetic end-to-end (sums commute, DIV
+    // truncation matches DuckDB on negatives — probed), so the drift
+    // number is bit-identical on any partitioning: the ingest-health
+    // check that catches an upstream encoder change before it poisons
+    // training. One explode + two keyed aggs; nothing all-pairs.
+    "x64_embedding_drift" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("label"), (col("vec_id") % 2).as("half"),
+                posexplode(col("embedding")))
+        .filter(col("pos") < 16)
+        .select(col("label"), col("half"), col("pos"),
+                round(col("col").cast("double") * 1000000).cast("long").as("v"))
+        .groupBy(col("label"), col("half"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("c"))
+        .withColumn("m", expr("sv DIV c"))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(when(col("half") === 0, col("m"))).as("m0"),
+             sum(when(col("half") === 1, col("m"))).as("m1"),
+             max(when(col("half") === 0, col("c"))).as("c0"),
+             max(when(col("half") === 1, col("c"))).as("c1"))
+        .groupBy(col("label"))
+        .agg(sum(abs(col("m0") - col("m1"))).as("l1_drift_micro"),
+             max(col("c0")).as("n_even"), max(col("c1")).as("n_odd"))
         .orderBy(col("label"))))
 
   // --- DuckDB oracles ------------------------------------------------------
@@ -845,6 +873,26 @@ object FunctionQueries {
           SELECT label, max(c) AS n_members,
             array_to_string(list((sv // c) ORDER BY pos), ',') AS centroid8
           FROM g GROUP BY label ORDER BY label""",
+
+    "x64_embedding_drift" ->
+      """WITH s1 AS (SELECT label, vec_id % 2 AS half, embedding,
+             unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+          s2 AS (SELECT label, half, i - 1 AS pos,
+             (round(embedding[i]::DOUBLE * 1000000))::BIGINT AS v
+           FROM s1 WHERE i <= 16),
+          g AS (SELECT label, half, pos, sum(v)::BIGINT AS sv,
+                  count(*)::BIGINT AS c
+                FROM s2 GROUP BY 1, 2, 3),
+          m AS (SELECT label, half, pos, sv // c AS m, c FROM g),
+          p AS (SELECT label, pos,
+                  sum(CASE WHEN half = 0 THEN m END)::BIGINT AS m0,
+                  sum(CASE WHEN half = 1 THEN m END)::BIGINT AS m1,
+                  max(CASE WHEN half = 0 THEN c END)::BIGINT AS c0,
+                  max(CASE WHEN half = 1 THEN c END)::BIGINT AS c1
+                FROM m GROUP BY 1, 2)
+          SELECT label, sum(abs(m0 - m1))::BIGINT AS l1_drift_micro,
+            max(c0)::BIGINT AS n_even, max(c1)::BIGINT AS n_odd
+          FROM p GROUP BY 1 ORDER BY 1""",
 
     "x23_stratified_split" ->
       """WITH s AS (SELECT source, n_chars,

@@ -37,7 +37,8 @@ object PlanCheck {
                "q97_bitmap_distinct", "x62_cdc_chunks",
                "q98_attribution", "q99_incremental_rollup",
                "q100_seq_pattern", "q101_sliding_distinct",
-               "x63_source_datasheet", "q102_market_basket")
+               "x63_source_datasheet", "q102_market_basket",
+               "x64_embedding_drift")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")
