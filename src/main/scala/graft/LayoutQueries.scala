@@ -250,6 +250,28 @@ object LayoutQueries {
         .orderBy(col("sup_ab").desc, col("conf_x1000").desc,
                  col("ante"), col("cons"))
         .limit(200)
+    }),
+
+    // Q103 — time-weighted average (TWAP): each observation holds until
+    // the next one, so its weight is the microsecond gap to the
+    // successor (the last observation carries no weight). One lead
+    // window per user — the irregular-time-series mean without
+    // resampling. All integer: cents × µs products stay far under 2^63
+    // at any realistic event density.
+    "q103_time_weighted_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+                round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("dt",
+          unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+        .filter(col("dt").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_holds"),
+             sum(col("dt")).as("span_us"),
+             expr("sum(cents * dt) DIV sum(dt)").as("twap_cents"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -350,6 +372,20 @@ object LayoutQueries {
          FROM r JOIN si sa ON r.ante = sa.p
                 JOIN si sc ON r.cons = sc.p
                 CROSS JOIN n
-         ORDER BY sup_ab DESC, conf_x1000 DESC, ante, cons LIMIT 200"""
+         ORDER BY sup_ab DESC, conf_x1000 DESC, ante, cons LIMIT 200""",
+
+    "q103_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         d AS (SELECT user_id, cents,
+             epoch_us(lead(ts, 1) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt
+           FROM e)
+         SELECT user_id, count(*) AS n_holds,
+           sum(dt)::BIGINT AS span_us,
+           sum(cents * dt)::BIGINT // sum(dt)::BIGINT AS twap_cents
+         FROM d WHERE dt IS NOT NULL
+         GROUP BY 1 ORDER BY 1"""
   )
 }
