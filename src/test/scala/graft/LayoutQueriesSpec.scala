@@ -192,4 +192,23 @@ class LayoutQueriesSpec extends SparkSpec {
       assert(sups.length == 1, s"pair $pair reported differing supports: $sups")
     }
   }
+
+  test("q103 TWAP: weighted mean stays within the user's observed value range") {
+    import spark.implicits._
+    val rows = run("q103_time_weighted_avg").collect()
+    assert(rows.nonEmpty)
+    val bounds = Tables(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .agg(min(round(col("value") * 100).cast("long")).as("lo"),
+           max(round(col("value") * 100).cast("long")).as("hi"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { r =>
+      val (u, span, twap) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(span > 0, s"user $u: non-positive holding span")
+      val (lo, hi) = bounds(u)
+      assert(twap >= lo - 1 && twap <= hi,
+        s"user $u: twap $twap outside value range [$lo, $hi]")
+    }
+  }
 }
