@@ -23,13 +23,30 @@ object IvfSearch {
   final case class Index(cells: DataFrame, centroids: Array[(Int, Array[Double])])
 
   /** Build: fit KMeans (fixed seed) and label every corpus row with its
-    * cell id. */
+    * cell id.
+    *
+    * @param fitSampleBuckets when < 256, the quantizer is FIT on a
+    *        deterministic md5-bucket sample (`fitSampleBuckets`/256 of
+    *        the corpus) and only the cheap labeling pass reads every
+    *        row — the 100 TB shape, where fitting on the full corpus
+    *        would put the iterative KMeans inner loop over all data.
+    *        Cell quality degrades gracefully (centroids from a uniform
+    *        sample converge to the same density optima); recall is the
+    *        tunable, via `nprobe`. The md5 bucket keys on the row id, so
+    *        the sample — and therefore the index — is reproducible on
+    *        any partitioning. */
   def build(corpus: DataFrame, nlist: Int, idCol: String = "vec_id",
-            vecCol: String = "embedding", seed: Long = 42L): Index = {
+            vecCol: String = "embedding", seed: Long = 42L,
+            fitSampleBuckets: Int = 256): Index = {
     val feat = corpus.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol).cast("array<double>")).as("_features"))
+    val fitSet =
+      if (fitSampleBuckets >= 256) feat
+      else feat.filter(
+        conv(substring(md5(concat(lit("ivf:"), col(idCol))), 1, 2), 16, 10)
+          .cast("int") < fitSampleBuckets)
     val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("_features").setPredictionCol("_cell").fit(feat)
+      .setFeaturesCol("_features").setPredictionCol("_cell").fit(fitSet)
     val cells = model.transform(feat).drop("_features")
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c: Vector, i) => (i, c.toArray) }

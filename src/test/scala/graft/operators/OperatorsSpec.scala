@@ -186,6 +186,26 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf == exact, s"ivf=$ivf exact=$exact") // clusters are cleanly split
   }
 
+  test("IVF sample-fit: a quantizer fit on a fraction still labels every row") {
+    import spark.implicits._
+    def v(base: Float, i: Int) =
+      Array(base + i * 0.001f, 1.0f - base, 0.1f * i, 0.5f)
+    val corpus = ((0 until 40).map(i => (i.toLong, v(0.9f, i % 10))) ++
+                  (40 until 80).map(i => (i.toLong, v(-0.9f, i % 10))))
+      .toDF("vec_id", "embedding")
+    // ~half the corpus fits the quantizer; the labeling pass covers ALL
+    val index = IvfSearch.build(corpus, nlist = 2, fitSampleBuckets = 128)
+    assert(index.cells.count() == 80, "every row must be labeled")
+    assert(index.centroids.length == 2)
+    // well-separated clusters: each cell holds exactly one side
+    val sides = index.cells
+      .groupBy(col("_cell"))
+      .agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(sides == Set((0L, 39L), (40L, 79L)),
+      s"sample-fit centroids must still split the two clusters: $sides")
+  }
+
   test("multimodal: batch decode streams through mapPartitions with typed rows") {
     import spark.implicits._
     val media = Seq(
