@@ -54,19 +54,35 @@ object Bench {
       spark.catalog.clearCache()
       name -> (if (ok) sec else -1.0)
     }
-    // The harness captures only the last ~2000 chars of output; the JSON
-    // line must fit entirely inside that window or it cannot be parsed.
-    // Keys are shortened to their unique id prefix (q34_percentile → q34)
-    // and values rounded to ms precision; full names go to stderr above.
+    // The harness captures only the last 2000 chars of output — INCLUDING
+    // sbt's trailing "[success] Total time: …" line (~72 chars) — so the
+    // JSON line must stay under ~1900 chars or its head gets clipped and
+    // the driver cannot parse it (at 168 queries the naive %.2f form is
+    // 1961 chars — over the window; measured encodings: 2-decimal 1930,
+    // 1-decimal 1772). Keys are shortened to their unique id prefix
+    // (q34_percentile → q34), per-query values carry ONE decimal with
+    // trailing zeros dropped (0.08 → 0.1, 3.00 → 3 — still seconds; the
+    // exact per-query timings are on stderr above), and sf keeps only
+    // its basename. ~155 chars of headroom ≈ 14 more queries.
+    def num(v: Double): String = {
+      val s = f"$v%.1f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
+        .stripSuffix(".")
+      else s
+    }
     val qs = results.map { case (k, v) =>
-      val short = k.takeWhile(_ != '_')
-      f""""$short":$v%.2f"""
+      s""""${k.takeWhile(_ != '_')}":${num(v)}"""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // warm=true: timed pass measured steady-state (post-smoke-warm-up);
     // wfail>0 means that many queries failed warm-up and were timed cold —
     // cross-round comparisons are only valid on same-methodology runs
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","warm":$warmed,"wfail":$warmFails,"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","warm":$warmed,"wfail":$warmFails,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars " +
+        "— nearing the 2000-char capture window, shrink the encoding")
+    println(line)
     spark.stop()
   }
 }

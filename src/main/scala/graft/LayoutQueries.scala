@@ -7,8 +7,10 @@ import graft.ops.ZOrderOps
 
 /** Round-6 layout & linkage operators: Z-order multi-dimensional
   * clustering (q95), blocked fuzzy entity resolution (q96), bitmap-index
-  * distinct counting (q97), content-defined chunk dedup (x62), and
-  * strict-adjacency sequence-pattern matching (q100).
+  * distinct counting (q97), content-defined chunk dedup (x62),
+  * strict-adjacency sequence-pattern matching (q100), sliding distinct
+  * actives (q101), market-basket association rules (q102), and
+  * time-weighted averages (q103).
   *
   * Cross-engine determinism: the z-interleave is pure integer bit
   * arithmetic (the oracle gets the identical formula via
