@@ -70,18 +70,32 @@ object Bench {
         .stripSuffix(".")
       else s
     }
-    val qs = results.map { case (k, v) =>
-      s""""${k.takeWhile(_ != '_')}":${num(v)}"""
-    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // warm=true: timed pass measured steady-state (post-smoke-warm-up);
     // wfail>0 means that many queries failed warm-up and were timed cold —
     // cross-round comparisons are only valid on same-methodology runs
-    val line =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","warm":$warmed,"wfail":$warmFails,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
-    if (line.length > 1900)
-      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars " +
-        "— nearing the 2000-char capture window, shrink the encoding")
+    def render(entries: Seq[(String, Double)], dropped: Int): String = {
+      val qs = entries.map { case (k, v) =>
+        s""""${k.takeWhile(_ != '_')}":${num(v)}"""
+      }.mkString("{", ",", "}")
+      val drop = if (dropped > 0) s""","dropped":$dropped""" else ""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","warm":$warmed,"wfail":$warmFails,"queries":$qs$drop,"sf":"${new java.io.File(sfDir).getName}"}"""
+    }
+    // auto-degrade rather than overflow: an over-window line gets its
+    // HEAD clipped by the capture and the whole round's bench is lost,
+    // so shed the fastest entries (the least informative ones) until the
+    // line fits, and say how many were shed
+    var entries = results
+    var line = render(entries, 0)
+    while (line.length > 1900 && entries.nonEmpty) {
+      val victim = entries.minBy { case (_, v) => if (v < 0) Double.MaxValue else v }
+      entries = entries.filterNot(_ == victim)
+      line = render(entries, results.length - entries.length)
+    }
+    if (entries.length < results.length)
+      System.err.println(s"[bench] WARNING: shed " +
+        s"${results.length - entries.length} fastest entries to fit the " +
+        "2000-char capture window — shrink the encoding")
     println(line)
     spark.stop()
   }
