@@ -281,6 +281,30 @@ object LayoutQueries {
              sum(col("dt")).as("span_us"),
              expr("sum(cents * dt) DIV sum(dt)").as("twap_cents"))
         .orderBy(col("user_id"))
+    }),
+
+    // Q104 — equi-depth histogram (the optimizer-statistics form: equal
+    // ROW mass per bucket, unlike q58's fixed-width buckets): collapse
+    // to the (flag, value) domain first, then assign each distinct
+    // value to bucket (cum−1)·B DIV total — pure integer arithmetic
+    // over cumulative counts, so bucket edges are exact order
+    // statistics. The window sorts |distinct values| rows per group,
+    // never the fact table.
+    "q104_equidepth_hist" -> ((s, dir) => {
+      val B = 10
+      val vc = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+                round(col("l_extendedprice") * 100).cast("long").as("v"))
+        .groupBy(col("flag"), col("v")).agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("flag")).orderBy(col("v"))
+      val wAll = Window.partitionBy(col("flag"))
+      vc.withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("tot", sum(col("c")).over(wAll))
+        .withColumn("bucket", expr(s"((cum - 1) * $B) DIV tot"))
+        .groupBy(col("flag"), col("bucket"))
+        .agg(min(col("v")).as("lo_cents"), max(col("v")).as("hi_cents"),
+             sum(col("c")).as("n_rows"))
+        .orderBy(col("flag"), col("bucket"))
     })
   )
 
@@ -395,6 +419,21 @@ object LayoutQueries {
            sum(dt)::BIGINT AS span_us,
            sum(cents * dt)::BIGINT // sum(dt)::BIGINT AS twap_cents
          FROM d WHERE dt IS NOT NULL
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    "q104_equidepth_hist" ->
+      """WITH vc AS (SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             count(*)::BIGINT AS c
+           FROM lineitem GROUP BY 1, 2),
+         cw AS (SELECT flag, v, c,
+             sum(c) OVER (PARTITION BY flag ORDER BY v
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+             sum(c) OVER (PARTITION BY flag)::BIGINT AS tot
+           FROM vc)
+         SELECT flag, ((cum - 1) * 10) // tot AS bucket,
+           min(v) AS lo_cents, max(v) AS hi_cents,
+           sum(c)::BIGINT AS n_rows
+         FROM cw GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

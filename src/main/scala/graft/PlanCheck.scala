@@ -38,7 +38,8 @@ object PlanCheck {
                "q98_attribution", "q99_incremental_rollup",
                "q100_seq_pattern", "q101_sliding_distinct",
                "x63_source_datasheet", "q102_market_basket",
-               "x64_embedding_drift", "q103_time_weighted_avg")
+               "x64_embedding_drift", "q103_time_weighted_avg",
+               "q104_equidepth_hist")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -211,4 +211,29 @@ class LayoutQueriesSpec extends SparkSpec {
         s"user $u: twap $twap outside value range [$lo, $hi]")
     }
   }
+
+  test("q104 equi-depth: buckets tile the value range with near-equal mass") {
+    val rows = run("q104_equidepth_hist").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (flag, bs) =>
+      val sorted = bs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq,
+        s"$flag: bucket ids must be dense from 0")
+      // ranges ascend without overlap
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, hi1, _), (_, _, lo2, _, _)) =>
+          assert(hi1 < lo2, s"$flag: buckets overlap")
+        case _ =>
+      }
+      // equal depth within one distinct-value granule: every bucket holds
+      // between tot/B − maxValueCount and tot/B + maxValueCount rows
+      val tot = sorted.map(_._5).sum
+      val target = tot / sorted.length
+      sorted.foreach { case (_, b, _, _, n) =>
+        assert(math.abs(n - target) <= target,
+          s"$flag bucket $b: mass $n vs target $target drifted wildly")
+      }
+    }
+  }
 }
