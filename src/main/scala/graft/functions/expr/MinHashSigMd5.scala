@@ -94,7 +94,7 @@ object MinHashSigMd5 {
     //    winners at the end — not per candidate.
     val md = java.security.MessageDigest.getInstance("MD5")
     val mins = new Array[Array[Byte]](k)
-    val seedPrefix = Array.tabulate(k)(s => (s + ":").getBytes("UTF-8"))
+    val seedPrefix = Array.tabulate(k)(s => s"$s:".getBytes("UTF-8"))
     val parts = new Array[UTF8String](n)
     var i = 0
     while (i <= nw - n) {

@@ -53,7 +53,7 @@ object TemporalJoins {
       keys.map(col) ++ Seq(
         col(leftTs).as("_ats"), lit(1).as("_side"),
         lit(null).cast(rpType).as("_rp"),
-        struct(left.columns.map(col): _*).as("_lrow")): _*)
+        struct(left.columns.toIndexedSeq.map(col): _*).as("_lrow")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ats").asc, col("_side").asc, col("_rp").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -84,7 +84,7 @@ object TemporalJoins {
       keys.map(col) ++ Seq(
         col(leftTs).as("_ats"), lit(0).as("_side"),
         lit(null).cast(rpType).as("_rp"),
-        struct(left.columns.map(col): _*).as("_lrow")): _*)
+        struct(left.columns.toIndexedSeq.map(col): _*).as("_lrow")): _*)
     val r = right.select(
       keys.map(col) ++ Seq(
         col(rightTs).as("_ats"), lit(1).as("_side"),
@@ -121,7 +121,7 @@ object TemporalJoins {
     val picked = payloadCols.map { c =>
       when(useBack, col(c + "_gb")).otherwise(col(c + "_gf")).as(c + suffix)
     }
-    both.select(left.columns.map(col) ++ picked: _*)
+    both.select(left.columns.toIndexedSeq.map(col) ++ picked: _*)
   }
 
   /** All pairs of rows sharing `keys` whose timestamps differ by at most

@@ -42,7 +42,7 @@ object DedupOps {
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
         OrdinalCol, org.apache.spark.sql.types.LongType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     df.sparkSession.createDataFrame(indexed, schema)

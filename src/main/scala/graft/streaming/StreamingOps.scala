@@ -134,7 +134,7 @@ object StreamingOps {
               state.update(st)
               // a timeout in the watermark's past would throw; clamp forward
               state.setTimeoutTimestamp(math.max(st.lastTs + windowMs,
-                state.getCurrentWatermarkMs + 1))
+                state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }
