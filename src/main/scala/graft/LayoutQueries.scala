@@ -288,8 +288,11 @@ object LayoutQueries {
     // to the (flag, value) domain first, then assign each distinct
     // value to bucket (cum−1)·B DIV total — pure integer arithmetic
     // over cumulative counts, so bucket edges are exact order
-    // statistics. The window sorts |distinct values| rows per group,
-    // never the fact table.
+    // statistics. The window sorts |distinct values| per group — a big
+    // win on narrow domains (quantities, dates); for near-unique
+    // columns like this price the domain ≈ rows and the honest scale
+    // path is sketch-based boundaries (percentile_approx, x15's family)
+    // with this exact form as its verifier.
     "q104_equidepth_hist" -> ((s, dir) => {
       val B = 10
       val vc = Tables(s, dir, "lineitem")
