@@ -179,6 +179,36 @@ object EtlQueries {
              max(col("mx")).as("max_cents"))
         .withColumn("avg_cents", expr("revenue_cents DIV n_orders"))
         .orderBy(col("prio"))
+    }),
+
+    // Q105 — referential-integrity audit: orphan counts along the
+    // fact→dim chain (lineitem→orders→customer→nation), each ONE
+    // left-anti join on the key — the data-quality gate a warehouse
+    // load runs before publishing. Distinct key counts ride the same
+    // pass; the child side aggregates to its key set FIRST, so each
+    // anti join probes |distinct keys| rows, never the fact table.
+    "q105_ri_audit" -> ((s, dir) => {
+      import s.implicits._
+      def audit(name: String, childKeys: DataFrame, parent: DataFrame,
+                key: String) = {
+        val orphans = childKeys.join(parent, Seq(key), "left_anti")
+        childKeys.agg(count(lit(1)).as("n_keys"))
+          .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+          .select(lit(name).as("relation"), col("n_keys"),
+                  col("n_orphans"))
+      }
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey")).distinct()
+      val ord = Tables(s, dir, "orders")
+      val cust = Tables(s, dir, "customer")
+      val oc = ord.select(col("o_custkey").as("c_custkey")).distinct()
+      val cn = cust.select(col("c_nationkey").as("n_nationkey")).distinct()
+      audit("lineitem->orders", li, ord.select(col("o_orderkey")), "o_orderkey")
+        .unionAll(audit("orders->customer", oc,
+                        cust.select(col("c_custkey")), "c_custkey"))
+        .unionAll(audit("customer->nation", cn,
+          Tables(s, dir, "nation").select(col("n_nationkey")), "n_nationkey"))
+        .orderBy(col("relation"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -296,5 +326,25 @@ object EtlQueries {
            sum(round(o_totalprice * 100))::BIGINT AS revenue_cents,
            max(round(o_totalprice * 100))::BIGINT AS max_cents,
            sum(round(o_totalprice * 100))::BIGINT // count(*) AS avg_cents
-         FROM orders GROUP BY 1 ORDER BY 1""")
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q105_ri_audit" ->
+      """WITH lo AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_keys,
+             count(DISTINCT l_orderkey) FILTER (WHERE o_orderkey IS NULL)
+               ::BIGINT AS n_orphans
+           FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey),
+         oc AS (SELECT count(DISTINCT o_custkey)::BIGINT AS n_keys,
+             count(DISTINCT o_custkey) FILTER (WHERE c_custkey IS NULL)
+               ::BIGINT AS n_orphans
+           FROM orders LEFT JOIN customer ON o_custkey = c_custkey),
+         cn AS (SELECT count(DISTINCT c_nationkey)::BIGINT AS n_keys,
+             count(DISTINCT c_nationkey) FILTER (WHERE n_nationkey IS NULL)
+               ::BIGINT AS n_orphans
+           FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey)
+         SELECT 'lineitem->orders' AS relation, n_keys, n_orphans FROM lo
+         UNION ALL
+         SELECT 'orders->customer', n_keys, n_orphans FROM oc
+         UNION ALL
+         SELECT 'customer->nation', n_keys, n_orphans FROM cn
+         ORDER BY relation""")
 }
