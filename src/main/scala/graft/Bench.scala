@@ -1,9 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Median of an odd-length (or any non-empty) sample. */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = Sessions.tuned(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -39,63 +45,78 @@ object Bench {
         (if (warmFails > 0) s" — $warmFails FAILED (timed cold below)" else ""))
       spark.catalog.clearCache() // drop smoke-scale frames before timing
     }
+    // Median-of-N timing: run-to-run variance on a loaded box is ±20% with
+    // occasional 2–7× spikes on individual queries (the round-6 capture
+    // inflated ~a dozen untouched queries); a per-query median of 3 passes
+    // suppresses those outliers so cross-round comparisons track real
+    // regressions, not machine load. clearCache between passes so queries
+    // that persist() multi-consumer frames are measured independently each
+    // time (and a 170-query session doesn't accumulate cached frames).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case e: Throwable =>
-                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-                 false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name ${sec}%.2fs")
-      // queries that persist() multi-consumer frames lean on the SQL
-      // CacheManager; release between queries (outside the timer) so each
-      // measurement is independent and a 150-query session doesn't
-      // accumulate every query's cached frames
-      spark.catalog.clearCache()
-      name -> (if (ok) sec else -1.0)
+      val times = (1 to passes).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                   false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        if (ok) Some(sec) else None
+      }
+      if (times.length < passes)
+        name -> -1.0 // any failed pass marks the query failed
+      else {
+        val med = median(times)
+        System.err.println(f"[bench] $name med=${med}%.2fs " +
+          times.map(t => f"$t%.2f").mkString("[", ",", "]"))
+        name -> med
+      }
     }
     // The harness captures only the last 2000 chars of output — INCLUDING
     // sbt's trailing "[success] Total time: …" line (~72 chars) — so the
     // JSON line must stay under ~1900 chars or its head gets clipped and
-    // the driver cannot parse it (at 168 queries the naive %.2f form is
-    // 1961 chars — over the window; measured encodings: 2-decimal 1930,
-    // 1-decimal 1772). Keys are shortened to their unique id prefix
-    // (q34_percentile → q34), per-query values carry ONE decimal with
-    // trailing zeros dropped (0.08 → 0.1, 3.00 → 3 — still seconds; the
-    // exact per-query timings are on stderr above), and sf keeps only
-    // its basename. ~155 chars of headroom ≈ 14 more queries.
-    def num(v: Double): String = {
-      val s = f"$v%.1f"
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
-        .stripSuffix(".")
-      else s
-    }
+    // the driver cannot parse it. Keys are shortened to their unique id
+    // prefix (q34_percentile → q34); per-query values are INTEGER
+    // CENTISECONDS ("qunit":"cs"), floored at 1 for successful queries so
+    // a parsed 0 can never be confused with the -1 failure sentinel (the
+    // exact per-query seconds are on stderr above). If centiseconds would
+    // leave <300 chars of headroom the encoding auto-degrades to
+    // deciseconds ("qunit":"ds") before resorting to shedding entries.
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // warm=true: timed pass measured steady-state (post-smoke-warm-up);
+    // warm=true: timed passes measured steady-state (post-smoke-warm-up);
     // wfail>0 means that many queries failed warm-up and were timed cold —
     // cross-round comparisons are only valid on same-methodology runs
-    def render(entries: Seq[(String, Double)], dropped: Int): String = {
+    def render(entries: Seq[(String, Double)], perSec: Int, unit: String,
+               dropped: Int): String = {
       val qs = entries.map { case (k, v) =>
-        s""""${k.takeWhile(_ != '_')}":${num(v)}"""
+        val enc = if (v < 0) -1L else math.max(1L, math.round(v * perSec))
+        s""""${k.takeWhile(_ != '_')}":$enc"""
       }.mkString("{", ",", "}")
       val drop = if (dropped > 0) s""","dropped":$dropped""" else ""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","warm":$warmed,"wfail":$warmFails,"queries":$qs$drop,"sf":"${new java.io.File(sfDir).getName}"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","qunit":"$unit","passes":$passes,"warm":$warmed,"wfail":$warmFails,"queries":$qs$drop,"sf":"${new java.io.File(sfDir).getName}"}"""
+    }
+    var line = render(results, 100, "cs", 0)
+    if (line.length > 1600) {
+      System.err.println(s"[bench] cs line ${line.length} chars — " +
+        "degrading per-query unit to deciseconds")
+      line = render(results, 10, "ds", 0)
     }
     // auto-degrade rather than overflow: an over-window line gets its
     // HEAD clipped by the capture and the whole round's bench is lost,
     // so shed the fastest entries (the least informative ones) until the
     // line fits, and say how many were shed
     var entries = results
-    var line = render(entries, 0)
     while (line.length > 1900 && entries.nonEmpty) {
       val victim = entries.minBy { case (_, v) => if (v < 0) Double.MaxValue else v }
       entries = entries.filterNot(_ == victim)
-      line = render(entries, results.length - entries.length)
+      line = render(entries, 10, "ds", results.length - entries.length)
     }
     if (entries.length < results.length)
       System.err.println(s"[bench] WARNING: shed " +
         s"${results.length - entries.length} fastest entries to fit the " +
         "2000-char capture window — shrink the encoding")
+    System.err.println(s"[bench] json line: ${line.length} chars " +
+      s"(${1900 - line.length} headroom)")
     println(line)
     spark.stop()
   }

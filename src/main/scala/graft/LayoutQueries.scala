@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.ZOrderOps
+import graft.ops.{PrefixSumOps, ZOrderOps}
 
 /** Round-6 layout & linkage operators: Z-order multi-dimensional
   * clustering (q95), blocked fuzzy entity resolution (q96), bitmap-index
@@ -288,21 +288,18 @@ object LayoutQueries {
     // to the (flag, value) domain first, then assign each distinct
     // value to bucket (cum−1)·B DIV total — pure integer arithmetic
     // over cumulative counts, so bucket edges are exact order
-    // statistics. The window sorts |distinct values| per group — a big
-    // win on narrow domains (quantities, dates); for near-unique
-    // columns like this price the domain ≈ rows and the honest scale
-    // path is sketch-based boundaries (percentile_approx, x15's family)
-    // with this exact form as its verifier.
+    // statistics. The cumulative count is a two-phase distributed
+    // prefix sum (PrefixSumOps.runningSum): sketch-cut ranges, partial
+    // sums, broadcast offsets, per-range local windows — near-unique
+    // domains like this price never funnel a whole group through one
+    // task (the plan shape PlanShapeSpec asserts).
     "q104_equidepth_hist" -> ((s, dir) => {
       val B = 10
       val vc = Tables(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"),
                 round(col("l_extendedprice") * 100).cast("long").as("v"))
         .groupBy(col("flag"), col("v")).agg(count(lit(1)).as("c"))
-      val wCum = Window.partitionBy(col("flag")).orderBy(col("v"))
-      val wAll = Window.partitionBy(col("flag"))
-      vc.withColumn("cum", sum(col("c")).over(wCum))
-        .withColumn("tot", sum(col("c")).over(wAll))
+      PrefixSumOps.runningSum(vc, Seq("flag"), "v", "c", "cum", "tot")
         .withColumn("bucket", expr(s"((cum - 1) * $B) DIV tot"))
         .groupBy(col("flag"), col("bucket"))
         .agg(min(col("v")).as("lo_cents"), max(col("v")).as("hi_cents"),

@@ -30,22 +30,62 @@ object DedupOps {
     df.withColumn(OrdinalCol, monotonically_increasing_id())
 
   /** Ordinal derived from a total natural-key ordering — the scale-safe
-    * variant (documented invariant, SURVEY §4): range-repartition on the
-    * keys, sort within partitions, then assign contiguous global indexes
-    * with `zipWithIndex` (one light count job for partition offsets). No
-    * single-partition global window — every stage is parallel, so this
-    * holds at 100 TB. `keys` must form a total order for the ordinal to be
-    * deterministic. Ordinals start at 1 (row_number parity). */
-  def withIngestOrdinalFrom(df: DataFrame, keys: Seq[Column]): DataFrame = {
+    * variant (documented invariant, SURVEY §4), fully columnar: no RDD
+    * round-trip, no single-partition window over the data.
+    *
+    * Two-phase numbering. A deterministic hash-sample of the key tuples is
+    * sorted in one bounded task (≈ n/`sampleMod` rows — the IVF sample-fit
+    * pattern) and every k-th sample key becomes a range boundary; each row's
+    * range id is the count of boundaries strictly below its key (a pure
+    * function of the key, so ties never straddle ranges). Per-range counts
+    * (map-side combined — only `splits` rows per partition cross the wire)
+    * become exclusive running offsets via a window over the tiny range
+    * frame; the offsets broadcast back and a per-range `row_number` plus
+    * the offset is the global ordinal.
+    *
+    * Everything is a deterministic function of the DATA — unlike a
+    * `spark_partition_id`-based scheme, correctness never depends on two
+    * plan subtrees seeing the same physical shuffle (Spark's self-join
+    * de-duplication re-plans the shared subtree, and AQE may coalesce the
+    * two copies differently, so physical partition ids are NOT stable
+    * across them — a hazard PlanShapeSpec pins down). Sketch skew only
+    * unbalances tasks, never changes an ordinal.
+    *
+    * `keys` must form a total order for the ordinal to be deterministic.
+    * Ordinals start at 1 (row_number parity). A frame smaller than
+    * `sampleMod` may yield no boundaries and degrades to one sorted task —
+    * correct, and fine at that size. */
+  def withIngestOrdinalFrom(df: DataFrame, keys: Seq[Column],
+                            splits: Int = 256,
+                            sampleMod: Int = 8192): DataFrame = {
     require(keys.nonEmpty, "withIngestOrdinalFrom needs at least one key")
-    val sorted = df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
-        OrdinalCol, org.apache.spark.sql.types.LongType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    df.sparkSession.createDataFrame(indexed, schema)
+    val keyed = df.withColumn("_k", struct(keys: _*))
+    val samp = keyed.filter(pmod(hash(keys: _*), lit(sampleMod)) === 0)
+      .select(col("_k"))
+    val sampN = samp.agg(count(lit(1)).as("_n"))
+    // one bounded task sorts the sample; every ⌈n/splits⌉-th key is a cut
+    val bounds = samp
+      .withColumn("_rn", row_number().over(Window.orderBy(col("_k"))))
+      .crossJoin(broadcast(sampN))
+      .filter(col("_rn") % greatest(ceil(col("_n") / splits), lit(1)) === 0)
+      .agg(sort_array(collect_list(col("_k"))).as("_bs"))
+    val ranged = keyed.crossJoin(broadcast(bounds))
+      .withColumn("_rb", aggregate(col("_bs"), lit(0),
+        (acc, b) => acc + when(col("_k") > b, 1).otherwise(0)))
+      .drop("_bs")
+    // tiny: one row per range — the unpartitioned window is bounded by
+    // `splits`, never by the data
+    val wOff = Window.orderBy(col("_rb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("_rb"))
+      .agg(count(lit(1)).as("_pc"))
+      .withColumn("_off", coalesce(sum(col("_pc")).over(wOff), lit(0L)))
+      .drop("_pc")
+    val wLocal = Window.partitionBy(col("_rb")).orderBy(col("_k"))
+    ranged.join(broadcast(offsets), Seq("_rb"))
+      .withColumn(OrdinalCol,
+        row_number().over(wLocal).cast("long") + col("_off"))
+      .drop("_rb", "_off", "_k")
   }
 
   /** U1 — union aligned by column name, missing columns → null, first block

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed prefix sums without per-group single-partition windows.
+  *
+  * `Window.partitionBy(g).orderBy(v)` materializes EVERY row of a group in
+  * one task — correct, but a scale-killer when |group| approaches |rows|:
+  * q104's near-unique price domain has 3 groups, so 3 reducers would each
+  * sort a third of the world at 100 TB. The classic fix is the two-phase
+  * prefix sum: cut each group into bounded ranges, aggregate per-range
+  * partial sums (tiny: |groups|·|splits| rows), turn those into exclusive
+  * running offsets, broadcast them back, and let each range window only its
+  * own slice.
+  *
+  * Range boundaries come from a `percentile_approx` sketch over the order
+  * column. The sketch decides only WHERE to cut, never WHAT to add, so the
+  * running sum stays exact regardless of sketch error — a skewed sketch
+  * merely unbalances tasks. Boundaries are a pure function of the data
+  * (same input → same cuts), so equal order keys always land in the same
+  * range and correctness never depends on physical partition ids or
+  * exchange reuse.
+  *
+  * Preconditions: `order` is numeric and non-null; (group, order) pairs are
+  * distinct (collapse the domain first, as q104 does) — with duplicate
+  * order keys inside one group the within-range running sum is
+  * order-ambiguous, exactly as it would be under a plain window.
+  */
+object PrefixSumOps {
+
+  /** Add `outCum` = running total of `value` over `order` within each
+    * `group`, and `outTot` = the group total — both exact, computed with
+    * bounded per-task state.
+    *
+    * @param splits target number of ranges per group; per-task work is
+    *               ≈ |group domain| / splits, so size it to keep a range
+    *               comfortably in one task (the default suits 1e5–1e9-row
+    *               domains at 32–1024 tasks).
+    */
+  def runningSum(df: DataFrame, group: Seq[String], order: String,
+                 value: String, outCum: String, outTot: String,
+                 splits: Int = 256): DataFrame = {
+    require(splits >= 2, "runningSum needs at least 2 splits")
+    val gCols = group.map(col)
+    // three consumers read the input (sketch, partials, final join) — the
+    // caller usually hands in a freshly-aggregated domain, so persist it
+    // rather than re-running that aggregation per pass (released by the
+    // session's clearCache hygiene, the repo-wide multi-consumer pattern)
+    val in = df.persist()
+    // Phase 0 — deterministic range cuts per group from a quantile sketch.
+    val qs = (1 until splits).map(_.toDouble / splits)
+    val bounds = in.groupBy(gCols: _*)
+      .agg(percentile_approx(col(order), lit(qs.toArray), lit(10000))
+        .as("_bs"))
+    val bounded =
+      if (group.isEmpty) in.crossJoin(broadcast(bounds))
+      else in.join(broadcast(bounds), group)
+    // Range id = number of cuts strictly below the value: a pure function
+    // of (group, order), so ties can never straddle a range boundary.
+    val ranged = bounded
+      .withColumn("_rb", aggregate(col("_bs"), lit(0),
+        (acc, b) => acc + when(col(order) > b, 1).otherwise(0)))
+      .drop("_bs")
+    // Phase 1 — per-range partials; |groups|·splits rows, so the
+    // group-partitioned window over THEM is bounded by splits, not data.
+    val rbCols = gCols :+ col("_rb")
+    val wOff = Window.partitionBy(gCols: _*).orderBy(col("_rb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(gCols: _*)
+    val offsets = ranged.groupBy(rbCols: _*)
+      .agg(sum(col(value)).as("_pc"))
+      .withColumn("_off", coalesce(sum(col("_pc")).over(wOff), lit(0L)))
+      .withColumn(outTot, sum(col("_pc")).over(wTot))
+      .drop("_pc")
+    // Phase 2 — local running sum inside each range plus its broadcast
+    // offset; the per-task sort is one range's slice of the domain.
+    val wLoc = Window.partitionBy(rbCols: _*).orderBy(col(order))
+    ranged.join(broadcast(offsets), group :+ "_rb")
+      .withColumn(outCum, sum(col(value)).over(wLoc) + col("_off"))
+      .drop("_rb", "_off")
+  }
+}

@@ -503,6 +503,51 @@ class PlanShapeSpec extends SparkSpec {
     assert(q.count() == 256)
   }
 
+  test("q104 equi-depth: cumulative sum is range-split — no single-partition sort of a group's value domain") {
+    val plan = planOf("q104_equidepth_hist")
+    // the round-6 failure shape: Window partitioned by flag alone ordered
+    // by v — with a near-unique price domain that is one task sorting a
+    // whole group. It must be gone.
+    assert("\\[flag#\\d+\\], \\[v#\\d+".r.findFirstIn(plan).isEmpty,
+      "domain-sized window must not partition by flag alone:\n" +
+        plan.take(3000))
+    // the domain-sized cumulative window is keyed by (flag, _rb): per-task
+    // work is one sketch range, bounded by |domain|/splits
+    assert("hashpartitioning\\(flag#\\d+, _rb#\\d+".r.findFirstIn(plan)
+        .isDefined, plan.take(3000))
+    // per-range offsets arrive by broadcast, never by re-shuffling the domain
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("withIngestOrdinalFrom: columnar two-phase numbering — no RDD barrier, deterministic ranges") {
+    import spark.implicits._
+    import graft.ops.DedupOps
+    val df = (1 to 500).map(i => (f"k${997 - i}%03d", i)).toDF("k", "v")
+      .repartition(6)
+    // sampleMod=2 so the bounded sample actually cuts ranges at this size
+    val withOrd = DedupOps.withIngestOrdinalFrom(df, Seq(col("k")),
+      splits = 4, sampleMod = 2)
+    // multi-range path must still produce the contiguous key-ordered ordinal
+    val rows = withOrd.orderBy("_ingest_ord").select("k", "_ingest_ord")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows.map(_._2) == (1L to 500L), rows.take(20).toString)
+    assert(rows.map(_._1) == rows.map(_._1).sorted)
+    val plan = withOrd.queryExecution.executedPlan.toString
+    // the round-6 shape round-tripped through rdd.zipWithIndex — an
+    // InternalRow→Row→InternalRow barrier that kills whole-stage codegen
+    assert(!plan.contains("ExistingRDD"),
+      "must stay columnar: " + plan.take(3000))
+    // the data-sized numbering window is keyed by the deterministic range
+    // id — NOT by spark_partition_id (self-join de-duplication re-plans the
+    // shared subtree, so physical pids are not stable across the count and
+    // numbering passes; a pid-based scheme silently corrupts ordinals)
+    assert("hashpartitioning\\(_rb#\\d+".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+    assert(!plan.contains("SPARK_PARTITION_ID"), plan.take(3000))
+    // range offsets arrive by broadcast, never by re-shuffling the data
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("x24/x56: vocabulary-sized models join the corpus stream by broadcast only") {
     // the flip class: a model frame derived from a stats-less cached
     // parent has no size estimate, so without an explicit broadcast the

@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PrefixSumOpsSpec extends SparkSpec {
+
+  test("runningSum matches a reference window on a grouped domain") {
+    import spark.implicits._
+    // two groups, deliberately skewed sizes, unsorted input
+    val rows = (1 to 500).map(i => ("a", (i * 37) % 1000, 1L + i % 3)) ++
+               (1 to 40).map(i => ("b", (i * 91) % 500, 2L))
+    val df = rows.distinct.toDF("g", "v", "c").repartition(7)
+    val got = PrefixSumOps.runningSum(df, Seq("g"), "v", "c", "cum", "tot",
+        splits = 8)
+      .select("g", "v", "cum", "tot")
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getLong(2), r.getLong(3))).toSet
+    // reference: driver-side running sum per group in v order
+    val expect = rows.distinct.groupBy(_._1).flatMap { case (g, rs) =>
+      val sorted = rs.map(r => (r._2, r._3)).toSeq.sortBy(_._1)
+      val tot = sorted.map(_._2).sum
+      sorted.scanLeft((0, 0L)) { case ((_, acc), (v, c)) => (v, acc + c) }
+        .tail.map { case (v, cum) => (g, v, cum, tot) }
+    }.toSet
+    assert(got == expect)
+  }
+
+  test("runningSum is exact even when the sketch is degenerate (constant order key domain width 1 per split)") {
+    import spark.implicits._
+    // 3 distinct values with splits=8: most ranges empty, values pile into
+    // few ranges — boundaries only unbalance tasks, never change the sum
+    val df = Seq(("g", 1, 10L), ("g", 2, 20L), ("g", 3, 30L))
+      .toDF("g", "v", "c").repartition(4)
+    val got = PrefixSumOps.runningSum(df, Seq("g"), "v", "c", "cum", "tot",
+        splits = 8)
+      .orderBy("v").select("cum", "tot")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((10L, 60L), (30L, 60L), (60L, 60L)))
+  }
+
+  test("runningSum stays partition-count invariant") {
+    import spark.implicits._
+    val rows = (1 to 300).map(i => ("s", i * 2, i.toLong))
+    def run(parts: Int) =
+      PrefixSumOps.runningSum(rows.toDF("g", "v", "c").repartition(parts),
+          Seq("g"), "v", "c", "cum", "tot", splits = 5)
+        .orderBy("v").select("cum")
+        .collect().map(_.getLong(0)).toSeq
+    assert(run(1) == run(13))
+  }
+}
