@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{PrefixSumOps, ZOrderOps}
+import graft.operators.MarketBasket
 
 /** Round-6 layout & linkage operators: Z-order multi-dimensional
   * clustering (q95), blocked fuzzy entity resolution (q96), bitmap-index
@@ -208,58 +209,18 @@ object LayoutQueries {
     // Q102 — market-basket association rules (a-priori's pair stage):
     // support from one keyed pair-count (the self-join fan-out is
     // Σ basket-size², bounded by basket width, never catalog²),
-    // confidence and lift in integer thousandths. Item supports are a
-    // catalog-sized frame — broadcast to the rules; at a larger minsup
-    // the standard a-priori prune (drop items below minsup BEFORE
-    // pairing) bounds the fan-out further.
-    "q102_market_basket" -> ((s, dir) => {
-      // ONE shuffle keyed by order builds the basket arrays (collect_set
-      // dedupes in-basket repeats); pair expansion is a per-basket HOF
-      // over the sorted array — Σ basket² work map-side, no basket
-      // self-join (which would shuffle the item list twice more: once
-      // per join side, keyed by ok)
-      val baskets = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .groupBy(col("ok"))
-        .agg(sort_array(collect_set(col("p"))).as("ps"))
-        .persist()
-      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
-      val supItem = baskets
-        .select(explode(col("ps")).as("p"))
-        .groupBy(col("p")).agg(count(lit(1)).as("sup_i"))
-      val supPair = baskets
-        .select(explode(expr(
-          """flatten(transform(ps, (a, i) ->
-               transform(slice(ps, i + 2, size(ps)), b ->
-                 named_struct('pa', a, 'pb', b))))""")).as("e"))
-        .groupBy(col("e.pa").as("pa"), col("e.pb").as("pb"))
-        .agg(count(lit(1)).as("sup_ab"))
-        .filter(col("sup_ab") >= 2)
-      // both rule directions from ONE pass over the pair counts (a
-      // unionAll of two selects would re-run the whole pair aggregation
-      // per branch — no exchange reuse across union branches)
-      val rules = supPair
-        .select(explode(array(
-          struct(col("pa").as("ante"), col("pb").as("cons"),
-                 col("sup_ab")),
-          struct(col("pb").as("ante"), col("pa").as("cons"),
-                 col("sup_ab")))).as("r"))
-        .select(col("r.ante").as("ante"), col("r.cons").as("cons"),
-                col("r.sup_ab").as("sup_ab"))
-      rules
-        .join(broadcast(supItem.select(col("p").as("ante"),
-                                       col("sup_i").as("sup_a"))), Seq("ante"))
-        .join(broadcast(supItem.select(col("p").as("cons"),
-                                       col("sup_i").as("sup_c"))), Seq("cons"))
-        .crossJoin(broadcast(nOrders))
-        .select(col("ante"), col("cons"), col("sup_ab"),
-                expr("(1000 * sup_ab) DIV sup_a").as("conf_x1000"),
-                expr("(1000 * sup_ab * n_orders) DIV (sup_a * sup_c)")
-                  .as("lift_x1000"))
+    // confidence and lift in integer thousandths; the a-priori prune
+    // drops sub-minsup items BEFORE pairing, so a pathological
+    // mega-basket of one-off items can never explode the expansion
+    // (dataflow + mega-basket spec: operators/MarketBasket.scala).
+    "q102_market_basket" -> ((s, dir) =>
+      MarketBasket.rules(
+          Tables(s, dir, "lineitem")
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")),
+          minSup = 2)
         .orderBy(col("sup_ab").desc, col("conf_x1000").desc,
                  col("ante"), col("cons"))
-        .limit(200)
-    }),
+        .limit(200)),
 
     // Q103 — time-weighted average (TWAP): each observation holds until
     // the next one, so its weight is the microsecond gap to the
@@ -280,6 +241,10 @@ object LayoutQueries {
         .agg(count(lit(1)).as("n_holds"),
              sum(col("dt")).as("span_us"),
              expr("sum(cents * dt) DIV sum(dt)").as("twap_cents"))
+        // degenerate users whose events all share one timestamp have
+        // sum(dt)=0: Spark's DIV yields null but DuckDB's // raises, so
+        // BOTH sides drop them identically (HAVING sum(dt) > 0)
+        .filter(col("span_us") > 0)
         .orderBy(col("user_id"))
     }),
 
@@ -419,7 +384,7 @@ object LayoutQueries {
            sum(dt)::BIGINT AS span_us,
            sum(cents * dt)::BIGINT // sum(dt)::BIGINT AS twap_cents
          FROM d WHERE dt IS NOT NULL
-         GROUP BY 1 ORDER BY 1""",
+         GROUP BY 1 HAVING sum(dt) > 0 ORDER BY 1""",
 
     "q104_equidepth_hist" ->
       """WITH vc AS (SELECT l_returnflag AS flag,

@@ -40,11 +40,19 @@ object IvfSearch {
             fitSampleBuckets: Int = 256): Index = {
     val feat = corpus.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol).cast("array<double>")).as("_features"))
-    val fitSet =
+    val sampled =
       if (fitSampleBuckets >= 256) feat
       else feat.filter(
         conv(substring(md5(concat(lit("ivf:"), col(idCol))), 1, 2), 16, 10)
           .cast("int") < fitSampleBuckets)
+    // a small corpus with an aggressive sample fraction can yield fewer
+    // sample rows than nlist, which fails deep inside MLlib with an
+    // opaque error — fall back to fitting on the full frame (cheap at
+    // that size; the sample exists to bound fit cost on LARGE corpora)
+    val fitSet =
+      if (fitSampleBuckets >= 256) sampled
+      else if (sampled.limit(nlist).count() < nlist) feat
+      else sampled
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("_features").setPredictionCol("_cell").fit(fitSet)
     val cells = model.transform(feat).drop("_features")

@@ -22,7 +22,14 @@ import org.apache.spark.sql.functions._
 object ZOrderOps {
 
   /** Morton z-value of two non-negative integer dims, `bits` bits each
-    * (bits ≤ 31; the result occupies the low `2*bits` bits of a long). */
+    * (bits ≤ 31; the result occupies the low `2*bits` bits of a long).
+    *
+    * PRECONDITION: both dims must already lie in [0, 2^bits) — the
+    * interleave reads only the low `bits` bits, so an out-of-range or
+    * negative input silently ALIASES onto another curve position and
+    * quietly destroys locality (files stop having tight bounding boxes).
+    * Pre-fold wide domains yourself (q95 does `% 65536` for bits=16), or
+    * use [[zvalueChecked]] to fail loudly instead. */
   def zvalue(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
     val xl = x.cast("long")
@@ -32,6 +39,19 @@ object ZOrderOps {
         .bitwiseOR(shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i))
         .bitwiseOR(shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
+  }
+
+  /** [[zvalue]] with the range precondition enforced per row: any dim
+    * outside [0, 2^bits) raises (via `raise_error`) instead of aliasing —
+    * use this when the caller hasn't provably pre-folded its domains. */
+  def zvalueChecked(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val lim = 1L << bits
+    def checked(c: Column, name: String): Column =
+      when(c.cast("long") >= 0 && c.cast("long") < lim, c)
+        .otherwise(raise_error(concat(
+          lit(s"zvalue: $name out of [0, $lim): "), c.cast("string"))))
+    zvalue(checked(x, "x"), checked(y, "y"), bits)
   }
 
   /** The same interleave as ANSI SQL (for cross-engine oracles): `x` and

@@ -175,6 +175,23 @@ class LayoutQueriesSpec extends SparkSpec {
     assert(run("q100_seq_pattern").collect().forall(_.getLong(1) >= 1))
   }
 
+  test("zvalueChecked: agrees in range, fails loudly out of range") {
+    import spark.implicits._
+    val ok = Seq((3L, 7L), (0L, 31L)).toDF("x", "y")
+      .select(ZOrderOps.zvalue(col("x"), col("y"), 5).as("z"),
+              ZOrderOps.zvalueChecked(col("x"), col("y"), 5).as("zc"))
+      .collect()
+    ok.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // an unfolded dim must raise, not silently alias onto the curve
+    val e = intercept[Exception] {
+      Seq((32L, 1L)).toDF("x", "y")
+        .select(ZOrderOps.zvalueChecked(col("x"), col("y"), 5)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("out of [0, 32)")), e.toString)
+  }
+
   test("q102 rules: confidence bounded, pair support symmetric across directions") {
     val rows = run("q102_market_basket").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -191,6 +208,29 @@ class LayoutQueriesSpec extends SparkSpec {
     bySup.foreach { case (pair, sups) =>
       assert(sups.length == 1, s"pair $pair reported differing supports: $sups")
     }
+  }
+
+  test("q102 a-priori prune: a planted mega-basket of one-off items is inert") {
+    import spark.implicits._
+    import graft.operators.MarketBasket
+    // normal co-occurring baskets…
+    val normal = (0 until 60).flatMap(ok =>
+      Seq((ok.toLong, 1L), (ok.toLong, 2L), (ok.toLong, 3L + ok % 4)))
+    // …plus ONE basket holding 50k items that occur nowhere else. Without
+    // the prune the HOF expansion would build 50k²/2 ≈ 1.25e9 pair structs
+    // in a single task; with it the basket shrinks to nothing before
+    // pairing (one-off items can never reach pair minsup).
+    val mega = (0 until 50000).map(i => (999L, 1000000L + i))
+    val rules = MarketBasket.rules((normal ++ mega).toDF("ok", "p"))
+      .orderBy(col("ante"), col("cons"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rulesNoMega = MarketBasket.rules(normal.toDF("ok", "p"))
+      .orderBy(col("ante"), col("cons"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rules.nonEmpty)
+    // identical rule set and supports with and without the mega-basket
+    assert(rules.toSeq == rulesNoMega.toSeq)
+    assert(rules.forall { case (a, c, _) => a < 1000000L && c < 1000000L })
   }
 
   test("q103 TWAP: weighted mean stays within the user's observed value range") {

@@ -503,6 +503,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(q.count() == 256)
   }
 
+  test("q47 null-safe join hashes on the id equi-conjunct — never a nested loop") {
+    val plan = planOf("q47_nullsafe_join")
+    // the <=> conjunct alone would be a weak key (most k values are null →
+    // one giant null bucket); the planner must ALSO hash on the
+    // id_b = id_a + 1 arithmetic equi-conjunct, and the null-safe equality
+    // must never demote the join to a nested loop / cartesian
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"),
+      plan.take(3000))
+    // the arithmetic key appears in the join keys / partitioning
+    assert("\\(id_a#\\d+L? \\+ 1\\)".r.findFirstIn(plan).isDefined,
+      "join must key on (id_a + 1):\n" + plan.take(3000))
+  }
+
   test("q104 equi-depth: cumulative sum is range-split — no single-partition sort of a group's value domain") {
     val plan = planOf("q104_equidepth_hist")
     // the round-6 failure shape: Window partitioned by flag alone ordered

@@ -206,6 +206,20 @@ class OperatorsSpec extends SparkSpec {
       s"sample-fit centroids must still split the two clusters: $sides")
   }
 
+  test("IVF sample-fit: an empty/undersized sample falls back to the full frame") {
+    import spark.implicits._
+    def v(base: Float, i: Int) =
+      Array(base + i * 0.001f, 1.0f - base, 0.1f * i, 0.5f)
+    val tiny = ((0 until 4).map(i => (i.toLong, v(0.9f, i))) ++
+                (4 until 8).map(i => (i.toLong, v(-0.9f, i - 4))))
+      .toDF("vec_id", "embedding")
+    // 1/256 of 8 rows ≈ 0 sampled — without the fallback KMeans.fit dies
+    // deep in MLlib; with it the quantizer fits on the full tiny frame
+    val index = IvfSearch.build(tiny, nlist = 2, fitSampleBuckets = 1)
+    assert(index.cells.count() == 8)
+    assert(index.centroids.length == 2)
+  }
+
   test("multimodal: batch decode streams through mapPartitions with typed rows") {
     import spark.implicits._
     val media = Seq(
