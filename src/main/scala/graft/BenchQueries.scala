@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.BucketOps
 
 /** Headline analytic queries (bench flagships): a TPC-H-Q1-style pricing
   * summary and a Q5-style revenue join, shaped for the engine's scale
@@ -45,6 +46,36 @@ object BenchQueries {
             .as("revenue_cents_x100"),
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
+    }),
+
+    // B03 — the b02 join shape on BUCKETED layout: orders and lineitem are
+    // written once as co-bucketed tables on the join key (one file per
+    // bucket via a pre-repartition, sorted within buckets), then the join
+    // reads buckets directly — no exchange, no sort, on either side
+    // (PlanShapeSpec asserts). This is SCALING.md's "first change at
+    // 100 TB": a recurring fact-fact join stops shuffling entirely, paying
+    // one layout write instead. The merge hint keeps the demo honest at
+    // smoke scale, where the planner would otherwise broadcast away the
+    // join this query exists to show exchange-free.
+    "b03_bucketed_revenue" -> ((s, dir) => {
+      val sfTag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val B = 8
+      val o = BucketOps.ensureBucketed(s, s"b03_orders_$sfTag",
+          "o_orderkey", B, Some("o_orderkey"))(
+        Tables(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .repartition(B, col("o_orderkey")))
+      val li = BucketOps.ensureBucketed(s, s"b03_lineitem_$sfTag",
+          "l_orderkey", B, Some("l_orderkey"))(
+        Tables(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+          .repartition(B, col("l_orderkey")))
+      o.hint("merge").join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+            .as("revenue_cents_x100"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -72,5 +103,14 @@ object BenchQueries {
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
-         GROUP BY n_name ORDER BY n_name""")
+         GROUP BY n_name ORDER BY n_name""",
+    // same rows as the raw-parquet join: layout must never change results
+    "b03_bucketed_revenue" ->
+      """SELECT o_orderpriority,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS revenue_cents_x100,
+           count(*) AS n_items
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
 }

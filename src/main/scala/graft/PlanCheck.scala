@@ -39,7 +39,8 @@ object PlanCheck {
                "q100_seq_pattern", "q101_sliding_distinct",
                "x63_source_datasheet", "q102_market_basket",
                "x64_embedding_drift", "q103_time_weighted_avg",
-               "q104_equidepth_hist", "q105_ri_audit")
+               "q104_equidepth_hist", "q105_ri_audit",
+               "b03_bucketed_revenue", "x15_approx_sketch")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")

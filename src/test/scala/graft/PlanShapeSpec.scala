@@ -503,6 +503,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(q.count() == 256)
   }
 
+  test("b03 bucketed revenue: the fact-fact join runs with NO exchange on either side") {
+    val df = SparkEntry.queries("b03_bucketed_revenue")(spark, sfDir)
+    df.collect() // first call lays out the bucketed tables; plan below is steady-state
+    val steady = SparkEntry.queries("b03_bucketed_revenue")(spark, sfDir)
+    steady.collect()
+    // AQE prints Final + Initial sections; grade the final one only
+    val full = steady.queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    // both scans must open their buckets directly
+    assert("Bucketed: true".r.findAllMatchIn(plan).size == 2, plan.take(3000))
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    // the ONLY hash exchange is the post-join priority aggregation; the
+    // join itself inherits the co-bucketed layout
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size == 1,
+      plan.take(3000))
+    // everything below the join must be exchange-free; the per-partition
+    // Sorts that remain are LOCAL (Spark ≥3 doesn't trust bucket sort
+    // order unless the legacy outputOrdering conf is on) — linear
+    // per-task work, never a shuffle
+    val below = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!below.contains("Exchange"),
+      "join inputs must not shuffle:\n" + plan.take(3000))
+    "Sort \\[[^\\]]*\\], (true|false)".r.findAllMatchIn(below).foreach(m =>
+      assert(m.group(1) == "false",
+        "any join-input sort must be local, not global:\n" + plan.take(3000)))
+  }
+
   test("q47 null-safe join hashes on the id equi-conjunct — never a nested loop") {
     val plan = planOf("q47_nullsafe_join")
     // the <=> conjunct alone would be a weak key (most k values are null →
