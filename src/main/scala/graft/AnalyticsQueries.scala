@@ -392,6 +392,25 @@ object AnalyticsQueries {
         .select(col("doc_id"), col("bucket"))
         .orderBy(col("doc_id"))),
 
+    // X65 — fixed-SIZE uniform sample per stratum, deterministically:
+    // keep the k docs with the smallest md5 draw per source (bottom-k by
+    // hash, i.e. min-wise sampling). Complements rate-based x20: output
+    // is EXACTLY k rows per stratum regardless of stratum size,
+    // membership is identical on any engine or topology (md5 of the doc
+    // id — no engine rand()), and adding documents only ever replaces
+    // the largest draws, so the sample is incrementally maintainable.
+    // Plan: map-side hash + one per-source window, k rows per group out.
+    "x65_bottomk_sample" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+                md5(concat(lit("samp:"), col("doc_id"))).as("draw"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("draw"), col("doc_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("doc_id"), col("draw"))
+        .orderBy(col("source"), col("rk"))),
+
     // X15 — approximate sketches at 100 TB scale: HLL distinct + quantile
     // sketch. Raw sketch VALUES aren't ANSI-oracle-able (internals differ
     // per engine), so the query BRACKETS them instead: exact twins are
@@ -805,6 +824,16 @@ object AnalyticsQueries {
          FROM documents
          WHERE ('0x' || substr(md5('graft:' || doc_id), 1, 2))::INT < 32
          ORDER BY doc_id""",
+
+    "x65_bottomk_sample" ->
+      """WITH d AS (SELECT source, doc_id,
+             md5('samp:' || doc_id) AS draw FROM documents),
+         r AS (SELECT source, doc_id, draw,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY draw, doc_id) AS rk
+           FROM d)
+         SELECT source, rk, doc_id, draw FROM r
+         WHERE rk <= 5 ORDER BY source, rk""",
 
     // md5(VARCHAR) in DuckDB hashes the UTF-8 bytes — identical to Spark's
     // md5 over cast(text AS BINARY)

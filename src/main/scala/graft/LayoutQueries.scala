@@ -270,6 +270,33 @@ object LayoutQueries {
         .agg(min(col("v")).as("lo_cents"), max(col("v")).as("hi_cents"),
              sum(col("c")).as("n_rows"))
         .orderBy(col("flag"), col("bucket"))
+    }),
+
+    // Q106 — EXACT grouped quantiles at scale (P50/P90/P99): Spark's
+    // exact `percentile` aggregate collects every value of a group into
+    // one buffer — the same single-task funnel q104 shed. Here the
+    // quantile-q answer is the smallest domain value whose cumulative
+    // count reaches q·n (the lower order statistic), read straight off
+    // the distributed prefix sum with pure integer comparisons
+    // (100·cum ≥ q·tot ⇔ cum ≥ ⌈q·tot/100⌉ for integer cum) — exact
+    // order statistics with bounded per-task state, sketches nowhere in
+    // the answer path.
+    "q106_exact_quantiles" -> ((s, dir) => {
+      val vc = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+                round(col("l_extendedprice") * 100).cast("long").as("v"))
+        .groupBy(col("flag"), col("v")).agg(count(lit(1)).as("c"))
+      PrefixSumOps.runningSum(vc, Seq("flag"), "v", "c", "cum", "tot")
+        .groupBy(col("flag"))
+        .agg(
+          min(when(col("cum") * 100 >= col("tot") * 50, col("v")))
+            .as("p50_cents"),
+          min(when(col("cum") * 100 >= col("tot") * 90, col("v")))
+            .as("p90_cents"),
+          min(when(col("cum") * 100 >= col("tot") * 99, col("v")))
+            .as("p99_cents"),
+          max(col("tot")).as("n_rows"))
+        .orderBy(col("flag"))
     })
   )
 
@@ -399,6 +426,26 @@ object LayoutQueries {
          SELECT flag, ((cum - 1) * 10) // tot AS bucket,
            min(v) AS lo_cents, max(v) AS hi_cents,
            sum(c)::BIGINT AS n_rows
-         FROM cw GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM cw GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // same explicit rank definition as the Spark side — quantile-q is the
+    // least v whose cumulative count reaches q·n (no engine quantile
+    // built-in, whose interpolation rules differ)
+    "q106_exact_quantiles" ->
+      """WITH vc AS (SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             count(*)::BIGINT AS c
+           FROM lineitem GROUP BY 1, 2),
+         cw AS (SELECT flag, v, c,
+             sum(c) OVER (PARTITION BY flag ORDER BY v
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+             sum(c) OVER (PARTITION BY flag)::BIGINT AS tot
+           FROM vc)
+         SELECT flag,
+           min(CASE WHEN 100 * cum >= 50 * tot THEN v END) AS p50_cents,
+           min(CASE WHEN 100 * cum >= 90 * tot THEN v END) AS p90_cents,
+           min(CASE WHEN 100 * cum >= 99 * tot THEN v END) AS p99_cents,
+           max(tot) AS n_rows
+         FROM cw GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -40,7 +40,8 @@ object PlanCheck {
                "x63_source_datasheet", "q102_market_basket",
                "x64_embedding_drift", "q103_time_weighted_avg",
                "q104_equidepth_hist", "q105_ri_audit",
-               "b03_bucketed_revenue", "x15_approx_sketch")
+               "b03_bucketed_revenue", "x15_approx_sketch",
+               "q106_exact_quantiles", "x65_bottomk_sample")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")

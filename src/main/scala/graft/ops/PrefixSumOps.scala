@@ -37,7 +37,14 @@ object PrefixSumOps {
     * @param splits target number of ranges per group; per-task work is
     *               ≈ |group domain| / splits, so size it to keep a range
     *               comfortably in one task (the default suits 1e5–1e9-row
-    *               domains at 32–1024 tasks).
+    *               domains at 32–1024 tasks). Range assignment scans the
+    *               boundary array (O(splits) per row), so don't push one
+    *               level past a few thousand splits — for domains that
+    *               need more, COMPOSE the operator hierarchically: a
+    *               coarse pass keyed by (group) then a fine pass keyed by
+    *               (group, coarse range) gives splits² effective ranges
+    *               at 2·O(splits) per row, the standard two-level
+    *               prefix-sum shape.
     */
   def runningSum(df: DataFrame, group: Seq[String], order: String,
                  value: String, outCum: String, outTot: String,

@@ -233,6 +233,41 @@ class LayoutQueriesSpec extends SparkSpec {
     assert(rules.forall { case (a, c, _) => a < 1000000L && c < 1000000L })
   }
 
+  test("q106 exact quantiles: ordered, inside the group's range, at the exact rank") {
+    import spark.implicits._
+    val rows = run("q106_exact_quantiles").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    assert(rows.nonEmpty)
+    // driver-side reference on the raw rows — the quantile definition is
+    // the lower order statistic at rank ⌈q·n⌉
+    val byFlag = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("f"),
+              round(col("l_extendedprice") * 100).cast("long").as("v"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    rows.foreach { case (f, p50, p90, p99, n) =>
+      val vs = byFlag(f).map(_._2).sorted
+      assert(n == vs.length)
+      def ref(q: Int) = vs((q * vs.length + 99) / 100 - 1) // ⌈q·n/100⌉, 1-based
+      assert(p50 == ref(50) && p90 == ref(90) && p99 == ref(99),
+        s"$f: ($p50,$p90,$p99) vs (${ref(50)},${ref(90)},${ref(99)})")
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
+
+  test("x65 bottom-k sample: exactly k per stratum, invariant under partitioning") {
+    val a = run("x65_bottomk_sample").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(a.groupBy(_._1).forall(_._2.length == 5),
+      "every stratum must yield exactly k rows")
+    // same members on a different physical layout (the draw is a pure
+    // function of the doc id — no engine rand(), no partition dependence)
+    val b = SparkEntry.queries("x65_bottomk_sample")(spark, sfDir)
+      .repartition(13).orderBy(col("source"), col("rk")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(a == b)
+  }
+
   test("q103 TWAP: weighted mean stays within the user's observed value range") {
     import spark.implicits._
     val rows = run("q103_time_weighted_avg").collect()
