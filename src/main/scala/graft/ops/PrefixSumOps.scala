@@ -57,19 +57,25 @@ object PrefixSumOps {
     // session's clearCache hygiene, the repo-wide multi-consumer pattern)
     val in = df.persist()
     // Phase 0 — deterministic range cuts per group from a quantile sketch.
+    // Accuracy only balances tasks (a cut off by 1/accuracy of the domain
+    // shifts that many rows between neighboring ranges); 2000 keeps the
+    // sketch merge cheap while bounding imbalance to 0.05% of a group.
     val qs = (1 until splits).map(_.toDouble / splits)
     val bounds = in.groupBy(gCols: _*)
-      .agg(percentile_approx(col(order), lit(qs.toArray), lit(10000))
+      .agg(percentile_approx(col(order), lit(qs.toArray), lit(2000))
         .as("_bs"))
     val bounded =
       if (group.isEmpty) in.crossJoin(broadcast(bounds))
       else in.join(broadcast(bounds), group)
     // Range id = number of cuts strictly below the value: a pure function
     // of (group, order), so ties can never straddle a range boundary.
+    // cached too: the O(splits)-per-row range assignment feeds both the
+    // partials and the final join — one scan instead of two
     val ranged = bounded
       .withColumn("_rb", aggregate(col("_bs"), lit(0),
         (acc, b) => acc + when(col(order) > b, 1).otherwise(0)))
       .drop("_bs")
+      .persist()
     // Phase 1 — per-range partials; |groups|·splits rows, so the
     // group-partitioned window over THEM is bounded by splits, not data.
     val rbCols = gCols :+ col("_rb")
