@@ -564,6 +564,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("q106 exact quantiles ride the range-split prefix sum — no single-partition domain sort") {
+    val plan = planOf("q106_exact_quantiles")
+    assert("\\[flag#\\d+\\], \\[v#\\d+".r.findFirstIn(plan).isEmpty,
+      "domain-sized window must not partition by flag alone:\n" +
+        plan.take(3000))
+    assert("hashpartitioning\\(flag#\\d+, _rb#\\d+".r.findFirstIn(plan)
+        .isDefined, plan.take(3000))
+  }
+
+  test("x65 bottom-k sample: one per-source window, never a global sort of the corpus") {
+    val plan = planOf("x65_bottomk_sample")
+    assert(plan.contains("hashpartitioning(source"), plan.take(3000))
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
   test("withIngestOrdinalFrom: columnar two-phase numbering — no RDD barrier, deterministic ranges") {
     import spark.implicits._
     import graft.ops.DedupOps
