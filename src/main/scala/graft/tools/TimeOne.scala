@@ -16,6 +16,10 @@ object TimeOne {
       val n = fn(spark, sfDir).count()
       System.err.println(
         f"[timeone] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs (n=$n)")
+      // match Bench methodology: each rep repopulates its own persists —
+      // the CacheManager would otherwise serve rep 2+ from rep 1's cache
+      // (plans are canonically equal) and hide the real per-run cost
+      spark.catalog.clearCache()
     }
     fn(spark, sfDir).explain("formatted")
     spark.stop()
