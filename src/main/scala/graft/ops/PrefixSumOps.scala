@@ -37,14 +37,15 @@ object PrefixSumOps {
     * @param splits target number of ranges per group; per-task work is
     *               ≈ |group domain| / splits, so size it to keep a range
     *               comfortably in one task (the default suits 1e5–1e9-row
-    *               domains at 32–1024 tasks). Range assignment scans the
-    *               boundary array (O(splits) per row), so don't push one
-    *               level past a few thousand splits — for domains that
-    *               need more, COMPOSE the operator hierarchically: a
-    *               coarse pass keyed by (group) then a fine pass keyed by
-    *               (group, coarse range) gives splits² effective ranges
-    *               at 2·O(splits) per row, the standard two-level
-    *               prefix-sum shape.
+    *               domains at 32–1024 tasks). For LONG order keys the
+    *               range assignment is a native O(log splits) binary
+    *               search ([[graft.functions.expr.SortedLowerBound]]), so
+    *               one level can carry thousands of ranges; other numeric
+    *               types use an interpreted O(splits) fold — there, or
+    *               when the boundary ARRAY itself gets broadcast-heavy,
+    *               COMPOSE hierarchically (coarse pass keyed by group,
+    *               fine pass keyed by (group, coarse range) → splits²
+    *               effective ranges, the standard two-level shape).
     */
   def runningSum(df: DataFrame, group: Seq[String], order: String,
                  value: String, outCum: String, outTot: String,
@@ -69,11 +70,20 @@ object PrefixSumOps {
       else in.join(broadcast(bounds), group)
     // Range id = number of cuts strictly below the value: a pure function
     // of (group, order), so ties can never straddle a range boundary.
-    // cached too: the O(splits)-per-row range assignment feeds both the
-    // partials and the final join — one scan instead of two
+    // cached too: the range assignment feeds both the partials and the
+    // final join — one computation instead of two. For long order keys
+    // (the overwhelming case: cents, ids, epochs) the assignment is the
+    // native O(log splits) binary search; other numeric types fall back
+    // to the interpreted O(splits) fold — identical counts either way.
+    val rbExpr = df.schema(order).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        graft.functions.expr.SortedLowerBound(col("_bs"), col(order))
+      case _ =>
+        aggregate(col("_bs"), lit(0),
+          (acc, b) => acc + when(col(order) > b, 1).otherwise(0))
+    }
     val ranged = bounded
-      .withColumn("_rb", aggregate(col("_bs"), lit(0),
-        (acc, b) => acc + when(col(order) > b, 1).otherwise(0)))
+      .withColumn("_rb", rbExpr)
       .drop("_bs")
       .persist()
     // Phase 1 — per-range partials; |groups|·splits rows, so the
