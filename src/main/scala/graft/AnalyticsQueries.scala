@@ -399,17 +399,27 @@ object AnalyticsQueries {
     // membership is identical on any engine or topology (md5 of the doc
     // id — no engine rand()), and adding documents only ever replaces
     // the largest draws, so the sample is incrementally maintainable.
-    // Plan: map-side hash + one per-source window, k rows per group out.
-    "x65_bottomk_sample" -> ((s, dir) =>
+    // Selection is the merge-closed BottomKAggregator, NOT a per-source
+    // window: each partition ships ≤ k pairs per stratum through the
+    // exchange (ObjectHashAggregate with map-side partials) instead of
+    // shuffling every row into its group — the corpus-scale plan
+    // (PlanShapeSpec asserts the partial aggregation).
+    "x65_bottomk_sample" -> ((s, dir) => {
+      val bk = org.apache.spark.sql.functions.udaf(
+        new graft.functions.BottomKAggregator(5),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong))
       Tables(s, dir, "documents")
         .select(col("source"), col("doc_id"),
                 md5(concat(lit("samp:"), col("doc_id"))).as("draw"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("source"))
-            .orderBy(col("draw"), col("doc_id"))))
-        .filter(col("rk") <= 5)
-        .select(col("source"), col("rk"), col("doc_id"), col("draw"))
-        .orderBy(col("source"), col("rk"))),
+        .groupBy(col("source"))
+        .agg(bk(col("draw"), col("doc_id")).as("bks"))
+        .select(col("source"), posexplode(col("bks")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rk"),
+                col("col._2").as("doc_id"), col("col._1").as("draw"))
+        .orderBy(col("source"), col("rk"))
+    }),
 
     // X15 — approximate sketches at 100 TB scale: HLL distinct + quantile
     // sketch. Raw sketch VALUES aren't ANSI-oracle-able (internals differ

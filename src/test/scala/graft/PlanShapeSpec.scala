@@ -573,11 +573,16 @@ class PlanShapeSpec extends SparkSpec {
         .isDefined, plan.take(3000))
   }
 
-  test("x65 bottom-k sample: one per-source window, never a global sort of the corpus") {
+  test("x65 bottom-k sample: merge-closed partial aggregation — corpus rows never shuffle") {
     val plan = planOf("x65_bottomk_sample")
-    assert(plan.contains("hashpartitioning(source"), plan.take(3000))
-    assert(!plan.contains("SinglePartition"), plan.take(3000))
+    // the selection must be an ObjectHashAggregate with a map-side
+    // partial bottom-k: each partition ships ≤ k pairs per stratum, not
+    // its rows (a row_number window would exchange the whole corpus)
+    assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
+    assert(plan.toLowerCase.contains("partial_bottomk"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
     assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
   }
 
   test("withIngestOrdinalFrom: columnar two-phase numbering — no RDD barrier, deterministic ranges") {
