@@ -220,6 +220,37 @@ object StreamingOps {
       }
   }
 
+  final case class SampleEntry(stratum: String, rank: Int, docId: Long,
+                               draw: String)
+
+  /** Streaming min-wise sample — the unbounded-stream twin of x65's
+    * batch `BottomKAggregator`: per stratum, keep the k smallest
+    * (draw, id) pairs seen so far (O(k) state per stratum, no timeout —
+    * a sample is meant to cover the whole stream) and re-emit the
+    * current sample each micro-batch in Update mode. Because the
+    * selection is the SAME merge-closed reduction as the batch
+    * aggregator, the streaming sample after any prefix of the stream
+    * equals the batch query over that prefix — reconciliation-tested in
+    * StreamingSpec. Rows arrive as (stratum, docId, draw). */
+  def streamingBottomKSample(docs: Dataset[(String, Long, String)],
+                             k: Int): Dataset[SampleEntry] = {
+    import docs.sparkSession.implicits._
+    require(k > 0)
+    val agg = new graft.functions.BottomKAggregator(k)
+    docs
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(String, Long)], SampleEntry](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (stratum, rows, state: GroupState[Seq[(String, Long)]]) =>
+          var buf = state.getOption.getOrElse(agg.zero)
+          rows.foreach { case (_, id, draw) => buf = agg.reduce(buf, (draw, id)) }
+          state.update(buf)
+          buf.iterator.zipWithIndex.map { case ((draw, id), i) =>
+            SampleEntry(stratum, i + 1, id, draw)
+          }
+      }
+  }
+
   final case class Anomaly(key: Long, value: Double, n: Long,
                            mean: Double, std: Double)
   final case class WelfordState(n: Long, mean: Double, m2: Double)

@@ -255,4 +255,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((7L, 50.0)),
       s"only the key-7 spike should flag, got $rows")
   }
+
+  test("streamingBottomKSample converges to the batch bottom-k over the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = (1L to 40L).map(id => (if (id % 2 == 0) "even" else "odd", id,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"samp:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString))
+    val mem = MemoryStream[(String, Long, String)]
+    val q = StreamingOps.streamingBottomKSample(mem.toDS(), k = 3)
+      .writeStream.format("memory").queryName("bksamp")
+      .outputMode("update").start()
+    val (first, second) = all.splitAt(25)
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    // Update mode re-emits per batch; keep each stratum's LAST report
+    val got = spark.sql("select stratum, rank, docId from bksamp").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (s0, rs) => s0 -> rs.takeRight(3).map(_._3).toSeq }
+    q.stop()
+    // batch reference: smallest 3 draws per stratum over ALL rows
+    val want = all.groupBy(_._1).map { case (s0, rs) =>
+      s0 -> rs.map(r => (r._3, r._2)).sorted.take(3).map(_._2).toSeq
+    }
+    assert(got == want, s"got $got want $want")
+  }
 }
