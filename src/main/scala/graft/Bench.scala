@@ -83,6 +83,17 @@ object Bench {
     // leave <300 chars of headroom the encoding auto-degrades to
     // deciseconds ("qunit":"ds") before resorting to shedding entries.
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Machine-speed calibration: the median wall time of a fixed,
+    // data-independent Spark job (sum of 2e8 squares across the same 32
+    // threads). Host-level contention on this virtualized box inflates
+    // whole captures ~2× run-to-run (r6: 93 s vs a 65–75 s typical; the
+    // inflation is uniform across untouched queries) — dividing totals by
+    // calib_cs puts two rounds' captures on the same machine-speed scale.
+    val calib = median((1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1000000000L).selectExpr("sum(id % 1000003)").collect()
+      (System.nanoTime() - t0) / 1e9
+    })
     // warm=true: timed passes measured steady-state (post-smoke-warm-up);
     // wfail>0 means that many queries failed warm-up and were timed cold —
     // cross-round comparisons are only valid on same-methodology runs
@@ -93,7 +104,7 @@ object Bench {
         s""""${k.takeWhile(_ != '_')}":$enc"""
       }.mkString("{", ",", "}")
       val drop = if (dropped > 0) s""","dropped":$dropped""" else ""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","qunit":"$unit","passes":$passes,"warm":$warmed,"wfail":$warmFails,"queries":$qs$drop,"sf":"${new java.io.File(sfDir).getName}"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","qunit":"$unit","passes":$passes,"calib_cs":${math.round(calib * 100)},"warm":$warmed,"wfail":$warmFails,"queries":$qs$drop,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     var line = render(results, 100, "cs", 0)
     if (line.length > 1600) {
