@@ -562,6 +562,9 @@ class PlanShapeSpec extends SparkSpec {
         .isDefined, plan.take(3000))
     // per-range offsets arrive by broadcast, never by re-shuffling the domain
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // long order keys must take the native O(log splits) binary-search
+    // kernel, not the interpreted O(splits) HOF fold
+    assert(plan.contains("sorted_lower_bound"), plan.take(3000))
   }
 
   test("q106 exact quantiles ride the range-split prefix sum — no single-partition domain sort") {
@@ -571,6 +574,7 @@ class PlanShapeSpec extends SparkSpec {
         plan.take(3000))
     assert("hashpartitioning\\(flag#\\d+, _rb#\\d+".r.findFirstIn(plan)
         .isDefined, plan.take(3000))
+    assert(plan.contains("sorted_lower_bound"), plan.take(3000))
   }
 
   test("x65 bottom-k sample: merge-closed partial aggregation — corpus rows never shuffle") {
