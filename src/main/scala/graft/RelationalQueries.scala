@@ -486,10 +486,11 @@ object RelationalQueries {
     * windows sort THAT. Returns (flag, v, tot). */
   def weightedMedian(rows: DataFrame): DataFrame = {
     val vc = rows.groupBy(col("flag"), col("v")).agg(sum(col("w")).as("c"))
-    val wCum = Window.partitionBy(col("flag")).orderBy(col("v"))
-    val wAll = Window.partitionBy(col("flag"))
-    vc.withColumn("cum", sum(col("c")).over(wCum))
-      .withColumn("tot", sum(col("c")).over(wAll))
+    // near-unique price domain: cumulative weight via the range-split
+    // prefix sum (long keys take the native binary-search kernel), never
+    // a flag-only window over the whole collapsed domain
+    graft.ops.PrefixSumOps.runningSum(vc, Seq("flag"), "v", "c",
+        "cum", "tot")
       .filter(col("cum") - col("c") < expr("(tot + 1) DIV 2") &&
               expr("(tot + 1) DIV 2") <= col("cum"))
       .select(col("flag"), col("v"), col("tot"))
@@ -533,17 +534,17 @@ object RelationalQueries {
 
   /** Discrete grouped median over a (prio, value, count) frame: the k-th
     * smallest element of the expanded multiset, k = (n+1) DIV 2, found by
-    * cumulative counts — the window sorts |distinct values| rows per
-    * group, never the raw data. */
-  private[graft] def discreteMedian(vc: DataFrame, valCol: String): DataFrame = {
-    val wCum = Window.partitionBy(col("prio")).orderBy(col(valCol))
-    val wAll = Window.partitionBy(col("prio"))
-    vc.withColumn("cum", sum(col("c")).over(wCum))
-      .withColumn("cnt", sum(col("c")).over(wAll))
+    * cumulative counts. The cumulative sum is the two-phase distributed
+    * prefix sum ([[graft.ops.PrefixSumOps]]) — q87's price domain is
+    * near-unique, so a flag-only window over the collapsed domain would
+    * still funnel a whole group through one task (the q104 hazard);
+    * range-splitting bounds every task by |domain|/splits instead. */
+  private[graft] def discreteMedian(vc: DataFrame, valCol: String): DataFrame =
+    graft.ops.PrefixSumOps.runningSum(vc, Seq("prio"), valCol, "c",
+        "cum", "cnt")
       .filter(col("cum") - col("c") < expr("(cnt + 1) DIV 2") &&
               expr("(cnt + 1) DIV 2") <= col("cum"))
       .select(col("prio"), col(valCol))
-  }
 
   val oracleSql: Map[String, String] = Map(
     "q72_exists_subquery" ->

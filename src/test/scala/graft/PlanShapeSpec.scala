@@ -311,7 +311,7 @@ class PlanShapeSpec extends SparkSpec {
       "distinct agg should appear beneath the join:\n" + plan.take(3000))
   }
 
-  test("q87 MAD: windows run over value-count frames, not raw rows") {
+  test("q87 MAD: windows run over range-split value-count frames, not raw rows") {
     val df = SparkEntry.queries("q87_mad_outliers")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
@@ -323,6 +323,15 @@ class PlanShapeSpec extends SparkSpec {
       "value-count agg should appear beneath the windows:\n" + plan.take(3000))
     // the tiny per-group medians arrive back by broadcast
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // the price domain is near-unique, so the cumulative windows must be
+    // range-split — a prio-only window ordered by the value would funnel
+    // a whole group through one task (the q104 hazard)
+    assert("\\[prio#\\d+\\], \\[v#\\d+".r.findFirstIn(plan).isEmpty,
+      plan.take(3000))
+    assert("\\[prio#\\d+\\], \\[dev#\\d+".r.findFirstIn(plan).isEmpty,
+      plan.take(3000))
+    assert("hashpartitioning\\(prio#\\d+, _rb#\\d+".r.findFirstIn(plan)
+      .isDefined, plan.take(3000))
   }
 
   test("x48 filter funnel: keyed aggregations only — no join at all in the plan") {
@@ -373,14 +382,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(flag"), plan.take(3000))
   }
 
-  test("q90 weighted median: value-domain agg below the window, window keyed by flag") {
+  test("q90 weighted median: value-domain agg below range-split windows") {
     val plan = planOf("q90_weighted_median")
-    assert(!plan.contains("Join"), plan.take(3000))
+    // the only joins are the broadcast range-offset lookups of the
+    // prefix sum — never a shuffled join of the domain
+    assert(!plan.contains("SortMergeJoin") &&
+           !plan.contains("CartesianProduct"), plan.take(3000))
     val firstWindow = plan.indexOf("Window")
     assert(firstWindow >= 0 &&
            plan.indexOf("HashAggregate", firstWindow) > firstWindow,
       "weight-count agg should appear beneath the windows:\n" + plan.take(3000))
-    assert(!plan.contains("SinglePartition"), plan.take(3000))
+    // near-unique cents domain: cumulative weight must be range-split,
+    // with the native binary-search kernel assigning ranges
+    assert("\\[flag#\\d+\\], \\[v#\\d+".r.findFirstIn(plan).isEmpty,
+      plan.take(3000))
+    assert("hashpartitioning\\(flag#\\d+, _rb#\\d+".r.findFirstIn(plan)
+      .isDefined, plan.take(3000))
+    assert(plan.contains("sorted_lower_bound"), plan.take(3000))
   }
 
   test("x54 contamination: benchmark shingles arrive by broadcast; no cartesian") {
