@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{SpaceSavingAggregator, TextFunctions => T}
@@ -71,17 +71,23 @@ object CorpusQueries {
     // X32 — sequence packing (concatenate-then-chunk): per source shard,
     // docs are laid out in doc_id order, token offsets accumulate, and
     // each doc learns its 2048-token training-chunk id and offset — the
-    // deterministic pretraining packing layout.
+    // deterministic pretraining packing layout. The running token offset
+    // is the range-split prefix sum (PrefixSumOps): a source-only window
+    // would put a source's ENTIRE doc sequence through one task — few
+    // sources × corpus-sized groups, the q104 hazard class.
     "x32_seq_packing" -> ((s, dir) => {
-      val win = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables(s, dir, "documents")
+      val toks = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), T.words(col("text")).as("_w"))
         .select(col("doc_id"), col("source"),
                 size(col("_w")).cast("long").as("n_tokens"))
-        .withColumn("start_off", sum(col("n_tokens")).over(win) - col("n_tokens"))
+      graft.ops.PrefixSumOps
+        .runningSum(toks, Seq("source"), "doc_id", "n_tokens",
+          "_cum", "_tot")
+        .withColumn("start_off", col("_cum") - col("n_tokens"))
         .withColumn("bin_id", expr("start_off div 2048"))
         .withColumn("bin_off", col("start_off") % 2048)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+                col("start_off"), col("bin_id"), col("bin_off"))
         .orderBy(col("doc_id"))
     }),
 
@@ -234,11 +240,14 @@ object CorpusQueries {
       val w = lit(1) + when(digits.isNull || digits === "",
           raise_error(concat(lit("x41: malformed source id: "), col("source"))))
         .otherwise(digits.cast("int")) % 4
-      val pos = row_number().over(
-        Window.partitionBy(col("source")).orderBy(col("doc_id")))
-      Tables(s, dir, "documents")
+      // per-source position = prefix COUNT in doc_id order, as the
+      // range-split prefix sum — a source-only row_number window would
+      // put a source's entire doc sequence through one task
+      val base = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), w.as("_w"))
-        .withColumn("_pos", pos.cast("long"))
+        .withColumn("_one", lit(1L))
+      graft.ops.PrefixSumOps
+        .runningSum(base, Seq("source"), "doc_id", "_one", "_pos", "_n")
         .withColumn("t", expr("(_pos * 1000) DIV _w"))
         .select(col("doc_id"), col("source"), col("t"))
         .orderBy(col("t"), col("source"), col("doc_id"))
@@ -522,16 +531,30 @@ object CorpusQueries {
   /** X44 core — per-source length-band trim: rank docs by token count
     * within their source and drop the shortest and longest cnt DIV 20
     * (~5% each end; a source with fewer than 20 docs trims nothing).
-    * Rank-based so the cut is integer-exact on any engine; the windows
-    * partition by source, so parallelism = source count and no global
-    * sort exists at any scale. */
+    * Rank-based so the cut is integer-exact on any engine.
+    *
+    * The rank is a range-split prefix count (PrefixSumOps) over ONE
+    * packed order key n_tokens·2⁴³ + doc_id — the two-sided cut isn't a
+    * constant-k rank filter, so WindowGroupLimit can't rescue a
+    * source-only window from sorting a source's entire doc list in one
+    * task. Packing preserves (n_tokens, doc_id) lexicographic order
+    * exactly while keeping the native long binary-search kernel; the
+    * bounds (n_tokens < 2²⁰, doc_id < 2⁴³) fail loudly per row rather
+    * than silently mis-ranking. */
   def lengthTrim(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), col("source"),
       T.tokenCount(col("text")).cast("long").as("n_tokens"))
-    val wRank = Window.partitionBy(col("source"))
-      .orderBy(col("n_tokens"), col("doc_id"))
-    t.withColumn("rk", row_number().over(wRank).cast("long"))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("source"))))
+    def checked(c: Column, lim: Long, name: String): Column =
+      when(c >= 0 && c < lim, c).otherwise(raise_error(
+        concat(lit(s"lengthTrim: $name out of [0, $lim): "),
+               c.cast("string"))))
+    val packed = t
+      .withColumn("_pk",
+        shiftleft(checked(col("n_tokens"), 1L << 20, "n_tokens"), 43)
+          + checked(col("doc_id"), 1L << 43, "doc_id"))
+      .withColumn("_one", lit(1L))
+    graft.ops.PrefixSumOps
+      .runningSum(packed, Seq("source"), "_pk", "_one", "rk", "cnt")
       .filter(col("rk") > expr("cnt DIV 20") &&
               col("rk") <= col("cnt") - expr("cnt DIV 20"))
       .select(col("doc_id"), col("source"), col("n_tokens"))

@@ -95,20 +95,28 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(2000))
   }
 
-  test("x32 packing windows per source shard — no single-partition global window") {
+  test("x32 packing: range-split prefix sum — no source-only window over the doc sequence") {
     val plan = planOf("x32_seq_packing")
-    // the cumulative sum must be hash-partitioned by the shard column; a
-    // global Window.orderBy would show a SinglePartition exchange
-    assert(plan.contains("hashpartitioning(source"), plan.take(3000))
+    // the cumulative token offset must be range-split: a source-only
+    // window would put a source's ENTIRE doc sequence through one task
+    assert("\\[source#\\d+\\], \\[doc_id#\\d+".r.findFirstIn(plan).isEmpty,
+      plan.take(3000))
+    assert("hashpartitioning\\(source#\\d+, _rb#\\d+".r.findFirstIn(plan)
+      .isDefined, plan.take(3000))
+    assert(plan.contains("sorted_lower_bound"), plan.take(3000))
   }
 
-  test("x41 weighted interleave: schedule head is TakeOrderedAndProject, window is per-source") {
+  test("x41 weighted interleave: schedule head is TakeOrderedAndProject, position is range-split") {
     val plan = planOf("x41_weighted_mix")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
-    // the only exchange is the per-source window's hash partitioning;
     // a global range sort of the corpus would be the 100 TB failure mode
-    assert(plan.contains("hashpartitioning(source"), plan.take(3000))
     assert(!plan.contains("rangepartitioning"), plan.take(3000))
+    // per-source position rides the range-split prefix count, never a
+    // source-only row_number over the whole doc sequence
+    assert("\\[source#\\d+\\], \\[doc_id#\\d+".r.findFirstIn(plan).isEmpty,
+      plan.take(3000))
+    assert("hashpartitioning\\(source#\\d+, _rb#\\d+".r.findFirstIn(plan)
+      .isDefined, plan.take(3000))
   }
 
   test("x38 chunking is shuffle-free up to the output sort (constant fan-out generate)") {
@@ -194,11 +202,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
-  test("x44 length trim: windows partition by source — no single-partition global window") {
+  test("x44 length trim: rank is a range-split prefix count over the packed key") {
     val plan = planOf("x44_length_trim")
-    assert(plan.contains("hashpartitioning(source"), plan.take(3000))
     assert(!plan.contains("SinglePartition"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the two-sided cut is not a constant-k rank filter, so
+    // WindowGroupLimit can't save a source-only window — the rank must
+    // ride the range-split prefix count over the packed (n_tokens,
+    // doc_id) key instead
+    assert("\\[source#\\d+\\], \\[n_tokens#\\d+".r.findFirstIn(plan).isEmpty,
+      plan.take(3000))
+    assert("hashpartitioning\\(source#\\d+, _rb#\\d+".r.findFirstIn(plan)
+      .isDefined, plan.take(3000))
+    assert(plan.contains("sorted_lower_bound"), plan.take(3000))
   }
 
   test("x45 ngram novelty: keyed aggs + equi-join on shingle, no cartesian, bounded exchanges") {
