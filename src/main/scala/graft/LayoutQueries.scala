@@ -250,22 +250,40 @@ object LayoutQueries {
 
     // Q104 — equi-depth histogram (the optimizer-statistics form: equal
     // ROW mass per bucket, unlike q58's fixed-width buckets): collapse
-    // to the (flag, value) domain first, then assign each distinct
-    // value to bucket (cum−1)·B DIV total — pure integer arithmetic
-    // over cumulative counts, so bucket edges are exact order
-    // statistics. The cumulative count is a two-phase distributed
-    // prefix sum (PrefixSumOps.runningSum): sketch-cut ranges, partial
-    // sums, broadcast offsets, per-range local windows — near-unique
-    // domains like this price never funnel a whole group through one
-    // task (the plan shape PlanShapeSpec asserts).
+    // to the (flag, value) domain first; a value with cumulative count
+    // cum lands in bucket (cum−1)·B DIV total — pure integer arithmetic
+    // over exact order statistics. The cumulative column itself is never
+    // materialized: bucket b begins at the value whose cum first reaches
+    // ceil(b·tot/B)+1, so the B−1 boundary VALUES come from rank
+    // selection (PrefixSumOps.selectRanks — only boundary-carrying
+    // sketch ranges are shuffled), and every domain value's bucket is
+    // #{boundaries ≤ v}, a broadcast O(log B) binary search. Duplicate
+    // boundaries (one heavy value spanning buckets) repeat in the sorted
+    // list, which is exactly what makes the count skip empty buckets the
+    // way the cum arithmetic does. v+1 in the probe turns the kernel's
+    // strict < into ≤; cents are < 2⁴⁰ so the increment cannot overflow.
     "q104_equidepth_hist" -> ((s, dir) => {
       val B = 10
       val vc = Tables(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"),
                 round(col("l_extendedprice") * 100).cast("long").as("v"))
         .groupBy(col("flag"), col("v")).agg(count(lit(1)).as("c"))
-      PrefixSumOps.runningSum(vc, Seq("flag"), "v", "c", "cum", "tot")
-        .withColumn("bucket", expr(s"((cum - 1) * $B) DIV tot"))
+        .persist()
+      val bnd = PrefixSumOps.selectRanks(vc, Seq("flag"), "v", "c",
+          transform(sequence(lit(1), lit(B - 1)),
+            b => call_function("div",
+              b.cast("long") * col("_tot") + lit(B - 1), lit(B.toLong))
+              + lit(1L)))
+        .groupBy(col("flag"))
+        .agg(sort_array(collect_list(col("v"))).as("_sb"))
+      // left join: a degenerate group too small to reach ANY boundary
+      // rank (tot < ~B) has no bnd row — every value sits in bucket 0,
+      // exactly what the cum arithmetic would have said
+      vc.join(broadcast(bnd), Seq("flag"), "left")
+        .withColumn("bucket",
+          graft.functions.expr.SortedLowerBound(
+            coalesce(col("_sb"), array().cast("array<long>")),
+            col("v") + lit(1L)).cast("long"))
         .groupBy(col("flag"), col("bucket"))
         .agg(min(col("v")).as("lo_cents"), max(col("v")).as("hi_cents"),
              sum(col("c")).as("n_rows"))
@@ -274,28 +292,29 @@ object LayoutQueries {
 
     // Q106 — EXACT grouped quantiles at scale (P50/P90/P99): Spark's
     // exact `percentile` aggregate collects every value of a group into
-    // one buffer — the same single-task funnel q104 shed. Here the
+    // one buffer — the same single-task funnel q104 shed. The
     // quantile-q answer is the smallest domain value whose cumulative
-    // count reaches q·n (the lower order statistic), read straight off
-    // the distributed prefix sum with pure integer comparisons
-    // (100·cum ≥ q·tot ⇔ cum ≥ ⌈q·tot/100⌉ for integer cum) — exact
-    // order statistics with bounded per-task state, sketches nowhere in
-    // the answer path.
+    // count reaches ⌈q·tot/100⌉ (the lower order statistic) — a
+    // three-rank SELECTION (PrefixSumOps.selectRanks): only the three
+    // rank-carrying sketch ranges are ever shuffled or windowed, exact
+    // integer arithmetic end to end, sketches nowhere in the answer
+    // path (the percentile_approx inside selectRanks only places range
+    // cuts, never values).
     "q106_exact_quantiles" -> ((s, dir) => {
       val vc = Tables(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"),
                 round(col("l_extendedprice") * 100).cast("long").as("v"))
         .groupBy(col("flag"), col("v")).agg(count(lit(1)).as("c"))
-      PrefixSumOps.runningSum(vc, Seq("flag"), "v", "c", "cum", "tot")
+      PrefixSumOps.selectRanks(vc, Seq("flag"), "v", "c",
+          array(expr("(_tot * 50 + 99) DIV 100"),
+                expr("(_tot * 90 + 99) DIV 100"),
+                expr("(_tot * 99 + 99) DIV 100")))
         .groupBy(col("flag"))
         .agg(
-          min(when(col("cum") * 100 >= col("tot") * 50, col("v")))
-            .as("p50_cents"),
-          min(when(col("cum") * 100 >= col("tot") * 90, col("v")))
-            .as("p90_cents"),
-          min(when(col("cum") * 100 >= col("tot") * 99, col("v")))
-            .as("p99_cents"),
-          max(col("tot")).as("n_rows"))
+          min(when(col("_ri") === 0, col("v"))).as("p50_cents"),
+          min(when(col("_ri") === 1, col("v"))).as("p90_cents"),
+          min(when(col("_ri") === 2, col("v"))).as("p99_cents"),
+          max(col("_tot")).as("n_rows"))
         .orderBy(col("flag"))
     })
   )

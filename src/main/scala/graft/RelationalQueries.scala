@@ -486,14 +486,13 @@ object RelationalQueries {
     * windows sort THAT. Returns (flag, v, tot). */
   def weightedMedian(rows: DataFrame): DataFrame = {
     val vc = rows.groupBy(col("flag"), col("v")).agg(sum(col("w")).as("c"))
-    // near-unique price domain: cumulative weight via the range-split
-    // prefix sum (long keys take the native binary-search kernel), never
-    // a flag-only window over the whole collapsed domain
-    graft.ops.PrefixSumOps.runningSum(vc, Seq("flag"), "v", "c",
-        "cum", "tot")
-      .filter(col("cum") - col("c") < expr("(tot + 1) DIV 2") &&
-              expr("(tot + 1) DIV 2") <= col("cum"))
-      .select(col("flag"), col("v"), col("tot"))
+    // near-unique price domain: rank selection over the range-split
+    // weight domain (long keys take the native binary-search kernel) —
+    // only the median-carrying range is shuffled, never a flag-only
+    // window over the whole collapsed domain
+    graft.ops.PrefixSumOps.selectRanks(vc, Seq("flag"), "v", "c",
+        array(expr("(_tot + 1) DIV 2")))
+      .select(col("flag"), col("v"), col("_tot").as("tot"))
   }
 
   /** Q91 core — triangle count over a distinct undirected edge list
@@ -539,11 +538,12 @@ object RelationalQueries {
     * near-unique, so a flag-only window over the collapsed domain would
     * still funnel a whole group through one task (the q104 hazard);
     * range-splitting bounds every task by |domain|/splits instead. */
+  /** Discrete (k-th smallest) median of a (prio, value, count) domain:
+    * rank selection, not a full prefix sum — only the range containing
+    * rank (n+1) DIV 2 is ever shuffled or windowed. */
   private[graft] def discreteMedian(vc: DataFrame, valCol: String): DataFrame =
-    graft.ops.PrefixSumOps.runningSum(vc, Seq("prio"), valCol, "c",
-        "cum", "cnt")
-      .filter(col("cum") - col("c") < expr("(cnt + 1) DIV 2") &&
-              expr("(cnt + 1) DIV 2") <= col("cum"))
+    graft.ops.PrefixSumOps.selectRanks(vc, Seq("prio"), valCol, "c",
+        array(expr("(_tot + 1) DIV 2")))
       .select(col("prio"), col(valCol))
 
   val oracleSql: Map[String, String] = Map(

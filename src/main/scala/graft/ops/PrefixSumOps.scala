@@ -104,4 +104,96 @@ object PrefixSumOps {
       .withColumn(outCum, sum(col(value)).over(wLoc) + col("_off"))
       .drop("_rb", "_off")
   }
+
+  /** Exact multi-rank SELECTION over the same (group, order, value)
+    * domain: for each group and each requested 1-based cumulative rank
+    * `r`, the smallest `order` value whose running `value` total reaches
+    * `r` — medians, quantiles, and equi-depth boundaries WITHOUT
+    * materializing the full cumulative column.
+    *
+    * Where [[runningSum]] joins the broadcast offsets back to the WHOLE
+    * domain and windows every range, a k-th-element query only ever needs
+    * the ranges that contain a requested rank: phase 1's per-range
+    * partials (tiny) locate them, and phase 2 shuffles + windows ONLY
+    * those slices — |ranks|/splits of the domain instead of all of it.
+    * At 100 TB that is the difference between re-shuffling the collapsed
+    * price domain and touching a few thousandths of it.
+    *
+    * @param ranks an ARRAY<BIGINT> expression; it may reference the group
+    *              total as the column `_tot` (e.g.
+    *              `array(expr("(_tot + 1) DIV 2"))` for the lower median).
+    *              Ranks outside [1, _tot] select nothing and are silently
+    *              dropped — deliberate: equi-depth boundary lists shrink
+    *              on tiny groups exactly as their bucket arithmetic wants.
+    *              Duplicate ranks yield duplicate result rows (one per
+    *              array position), which is what duplicate-boundary
+    *              semantics need.
+    * @return one row per (group, satisfied rank): the group columns plus
+    *         `_ri` (0-based position in the ranks array), `_rank` (the
+    *         rank itself), the selected `order` value under its original
+    *         name, and `_tot` (the group total).
+    *
+    * Preconditions match [[runningSum]]: non-null numeric `order`,
+    * distinct (group, order) pairs — running totals over a domain with
+    * duplicate keys are order-ambiguous.
+    */
+  def selectRanks(df: DataFrame, group: Seq[String], order: String,
+                  value: String, ranks: Column,
+                  splits: Int = 256): DataFrame = {
+    require(splits >= 2, "selectRanks needs at least 2 splits")
+    val gCols = group.map(col)
+    val in = df.persist()
+    // Phase 0 — one agg carries BOTH the range cuts and the group total
+    // (runningSum recomputes the total in phase 1; here the total must
+    // exist before ranks can be evaluated, so it rides the sketch pass).
+    val qs = (1 until splits).map(_.toDouble / splits)
+    val bounds = in.groupBy(gCols: _*)
+      .agg(percentile_approx(col(order), lit(qs.toArray), lit(2000))
+             .as("_bs"),
+           sum(col(value)).as("_tot"))
+    def withRanges(frame: DataFrame): DataFrame = {
+      val b =
+        if (group.isEmpty) frame.crossJoin(broadcast(bounds))
+        else frame.join(broadcast(bounds), group)
+      val rbExpr = df.schema(order).dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          graft.functions.expr.SortedLowerBound(col("_bs"), col(order))
+        case _ =>
+          aggregate(col("_bs"), lit(0),
+            (acc, bd) => acc + when(col(order) > bd, 1).otherwise(0))
+      }
+      b.withColumn("_rb", rbExpr).drop("_bs")
+    }
+    // Phase 1 — per-range partials (|groups|·splits rows) locate, for
+    // every requested rank, THE range whose mass bracket contains it and
+    // that range's exclusive running offset. The window runs over the
+    // tiny partials frame, bounded by splits, never by data.
+    val wOff = Window.partitionBy(gCols: _*).orderBy(col("_rb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val targets = withRanges(in)
+      .groupBy((gCols :+ col("_rb")): _*)
+      .agg(sum(col(value)).as("_pc"), first(col("_tot")).as("_tot"))
+      .withColumn("_off", coalesce(sum(col("_pc")).over(wOff), lit(0L)))
+      .select(gCols ++ Seq(col("_rb"), col("_off"), col("_pc"), col("_tot"),
+        posexplode(ranks).as(Seq("_ri", "_rank"))): _*)
+      .filter(col("_off") < col("_rank") &&
+              col("_rank") <= col("_off") + col("_pc"))
+      .drop("_pc")
+    // Phase 2 — window ONLY the target slices: the broadcast join prunes
+    // every row outside a rank-carrying range (and replicates a range per
+    // rank it satisfies — ranks are few by contract). Within one slice
+    // the selected value is the first to push the running total past the
+    // rank.
+    val wLoc = Window
+      .partitionBy((gCols ++ Seq(col("_rb"), col("_ri"))): _*)
+      .orderBy(col(order))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withRanges(in).drop("_tot")
+      .join(broadcast(targets), group :+ "_rb")
+      .withColumn("_cum", sum(col(value)).over(wLoc) + col("_off"))
+      .groupBy((gCols ++ Seq(col("_ri"), col("_rank"), col("_tot"))): _*)
+      .agg(min(when(col("_cum") >= col("_rank"), col(order))).as(order))
+      .select(gCols ++ Seq(col("_ri"), col("_rank"), col(order),
+        col("_tot")): _*)
+  }
 }

@@ -49,4 +49,58 @@ class PrefixSumOpsSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSeq
     assert(run(1) == run(13))
   }
+
+  test("selectRanks matches a reference selection (multi-rank, long keys, skewed groups)") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => ("a", ((i * 37) % 1000).toLong, 1L + i % 3)) ++
+               (1 to 40).map(i => ("b", ((i * 91) % 500).toLong, 2L))
+    val df = rows.distinct.toDF("g", "v", "c").repartition(7)
+    // median and p90 per group, in one call
+    val got = PrefixSumOps.selectRanks(df, Seq("g"), "v", "c",
+        array(expr("(_tot + 1) DIV 2"), expr("(_tot * 90 + 99) DIV 100")),
+        splits = 8)
+      .select("g", "_ri", "_rank", "v", "_tot")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val expect = rows.distinct.groupBy(_._1).flatMap { case (g, rs) =>
+      val sorted = rs.map(r => (r._2, r._3)).toSeq.sortBy(_._1)
+      val tot = sorted.map(_._2).sum
+      val cums = sorted.scanLeft((0L, 0L)) {
+        case ((_, acc), (v, c)) => (v, acc + c) }.tail
+      Seq((tot + 1) / 2, (tot * 90 + 99) / 100).zipWithIndex.map {
+        case (r, ri) =>
+          (g, ri, r, cums.find(_._2 >= r).get._1, tot)
+      }
+    }.toSet
+    assert(got == expect)
+  }
+
+  test("selectRanks: duplicate ranks duplicate rows; out-of-range ranks drop") {
+    import spark.implicits._
+    val df = Seq(("g", 10L, 3L), ("g", 20L, 3L), ("g", 30L, 4L))
+      .toDF("g", "v", "c").repartition(4)
+    // ranks: 4 (→20), 4 again (dup), 0 (below range), 99 (beyond tot=10)
+    val got = PrefixSumOps.selectRanks(df, Seq("g"), "v", "c",
+        array(lit(4L), lit(4L), lit(0L), lit(99L)), splits = 4)
+      .select("_ri", "_rank", "v", "_tot")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set((0, 4L, 20L, 10L), (1, 4L, 20L, 10L)))
+  }
+
+  test("selectRanks survives a degenerate sketch and stays partition-count invariant") {
+    import spark.implicits._
+    // 3 distinct values, splits=8 (most ranges empty); int keys take the
+    // interpreted fold path
+    def run(parts: Int) =
+      PrefixSumOps.selectRanks(
+          Seq(("g", 1, 10L), ("g", 2, 20L), ("g", 3, 30L))
+            .toDF("g", "v", "c").repartition(parts),
+          Seq("g"), "v", "c",
+          array(lit(1L), lit(10L), lit(11L), lit(60L)), splits = 8)
+        .orderBy("_ri").select("_ri", "v")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val expect = Seq((0, 1), (1, 1), (2, 2), (3, 3))
+    assert(run(1) == expect && run(13) == expect)
+  }
 }
