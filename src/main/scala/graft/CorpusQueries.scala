@@ -128,15 +128,24 @@ object CorpusQueries {
 
     // X35 — deterministic global shuffle + sharding: md5-keyed order and
     // shard assignment reproduce EXACTLY on any engine or cluster size —
-    // the reproducible data-ordering contract for training runs.
+    // the reproducible data-ordering contract for training runs. The
+    // in-shard position is a range-split prefix count (PrefixSumOps): a
+    // shard-only window would put 1/8 of the corpus through one task.
+    // Ranges cut on the hash's top 60 bits (a long — the native
+    // binary-search kernel); the within-range order is the full 32-hex
+    // string + doc_id, so 60-bit prefix collisions cost nothing.
     "x35_shuffle_shard" -> ((s, dir) => {
       val keyed = Tables(s, dir, "documents")
         .select(col("doc_id"),
           md5(concat(lit("shuf:"), col("doc_id"))).as("k"))
         .withColumn("shard", conv(substring(col("k"), 1, 2), 16, 10)
           .cast("int") % 8)
-      val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
-      keyed.withColumn("pos", row_number().over(w))
+        .withColumn("_k60",
+          conv(substring(col("k"), 1, 15), 16, 10).cast("long"))
+      graft.ops.PrefixSumOps
+        .runningCount(keyed, Seq("shard"), "_k60",
+          Seq(col("k"), col("doc_id")), "pos")
+        .withColumn("pos", col("pos").cast("int"))
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("doc_id"))
     }),

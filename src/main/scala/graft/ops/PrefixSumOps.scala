@@ -105,6 +105,58 @@ object PrefixSumOps {
       .drop("_rb", "_off")
   }
 
+  /** Exact per-row PREFIX COUNT (1-based position) within each group
+    * under a total order that need not be numeric: `orderCols` defines
+    * the order, and `cutKey` — any numeric column that is a MONOTONE
+    * COARSENING of it (cutKey(a) < cutKey(b) ⇒ a before b; ties resolved
+    * by later orderCols) — is what the range sketch cuts. Rows tied on
+    * `cutKey` always land in one range (range id is a pure function of
+    * the key), so the within-range `row_number` over the full order plus
+    * the broadcast range offset is the exact global position.
+    *
+    * This is [[runningSum]] for value ≡ 1 rows, generalized past numeric
+    * order keys: x35's md5-ordered shard positions cut on the hash's top
+    * 60 bits (a long, so the native binary-search kernel applies) while
+    * ordering by the full 128-bit hex string + id tiebreak.
+    *
+    * Preconditions: `cutKey` non-null numeric; `orderCols` a total order
+    * within each group (positions would otherwise be nondeterministic,
+    * exactly as under a plain window). */
+  def runningCount(df: DataFrame, group: Seq[String], cutKey: String,
+                   orderCols: Seq[Column], outPos: String,
+                   splits: Int = 256): DataFrame = {
+    require(splits >= 2, "runningCount needs at least 2 splits")
+    require(orderCols.nonEmpty, "runningCount needs at least one order col")
+    val gCols = group.map(col)
+    val in = df.persist()
+    val qs = (1 until splits).map(_.toDouble / splits)
+    val bounds = in.groupBy(gCols: _*)
+      .agg(percentile_approx(col(cutKey), lit(qs.toArray), lit(2000))
+        .as("_bs"))
+    val bounded =
+      if (group.isEmpty) in.crossJoin(broadcast(bounds))
+      else in.join(broadcast(bounds), group)
+    val rbExpr = df.schema(cutKey).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        graft.functions.expr.SortedLowerBound(col("_bs"), col(cutKey))
+      case _ =>
+        aggregate(col("_bs"), lit(0),
+          (acc, b) => acc + when(col(cutKey) > b, 1).otherwise(0))
+    }
+    val ranged = bounded.withColumn("_rb", rbExpr).drop("_bs").persist()
+    val rbCols = gCols :+ col("_rb")
+    val wOff = Window.partitionBy(gCols: _*).orderBy(col("_rb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(rbCols: _*)
+      .agg(count(lit(1)).as("_pc"))
+      .withColumn("_off", coalesce(sum(col("_pc")).over(wOff), lit(0L)))
+      .drop("_pc")
+    val wLoc = Window.partitionBy(rbCols: _*).orderBy(orderCols: _*)
+    ranged.join(broadcast(offsets), group :+ "_rb")
+      .withColumn(outPos, row_number().over(wLoc).cast("long") + col("_off"))
+      .drop("_rb", "_off")
+  }
+
   /** Exact multi-rank SELECTION over the same (group, order, value)
     * domain: for each group and each requested 1-based cumulative rank
     * `r`, the smallest `order` value whose running `value` total reaches

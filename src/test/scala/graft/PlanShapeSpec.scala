@@ -119,6 +119,18 @@ class PlanShapeSpec extends SparkSpec {
       .isDefined, plan.take(3000))
   }
 
+  test("x35 shuffle-shard: in-shard position is a range-split prefix count") {
+    val plan = planOf("x35_shuffle_shard")
+    // a shard-only window ordered by the hash would put 1/8 of the
+    // corpus through one task
+    assert("\\[shard#\\d+\\], \\[k#\\d+".r.findFirstIn(plan).isEmpty,
+      plan.take(3000))
+    assert("hashpartitioning\\(shard#\\d+, _rb#\\d+".r.findFirstIn(plan)
+      .isDefined, plan.take(3000))
+    // the 60-bit cut key is a long — the native binary-search kernel
+    assert(plan.contains("sorted_lower_bound"), plan.take(3000))
+  }
+
   test("x38 chunking is shuffle-free up to the output sort (constant fan-out generate)") {
     val df = SparkEntry.queries("x38_chunk_overlap")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

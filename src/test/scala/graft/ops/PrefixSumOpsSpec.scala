@@ -50,6 +50,30 @@ class PrefixSumOpsSpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("runningCount: exact positions under a string order with a coarse numeric cut key") {
+    import spark.implicits._
+    // order is (s, id); the cut key is only s's first char as a long —
+    // heavily tied, so ranges hold many rows and ties must be resolved
+    // by the within-range (s, id) sort
+    val rows = (1 to 400).map { i =>
+      val s = f"${(i * 7919) % 100}%02d-${i}%03d"
+      ("g" + (i % 2), s, i.toLong)
+    }
+    val df = rows.toDF("g", "s", "id")
+      .withColumn("_ck", substring(col("s"), 1, 1).cast("long"))
+      .repartition(7)
+    val got = PrefixSumOps.runningCount(df, Seq("g"), "_ck",
+        Seq(col("s"), col("id")), "pos", splits = 8)
+      .select("g", "s", "pos")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val expect = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map(r => (r._2, r._3)).sortBy(identity)
+        .zipWithIndex.map { case ((s, _), i) => (g, s, i + 1L) }
+    }.toSet
+    assert(got == expect)
+  }
+
   test("selectRanks matches a reference selection (multi-rank, long keys, skewed groups)") {
     import spark.implicits._
     val rows = (1 to 500).map(i => ("a", ((i * 37) % 1000).toLong, 1L + i % 3)) ++
