@@ -113,18 +113,29 @@ object CorpusQueries {
     }),
 
     // X34 — inverted-index build: term → document frequency, total count,
-    // and the first 5 posting ids — the retrieval-side index structure,
-    // with per-term state bounded by the posting cap.
-    "x34_inverted_index" -> ((s, dir) =>
+    // and the first 5 posting ids — the retrieval-side index structure.
+    // Per-term state is ACTUALLY bounded by the posting cap: a
+    // collect_set-then-slice would buffer every matching doc id before
+    // slicing (a stopword term at corpus scale = billions of ids in one
+    // buffer), so the cap rides the merge-closed distinct bottom-k
+    // aggregator instead — ≤ 5 longs per term per partial, map-side
+    // combined. The (word, doc_id) pre-aggregation both feeds it
+    // duplicate-light input and replaces count_distinct's expand.
+    "x34_inverted_index" -> ((s, dir) => {
+      val bk5 = org.apache.spark.sql.functions.udaf(
+        new graft.functions.BottomKDistinctLongAggregator(5),
+        org.apache.spark.sql.Encoders.scalaLong)
       Tables(s, dir, "documents")
         .select(col("doc_id"), explode(T.words(col("text"))).as("word"))
+        .groupBy(col("word"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
         .groupBy(col("word"))
-        .agg(count_distinct(col("doc_id")).as("df"),
-             count(lit(1)).as("n"),
-             concat_ws(",", transform(
-               slice(sort_array(collect_set(col("doc_id"))), 1, 5),
+        .agg(count(lit(1)).as("df"),
+             sum(col("c")).as("n"),
+             concat_ws(",", transform(bk5(col("doc_id")),
                _.cast("string"))).as("postings"))
-        .orderBy(col("word"))),
+        .orderBy(col("word"))
+    }),
 
     // X35 — deterministic global shuffle + sharding: md5-keyed order and
     // shard assignment reproduce EXACTLY on any engine or cluster size —

@@ -17,7 +17,7 @@ object PlanCheck {
                "x14_dedup_cluster", "x16_dedup_incremental",
                "q72_exists_subquery", "q73_lateral_topk", "q74_bloom_semi",
                "q81_recursive_cte", "x38_chunk_overlap", "x40_bm25_topk",
-               "x35_shuffle_shard",
+               "x34_inverted_index", "x35_shuffle_shard",
                "x41_weighted_mix", "q84_skew_profile", "x42_line_dedup",
                "x43_vocab_apply", "x44_length_trim", "x45_ngram_novelty",
                "x46_unigram_surprise", "x47_source_overlap",

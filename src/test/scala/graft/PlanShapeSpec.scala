@@ -623,6 +623,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("sorted_lower_bound"), plan.take(3000))
   }
 
+  test("x34 inverted index: posting cap is a merge-closed partial, not collect_set") {
+    val plan = planOf("x34_inverted_index")
+    // collect_set-then-slice buffers EVERY doc id of a stopword term
+    // before slicing; the cap must be the bounded distinct bottom-k
+    assert(!plan.contains("collect_set"), plan.take(3000))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
+    assert(plan.toLowerCase.contains("partial_bottomkdistinct"),
+      plan.take(3000))
+    // no count_distinct expand either: df rides the (word, doc_id) agg
+    assert(!plan.contains("Expand"), plan.take(3000))
+  }
+
   test("x65 bottom-k sample: merge-closed partial aggregation — corpus rows never shuffle") {
     val plan = planOf("x65_bottomk_sample")
     // the selection must be an ObjectHashAggregate with a map-side
