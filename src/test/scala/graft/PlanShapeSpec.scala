@@ -385,12 +385,24 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("x49/x50 cap+quota: windows partition by their key — no single-partition window") {
+    // with few groups (sources/langs) the rank filter MUST push down as a
+    // partial WindowGroupLimit before the exchange — each map task ships
+    // ≤ k rows per group instead of the group's whole corpus slice
+    def assertPartialGroupLimit(plan: String): Unit = {
+      // printed top-down, the map-side partial sits BELOW the deepest
+      // exchange: a WindowGroupLimit after the last Exchange in the text
+      val exIdx = plan.lastIndexOf("Exchange")
+      assert(exIdx >= 0 && plan.indexOf("WindowGroupLimit", exIdx) >= 0,
+        plan.take(3000))
+    }
     val capPlan = planOf("x49_source_cap")
     assert(capPlan.contains("hashpartitioning(source"), capPlan.take(3000))
     assert(!capPlan.contains("SinglePartition"), capPlan.take(3000))
+    assertPartialGroupLimit(capPlan)
     val quotaPlan = planOf("x50_lang_quota")
     assert(quotaPlan.contains("hashpartitioning(lang"), quotaPlan.take(3000))
     assert(!quotaPlan.contains("SinglePartition"), quotaPlan.take(3000))
+    assertPartialGroupLimit(quotaPlan)
   }
 
   test("q88 markov: lead window shuffles by user_id; per-state totals broadcast") {
