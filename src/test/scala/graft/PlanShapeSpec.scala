@@ -15,6 +15,16 @@ class PlanShapeSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.executedPlan.toString
 
+  /** Assert a rank-limit window over `key` pushed down as a map-side
+    * partial WindowGroupLimit: printed top-down, the partial sits BELOW
+    * the window's own hash exchange — without it, every row of a group
+    * crosses the wire to be ranked and discarded. */
+  private def assertPartialGroupLimit(plan: String, key: String): Unit = {
+    val exIdx = plan.indexOf(s"Exchange hashpartitioning($key")
+    assert(exIdx >= 0, plan.take(3000))
+    assert(plan.indexOf("WindowGroupLimit", exIdx) >= 0, plan.take(3000))
+  }
+
   test("q28 as-of join plans as window over one shuffle — no nested-loop join") {
     val plan = planOf("q28_asof_join")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
@@ -386,23 +396,20 @@ class PlanShapeSpec extends SparkSpec {
 
   test("x49/x50 cap+quota: windows partition by their key — no single-partition window") {
     // with few groups (sources/langs) the rank filter MUST push down as a
-    // partial WindowGroupLimit before the exchange — each map task ships
-    // ≤ k rows per group instead of the group's whole corpus slice
-    def assertPartialGroupLimit(plan: String): Unit = {
-      // printed top-down, the map-side partial sits BELOW the deepest
-      // exchange: a WindowGroupLimit after the last Exchange in the text
-      val exIdx = plan.lastIndexOf("Exchange")
-      assert(exIdx >= 0 && plan.indexOf("WindowGroupLimit", exIdx) >= 0,
-        plan.take(3000))
-    }
+    // partial WindowGroupLimit — each map task ships ≤ k rows per group
+    // instead of the group's whole corpus slice
     val capPlan = planOf("x49_source_cap")
-    assert(capPlan.contains("hashpartitioning(source"), capPlan.take(3000))
     assert(!capPlan.contains("SinglePartition"), capPlan.take(3000))
-    assertPartialGroupLimit(capPlan)
+    assertPartialGroupLimit(capPlan, "source")
     val quotaPlan = planOf("x50_lang_quota")
-    assert(quotaPlan.contains("hashpartitioning(lang"), quotaPlan.take(3000))
     assert(!quotaPlan.contains("SinglePartition"), quotaPlan.take(3000))
-    assertPartialGroupLimit(quotaPlan)
+    assertPartialGroupLimit(quotaPlan, "lang")
+  }
+
+  test("x09 ANN brute force: per-query rank limit is a map-side partial") {
+    // the candidate frame is |queries|·|corpus| pairs — only k per query
+    // may cross the ranking exchange
+    assertPartialGroupLimit(planOf("x09_sim_topk"), "qid")
   }
 
   test("q88 markov: lead window shuffles by user_id; per-state totals broadcast") {
