@@ -490,7 +490,31 @@ object CorpusQueries {
                 col("col._1").as("token"), col("col._2").as("cnt"),
                 col("col._3").as("err"))
         .orderBy(col("source"), col("rank"))
-    }))
+    }),
+
+    // X66 — BPE merge-step pair counts: the distributed kernel of
+    // byte-pair-encoding tokenizer training. Classic BPE iterates over a
+    // WORD-FREQUENCY dictionary, never raw text, so the corpus first
+    // collapses to (word, count) — a type-bounded frame, x39's shape —
+    // and the adjacent-pair explode runs over word TYPES weighted by
+    // their counts: a word occurring a billion times costs one row. One
+    // round shown (the next merge a trainer would apply); the outer loop
+    // re-runs this with merged symbols. Top-20 is a TakeOrdered, never a
+    // global sort.
+    "x66_bpe_pairs" -> ((s, dir) =>
+      bpePairs(Tables(s, dir, "documents"), topK = 20)),
+
+    // X67 — cross-document repeated-SPAN detection: the unaligned
+    // complement of x42's line dedup (which only sees copies that share
+    // line boundaries). Every doc samples fixed-width character windows
+    // at a stride; a span seen in ≥ 2 docs marks both. Stride trades
+    // recall for cost — spans per doc = |text|/stride, so the exploded
+    // frame is (window/stride)× the text volume, the standard
+    // suffix-free approximation of substring dedup at corpus scale. All
+    // exchanges are keyed (span, then doc_id) with partial combine.
+    "x67_repeated_spans" -> ((s, dir) =>
+      repeatedSpans(Tables(s, dir, "documents"), window = 24, stride = 8)
+        .orderBy(col("doc_id"))))
 
   /** X51 core — per-source token lift. lift_x1000 = (sc·ctot·1000) DIV
     * (cc·stot) where sc/cc are source/corpus token counts and stot/ctot
@@ -751,6 +775,46 @@ object CorpusQueries {
       .filter(col("cum") - col("c") < expr("(tot * q + 99) DIV 100") &&
               expr("(tot * q + 99) DIV 100") <= col("cum"))
       .select(col("lang"), col("q"), col("v").as("n_tokens"))
+  }
+
+  /** X66 core — one BPE merge round: adjacent character-pair counts over
+    * the word-frequency dictionary, top-K by (count desc, pair). The
+    * dictionary collapse is the scale move: pair fan-out is bounded by
+    * Σ|type| over word TYPES, not token occurrences, and the pair agg is
+    * partial-combined. Ties at the K boundary are broken by the pair
+    * string, so the cut is total and engine-independent. */
+  def bpePairs(docs: DataFrame, topK: Int): DataFrame = {
+    val wf = docs
+      .select(explode(T.words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    wf.select(col("cnt"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
+
+  /** X67 core — per-doc duplicated-span profile: sample `window`-char
+    * substrings at `stride`, count how many of each doc's DISTINCT spans
+    * occur in other docs too (within-doc repeats don't count — the
+    * per-doc distinct absorbs them). Docs shorter than `window` have no
+    * sample and are absent, exactly like x42's short-segment rule. */
+  def repeatedSpans(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    val spans = docs
+      .filter(length(col("text")) >= window)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), length(col("text")) - (window - 1), lit(stride)),
+          p => col("text").substr(p, lit(window)))).as("span"))
+      .distinct()
+    val docsPerSpan = spans.groupBy(col("span")).agg(count(lit(1)).as("_nd"))
+    spans.join(docsPerSpan, Seq("span"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ppm", expr("(n_dup * 1000000) DIV n_spans"))
   }
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1110,5 +1174,33 @@ object CorpusQueries {
                    ORDER BY cnt DESC, token)::BIGINT AS rank
                FROM c)
          SELECT source, rank, token, cnt, 0::BIGINT AS err
-         FROM r WHERE rank <= 5 ORDER BY source, rank""")
+         FROM r WHERE rank <= 5 ORDER BY source, rank""",
+
+    "x66_bpe_pairs" ->
+      s"""WITH wf AS (
+           SELECT w, count(*)::BIGINT AS cnt
+           FROM (SELECT unnest($wordsSql) AS w FROM documents) t
+           WHERE length(w) >= 2 GROUP BY w),
+         pe AS (
+           SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                    i -> substr(w, i, 2))) AS pair, cnt
+           FROM wf)
+         SELECT pair, sum(cnt)::BIGINT AS n
+         FROM pe GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+
+    "x67_repeated_spans" ->
+      """WITH raw AS (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(text) - 23, 8),
+               p -> substr(text, p, 24))) AS span
+           FROM documents WHERE length(text) >= 24),
+         sp AS (SELECT DISTINCT doc_id, span FROM raw),
+         nd AS (SELECT span, count(*)::BIGINT AS nd FROM sp GROUP BY span)
+         SELECT sp.doc_id,
+           count(*)::BIGINT AS n_spans,
+           sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+           (sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END)::BIGINT * 1000000)
+             // count(*) AS dup_ppm
+         FROM sp JOIN nd USING (span)
+         GROUP BY sp.doc_id ORDER BY sp.doc_id""")
 }

@@ -42,7 +42,8 @@ object PlanCheck {
                "x64_embedding_drift", "q103_time_weighted_avg",
                "q104_equidepth_hist", "q105_ri_audit",
                "b03_bucketed_revenue", "x15_approx_sketch",
-               "q106_exact_quantiles", "x65_bottomk_sample")
+               "q106_exact_quantiles", "x65_bottomk_sample",
+               "x66_bpe_pairs", "x67_repeated_spans")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -355,6 +355,29 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(got === Seq((1L, 5L, 0L, 0L), (2L, 3L, 2L, 66L)))
   }
 
+  test("x66 BPE pairs: counts weight word types by frequency; 1-char words drop") {
+    val docs = Seq((1L, "ab ab cd"), (2L, "abc x"))
+      .toDF("doc_id", "text")
+    // wf: ab→2, cd→1, abc→1 (x filtered); pairs: ab = 2+1, bc = 1, cd = 1
+    val got = CorpusQueries.bpePairs(docs, topK = 20)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("ab", 3L), ("bc", 1L), ("cd", 1L)))
+  }
+
+  test("x67 repeated spans: cross-doc spans flag both docs; within-doc repeats and short docs don't") {
+    val docs = Seq(
+      (1L, "abcdefgh"),   // spans abcd cdef efgh
+      (2L, "xxcdefyy"),   // spans xxcd cdef efyy — shares cdef with doc 1
+      (3L, "aaaaaa"),     // spans aaaa aaaa → one DISTINCT span, unshared
+      (4L, "zz"))         // shorter than the window → absent
+      .toDF("doc_id", "text")
+    val got = CorpusQueries.repeatedSpans(docs, window = 4, stride = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 3L, 1L, 333333L),
+                       (2L, 3L, 1L, 333333L),
+                       (3L, 1L, 0L, 0L)))
+  }
+
   test("x57 length bands: k = ceil(q·n/100) picks exact order statistics per language") {
     // en: token counts 1..10 (one doc each) → p10=1, p50=5, p90=9
     // fr: a single doc → every band is its own length

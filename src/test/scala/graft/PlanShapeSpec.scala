@@ -406,6 +406,20 @@ class PlanShapeSpec extends SparkSpec {
     assertPartialGroupLimit(quotaPlan, "lang")
   }
 
+  test("x66 BPE pairs: top-K is a TakeOrdered over the pair agg, never a global sort") {
+    val plan = planOf("x66_bpe_pairs")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("x67 repeated spans: span-count join is keyed — no all-pairs path") {
+    val plan = planOf("x67_repeated_spans")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert("hashpartitioning\\(span#\\d+".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+  }
+
   test("x09 ANN brute force: per-query rank limit is a map-side partial") {
     // the candidate frame is |queries|·|corpus| pairs — only k per query
     // may cross the ranking exchange
