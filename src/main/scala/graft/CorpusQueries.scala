@@ -514,7 +514,21 @@ object CorpusQueries {
     // exchanges are keyed (span, then doc_id) with partial combine.
     "x67_repeated_spans" -> ((s, dir) =>
       repeatedSpans(Tables(s, dir, "documents"), window = 24, stride = 8)
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // X68 — incremental vocabulary maintenance: merge a new batch's token
+    // counts into the persisted corpus statistics WITHOUT re-scanning the
+    // corpus — the aggregate twin of x16's incremental dedup index. Here
+    // the "persisted" side is derived in-query (doc_id % 10 ≠ 0) so the
+    // oracle can assert the property that makes the pattern sound: the
+    // incremental merge must equal a full recompute, token for token.
+    // The threshold applies AFTER the merge — that is why production
+    // stats tables persist unthresholded counts: a token below cutoff
+    // yesterday can cross it today.
+    "x68_vocab_incremental" -> ((s, dir) =>
+      vocabIncrement(Tables(s, dir, "documents"),
+        isBatch = col("doc_id") % 10 === 0, minCount = 5L)
+        .orderBy(col("token"))))
 
   /** X51 core — per-source token lift. lift_x1000 = (sc·ctot·1000) DIV
     * (cc·stot) where sc/cc are source/corpus token counts and stot/ctot
@@ -815,6 +829,28 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n_spans"),
            sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_dup"))
       .withColumn("dup_ppm", expr("(n_dup * 1000000) DIV n_spans"))
+  }
+
+  /** X68 core — incremental count maintenance: token counts from the
+    * batch slice merge into the base slice's counts by a keyed full-outer
+    * join (counts are merge-closed: plus is associative/commutative, so
+    * the merged frame is bit-identical to a recompute). In production the
+    * base side is a READ of the persisted stats table — only the batch
+    * is ever tokenized; the demo derives both from `docs` so the parity
+    * oracle can state incremental ≡ recompute. Threshold after merge. */
+  def vocabIncrement(docs: DataFrame, isBatch: Column,
+                     minCount: Long): DataFrame = {
+    def counts(d: DataFrame) = d
+      .select(explode(T.words(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val base = counts(docs.filter(!isBatch)).withColumnRenamed("n", "_nb")
+    val batch = counts(docs.filter(isBatch)).withColumnRenamed("n", "_nd")
+    base.join(batch, Seq("token"), "full_outer")
+      .withColumn("n",
+        coalesce(col("_nb"), lit(0L)) + coalesce(col("_nd"), lit(0L)))
+      .filter(col("n") >= minCount)
+      .select(col("token"), col("n"))
   }
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1202,5 +1238,13 @@ object CorpusQueries {
            (sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END)::BIGINT * 1000000)
              // count(*) AS dup_ppm
          FROM sp JOIN nd USING (span)
-         GROUP BY sp.doc_id ORDER BY sp.doc_id""")
+         GROUP BY sp.doc_id ORDER BY sp.doc_id""",
+
+    // the oracle IS the soundness claim: the incremental merge must
+    // equal a full recompute over the whole corpus
+    "x68_vocab_incremental" ->
+      s"""SELECT token, count(*)::BIGINT AS n
+         FROM (SELECT unnest($wordsSql) AS token FROM documents) t
+         WHERE token <> ''
+         GROUP BY token HAVING count(*) >= 5 ORDER BY token""")
 }

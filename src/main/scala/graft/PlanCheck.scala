@@ -43,7 +43,8 @@ object PlanCheck {
                "q104_equidepth_hist", "q105_ri_audit",
                "b03_bucketed_revenue", "x15_approx_sketch",
                "q106_exact_quantiles", "x65_bottomk_sample",
-               "x66_bpe_pairs", "x67_repeated_spans")
+               "x66_bpe_pairs", "x67_repeated_spans",
+               "x68_vocab_incremental")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")

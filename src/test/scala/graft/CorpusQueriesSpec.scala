@@ -378,6 +378,20 @@ class CorpusQueriesSpec extends SparkSpec {
                        (3L, 1L, 0L, 0L)))
   }
 
+  test("x68 incremental vocab: threshold applies AFTER the merge; one-sided tokens survive") {
+    val docs = Seq(
+      (1L, "aa aa aa bb"),  // base: aa 3, bb 1
+      (2L, "cc cc cc cc cc"), // base: cc 5 — base-only, at threshold
+      (10L, "aa aa bb"))    // batch (doc_id % 10 == 0): aa 2, bb 1
+      .toDF("doc_id", "text")
+    val got = CorpusQueries.vocabIncrement(docs,
+        isBatch = col("doc_id") % 10 === 0, minCount = 5L)
+      .orderBy("token").as[(String, Long)].collect().toSeq
+    // aa crosses the threshold only AFTER merging (3 + 2); bb (2) stays
+    // below; cc never appears in the batch but keeps its base count
+    assert(got === Seq(("aa", 5L), ("cc", 5L)))
+  }
+
   test("x57 length bands: k = ceil(q·n/100) picks exact order statistics per language") {
     // en: token counts 1..10 (one doc each) → p10=1, p50=5, p90=9
     // fr: a single doc → every band is its own length

@@ -420,6 +420,17 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("x68 incremental vocab: count merge is a keyed full-outer over two partial aggs") {
+    val plan = planOf("x68_vocab_incremental")
+    assert(plan.contains("FullOuter"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // both sides pre-aggregate to (token, n) before the join: the merge
+    // joins count frames, never raw token occurrences
+    assert("partial_count".r.findAllIn(plan.toLowerCase).size >= 2
+      || plan.split("HashAggregate").length - 1 >= 4, plan.take(3000))
+  }
+
   test("x09 ANN brute force: per-query rank limit is a map-side partial") {
     // the candidate frame is |queries|·|corpus| pairs — only k per query
     // may cross the ranking exchange
