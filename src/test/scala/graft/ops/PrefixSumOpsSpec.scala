@@ -74,6 +74,25 @@ class PrefixSumOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("ungrouped (global-domain) paths: runningSum totals and selectRanks medians") {
+    import spark.implicits._
+    // 13 coprime to 997 and the range below it → all values distinct
+    val vals = (1 to 200).map(i => ((i * 13) % 997).toLong)
+    val df = vals.map((_, 1L)).toDF("v", "c").repartition(5)
+    val cum = PrefixSumOps.runningSum(df, Seq(), "v", "c", "cum", "tot",
+        splits = 8)
+      .select("v", "cum", "tot")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sorted = vals.sorted
+    val expect = sorted.zipWithIndex
+      .map { case (v, i) => (v, i + 1L, 200L) }.toSet
+    assert(cum == expect)
+    val med = PrefixSumOps.selectRanks(df, Seq(), "v", "c",
+        array(expr("(_tot + 1) DIV 2")), splits = 8)
+      .select("v").as[Long].collect().toSeq
+    assert(med == Seq(sorted(99)))
+  }
+
   test("selectRanks matches a reference selection (multi-rank, long keys, skewed groups)") {
     import spark.implicits._
     val rows = (1 to 500).map(i => ("a", ((i * 37) % 1000).toLong, 1L + i % 3)) ++
