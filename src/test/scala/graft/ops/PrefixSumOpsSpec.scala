@@ -74,6 +74,22 @@ class PrefixSumOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("runningCount stays partition-count invariant") {
+    import spark.implicits._
+    val rows = (1 to 300).map { i =>
+      ("g" + (i % 3), f"${(i * 31) % 50}%02d-$i%03d", i.toLong)
+    }
+    def run(parts: Int) = PrefixSumOps.runningCount(
+        rows.toDF("g", "s", "id")
+          .withColumn("_ck", substring(col("s"), 1, 1).cast("long"))
+          .repartition(parts),
+        Seq("g"), "_ck", Seq(col("s"), col("id")), "pos", splits = 8)
+      .select("g", "s", "pos")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(run(1) == run(13))
+  }
+
   test("ungrouped (global-domain) paths: runningSum totals and selectRanks medians") {
     import spark.implicits._
     // 13 coprime to 997 and the range below it → all values distinct
