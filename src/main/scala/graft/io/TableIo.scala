@@ -67,6 +67,28 @@ object TableIo {
                        partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Global-total-order sharded export: the corpus written as `shards`
+    * parquet files such that reading them in file order replays one
+    * deterministic global sort — the layout a training run consumes when
+    * data ORDER is part of the recipe (curriculum schedules, x35-style
+    * reproducible shuffles). `repartitionByRange` samples range bounds so
+    * every shard is a contiguous slice of the sort order (shard i's rows
+    * all precede shard i+1's) and `sortWithinPartitions` orders each
+    * slice locally — N parallel bounded sorts, never a single-task global
+    * sort. Part-file names are zero-padded, so lexicographic file order
+    * IS the data order. Ties across shard boundaries are only
+    * deterministic when `sortCols` is a total order — same contract as
+    * any window the engine exposes. */
+  def writeRangeSorted(df: DataFrame, path: String, shards: Int,
+                       sortCols: Seq[String]): Unit = {
+    require(shards >= 1, "writeRangeSorted needs at least one shard")
+    require(sortCols.nonEmpty, "writeRangeSorted needs sort columns")
+    val cols = sortCols.map(col)
+    df.repartitionByRange(shards, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** JSONL (one JSON object per line) source — the interchange format of
     * training-data pipelines. An explicit schema skips Spark's
     * inference pass (which reads the data twice) and pins types against

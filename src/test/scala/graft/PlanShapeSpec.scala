@@ -275,6 +275,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("writeRangeSorted: N bounded shard sorts replay one global order in file order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rsort")
+      .toString + "/t"
+    // 7919 coprime to 1000 → a permutation: every key distinct
+    val df = (0 until 1000).map(i => (((i * 7919) % 1000).toLong, s"r$i"))
+      .toDF("k", "v")
+    val staged = df.repartitionByRange(4, col("k"))
+      .sortWithinPartitions(col("k"))
+    val plan = staged.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.take(2000))
+    assert(!plan.contains("SinglePartition"), plan.take(2000))
+    graft.io.TableIo.writeRangeSorted(df, dir, 4, Seq("k"))
+    val parts = new java.io.File(dir).listFiles
+      .map(_.getName).filter(_.startsWith("part-")).sorted.toSeq
+    assert(parts.length == 4, parts)
+    val shards = parts.map(p => spark.read.parquet(s"$dir/$p")
+      .select("k").collect().map(_.getLong(0)).toSeq)
+    shards.foreach(s => assert(s == s.sorted))   // each shard sorted
+    val all = shards.flatten
+    assert(all == all.sorted && all.size == 1000) // file order = global order
+  }
+
   test("partitioned parquet write: date filter prunes partitions in the scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
