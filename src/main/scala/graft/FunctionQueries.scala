@@ -545,7 +545,50 @@ object FunctionQueries {
         .groupBy(col("label"))
         .agg(sum(abs(col("m0") - col("m1"))).as("l1_drift_micro"),
              max(col("c0")).as("n_even"), max(col("c1")).as("n_odd"))
-        .orderBy(col("label"))))
+        .orderBy(col("label"))),
+
+    // X69 — hyperplane-LSH near-dup candidates over embeddings: the
+    // label-free complement of x22's blocked cosine (labels are training
+    // metadata a raw corpus doesn't have). Each vector gets two 8-bit
+    // SIGN SIGNATURES (coordinate-hyperplane SimHash bands over dims 0–7
+    // and 8–15); candidates are pairs agreeing on EITHER band — two
+    // banded equi-joins + a distinct, the x06 MinHash-band shape, never
+    // all-pairs (band-key fan-in is corpus/256 on centered embeddings).
+    // Each candidate is then verified with the exact cosine; recall is
+    // the standard banded-LSH bound (a true near-dup must collide on at
+    // least one band; more bands trade shuffle volume for recall). Sign
+    // bits survive the float→double widening exactly, so the signature
+    // — and therefore the candidate set — is engine-identical.
+    "x69_hyperplane_lsh" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => V}
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      def bandSig(off: Int): org.apache.spark.sql.Column =
+        (0 until 8).map { i =>
+          when(element_at(col("embedding"), off + i + 1) >= 0f,
+               lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      val sigs = e.select(col("vec_id"),
+        bandSig(0).as("s0"), bandSig(8).as("s1"))
+      def bandPairs(b: String) = sigs
+        .select(col(b).as("bk"), col("vec_id").as("id_a"))
+        .join(sigs.select(col(b).as("bk"), col("vec_id").as("id_b")),
+              Seq("bk"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val cand = bandPairs("s0").union(bandPairs("s1")).distinct()
+      val va = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+                        V.norm(col("embedding")).as("na"))
+      val vb = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+                        V.norm(col("embedding")).as("nb"))
+      cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+        .withColumn("cos",
+          when(col("na") === 0.0 || col("nb") === 0.0,
+            lit(null).cast("double"))
+          .otherwise(V.dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+        .filter(col("cos") >= 0.25)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }))
 
   // --- DuckDB oracles ------------------------------------------------------
 
@@ -905,5 +948,31 @@ object FunctionQueries {
                           FROM documents))
          SELECT source, split, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         FROM s GROUP BY source, split ORDER BY source, split""")
+         FROM s GROUP BY source, split ORDER BY source, split""",
+
+    // sign bits are exact under float->double widening, so the candidate
+    // set (either band collides) is engine-identical; cosine verify and
+    // rounding mirror x22
+    "x69_hyperplane_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          s AS (SELECT vec_id, v,
+                  ${(0 until 8).map(i =>
+                     s"(CASE WHEN v[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+                     .mkString(" + ")} AS s0,
+                  ${(0 until 8).map(i =>
+                     s"(CASE WHEN v[${i + 9}] >= 0 THEN ${1L << i} ELSE 0 END)")
+                     .mkString(" + ")} AS s1
+                FROM e),
+          cand AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM s a JOIN s b ON b.s0 = a.s0 AND a.vec_id < b.vec_id
+            UNION
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM s a JOIN s b ON b.s1 = a.s1 AND a.vec_id < b.vec_id),
+          p AS (SELECT id_a, id_b, ea.v AS va, eb.v AS vb
+                FROM cand JOIN e ea ON ea.vec_id = id_a
+                          JOIN e eb ON eb.vec_id = id_b),
+          r AS (SELECT id_a, id_b, $cosSql AS cos FROM p)
+          SELECT id_a, id_b, round(cos, 4) AS cos
+          FROM r WHERE cos >= 0.25 ORDER BY id_a, id_b""")
 }

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.io.Compaction
 import graft.ops.{PrefixSumOps, ZOrderOps}
 import graft.operators.MarketBasket
 
@@ -316,6 +317,38 @@ object LayoutQueries {
           min(when(col("_ri") === 2, col("v"))).as("p99_cents"),
           max(col("_tot")).as("n_rows"))
         .orderBy(col("flag"))
+    }),
+
+    // Q107 — zone-map-pruned range scan: io/Compaction's maintenance path
+    // on the oracled surface. Pay-once, a per-SF scratch layout compacts
+    // `documents` range-clustered on n_chars (the b03 ensure-once shape);
+    // each run then builds the per-file zone manifest — ONE narrow scan
+    // producing |files| rows — and answers the range aggregate reading
+    // only files whose [min,max] zone intersects [100,200]. On the
+    // clustered layout that is O(matching files) of I/O; correctness
+    // never depends on the manifest because the predicate is re-applied
+    // row-level, and the oracle reads the RAW table — layout must not
+    // change results (CompactionSpec asserts the file-count drop; at
+    // 100 TB this is the difference between opening every file of a
+    // table and opening the two files a point lookup needs).
+    "q107_zonemap_prune" -> ((s, dir) => {
+      val sfTag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_zm_$sfTag").getPath
+      if (!new java.io.File(out, "_SUCCESS").isFile) {
+        val src = s"$dir/documents.parquet"
+        val total = Compaction.dataFiles(s, src).map(_._2).sum
+        Compaction.compact(s, src, out, math.max(1L, total / 8),
+          sortCols = Seq("n_chars"))
+      }
+      val zm = Compaction.zoneMap(s, out, Seq("n_chars"))
+      Compaction.readPruned(s, out, zm, "n_chars", lit(100L), lit(200L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("sum_chars"),
+             min(col("n_chars")).as("min_chars"),
+             max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -465,6 +498,15 @@ object LayoutQueries {
            min(CASE WHEN 100 * cum >= 90 * tot THEN v END) AS p90_cents,
            min(CASE WHEN 100 * cum >= 99 * tot THEN v END) AS p99_cents,
            max(tot) AS n_rows
-         FROM cw GROUP BY 1 ORDER BY 1"""
+         FROM cw GROUP BY 1 ORDER BY 1""",
+
+    // the oracle reads the RAW table: compaction + zone-map pruning must
+    // be invisible to results
+    "q107_zonemap_prune" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents WHERE n_chars BETWEEN 100 AND 200
+         GROUP BY lang ORDER BY lang"""
   )
 }

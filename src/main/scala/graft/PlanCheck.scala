@@ -44,7 +44,8 @@ object PlanCheck {
                "b03_bucketed_revenue", "x15_approx_sketch",
                "q106_exact_quantiles", "x65_bottomk_sample",
                "x66_bpe_pairs", "x67_repeated_spans",
-               "x68_vocab_incremental")
+               "x68_vocab_incremental", "q107_zonemap_prune",
+               "x69_hyperplane_lsh")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -754,4 +754,29 @@ class PlanShapeSpec extends SparkSpec {
         s"$q: model join must broadcast, got:\n" + plan.take(3000))
     }
   }
+
+  test("x69 hyperplane LSH: candidates come from banded equi-joins — no cartesian anywhere") {
+    val plan = planOf("x69_hyperplane_lsh")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // both band joins must hash on the 8-bit signature key
+    assert("hashpartitioning\\(bk#\\d+".r.findFirstIn(plan).isDefined ||
+           plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("q107 zone-map pruned read opens only the files whose zones intersect the range") {
+    import graft.io.Compaction
+    // build the per-SF scratch layout (idempotent), then check the scan
+    val df = SparkEntry.queries("q107_zonemap_prune")(spark, sfDir)
+    df.collect() // ensures the pay-once compaction exists
+    val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_zm_$sfTag").getPath
+    val total = Compaction.dataFiles(spark, out).size
+    val zm = Compaction.zoneMap(spark, out, Seq("n_chars"))
+    val pruned = Compaction.readPruned(spark, out, zm, "n_chars",
+      lit(100L), lit(200L))
+    assert(pruned.inputFiles.length < total,
+      s"pruning must drop files: ${pruned.inputFiles.length} of $total")
+  }
 }
