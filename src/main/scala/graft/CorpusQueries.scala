@@ -528,7 +528,80 @@ object CorpusQueries {
     "x68_vocab_incremental" -> ((s, dir) =>
       vocabIncrement(Tables(s, dir, "documents"),
         isBatch = col("doc_id") % 10 === 0, minCount = 5L)
-        .orderBy(col("token"))))
+        .orderBy(col("token"))),
+
+    // X71 — corpus snapshot diff: the release-over-release audit
+    // (added / removed / changed / unchanged per source) every dataset
+    // card needs. The previous snapshot is DERIVED here (the x68
+    // pattern, so the oracle can state the expected classification
+    // exactly): old = current minus the %17 "added" docs, with the %13
+    // docs truncated (a content edit) and phantom high-id docs for the
+    // %19 rows (present then, gone now). The diff itself is the
+    // operator: fingerprint each side AT THE SCAN (map-side md5, no
+    // text crosses the wire after it) and one keyed full-outer join on
+    // doc_id classifies every row — at 100 TB this is one co-partitioned
+    // exchange of (id, fp) pairs, not a text comparison; two bucketed
+    // snapshot tables would make it exchange-free (b03's layout).
+    "x71_snapshot_diff" -> ((s, dir) => {
+      val cur = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val old = cur.filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 13 === 5, substring(col("text"), 1, 40))
+            .otherwise(col("text")).as("text"))
+        .unionByName(cur.filter(col("doc_id") % 19 === 7)
+          .select((col("doc_id") + 1000000000000L).as("doc_id"),
+                  col("source"),
+                  upper(substring(col("text"), 1, 20)).as("text")))
+      val o = old.select(col("doc_id"), col("source").as("src_o"),
+                         md5(col("text").cast("binary")).as("fp_o"))
+      val n = cur.select(col("doc_id"), col("source").as("src_n"),
+                         md5(col("text").cast("binary")).as("fp_n"))
+      o.join(n, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("fp_o").isNull, "added")
+          .when(col("fp_n").isNull, "removed")
+          .when(col("fp_o") =!= col("fp_n"), "changed")
+          .otherwise("unchanged"))
+        .withColumn("source", coalesce(col("src_n"), col("src_o")))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("status"))
+    }),
+
+    // X72 — importance weighting for data selection (DSIR-shaped): score
+    // every document by how much more likely its tokens are under a
+    // TARGET distribution (here: the English slice) than under the raw
+    // corpus — the hashed-ngram importance-resampling recipe, with the
+    // n-gram features reduced to unigrams. The log-ratio is integer-exact
+    // via bitlen (x46's −log₂ device, applied to the RATIO):
+    // lr(w) = bitlen((ct+1)·Nr) − bitlen((cr+1)·Nt) ≈ log₂(p_t(w)/p_r(w))
+    // with add-one smoothing so target-absent tokens score negative
+    // instead of −∞. Vocab and the two totals broadcast (bounded by type
+    // count); the per-doc agg is the only data-sized exchange. The
+    // (ct+1)·Nr product needs bitlen(ct)+bitlen(Nr) bits — at extreme
+    // corpus sizes promote it to decimal(38,0) before bitlen (x51 note).
+    "x72_importance_weights" -> ((s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+                explode(T.words(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val vr = tok.groupBy(col("token")).agg(count(lit(1)).as("cr"))
+      val vt = tok.filter(col("lang") === "en")
+        .groupBy(col("token")).agg(count(lit(1)).as("ct"))
+      val vocab = vr.join(vt, Seq("token"), "left_outer")
+        .na.fill(0L, Seq("ct"))
+      val totals = vocab.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+      tok.join(broadcast(vocab), Seq("token"))
+        .crossJoin(broadcast(totals))
+        .withColumn("lr",
+          (length(bin((col("ct") + 1) * col("nr"))) -
+           length(bin((col("cr") + 1) * col("nt")))).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("imp_sum"))
+        .withColumn("imp_x100", expr("(imp_sum * 100) DIV n_tokens"))
+        .orderBy(col("doc_id"))
+    }))
 
   /** X51 core — per-source token lift. lift_x1000 = (sc·ctot·1000) DIV
     * (cc·stot) where sc/cc are source/corpus token counts and stot/ctot
@@ -1246,5 +1319,48 @@ object CorpusQueries {
       s"""SELECT token, count(*)::BIGINT AS n
          FROM (SELECT unnest($wordsSql) AS token FROM documents) t
          WHERE token <> ''
-         GROUP BY token HAVING count(*) >= 5 ORDER BY token""")
+         GROUP BY token HAVING count(*) >= 5 ORDER BY token""",
+
+    // the derived old snapshot makes the expected classification exact:
+    // %17 docs added, %13 docs changed (truncation), %19 phantoms removed
+    "x71_snapshot_diff" ->
+      """WITH cur AS (SELECT doc_id, source, text FROM documents),
+         old AS (
+           SELECT doc_id, source,
+             CASE WHEN doc_id % 13 = 5 THEN substr(text, 1, 40)
+                  ELSE text END AS text
+           FROM cur WHERE doc_id % 17 <> 3
+           UNION ALL
+           SELECT doc_id + 1000000000000, source, upper(substr(text, 1, 20))
+           FROM cur WHERE doc_id % 19 = 7),
+         o AS (SELECT doc_id, source AS src_o, md5(text) AS fp_o FROM old),
+         n AS (SELECT doc_id, source AS src_n, md5(text) AS fp_n FROM cur),
+         j AS (SELECT coalesce(n.src_n, o.src_o) AS source,
+                 CASE WHEN o.fp_o IS NULL THEN 'added'
+                      WHEN n.fp_n IS NULL THEN 'removed'
+                      WHEN o.fp_o <> n.fp_n THEN 'changed'
+                      ELSE 'unchanged' END AS status
+               FROM o FULL JOIN n USING (doc_id))
+         SELECT source, status, count(*)::BIGINT AS n_docs
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // same bitlen log-ratio formula; to_base(x,2) is DuckDB's bin()
+    "x72_importance_weights" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($wordsSql) AS token
+                       FROM documents),
+         t2 AS (SELECT * FROM tok WHERE token <> ''),
+         vr AS (SELECT token, count(*)::BIGINT AS cr FROM t2 GROUP BY token),
+         vt AS (SELECT token, count(*)::BIGINT AS ct FROM t2
+                WHERE lang = 'en' GROUP BY token),
+         v AS (SELECT vr.token, cr, coalesce(ct, 0) AS ct
+               FROM vr LEFT JOIN vt USING (token)),
+         tot AS (SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt FROM v),
+         sc AS (SELECT doc_id,
+                  CAST(length(to_base((ct + 1) * nr, 2))
+                     - length(to_base((cr + 1) * nt, 2)) AS BIGINT) AS lr
+                FROM t2 JOIN v USING (token) CROSS JOIN tot)
+         SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           sum(lr)::BIGINT AS imp_sum,
+           (sum(lr)::BIGINT * 100) // count(*) AS imp_x100
+         FROM sc GROUP BY doc_id ORDER BY doc_id""")
 }

@@ -588,6 +588,67 @@ object FunctionQueries {
         .filter(col("cos") >= 0.25)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // X70 — hybrid retrieval with reciprocal-rank fusion: the RAG-index
+    // serving pattern. Five query documents retrieve (a) lexically — an
+    // idf-weighted token-overlap score, x40's integer-exact idf — and
+    // (b) semantically — x29's int8-quantized dot over the aligned
+    // embedding — and each side keeps its per-query top-20 BY RANK; RRF
+    // then scores every candidate Σ 1000000 DIV (60+rank) over the lists
+    // it appears in, which needs no score calibration between
+    // incommensurable scales (the reason RRF wins in production). Query
+    // tokens and vectors broadcast (queries are few; the corpus side
+    // never re-shuffles for them); candidate generation is keyed by
+    // token; the fusion join touches ≤ 40 rows per query. All ranks and
+    // scores are integers with doc_id tie-breaks — engine-identical.
+    "x70_hybrid_rrf" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => V}
+      val docs = Tables(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(col("token") =!= "").distinct()
+      val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nn = docs.agg(count(lit(1)).as("n"))
+      val q = tok.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("token"))
+      val ts = broadcast(q).join(tok, Seq("token"))
+        .filter(col("doc_id") =!= col("qid"))
+        .join(dfreq, Seq("token")).crossJoin(broadcast(nn))
+        .withColumn("idf_x1000", expr("(1000000 * n) DIV df DIV 1000"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("idf_x1000")).as("ts"))
+      val wt = Window.partitionBy(col("qid"))
+        .orderBy(col("ts").desc, col("doc_id"))
+      val ttop = ts.withColumn("trank", row_number().over(wt))
+        .filter(col("trank") <= 20).select(col("qid"), col("doc_id"), col("trank"))
+      val q8 = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+                V.absMax(col("embedding")).as("scale"))
+        .filter(col("scale") > 0.0)
+        .select(col("vec_id"),
+                transform(V.quantizeInt8(col("embedding"), col("scale")),
+                  _.cast("double")).as("qv"))
+      val qv = q8.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("qv").as("qa"))
+      val wv = Window.partitionBy(col("qid"))
+        .orderBy(col("qdot").desc, col("doc_id"))
+      val vtop = broadcast(qv)
+        .join(q8.select(col("vec_id").as("doc_id"), col("qv").as("qb")),
+              col("doc_id") =!= col("qid"))
+        .withColumn("qdot", V.dot(col("qa"), col("qb")).cast("long"))
+        .withColumn("vrank", row_number().over(wv))
+        .filter(col("vrank") <= 20).select(col("qid"), col("doc_id"), col("vrank"))
+      val fused = ttop.join(vtop, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(expr("1000000 DIV (60 + trank)"), lit(0L)) +
+          coalesce(expr("1000000 DIV (60 + vrank)"), lit(0L)))
+      val wf = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      fused.withColumn("rank", row_number().over(wf))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("doc_id"), col("rrf"))
+        .orderBy(col("qid"), col("rank"))
     }))
 
   // --- DuckDB oracles ------------------------------------------------------
@@ -974,5 +1035,52 @@ object FunctionQueries {
                           JOIN e eb ON eb.vec_id = id_b),
           r AS (SELECT id_a, id_b, $cosSql AS cos FROM p)
           SELECT id_a, id_b, round(cos, 4) AS cos
-          FROM r WHERE cos >= 0.25 ORDER BY id_a, id_b""")
+          FROM r WHERE cos >= 0.25 ORDER BY id_a, id_b""",
+
+    // both rank lists and the fusion are integer-exact with doc_id
+    // tie-breaks, so the fused ordering is engine-identical
+    "x70_hybrid_rrf" ->
+      s"""WITH t0 AS (SELECT doc_id, unnest($wordsSql) AS token
+                      FROM documents),
+          tok AS (SELECT DISTINCT doc_id, token FROM t0 WHERE token <> ''),
+          dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tok GROUP BY token),
+          nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+          q AS (SELECT doc_id AS qid, token FROM tok WHERE doc_id < 5),
+          ts AS (SELECT q.qid, tok.doc_id,
+                   sum(((1000000 * n) // df) // 1000)::BIGINT AS ts
+                 FROM q JOIN tok USING (token)
+                   JOIN dfreq USING (token) CROSS JOIN nn
+                 WHERE tok.doc_id <> q.qid GROUP BY 1, 2),
+          ttop AS (SELECT qid, doc_id, trank FROM
+                     (SELECT qid, doc_id,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY ts DESC, doc_id) AS trank FROM ts)
+                   WHERE trank <= 20),
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          sc AS (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS scale
+                 FROM e WHERE list_max(list_transform(v, x -> abs(x))) > 0),
+          q8 AS (SELECT vec_id,
+                   list_transform(v, x -> round(127 * x / scale)) AS qv
+                 FROM sc),
+          p AS (SELECT a.vec_id AS qid, b.vec_id AS doc_id,
+                  CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS qdot
+                FROM q8 a JOIN q8 b ON b.vec_id <> a.vec_id
+                WHERE a.vec_id < 5),
+          vtop AS (SELECT qid, doc_id, vrank FROM
+                     (SELECT qid, doc_id,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY qdot DESC, doc_id) AS vrank FROM p)
+                   WHERE vrank <= 20),
+          f AS (SELECT coalesce(t.qid, v.qid) AS qid,
+                  coalesce(t.doc_id, v.doc_id) AS doc_id,
+                  coalesce(1000000 // (60 + t.trank), 0) +
+                  coalesce(1000000 // (60 + v.vrank), 0) AS rrf
+                FROM ttop t FULL JOIN vtop v
+                  ON v.qid = t.qid AND v.doc_id = t.doc_id),
+          r AS (SELECT qid, doc_id, rrf,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY rrf DESC, doc_id) AS rank FROM f)
+          SELECT qid, rank, doc_id, rrf FROM r WHERE rank <= 10
+          ORDER BY qid, rank""")
 }

@@ -45,7 +45,8 @@ object PlanCheck {
                "q106_exact_quantiles", "x65_bottomk_sample",
                "x66_bpe_pairs", "x67_repeated_spans",
                "x68_vocab_incremental", "q107_zonemap_prune",
-               "x69_hyperplane_lsh")
+               "x69_hyperplane_lsh", "x70_hybrid_rrf",
+               "x71_snapshot_diff", "x72_importance_weights")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")

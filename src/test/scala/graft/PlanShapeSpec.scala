@@ -748,7 +748,8 @@ class PlanShapeSpec extends SparkSpec {
     // parent has no size estimate, so without an explicit broadcast the
     // planner intermittently sort-merges the corpus-sized probe side
     // (x56 measured 1.3 s broadcast vs 10.9 s flipped)
-    Seq("x24_tfidf_top_term", "x56_bigram_surprise").foreach { q =>
+    Seq("x24_tfidf_top_term", "x56_bigram_surprise",
+        "x72_importance_weights").foreach { q =>
       val plan = planOf(q)
       assert(!plan.contains("SortMergeJoin"),
         s"$q: model join must broadcast, got:\n" + plan.take(3000))
