@@ -179,6 +179,29 @@ object ExtensionQueries {
             .otherwise("test"))
         .select(col("doc_id"), col("quality"), col("n_tokens"), col("split"))
         .orderBy(col("doc_id"))
+    }),
+
+    // X73 — IVF ANN on the hash-gated surface, via the bracketing trick
+    // (x15's pattern): with nprobe = nlist every cell is probed, so the
+    // IVF pipeline — sample-fit KMeans quantizer, labeling pass, probe
+    // ranking, within-cell brute force — MUST reproduce the exact
+    // brute-force top-k whatever the clustering did; the oracle is the
+    // same SQL as x09's. That turns "recall at full probe = 1.0" from a
+    // spec claim into a per-round cross-engine gate (and it holds no
+    // matter how MLlib's KMeans seeds or iterates, so the oracle needs
+    // no centroid knowledge). Production sets nprobe << nlist and writes
+    // the corpus partitioned by cell; the quantizer is fit on a
+    // deterministic quarter sample (fitSampleBuckets=64) — the 100 TB
+    // shape where only the labeling pass reads every row.
+    "x73_ivf_search" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val idx = graft.operators.IvfSearch.build(e, nlist = 16,
+        fitSampleBuckets = 64)
+      graft.operators.IvfSearch.search(idx, e.filter(col("vec_id") < 5),
+          k = 3, nprobe = 16)
+        .select(col("qid"), col("rank"), col("nid"),
+                round(col("cos"), 4).as("cos"))
+        .orderBy(col("qid"), col("rank"))
     }))
 
   // --- DuckDB oracles ------------------------------------------------------
@@ -365,5 +388,19 @@ object ExtensionQueries {
                   ('0x' || substr(md5('split:' || f.doc_id), 1, 4))::BIGINT
                     % 100 AS b
                 FROM f JOIN keep USING (doc_id)) t
-          ORDER BY doc_id""")
+          ORDER BY doc_id""",
+
+    // full-probe IVF must equal brute force — x09's oracle, verbatim
+    "x73_ivf_search" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                       q.v AS va, c.v AS vb
+                FROM e q JOIN e c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < 5),
+          r AS (SELECT qid, nid, $cosSql AS cos FROM p),
+          rk AS (SELECT qid, nid, cos, row_number() OVER (
+                   PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+                 FROM r)
+          SELECT qid, rank, nid, round(cos, 4) AS cos
+          FROM rk WHERE rank <= 3 ORDER BY qid, rank""")
 }
