@@ -553,17 +553,7 @@ object CorpusQueries {
           .select((col("doc_id") + 1000000000000L).as("doc_id"),
                   col("source"),
                   upper(substring(col("text"), 1, 20)).as("text")))
-      val o = old.select(col("doc_id"), col("source").as("src_o"),
-                         md5(col("text").cast("binary")).as("fp_o"))
-      val n = cur.select(col("doc_id"), col("source").as("src_n"),
-                         md5(col("text").cast("binary")).as("fp_n"))
-      o.join(n, Seq("doc_id"), "full_outer")
-        .withColumn("status",
-          when(col("fp_o").isNull, "added")
-          .when(col("fp_n").isNull, "removed")
-          .when(col("fp_o") =!= col("fp_n"), "changed")
-          .otherwise("unchanged"))
-        .withColumn("source", coalesce(col("src_n"), col("src_o")))
+      snapshotDiff(old, cur)
         .groupBy(col("source"), col("status"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("source"), col("status"))
@@ -581,27 +571,9 @@ object CorpusQueries {
     // count); the per-doc agg is the only data-sized exchange. The
     // (ct+1)·Nr product needs bitlen(ct)+bitlen(Nr) bits — at extreme
     // corpus sizes promote it to decimal(38,0) before bitlen (x51 note).
-    "x72_importance_weights" -> ((s, dir) => {
-      val tok = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-                explode(T.words(col("text"))).as("token"))
-        .filter(col("token") =!= "")
-      val vr = tok.groupBy(col("token")).agg(count(lit(1)).as("cr"))
-      val vt = tok.filter(col("lang") === "en")
-        .groupBy(col("token")).agg(count(lit(1)).as("ct"))
-      val vocab = vr.join(vt, Seq("token"), "left_outer")
-        .na.fill(0L, Seq("ct"))
-      val totals = vocab.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
-      tok.join(broadcast(vocab), Seq("token"))
-        .crossJoin(broadcast(totals))
-        .withColumn("lr",
-          (length(bin((col("ct") + 1) * col("nr"))) -
-           length(bin((col("cr") + 1) * col("nt")))).cast("long"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("imp_sum"))
-        .withColumn("imp_x100", expr("(imp_sum * 100) DIV n_tokens"))
-        .orderBy(col("doc_id"))
-    }))
+    "x72_importance_weights" -> ((s, dir) =>
+      importanceWeights(Tables(s, dir, "documents"),
+        isTarget = col("lang") === "en").orderBy(col("doc_id"))))
 
   /** X51 core — per-source token lift. lift_x1000 = (sc·ctot·1000) DIV
     * (cc·stot) where sc/cc are source/corpus token counts and stot/ctot
@@ -924,6 +896,57 @@ object CorpusQueries {
         coalesce(col("_nb"), lit(0L)) + coalesce(col("_nd"), lit(0L)))
       .filter(col("n") >= minCount)
       .select(col("token"), col("n"))
+  }
+
+  /** X71 core — row-level snapshot diff: classify every doc_id across two
+    * snapshots of (doc_id, source, text) as added / removed / changed /
+    * unchanged. Both sides are fingerprinted AT THE SCAN (map-side md5 —
+    * after it no text crosses the wire), then one keyed full-outer join
+    * on doc_id carries the whole classification; `source` is taken from
+    * whichever side has the row. At 100 TB this is one co-partitioned
+    * exchange of (id, fp) pairs; two bucketed snapshot tables make it
+    * exchange-free (b03's layout). */
+  def snapshotDiff(old: DataFrame, cur: DataFrame): DataFrame = {
+    val o = old.select(col("doc_id"), col("source").as("src_o"),
+                       md5(col("text").cast("binary")).as("fp_o"))
+    val n = cur.select(col("doc_id"), col("source").as("src_n"),
+                       md5(col("text").cast("binary")).as("fp_n"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_o").isNull, "added")
+        .when(col("fp_n").isNull, "removed")
+        .when(col("fp_o") =!= col("fp_n"), "changed")
+        .otherwise("unchanged"))
+      .withColumn("source", coalesce(col("src_n"), col("src_o")))
+      .select(col("doc_id"), col("source"), col("status"))
+  }
+
+  /** X72 core — DSIR-shaped importance score: per doc, the summed
+    * integer log-ratio lr(w) = bitlen((ct+1)·Nr) − bitlen((cr+1)·Nt)
+    * ≈ log₂(p_target(w)/p_raw(w)) with add-one smoothing (target-absent
+    * tokens score negative instead of −∞). Vocab + totals broadcast; the
+    * per-doc agg is the only data-sized exchange. The (ct+1)·Nr product
+    * needs bitlen(ct)+bitlen(Nr) bits — promote to decimal(38,0) before
+    * bitlen at extreme corpus sizes (x51 note). */
+  def importanceWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), isTarget.as("_t"),
+              explode(T.words(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val vr = tok.groupBy(col("token")).agg(count(lit(1)).as("cr"))
+    val vt = tok.filter(col("_t"))
+      .groupBy(col("token")).agg(count(lit(1)).as("ct"))
+    val vocab = vr.join(vt, Seq("token"), "left_outer")
+      .na.fill(0L, Seq("ct"))
+    val totals = vocab.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    tok.join(broadcast(vocab), Seq("token"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lr",
+        (length(bin((col("ct") + 1) * col("nr"))) -
+         length(bin((col("cr") + 1) * col("nt")))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("imp_sum"))
+      .withColumn("imp_x100", expr("(imp_sum * 100) DIV n_tokens"))
   }
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"

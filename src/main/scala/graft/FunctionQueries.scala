@@ -562,13 +562,9 @@ object FunctionQueries {
     "x69_hyperplane_lsh" -> ((s, dir) => {
       import graft.functions.{VectorFunctions => V}
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      def bandSig(off: Int): org.apache.spark.sql.Column =
-        (0 until 8).map { i =>
-          when(element_at(col("embedding"), off + i + 1) >= 0f,
-               lit(1L << i)).otherwise(lit(0L))
-        }.reduce(_ + _)
       val sigs = e.select(col("vec_id"),
-        bandSig(0).as("s0"), bandSig(8).as("s1"))
+        V.signBand(col("embedding"), 0, 8).as("s0"),
+        V.signBand(col("embedding"), 8, 8).as("s1"))
       def bandPairs(b: String) = sigs
         .select(col(b).as("bk"), col("vec_id").as("id_a"))
         .join(sigs.select(col(b).as("bk"), col("vec_id").as("id_b")),
@@ -639,17 +635,26 @@ object FunctionQueries {
         .withColumn("qdot", V.dot(col("qa"), col("qb")).cast("long"))
         .withColumn("vrank", row_number().over(wv))
         .filter(col("vrank") <= 20).select(col("qid"), col("doc_id"), col("vrank"))
-      val fused = ttop.join(vtop, Seq("qid", "doc_id"), "full_outer")
-        .withColumn("rrf",
-          coalesce(expr("1000000 DIV (60 + trank)"), lit(0L)) +
-          coalesce(expr("1000000 DIV (60 + vrank)"), lit(0L)))
-      val wf = Window.partitionBy(col("qid"))
-        .orderBy(col("rrf").desc, col("doc_id"))
-      fused.withColumn("rank", row_number().over(wf))
-        .filter(col("rank") <= 10)
-        .select(col("qid"), col("rank"), col("doc_id"), col("rrf"))
-        .orderBy(col("qid"), col("rank"))
+      rrfFuse(ttop, vtop, k = 10).orderBy(col("qid"), col("rank"))
     }))
+
+  /** X70 core — reciprocal-rank fusion of two rank lists keyed by
+    * (qid, doc_id) with rank columns `trank` / `vrank`: each candidate
+    * scores Σ 1000000 DIV (60+rank) over the lists it appears in — the
+    * calibration-free way to merge incommensurable retrieval scores.
+    * Integer throughout with doc_id tie-breaks; the join touches only
+    * the already-capped lists, never the corpus. */
+  def rrfFuse(ttop: DataFrame, vtop: DataFrame, k: Int): DataFrame = {
+    val fused = ttop.join(vtop, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr("1000000 DIV (60 + trank)"), lit(0L)) +
+        coalesce(expr("1000000 DIV (60 + vrank)"), lit(0L)))
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("rrf"))
+  }
 
   // --- DuckDB oracles ------------------------------------------------------
 

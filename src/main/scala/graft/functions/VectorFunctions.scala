@@ -57,6 +57,16 @@ object VectorFunctions {
       .otherwise(d / (na * nb))
   }
 
+  /** `bits`-bit coordinate-hyperplane sign band: bit i is set when
+    * `v[off+i] >= 0`. The axis-aligned member of the [[lshBucket]] family,
+    * chosen when the bucket id must be reproducible in ANSI SQL (x69 uses
+    * two of these as LSH bands; sign bits survive float→double widening
+    * exactly, so the band — and the candidate set — is engine-identical). */
+  def signBand(v: Column, off: Int, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(v, off + i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Sign-bit LSH bucket for a vector: h pseudo-random hyperplanes whose
     * components are derived deterministically from md5(seed:plane:dim) —
     * reproducible across runs and engines, no RNG state. The bucket id is

@@ -420,4 +420,34 @@ class CorpusQueriesSpec extends SparkSpec {
         "top-lang share below the 5-language uniform floor")
     }
   }
+
+  test("x71 snapshotDiff classifies each id by presence and fingerprint; source survives removal") {
+    val old = Seq((1L, "web", "same"), (2L, "web", "before"),
+                  (4L, "books", "gone")).toDF("doc_id", "source", "text")
+    val cur = Seq((1L, "web", "same"), (2L, "web", "after"),
+                  (3L, "news", "fresh")).toDF("doc_id", "source", "text")
+    val got = CorpusQueries.snapshotDiff(old, cur).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got === Map(
+      1L -> ("web", "unchanged"), 2L -> ("web", "changed"),
+      3L -> ("news", "added"), 4L -> ("books", "removed")))
+  }
+
+  test("x72 importance: target-only tokens score positive, target-absent negative, shared ~0") {
+    // target docs are alpha-heavy, raw-only docs beta-heavy; the
+    // imbalance must exceed bitlen's ±1-bit quantization to register
+    // (beta: lr = bitlen(1·18) − bitlen(13·4) = 5 − 6 = −1)
+    val beta6 = "beta beta beta beta beta beta shared"
+    val docs = Seq(
+      (1L, "t", "alpha shared"), (2L, "t", "alpha shared"),
+      (3L, "r", beta6), (4L, "r", beta6)
+    ).toDF("doc_id", "lang", "text")
+    val got = CorpusQueries.importanceWeights(docs, col("lang") === "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == got(2L) && got(3L) == got(4L))
+    assert(got(1L) > got(3L),
+      s"target docs must outscore raw-only docs: $got")
+    assert(got(3L) < 0, s"target-absent tokens must pull the score negative: $got")
+    assert(got(1L) > 0, s"target-enriched tokens must score positive: $got")
+  }
 }
