@@ -318,6 +318,27 @@ object AnalyticsQueries {
         .orderBy(col("id"))
     }),
 
+    // X74 — duplicate-cluster census: the "how duplicated is this
+    // corpus" report read before choosing a keep-one-per-cluster policy
+    // — for each cluster size, how many clusters and how many documents
+    // they hold. Rides x14's pipeline (banded candidates → pointer-
+    // jumping components); the census itself is two keyed aggs over the
+    // (id, label) frame, whose output is bounded by the largest cluster,
+    // not the corpus. A fat head here (few huge clusters) warns that
+    // near-dup removal will gut the corpus; a long tail of 2s is the
+    // healthy shape.
+    "x74_cluster_census" -> ((s, dir) => {
+      val pairs = DedupOperators.minhashCandidates(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4)
+      DedupOperators.clusterPairs(pairs, maxIters = 30)
+        .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+             sum(col("cluster_size")).as("n_docs"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // X16 — incremental dedup: new batch (doc_id % 10 ∈ {8,9}) against the
     // persisted corpus band index — corpus text is never re-shingled, and
     // corpus-internal pairs are excluded
@@ -915,6 +936,27 @@ object AnalyticsQueries {
             UNION
             SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id)
           SELECT id, min(lbl) AS label FROM comp GROUP BY id ORDER BY id""",
+
+    "x74_cluster_census" ->
+      s"""WITH RECURSIVE
+          ${minhashSigSql.stripPrefix("WITH ")},
+          $bandedSql,
+          pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                    FROM banded a JOIN banded b
+                      ON a.bi = b.bi AND a.bk = b.bk
+                     AND a.doc_id < b.doc_id),
+          edges AS (SELECT src, dst FROM pairs
+                    UNION SELECT dst, src FROM pairs),
+          comp(id, lbl) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id),
+          lab AS (SELECT id, min(lbl) AS label FROM comp GROUP BY id),
+          cs AS (SELECT label, count(*)::BIGINT AS cluster_size
+                 FROM lab GROUP BY label)
+          SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+            sum(cluster_size)::BIGINT AS n_docs
+          FROM cs GROUP BY 1 ORDER BY 1""",
 
     "x52_candidate_quality" ->
       s"""$minhashSigSql,

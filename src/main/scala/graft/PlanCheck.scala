@@ -46,7 +46,9 @@ object PlanCheck {
                "x66_bpe_pairs", "x67_repeated_spans",
                "x68_vocab_incremental", "q107_zonemap_prune",
                "x69_hyperplane_lsh", "x70_hybrid_rrf",
-               "x71_snapshot_diff", "x72_importance_weights")
+               "x71_snapshot_diff", "x72_importance_weights",
+               "x73_ivf_search", "q108_scd2_intervals",
+               "x74_cluster_census")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")

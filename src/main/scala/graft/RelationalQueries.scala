@@ -391,6 +391,31 @@ object RelationalQueries {
         .filter(col("pa") < col("pb"))
         .select(col("pa").as("u"), col("pb").as("v")).distinct()
       triangleCount(e)
+    }),
+
+    // Q108 — slowly-changing-dimension (type 2) build: collapse each
+    // user's event_type stream into validity intervals — version number,
+    // valid_from/valid_to, is_current — the warehouse history table every
+    // dimension load maintains. Change detection is one lag() over the
+    // (user, time) window; the interval close is a lead() over the
+    // CHANGE rows, which inherit the first window's hash partitioning on
+    // user_id, so the whole build is ONE keyed exchange and two local
+    // window passes — never a global sort, and per-user partitions keep
+    // the window bounded by a user's history, not the table.
+    "q108_scd2_intervals" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      changes
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("version"), col("event_type"),
+                col("ts").as("valid_from"), col("valid_to"),
+                col("valid_to").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("version"))
     }))
 
   /** Q85 core — sequential funnel over (user_id, event_type, ts): stage
@@ -810,5 +835,22 @@ object RelationalQueries {
            (SELECT count(*)::BIGINT
             FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
                       JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
-             AS n_triangles""")
+             AS n_triangles""",
+
+    "q108_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev
+           FROM events),
+         c AS (SELECT user_id, ts, event_id, event_type FROM e
+               WHERE prev IS NULL OR prev <> event_type),
+         v AS (SELECT user_id, event_type, ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS valid_to,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS version
+               FROM c)
+         SELECT user_id, version, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+         FROM v ORDER BY user_id, version""")
 }

@@ -765,6 +765,14 @@ class PlanShapeSpec extends SparkSpec {
            plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("q108 SCD2: both window passes ride ONE user_id exchange") {
+    val plan = planOf("q108_scd2_intervals")
+    val n = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(n == 1,
+      s"change detection and interval close must share the shuffle, got $n:\n"
+        + plan.take(3000))
+  }
+
   test("q107 zone-map pruned read opens only the files whose zones intersect the range") {
     import graft.io.Compaction
     // build the per-SF scratch layout (idempotent), then check the scan
