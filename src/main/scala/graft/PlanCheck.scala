@@ -48,7 +48,7 @@ object PlanCheck {
                "x69_hyperplane_lsh", "x70_hybrid_rrf",
                "x71_snapshot_diff", "x72_importance_weights",
                "x73_ivf_search", "q108_scd2_intervals",
-               "x74_cluster_census")
+               "x74_cluster_census", "q109_merge_apply")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")

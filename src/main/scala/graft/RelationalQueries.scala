@@ -416,6 +416,40 @@ object RelationalQueries {
                 col("ts").as("valid_from"), col("valid_to"),
                 col("valid_to").isNull.as("is_current"))
         .orderBy(col("user_id"), col("version"))
+    }),
+
+    // Q109 — MERGE INTO semantics (upsert apply) without a table format:
+    // apply a keyed changeset of upserts and deletes to a base snapshot
+    // in ONE keyed full-outer join — matched+delete drops the row,
+    // matched+upsert replaces it, unmatched upsert inserts, everything
+    // else survives. The changeset is derived from the base (the x68/x71
+    // pattern) so the oracle states the post-image exactly. At 100 TB
+    // this is Delta/Iceberg's MERGE re-expressed over plain parquet:
+    // one co-partitioned exchange of the (usually far smaller) changeset
+    // against the base — and exchange-free on bucketed layouts (b03).
+    "q109_merge_apply" -> ((s, dir) => {
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+                round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val upd = base.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0, lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          concat(lit("UPD:"), col("c_name")).as("n_name"),
+          (col("bal_cents") + 10000L).as("n_bal"))
+      val ins = base.filter(col("c_custkey") % 11 === 4)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          lit("upsert").as("op"),
+          concat(lit("NEW:"), col("c_name")).as("n_name"),
+          col("bal_cents").as("n_bal"))
+      base.join(upd.unionByName(ins), Seq("c_custkey"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "delete")
+        .select(col("c_custkey"),
+          when(col("op") === "upsert", col("n_name"))
+            .otherwise(col("c_name")).as("c_name"),
+          when(col("op") === "upsert", col("n_bal"))
+            .otherwise(col("bal_cents")).as("bal_cents"))
+        .orderBy(col("c_custkey"))
     }))
 
   /** Q85 core — sequential funnel over (user_id, event_type, ts): stage
@@ -852,5 +886,28 @@ object RelationalQueries {
                FROM c)
          SELECT user_id, version, event_type, valid_from, valid_to,
            valid_to IS NULL AS is_current
-         FROM v ORDER BY user_id, version""")
+         FROM v ORDER BY user_id, version""",
+
+    "q109_merge_apply" ->
+      """WITH base AS (SELECT c_custkey, c_name,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+           FROM customer),
+         upd AS (SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN 'delete'
+                  ELSE 'upsert' END AS op,
+             'UPD:' || c_name AS n_name, bal_cents + 10000 AS n_bal
+           FROM base WHERE c_custkey % 7 = 0),
+         ins AS (SELECT c_custkey + 1000000 AS c_custkey, 'upsert' AS op,
+             'NEW:' || c_name AS n_name, bal_cents AS n_bal
+           FROM base WHERE c_custkey % 11 = 4),
+         ch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+         j AS (SELECT coalesce(b.c_custkey, c.c_custkey) AS c_custkey,
+             CASE WHEN c.op = 'upsert' THEN c.n_name
+                  ELSE b.c_name END AS c_name,
+             CASE WHEN c.op = 'upsert' THEN c.n_bal
+                  ELSE b.bal_cents END AS bal_cents,
+             c.op
+           FROM base b FULL JOIN ch c ON c.c_custkey = b.c_custkey)
+         SELECT c_custkey, c_name, bal_cents FROM j
+         WHERE op IS NULL OR op <> 'delete' ORDER BY c_custkey""")
 }
