@@ -202,6 +202,40 @@ object ExtensionQueries {
         .select(col("qid"), col("rank"), col("nid"),
                 round(col("cos"), 4).as("cos"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // X75 — quality-vs-token-budget curve: "where must the quality bar
+    // sit to keep 25 / 50 / 75% of the corpus tokens?" — the question a
+    // curation run answers BEFORE committing a threshold, here exact
+    // instead of eyeballed from a sampled histogram. The doc stream
+    // collapses to the (quality×10⁴, tokens, docs) domain; the three
+    // cutoffs are weighted rank selections on the DESCENDING quality
+    // order (negated key) via `PrefixSumOps.selectRanks` — only
+    // boundary-carrying ranges are ever shuffled or windowed, never a
+    // global sort (q104/q106's machinery on its second real workload);
+    // the ≥-cutoff totals are one broadcast of 3 cutoff rows against the
+    // collapsed domain. Integer end-to-end: quality is 4-dp by
+    // construction, so ×10⁴ is exact.
+    "x75_quality_budget" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(round(T.qualityScore(col("text")) * 10000).cast("long")
+                  .as("q"),
+                size(T.words(col("text"))).cast("long").as("toks"))
+      val vc = d.groupBy(col("q"))
+        .agg(sum(col("toks")).as("toks"), count(lit(1)).as("docs"))
+        .withColumn("nq", -col("q"))
+      val cuts = graft.ops.PrefixSumOps.selectRanks(
+          vc.select(col("nq"), col("toks")), Nil, "nq", "toks",
+          array(expr("(_tot * 25 + 99) DIV 100"),
+                expr("(_tot * 50 + 99) DIV 100"),
+                expr("(_tot * 75 + 99) DIV 100")))
+        .select(((col("_ri") + 1) * 25).cast("long").as("target_pct"),
+                (-col("nq")).as("cutoff_q"))
+      vc.crossJoin(broadcast(cuts))
+        .filter(col("q") >= col("cutoff_q"))
+        .groupBy(col("target_pct"), col("cutoff_q"))
+        .agg(sum(col("toks")).as("toks_ge"), sum(col("docs")).as("docs_ge"))
+        .orderBy(col("target_pct"))
     }))
 
   // --- DuckDB oracles ------------------------------------------------------
@@ -389,6 +423,32 @@ object ExtensionQueries {
                     % 100 AS b
                 FROM f JOIN keep USING (doc_id)) t
           ORDER BY doc_id""",
+
+    // quality is 4-dp by construction, so the x10^4 integerization is
+    // exact; the cutoff is the max quality whose descending cumulative
+    // token mass reaches the target rank — selectRanks' contract
+    "x75_quality_budget" ->
+      s"""WITH d AS (SELECT
+             CAST(round(round(${mc(enStop)}::DOUBLE / len($wordsSql) * 0.5
+                  + length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                    / length(text) * 0.3
+                  + (1 - length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+                       / length(text)) * 0.2, 4) * 10000) AS BIGINT) AS q,
+             len($wordsSql)::BIGINT AS toks
+           FROM documents),
+         vc AS (SELECT q, sum(toks)::BIGINT AS toks,
+                  count(*)::BIGINT AS docs FROM d GROUP BY q),
+         tot AS (SELECT sum(toks)::BIGINT AS tot FROM vc),
+         cum AS (SELECT q, sum(toks) OVER (ORDER BY q DESC)::BIGINT AS ctoks
+                 FROM vc),
+         cut AS (SELECT p,
+                   (SELECT max(q) FROM cum CROSS JOIN tot
+                    WHERE ctoks >= (tot * p + 99) // 100) AS cutoff_q
+                 FROM (VALUES (25), (50), (75)) t(p))
+         SELECT p::BIGINT AS target_pct, cutoff_q,
+           (SELECT sum(toks)::BIGINT FROM vc WHERE q >= cutoff_q) AS toks_ge,
+           (SELECT sum(docs)::BIGINT FROM vc WHERE q >= cutoff_q) AS docs_ge
+         FROM cut ORDER BY target_pct""",
 
     // full-probe IVF must equal brute force — x09's oracle, verbatim
     "x73_ivf_search" ->
