@@ -251,6 +251,49 @@ object StreamingOps {
       }
   }
 
+  final case class CdcEvent(doc_id: Long, status: String, fp: String)
+
+  /** Streaming CDC classification — the streaming twin of the batch
+    * snapshot diff ([[graft.CorpusQueries.snapshotDiff]] / x71): per
+    * doc_id, keep only the last-seen content fingerprint and classify
+    * each arriving (doc_id, fp, deleted) record against it — `added`
+    * (no state), `changed` (fingerprint differs), `unchanged` (same),
+    * `removed` (delete marker on a live key; deletes of unknown keys are
+    * dropped). What a batch diff computes per release falls out
+    * continuously at ingest, with O(one fingerprint) state per LIVE key
+    * — `state.remove()` on delete keeps the store bounded by the live
+    * set, not the history. Records are applied in arrival order within
+    * a batch; feed per-key ordered input (the CDC-log contract). */
+  def streamingCdcClassify(
+      recs: Dataset[(Long, String, Boolean)]): Dataset[CdcEvent] = {
+    import recs.sparkSession.implicits._
+    recs.groupByKey(_._1)
+      .flatMapGroupsWithState[String, CdcEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (id, rows, state: GroupState[String]) =>
+          var cur = state.getOption
+          val out = Vector.newBuilder[CdcEvent]
+          rows.foreach { case (_, fp, deleted) =>
+            if (deleted) {
+              if (cur.nonEmpty) { out += CdcEvent(id, "removed", fp) }
+              cur = None
+            } else cur match {
+              case None =>
+                out += CdcEvent(id, "added", fp); cur = Some(fp)
+              case Some(prev) =>
+                out += CdcEvent(id,
+                  if (prev == fp) "unchanged" else "changed", fp)
+                cur = Some(fp)
+            }
+          }
+          cur match {
+            case Some(f) => state.update(f)
+            case None    => state.remove()
+          }
+          out.result().iterator
+      }
+  }
+
   final case class Anomaly(key: Long, value: Double, n: Long,
                            mean: Double, std: Double)
   final case class WelfordState(n: Long, mean: Double, m2: Double)

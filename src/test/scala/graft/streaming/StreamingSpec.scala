@@ -283,4 +283,30 @@ class StreamingSpec extends SparkSpec {
     }
     assert(got == want, s"got $got want $want")
   }
+
+  test("streamingCdcClassify tracks add/change/unchange/remove across batches; deletes free state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Boolean)]
+    val q = StreamingOps.streamingCdcClassify(mem.toDS())
+      .writeStream.format("memory").queryName("cdc")
+      .outputMode("append").start()
+    mem.addData((1L, "fpA", false), (2L, "fpB", false), (9L, "fpX", true))
+    q.processAllAvailable()
+    mem.addData((1L, "fpA", false), (2L, "fpC", false), (3L, "fpD", false),
+                (2L, "zz", true))
+    q.processAllAvailable()
+    // re-adding a deleted key must classify as a fresh add, not a change
+    mem.addData((2L, "fpE", false))
+    q.processAllAvailable()
+    val got = spark.sql("select doc_id, status, fp from cdc").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    q.stop()
+    assert(got === Set(
+      (1L, "added", "fpA"), (2L, "added", "fpB"),
+      // delete of unknown key 9 emits nothing
+      (1L, "unchanged", "fpA"), (2L, "changed", "fpC"),
+      (3L, "added", "fpD"), (2L, "removed", "zz"),
+      (2L, "added", "fpE")))
+  }
 }
