@@ -636,6 +636,42 @@ object FunctionQueries {
         .withColumn("vrank", row_number().over(wv))
         .filter(col("vrank") <= 20).select(col("qid"), col("doc_id"), col("vrank"))
       rrfFuse(ttop, vtop, k = 10).orderBy(col("qid"), col("rank"))
+    }),
+
+    // X76 — MULTI-PROBE LSH: x69's recall knob turned the other way.
+    // Instead of indexing more bands (more index storage + exchanges),
+    // keep ONE 8-bit sign band and let each vector also probe the 8
+    // one-bit-flip neighbor buckets — a pair is a candidate iff their
+    // signatures differ in ≤ 1 bit, caught from one side alone (XOR is
+    // symmetric), so the probe explode is query-side only: 9× fan-out on
+    // the slim (id, bucket) projection, 1× index, banded equi-join as
+    // ever, never all-pairs. This is the classic storage-vs-probe-cost
+    // trade of production ANN services; exact-cosine verify unchanged.
+    "x76_multiprobe_lsh" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => V}
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val sigs = e.select(col("vec_id"),
+        V.signBand(col("embedding"), 0, 8).as("s0"))
+      val probes = sigs.select(col("vec_id").as("id_a"),
+        explode(array(col("s0") +: (0 until 8).map(i =>
+          col("s0").bitwiseXOR(lit(1L << i))): _*)).as("bk"))
+      val cand = probes
+        .join(sigs.select(col("vec_id").as("id_b"), col("s0").as("bk")),
+              Seq("bk"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val va = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+                        V.norm(col("embedding")).as("na"))
+      val vb = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+                        V.norm(col("embedding")).as("nb"))
+      cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+        .withColumn("cos",
+          when(col("na") === 0.0 || col("nb") === 0.0,
+            lit(null).cast("double"))
+          .otherwise(V.dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+        .filter(col("cos") >= 0.25)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   /** X70 core — reciprocal-rank fusion of two rank lists keyed by
@@ -1035,6 +1071,29 @@ object FunctionQueries {
             UNION
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM s a JOIN s b ON b.s1 = a.s1 AND a.vec_id < b.vec_id),
+          p AS (SELECT id_a, id_b, ea.v AS va, eb.v AS vb
+                FROM cand JOIN e ea ON ea.vec_id = id_a
+                          JOIN e eb ON eb.vec_id = id_b),
+          r AS (SELECT id_a, id_b, $cosSql AS cos FROM p)
+          SELECT id_a, id_b, round(cos, 4) AS cos
+          FROM r WHERE cos >= 0.25 ORDER BY id_a, id_b""",
+
+    // candidate iff signatures differ in <= 1 bit; XOR symmetry means
+    // one-sided probing finds every such pair
+    "x76_multiprobe_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          s AS (SELECT vec_id, v,
+                  ${(0 until 8).map(i =>
+                     s"(CASE WHEN v[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+                     .mkString(" + ")} AS s0
+                FROM e),
+          probes AS (SELECT vec_id AS id_a,
+                       unnest([s0${(0 until 8).map(i =>
+                         s", xor(s0, ${1L << i})").mkString}]) AS bk
+                     FROM s),
+          cand AS (SELECT DISTINCT a.id_a, b.vec_id AS id_b
+                   FROM probes a JOIN s b ON b.s0 = a.bk
+                   WHERE a.id_a < b.vec_id),
           p AS (SELECT id_a, id_b, ea.v AS va, eb.v AS vb
                 FROM cand JOIN e ea ON ea.vec_id = id_a
                           JOIN e eb ON eb.vec_id = id_b),
