@@ -70,23 +70,85 @@ object Compaction {
     dataFiles(spark, outPath).size
   }
 
+  /** Scheme-free canonical form shared by the HDFS listing
+    * (`file:/x/y`) and `_metadata.file_path` (`file:///x/y`), so manifest
+    * rows and listings compare exactly. */
+  private def canon(p: String): String = p.replaceFirst("^file:/+", "/")
+
+  private def canonCol(c: Column): Column =
+    regexp_replace(c, "^file:/+", "/")
+
   /** Per-file zone maps: for each data file, row count plus min / max /
     * null count of every column in `cols`. One narrow scan; the manifest
-    * is |files| rows — persist it next to the table and refresh on write.
-    * Columns come out as `<c>_min`, `<c>_max`, `<c>_nulls`. */
+    * is |files| rows — persist it next to the table and refresh on write
+    * ([[zoneMapRefresh]] scans only NEW files). `file` is the canonical
+    * path; columns come out as `<c>_min`, `<c>_max`, `<c>_nulls`. */
   def zoneMap(spark: SparkSession, path: String,
               cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "zoneMap needs at least one column to profile")
-    val aggs: Seq[Column] =
-      count(lit(1)).as("rows") +: cols.flatMap { c =>
-        Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
-            sum(col(c).isNull.cast("long")).as(s"${c}_nulls"))
-      }
     spark.read.parquet(path)
-      .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+      .select(canonCol(col("_metadata.file_path")).as("file")
+                +: cols.map(col): _*)
       .groupBy("file")
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(zoneAggs(cols).head, zoneAggs(cols).tail: _*)
   }
+
+  /** Incremental manifest maintenance: manifest rows whose files still
+    * exist, unioned with freshly-profiled rows for files the manifest
+    * has never seen. Which files are new comes from the LISTING alone,
+    * and only those files are opened — the append-mostly refresh a
+    * streaming table needs after every micro-batch stays O(new data);
+    * rows for files a compaction rewrote away drop out via the same
+    * listing. */
+  def zoneMapRefresh(spark: SparkSession, path: String, cols: Seq[String],
+                     manifest: DataFrame): DataFrame = {
+    val byCanon = dataFiles(spark, path)
+      .map { case (p, _) => canon(p) -> p }.toMap
+    val live = byCanon.keySet
+    val known = manifest.select("file").collect().map(_.getString(0)).toSet
+    val kept = manifest.filter(col("file").isin(live.toSeq: _*))
+    val fresh = (live -- known).toSeq.sorted
+    if (fresh.isEmpty) kept
+    else {
+      val freshZones = spark.read.parquet(fresh.map(byCanon): _*)
+        .select(canonCol(col("_metadata.file_path")).as("file")
+                  +: cols.map(col): _*)
+        .groupBy("file")
+        .agg(zoneAggs(cols).head, zoneAggs(cols).tail: _*)
+      kept.unionByName(freshZones)
+    }
+  }
+
+  /** Compaction planning on the LISTING alone (no data read, no job):
+    * greedily bin files smaller than `smallBytes` into rewrite groups of
+    * ≈ `targetBytes`, first-fit over the size-descending order — the
+    * OPTIMIZE file-selection step. Files already at or above
+    * `smallBytes` are left in place (rewriting them buys nothing).
+    * Deterministic: ties broken by path. */
+  def planCompaction(files: Seq[(String, Long)], smallBytes: Long,
+                     targetBytes: Long): Seq[Seq[String]] = {
+    require(smallBytes <= targetBytes,
+      "a file counted small must fit its rewrite group")
+    val small = files.filter(_._2 < smallBytes)
+      .sortBy { case (p, sz) => (-sz, p) }
+    val bins = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
+    small.foreach { case (p, sz) =>
+      bins.indexWhere(_._2 + sz <= targetBytes) match {
+        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(p), sz))
+        case i  => val (b, tot) = bins(i); b += p; bins(i) = (b, tot + sz)
+      }
+    }
+    // a singleton group rewrites one small file into one small file —
+    // pointless I/O; only multi-file groups are worth executing
+    bins.toSeq.map(_._1.toSeq).filter(_.size > 1)
+  }
+
+  private def zoneAggs(cols: Seq[String]): Seq[Column] =
+    count(lit(1)).as("rows") +: cols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+          sum(col(c).isNull.cast("long")).as(s"${c}_nulls"))
+    }
 
   /** Files whose `[min, max]` zone for `column` intersects `[lo, hi]` —
     * i.e. every file that COULD hold a matching row. A null min/max means

@@ -97,4 +97,46 @@ class CompactionSpec extends SparkSpec {
     assert(none.count() == 0)
     assert(none.schema.fieldNames.contains("doc_id"))
   }
+
+  test("zoneMapRefresh profiles only new files and drops rows for vanished ones") {
+    val dir = tmp("refresh")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.filter(col("doc_id") < 250).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val m0 = Compaction.zoneMap(spark, dir, Seq("n_chars"))
+      .collect() // freeze the initial manifest
+    val m0df = spark.createDataFrame(
+      spark.sparkContext.parallelize(m0.toSeq),
+      Compaction.zoneMap(spark, dir, Seq("n_chars")).schema)
+    // append a batch: 4 more files land next to the original 4
+    docs.filter(col("doc_id") >= 250).repartition(4)
+      .write.mode("append").parquet(dir)
+    val refreshed = Compaction.zoneMapRefresh(spark, dir, Seq("n_chars"), m0df)
+    val full = Compaction.zoneMap(spark, dir, Seq("n_chars"))
+    assert(refreshed.count() == 8)
+    assert(refreshed.exceptAll(full).isEmpty && full.exceptAll(refreshed).isEmpty,
+      "incremental refresh must equal a full rebuild")
+    // rows for files that no longer exist must drop out
+    val stale = m0df.withColumn("file", concat(col("file"), lit(".gone")))
+    val cleaned = Compaction.zoneMapRefresh(spark, dir, Seq("n_chars"), stale)
+    assert(cleaned.count() == 8, "stale rows dropped, all live files re-profiled")
+  }
+
+  test("planCompaction bins only sub-threshold files, never exceeds the target, skips singletons") {
+    val files = Seq(
+      ("a", 10L), ("b", 20L), ("c", 30L), ("d", 40L),
+      ("big", 500L), ("e", 25L))
+    val plan = Compaction.planCompaction(files, smallBytes = 50L,
+      targetBytes = 60L)
+    assert(plan.flatten.toSet.subsetOf(Set("a", "b", "c", "d", "e")),
+      "an already-large file must never be rewritten")
+    assert(plan.forall(g => g.size > 1), "singleton rewrites are pointless I/O")
+    val size = files.toMap
+    assert(plan.forall(g => g.map(size).sum <= 60L), s"over-target bin in $plan")
+    // first-fit decreasing: d40+b20 fill one bin, c30+e25 the next; the
+    // leftover a10 would be a singleton rewrite and is skipped
+    assert(plan === Seq(Seq("d", "b"), Seq("c", "e")), plan.toString)
+    assert(plan === Compaction.planCompaction(files.reverse, 50L, 60L),
+      "the plan must be deterministic under listing order")
+  }
 }
