@@ -450,7 +450,40 @@ object RelationalQueries {
           when(col("op") === "upsert", col("n_bal"))
             .otherwise(col("bal_cents")).as("bal_cents"))
         .orderBy(col("c_custkey"))
-    }))
+    }),
+
+    // Q112 — skyline / Pareto frontier per brand (minimize price,
+    // maximize size): the O(n log n) window formulation instead of the
+    // textbook O(n²) NOT-EXISTS self-join (which the oracle runs — same
+    // rows, quadratic work). A part survives iff no same-priced sibling
+    // is strictly larger (sz = per-price max) AND every strictly cheaper
+    // sibling is strictly smaller (sz > running max over cheaper rows —
+    // a RANGE frame ending at price−1, so price ties never see each
+    // other). Both windows ride ONE hashpartitioning(p_brand) exchange;
+    // the brand is the parallelism unit, never a global sort.
+    "q112_skyline" -> ((s, dir) =>
+      skyline(Tables(s, dir, "part")
+          .select(col("p_brand"), col("p_partkey"),
+                  round(col("p_retailprice") * 100).cast("long")
+                    .as("price_cents"),
+                  col("p_size").cast("long").as("sz")))
+        .orderBy(col("p_brand"), col("price_cents"), col("p_partkey"))),
+
+    // Q113 — robust outlier census via MAD (median absolute deviation):
+    // per-flag lower median of price, then lower median of |v − med|,
+    // then count of rows beyond 3·MAD. Both order statistics use
+    // PrefixSumOps.selectRanks over the COLLAPSED (flag, value) domain —
+    // only the rank-carrying sketch range is ever shuffled — and the
+    // two tiny per-flag tables (3 rows each) broadcast back onto the
+    // fact scan, so the whole query is two rank selections plus one
+    // re-scan with map-side joins. The robust-statistics twin of q82's
+    // moment-based regression: immune to the heavy tail that drags a
+    // mean/stddev z-score.
+    "q113_mad_outliers" -> ((s, dir) =>
+      madOutliers(Tables(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+                  round(col("l_extendedprice") * 100).cast("long").as("v")))
+        .orderBy(col("flag"))))
 
   /** Q85 core — sequential funnel over (user_id, event_type, ts): stage
     * i+1 counts users whose first stage-(i+1) event falls strictly after
@@ -604,6 +637,60 @@ object RelationalQueries {
     graft.ops.PrefixSumOps.selectRanks(vc, Seq("prio"), valCol, "c",
         array(expr("(_tot + 1) DIV 2")))
       .select(col("prio"), col(valCol))
+
+  /** Q112 core — 2-D skyline (Pareto frontier) per group: minimize the
+    * 3rd column, maximize the 4th, positionally — (grp, id, x, y), names
+    * preserved. A row survives iff no same-x sibling has larger y (y =
+    * max over the x-tie RANGE frame; equal (x, y) duplicates all
+    * survive — none strictly dominates) AND every strictly-smaller-x
+    * sibling has strictly smaller y (y > max over the RANGE frame ending
+    * at x−1; NULL for the cheapest x ⇒ trivially non-dominated). Both
+    * frames share one partitionBy(grp).orderBy(x) spec, so Catalyst
+    * collapses them into a SINGLE Window node over ONE
+    * hashpartitioning(grp) exchange + one intra-group sort — O(n log n)
+    * per group vs the oracle's O(n²) NOT-EXISTS self-join, and the group
+    * is the parallelism unit (no global sort, no driver collect). */
+  def skyline(pts: DataFrame): DataFrame = {
+    val Seq(g, _, x, y) = pts.columns.toSeq.map(col)
+    val w     = Window.partitionBy(g).orderBy(x)
+    val tieMax   = max(y).over(
+      w.rangeBetween(Window.currentRow, Window.currentRow))
+    val lowerMax = max(y).over(
+      w.rangeBetween(Window.unboundedPreceding, -1))
+    pts.withColumn("_tie", tieMax).withColumn("_low", lowerMax)
+      .filter(y === col("_tie") && (col("_low").isNull || y > col("_low")))
+      .drop("_tie", "_low")
+  }
+
+  /** Q113 core — robust outlier census over (flag, v) via MAD: lower
+    * median of v per flag, lower median of |v − med|, then the count of
+    * rows beyond 3·MAD. Both order statistics are
+    * [[graft.ops.PrefixSumOps.selectRanks]] rank selections over the
+    * COLLAPSED (flag, value) count domain — only the rank-carrying
+    * range is ever shuffled — and the two per-flag scalars (≤ |flags|
+    * rows each) broadcast back onto the fact scan, so the whole query
+    * is two rank selections plus one re-aggregation with map-side
+    * joins. Returns (flag, med, mad, n, n_outliers). */
+  def madOutliers(rows: DataFrame): DataFrame = {
+    val vc = rows.groupBy(col("flag"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val med = graft.ops.PrefixSumOps.selectRanks(vc, Seq("flag"), "v",
+        "c", array(expr("(_tot + 1) DIV 2")))
+      .select(col("flag"), col("v").as("med"))
+    val dev = vc.join(broadcast(med), Seq("flag"))
+      .groupBy(col("flag"), abs(col("v") - col("med")).as("d"))
+      .agg(sum(col("c")).as("c"))
+    val mad = graft.ops.PrefixSumOps.selectRanks(dev, Seq("flag"), "d",
+        "c", array(expr("(_tot + 1) DIV 2")))
+      .select(col("flag"), col("d").as("mad"))
+    rows.join(broadcast(med), Seq("flag"))
+      .join(broadcast(mad), Seq("flag"))
+      .groupBy(col("flag"))
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+           count(lit(1)).as("n"),
+           sum(when(abs(col("v") - col("med")) > lit(3L) * col("mad"),
+                    1L).otherwise(0L)).as("n_outliers"))
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q72_exists_subquery" ->
@@ -909,5 +996,44 @@ object RelationalQueries {
              c.op
            FROM base b FULL JOIN ch c ON c.c_custkey = b.c_custkey)
          SELECT c_custkey, c_name, bal_cents FROM j
-         WHERE op IS NULL OR op <> 'delete' ORDER BY c_custkey""")
+         WHERE op IS NULL OR op <> 'delete' ORDER BY c_custkey""",
+
+    // The textbook quadratic dominance check — the window formulation in
+    // `queries` must reproduce it exactly.
+    "q112_skyline" ->
+      """WITH p AS (SELECT p_brand, p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS sz
+           FROM part)
+         SELECT p_brand, p_partkey, price_cents, sz FROM p a
+         WHERE NOT EXISTS (SELECT 1 FROM p b
+             WHERE b.p_brand = a.p_brand
+               AND b.price_cents <= a.price_cents AND b.sz >= a.sz
+               AND (b.price_cents < a.price_cents OR b.sz > a.sz))
+         ORDER BY p_brand, price_cents, p_partkey""",
+
+    "q113_mad_outliers" ->
+      """WITH r AS (SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem),
+         vc AS (SELECT flag, v, count(*)::BIGINT AS c FROM r GROUP BY 1, 2),
+         m AS (SELECT flag, min(v) AS med FROM (
+             SELECT flag, v,
+               sum(c) OVER (PARTITION BY flag ORDER BY v) AS cum,
+               sum(c) OVER (PARTITION BY flag) AS tot
+             FROM vc)
+           WHERE cum >= (tot + 1) // 2 GROUP BY flag),
+         dc AS (SELECT vc.flag, abs(vc.v - m.med) AS d, sum(vc.c) AS c
+           FROM vc JOIN m USING (flag) GROUP BY 1, 2),
+         md AS (SELECT flag, min(d) AS mad FROM (
+             SELECT flag, d,
+               sum(c) OVER (PARTITION BY flag ORDER BY d) AS cum,
+               sum(c) OVER (PARTITION BY flag) AS tot
+             FROM dc)
+           WHERE cum >= (tot + 1) // 2 GROUP BY flag)
+         SELECT r.flag, m.med, md.mad, count(*)::BIGINT AS n,
+           sum(CASE WHEN abs(r.v - m.med) > 3 * md.mad
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+         FROM r JOIN m USING (flag) JOIN md USING (flag)
+         GROUP BY 1, 2, 3 ORDER BY 1""")
 }

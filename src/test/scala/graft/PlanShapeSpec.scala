@@ -773,6 +773,18 @@ class PlanShapeSpec extends SparkSpec {
         + plan.take(3000))
   }
 
+  test("q112 skyline: both RANGE frames ride ONE brand exchange, no self-join") {
+    val plan = planOf("q112_skyline")
+    val n = "Exchange hashpartitioning\\(p_brand".r.findAllIn(plan).length
+    assert(n == 1,
+      s"tie-max and lower-max frames must share the brand shuffle, got $n:\n"
+        + plan.take(3000))
+    // the O(n²) oracle shape must never leak into the Spark plan
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("q107 zone-map pruned read opens only the files whose zones intersect the range") {
     import graft.io.Compaction
     // build the per-SF scratch layout (idempotent), then check the scan

@@ -265,6 +265,34 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(got === ((4L, 4L, 0L)))
   }
 
+  test("q112 skyline: dominance, same-price ties, and duplicate points") {
+    val pts = Seq(
+      ("g", 1L, 10L, 5L),  // cheapest price → trivially on the frontier
+      ("g", 2L, 10L, 3L),  // same price, smaller size → dominated by id 1
+      ("g", 3L, 20L, 7L),  // bigger than every cheaper row (5) → survives
+      ("g", 4L, 20L, 7L),  // exact duplicate of id 3 → BOTH survive
+      ("g", 5L, 30L, 7L),  // id 3 is cheaper at equal size → dominated
+      ("g", 6L, 30L, 9L),  // new max size → survives
+      ("h", 7L, 99L, 1L))  // singleton group → survives
+      .toDF("p_brand", "p_partkey", "price_cents", "sz")
+    val got = RelationalQueries.skyline(pts)
+      .orderBy("p_brand", "p_partkey")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("g", 1L, 10L, 5L), ("g", 3L, 20L, 7L), ("g", 4L, 20L, 7L),
+      ("g", 6L, 30L, 9L), ("h", 7L, 99L, 1L)))
+  }
+
+  test("q113 MAD: zero-MAD heavy mode and a skewed tail both census correctly") {
+    val rows = Seq.fill(9)(("a", 100L)) ++ Seq(("a", 1000L)) ++
+      Seq(("b", 1L), ("b", 2L), ("b", 3L), ("b", 4L), ("b", 100L))
+    val got = RelationalQueries.madOutliers(rows.toDF("flag", "v"))
+      .orderBy("flag").as[(String, Long, Long, Long, Long)].collect().toSeq
+    // a: med=100, MAD=0 (9 of 10 devs are 0) → the 1000 is 900 > 0 → 1 out
+    // b: med=3, devs {2,1,0,1,97} → MAD=1 → only 100 exceeds 3·1
+    assert(got === Seq(("a", 100L, 0L, 10L, 1L), ("b", 3L, 1L, 5L, 1L)))
+  }
+
   test("q90 weighted median: smallest value whose cumulative weight reaches (W+1) DIV 2") {
     val rows = Seq(
       // flag a: W=10, k=5 → v=2 (cum 3 < 5 ≤ 7)
