@@ -15,6 +15,13 @@ object Sessions {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     // testdata events.parquet is TIMESTAMP(NANOS) — see Tables
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // testdata timestamps are tz-naive micros; by default Spark 4 infers
+    // those as TIMESTAMP_NTZ, which unix_micros()/unix_timestamp() reject
+    // and which would silently change window/tumbling semantics vs the
+    // DuckDB oracle. Read them as session-tz TIMESTAMP (UTC above) — the
+    // same wall-clock values DuckDB sees, and the same type every query
+    // was verified against.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // the janino generated-class cache defaults to 100 entries; a session
     // running the whole 150-query surface (Verify, Bench, a long-lived
     // analytics service) compiles several codegen stages per query, so at
