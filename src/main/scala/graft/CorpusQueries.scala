@@ -573,7 +573,33 @@ object CorpusQueries {
     // corpus sizes promote it to decimal(38,0) before bitlen (x51 note).
     "x72_importance_weights" -> ((s, dir) =>
       importanceWeights(Tables(s, dir, "documents"),
-        isTarget = col("lang") === "en").orderBy(col("doc_id"))))
+        isTarget = col("lang") === "en").orderBy(col("doc_id"))),
+
+    // X77 — positional phrase search: the bigram "hash scan" answered
+    // the way a search engine answers it — from a positional inverted
+    // index (word → (doc, 1-based position)), never by re-scanning
+    // text. Both sides are single-word posting reads; adjacency is a
+    // keyed equi-join on (doc_id, pos). x34 is the doc-level index;
+    // this is the positional upgrade that unlocks phrase/adjacency
+    // queries. At rest the index is written bucketed by word
+    // (BucketOps) and a phrase query reads exactly two postings lists
+    // co-partitioned — cost O(|postings|), independent of corpus size;
+    // the per-word filters push down to the index scan.
+    "x77_phrase_search" -> ((s, dir) => {
+      val idx = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+                posexplode(T.words(col("text"))).as(Seq("p0", "w")))
+        .select(col("doc_id"), (col("p0") + 1).as("p"), col("w"))
+      val first  = idx.filter(col("w") === "hash")
+        .select(col("doc_id"), col("p"))
+      val second = idx.filter(col("w") === "scan")
+        .select(col("doc_id"), (col("p") - 1).as("p"))
+      first.join(second, Seq("doc_id", "p"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"),
+             min(col("p")).cast("long").as("first_pos"))
+        .orderBy(col("doc_id"))
+    }))
 
   /** X51 core — per-source token lift. lift_x1000 = (sc·ctot·1000) DIV
     * (cc·stot) where sc/cc are source/corpus token counts and stot/ctot
@@ -1385,5 +1411,18 @@ object CorpusQueries {
          SELECT doc_id, count(*)::BIGINT AS n_tokens,
            sum(lr)::BIGINT AS imp_sum,
            (sum(lr)::BIGINT * 100) // count(*) AS imp_x100
-         FROM sc GROUP BY doc_id ORDER BY doc_id""")
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+    // Adjacent-word pairs enumerated by position — the scan-everything
+    // statement of the phrase semantics the index answers.
+    "x77_phrase_search" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS wl FROM documents),
+         p AS (SELECT doc_id, i, wl[i] AS w1, wl[i + 1] AS w2
+               FROM (SELECT doc_id, wl,
+                       unnest(range(1, len(wl))) AS i FROM w)),
+         h AS (SELECT doc_id, i FROM p
+               WHERE w1 = 'hash' AND w2 = 'scan')
+         SELECT doc_id, count(*)::BIGINT AS n_hits,
+           min(i)::BIGINT AS first_pos
+         FROM h GROUP BY doc_id ORDER BY doc_id""")
 }

@@ -3,6 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
+import graft.functions.{TextFunctions => T}
+import graft.operators.SetSimJoin
+import graft.ops.RangeLookupOps
 
 /** Relational-surface completion: subquery decorrelation (EXISTS /
   * NOT EXISTS), LATERAL correlated subqueries, bloom-prefiltered semi
@@ -19,6 +22,19 @@ import org.apache.spark.sql.expressions.Window
   *    is over 5 rows.
   */
 object RelationalQueries {
+
+  /** q110 price tiers in cents: ascending inclusive lower bounds; the
+    * last tier is open-ended. A certified-small dimension — the
+    * RangeLookupOps contract. */
+  private val PriceTiers = Seq(
+    0L -> "t0_micro", 5000000L -> "t1_small", 10000000L -> "t2_mid",
+    20000000L -> "t3_large", 30000000L -> "t4_xl", 40000000L -> "t5_jumbo")
+
+  private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
+  /** q111: word 3-gram shingles — the same basis as x08/x06. */
+  private val shinglesSql =
+    s"""list_transform(generate_series(1, len($wordsSql) - 2),
+        i -> $wordsSql[i] || ' ' || $wordsSql[i+1] || ' ' || $wordsSql[i+2])"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -451,6 +467,40 @@ object RelationalQueries {
             .otherwise(col("bal_cents")).as("bal_cents"))
         .orderBy(col("c_custkey"))
     }),
+
+    // Q110 — broadcast interval lookup: every order classified into a
+    // price tier with NO join node at all. The naive `fact JOIN tiers
+    // ON cents >= lo AND cents < hi` plans a BroadcastNestedLoopJoin —
+    // O(|tiers|) probes per fact row and a join Catalyst cannot
+    // simplify. A certified-small sorted dimension instead becomes a
+    // literal bounds array binary-searched per row by the native
+    // sorted_lower_bound expression ([[graft.ops.RangeLookupOps]]):
+    // O(log tiers) per row, pure map-side projection, zero exchanges
+    // before the presentation sort (PlanShapeSpec asserts the join-free
+    // shape). Values below the first bound stay NULL — a lookup miss,
+    // never a silent clamp into tier 0.
+    "q110_interval_lookup" -> ((s, dir) =>
+      RangeLookupOps.intervalLookup(
+          Tables(s, dir, "orders").select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+          col("cents"), PriceTiers)
+        .select(col("o_orderkey"), col("cents"), col("tier_id"),
+                col("tier"), col("tier_lo"))
+        .orderBy(col("o_orderkey"))),
+
+    // Q111 — exact set-similarity join over 3-shingle sets at Jaccard
+    // >= 1/2 ([[graft.operators.SetSimJoin]]): the EXACT member of the
+    // near-dup family — prefix + length filtering prune candidates with
+    // zero miss probability, unlike the MinHash-LSH path (x06/x16)
+    // where a qualifying pair can land in no common band. The oracle
+    // generates candidates from ANY shared shingle, so a hash match
+    // also re-proves completeness of the pruning on this corpus.
+    "q111_setsim_join" -> ((s, dir) =>
+      SetSimJoin.join(
+          Tables(s, dir, "documents").select(col("doc_id"),
+            array_distinct(T.shingles(col("text"), 3)).as("sh")),
+          "doc_id", "sh", 1, 2)
+        .orderBy(col("id_a"), col("id_b"))),
 
     // Q112 — skyline / Pareto frontier per brand (minimize price,
     // maximize size): the O(n log n) window formulation instead of the
@@ -997,6 +1047,45 @@ object RelationalQueries {
            FROM base b FULL JOIN ch c ON c.c_custkey = b.c_custkey)
          SELECT c_custkey, c_name, bal_cents FROM j
          WHERE op IS NULL OR op <> 'delete' ORDER BY c_custkey""",
+
+    // The naive interval JOIN the engine-side query refuses to run —
+    // same rows, O(|tiers|) probes per order. Tier rows are generated
+    // from the same PriceTiers constant so the two sides cannot drift.
+    "q110_interval_lookup" -> {
+      val rows = PriceTiers.zipWithIndex.map { case ((lo, nm), i) =>
+        val hi = PriceTiers.lift(i + 1).map(_._1).getOrElse(Long.MaxValue)
+        if (i == 0) s"($i::BIGINT, '$nm', $lo::BIGINT, $hi::BIGINT)"
+        else s"($i, '$nm', $lo, $hi)"
+      }.mkString(",\n             ")
+      s"""WITH tiers(tier_id, tier, lo, hi) AS (VALUES
+             $rows),
+         o AS (SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+         SELECT o.o_orderkey, o.cents, t.tier_id, t.tier, t.lo AS tier_lo
+         FROM o JOIN tiers t ON o.cents >= t.lo AND o.cents < t.hi
+         ORDER BY o.o_orderkey"""
+    },
+
+    // Candidates from ANY shared shingle (no prefix filter): exact
+    // semantics stated independently of the pruning under test.
+    "q111_setsim_join" ->
+      s"""WITH s AS (SELECT doc_id, list_distinct($shinglesSql) AS sh
+                     FROM documents),
+         e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM e a JOIN e b ON b.g = a.g AND b.doc_id > a.doc_id),
+         v AS (SELECT id_a, id_b,
+                 len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::BIGINT
+                   AS inter,
+                 (len(sa.sh) + len(sb.sh))::BIGINT AS tot
+               FROM cand
+               JOIN s sa ON sa.doc_id = cand.id_a
+               JOIN s sb ON sb.doc_id = cand.id_b)
+         SELECT id_a, id_b, inter, tot - inter AS uni,
+                round(inter::DOUBLE / (tot - inter), 4) AS jac
+         FROM v WHERE inter * 2 >= (tot - inter) * 1
+         ORDER BY id_a, id_b""",
 
     // The textbook quadratic dominance check — the window formulation in
     // `queries` must reproduce it exactly.

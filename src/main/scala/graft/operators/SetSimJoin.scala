@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity join (AllPairs/PPJoin-style prefix filtering):
+  * all pairs with Jaccard(set_a, set_b) >= tau, with NO all-pairs scan
+  * and NO probabilistic misses.
+  *
+  * The MinHash-LSH path (x06/x16) trades recall for cost — a pair can
+  * land in no common band and silently vanish. This operator is the
+  * EXACT member of the near-dup family: candidate generation prunes with
+  * two theorems that cannot lose a qualifying pair, then verifies the
+  * exact Jaccard on survivors only.
+  *
+  *  - Prefix filter: order every element by one global total order
+  *    (rarest-first: ascending document frequency, then element). If
+  *    jac(A,B) >= tau, then the first |A| - ceil(tau*|A|) + 1 elements
+  *    of A and the first |B| - ceil(tau*|B|) + 1 of B share at least
+  *    one element (Bayardo et al., WWW'07) — so candidates come from a
+  *    banded equi-join on PREFIX elements only. Rarest-first makes those
+  *    prefixes the least-shared elements: candidate fan-out is
+  *    sum over prefix elements of df², dominated by rare elements, while
+  *    stopword-grade elements never generate pairs.
+  *  - Length filter: jac >= tau forces tau <= |A|/|B| <= 1/tau; applied
+  *    inside the candidate join before the distinct.
+  *
+  * Dataflow at scale: one exchange keyed on element for the df count,
+  * one co-partitioned join to attach df, a per-row sort of each set
+  * (O(len log len) map-side), the prefix equi-join (the only data-sized
+  * fan-out, bounded as above), a distinct on pairs, and two keyed joins
+  * to fetch the sets for exact verification. Nothing is ever all-pairs;
+  * nothing buffers more than one set per row. The PPJoin positional
+  * upgrade (carry the prefix POSITION and bound the remaining overlap)
+  * would cut candidates further at identical semantics if a profile ever
+  * shows the verify join dominating.
+  *
+  * Determinism: the global order is (df, element) — engine-independent —
+  * and the verify arithmetic is integer (inter*den >= uni*num), so the
+  * result is oracle-exact; the DuckDB twin generates candidates from ANY
+  * shared element (no prefix), so the oracle also proves the pruning
+  * never dropped a qualifying pair.
+  */
+object SetSimJoin {
+
+  /** @param docs one row per set: (`idCol` bigint, `setCol` array<string>
+    *             with DISTINCT elements — duplicates violate set
+    *             semantics and are the caller's bug)
+    * @param tauNum/tauDen  the threshold as an exact rational, e.g. 1/2.
+    * @return (id_a, id_b, inter, uni, jac) for every pair with
+    *         inter*tauDen >= uni*tauNum and id_a < id_b. */
+  def join(docs: DataFrame, idCol: String, setCol: String,
+           tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"setSimJoin: tau must be in (0,1], got $tauNum/$tauDen")
+    val sets = docs.select(col(idCol).cast("long").as("_id"),
+                           col(setCol).as("_set"))
+    val elems = sets.select(col("_id"), explode(col("_set")).as("_e"))
+    val dfreq = elems.groupBy(col("_e"))
+      .agg(count(lit(1)).cast("long").as("_df"))
+    // Each set sorted by the global rarest-first order, prefix kept.
+    // ceil(tau*len) = (tauNum*len + tauDen - 1) DIV tauDen, so
+    // p = len - ceil(tau*len) + 1  (p >= 1 whenever len >= 1).
+    val ranked = elems.join(dfreq, Seq("_e"))
+      .groupBy(col("_id"))
+      .agg(sort_array(collect_list(struct(col("_df"), col("_e"))))
+             .as("_r"))
+      .select(col("_id"),
+              transform(col("_r"), s => s.getField("_e")).as("_sorted"),
+              size(col("_r")).cast("long").as("_len"))
+      .withColumn("_p",
+        (col("_len") -
+         expr(s"(_len * $tauNum + ${tauDen - 1}) DIV $tauDen") + lit(1L))
+          .cast("int"))
+    val prefix = ranked.select(col("_id"), col("_len"),
+      explode(slice(col("_sorted"), lit(1), col("_p"))).as("_e"))
+    val a = prefix.select(col("_id").as("id_a"), col("_len").as("_la"),
+                          col("_e").as("_ea"))
+    val b = prefix.select(col("_id").as("id_b"), col("_len").as("_lb"),
+                          col("_e").as("_eb"))
+    val cand = a.join(b,
+        col("_ea") === col("_eb") && col("id_a") < col("id_b") &&
+        least(col("_la"), col("_lb")) * tauDen >=
+          greatest(col("_la"), col("_lb")) * tauNum)
+      .select(col("id_a"), col("id_b")).distinct()
+    val sa = sets.select(col("_id").as("id_a"), col("_set").as("_sa"),
+                         size(col("_set")).cast("long").as("_la"))
+    val sb = sets.select(col("_id").as("id_b"), col("_set").as("_sb"),
+                         size(col("_set")).cast("long").as("_lb"))
+    cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+      .withColumn("uni", col("_la") + col("_lb") - col("inter"))
+      .filter(col("inter") * tauDen >= col("uni") * tauNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+              round(col("inter").cast("double") / col("uni"), 4).as("jac"))
+  }
+}

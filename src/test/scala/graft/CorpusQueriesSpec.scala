@@ -450,4 +450,21 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(got(3L) < 0, s"target-absent tokens must pull the score negative: $got")
     assert(got(1L) > 0, s"target-enriched tokens must score positive: $got")
   }
+
+  test("x77 phrase search reproduces a word-level brute-force scan of the corpus") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("x77_phrase_search")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val ws = r.getString(1).trim.split("\\s+")
+        val hits = (0 until ws.length - 1)
+          .filter(i => ws(i) == "hash" && ws(i + 1) == "scan")
+        if (hits.isEmpty) None
+        else Some(r.getLong(0) -> ((hits.length.toLong, hits.head + 1L)))
+      }.toMap
+    assert(got === want)
+    assert(want.nonEmpty, "fixture must actually contain the phrase")
+  }
 }

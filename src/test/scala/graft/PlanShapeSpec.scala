@@ -785,6 +785,22 @@ class PlanShapeSpec extends SparkSpec {
            !plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("q110 interval lookup is join-free: binary search in projection, no exchange before the sort") {
+    val plan = planOf("q110_interval_lookup")
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(plan.contains("sorted_lower_bound"),
+      "classification must ride the native binary-search expression:\n"
+        + plan.take(3000))
+    // the only exchange is the presentation sort's range partitioning
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+  }
+
+  test("q111 set-sim join: candidates come from equi-joins only — no cartesian, no nested loop") {
+    val plan = planOf("q111_setsim_join")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("q107 zone-map pruned read opens only the files whose zones intersect the range") {
     import graft.io.Compaction
     // build the per-SF scratch layout (idempotent), then check the scan

@@ -307,6 +307,43 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(got === Seq(("a", 2L, 10L), ("b", 1L, 101L), ("c", 5L, 3L)))
   }
 
+  test("q110 interval lookup: misses stay NULL, bounds land inclusive, unsorted dim fails fast") {
+    val facts = Seq(-5L, 0L, 9L, 10L, 11L, 99L).toDF("v")
+    val got = graft.ops.RangeLookupOps
+      .intervalLookup(facts, col("v"), Seq(0L -> "a", 10L -> "b"))
+      .orderBy("v")
+      .as[(Long, Option[Long], Option[String], Option[Long])]
+      .collect().toSeq
+    assert(got === Seq(
+      (-5L, None, None, None),               // below every bound → miss
+      (0L, Some(0L), Some("a"), Some(0L)),   // lower bound is inclusive
+      (9L, Some(0L), Some("a"), Some(0L)),
+      (10L, Some(1L), Some("b"), Some(10L)), // boundary-exact → next tier
+      (11L, Some(1L), Some("b"), Some(10L)),
+      (99L, Some(1L), Some("b"), Some(10L)))) // last tier open-ended
+    intercept[IllegalArgumentException] {
+      graft.ops.RangeLookupOps.intervalLookup(
+        facts, col("v"), Seq(10L -> "a", 10L -> "b"))
+    }
+  }
+
+  test("q111 set-sim join: boundary tau kept, subsets scored on union, singletons never pair below tau") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "d")),      // jac(1,2) = 1.0
+      (3L, Seq("a", "b", "c", "d", "e", "f", "g", "h")),
+      //    jac(1,3) = 4/8 = tau exactly → KEPT (>= is closed)
+      (4L, Seq("x")),                     // shares nothing
+      (5L, Seq("a")))                     // jac(5,1) = 1/4 < tau
+      .toDF("doc_id", "sh")
+    val got = graft.operators.SetSimJoin.join(docs, "doc_id", "sh", 1, 2)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 4L, 4L, 1.0), (1L, 3L, 4L, 8L, 0.5),
+      (2L, 3L, 4L, 8L, 0.5)))
+  }
+
 }
 
 object RelationalQueriesSpecHelper {
