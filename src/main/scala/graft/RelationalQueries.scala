@@ -733,13 +733,16 @@ object RelationalQueries {
     val mad = graft.ops.PrefixSumOps.selectRanks(dev, Seq("flag"), "d",
         "c", array(expr("(_tot + 1) DIV 2")))
       .select(col("flag"), col("d").as("mad"))
-    rows.join(broadcast(med), Seq("flag"))
+    // census over the COLLAPSED domain (vc is cached inside selectRanks):
+    // |v − med| and the count both live there, so the raw fact table is
+    // never re-scanned — at 100 TB the post-median work is domain-sized
+    vc.join(broadcast(med), Seq("flag"))
       .join(broadcast(mad), Seq("flag"))
       .groupBy(col("flag"))
       .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
-           count(lit(1)).as("n"),
+           sum(col("c")).as("n"),
            sum(when(abs(col("v") - col("med")) > lit(3L) * col("mad"),
-                    1L).otherwise(0L)).as("n_outliers"))
+                    col("c")).otherwise(0L)).as("n_outliers"))
   }
 
   val oracleSql: Map[String, String] = Map(
