@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   *
   * Support comes from a per-basket pair expansion, NOT a basket self-join
   * (which would shuffle the item list twice more, once per join side):
-  * baskets are built in ONE shuffle keyed by basket id, and pairs are a
+  * the distinct (basket, item) stream is pruned first, baskets are
+  * materialized exactly once from the survivors, and pairs are a
   * map-side HOF over each sorted item array — Σ basket² work, bounded by
   * basket width, never catalog².
   *
@@ -27,24 +28,21 @@ object MarketBasket {
     * @return (ante, cons, sup_ab, conf_x1000, lift_x1000), both rule
     *         directions, confidence/lift in integer thousandths */
   def rules(items: DataFrame, minSup: Int = 2): DataFrame = {
-    // ONE shuffle keyed by basket builds the sorted item arrays
-    // (collect_set dedupes in-basket repeats); persisted: basket count,
-    // item supports, and the pruned expansion all read it
-    val baskets = items
-      .groupBy(col("ok"))
-      .agg(sort_array(collect_set(col("p"))).as("ps"))
-      .persist()
-    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
-    val supItem = baskets
-      .select(explode(col("ps")).as("p"))
-      .groupBy(col("p")).agg(count(lit(1)).as("sup_i"))
-    // a-priori prune: restrict every basket to minSup-frequent items
-    // BEFORE the quadratic expansion; the re-agg is one more keyed
-    // shuffle of the (shrunken) item stream, and the frequent set joins
-    // by broadcast (catalog-sized, same bound as the rule joins below)
+    // distinct (basket, item) pairs are the shared basis: item supports,
+    // the basket count, and the pruned basket build all read it —
+    // in-basket repeats collapse here ONCE instead of inside a
+    // collect_set per consumer
+    val d = items.select(col("ok"), col("p")).distinct().persist()
+    val nOrders = d.agg(count_distinct(col("ok")).as("n_orders"))
+    val supItem = d.groupBy(col("p")).agg(count(lit(1)).as("sup_i"))
+    // a-priori prune: restrict the item stream to minSup-frequent items
+    // BEFORE baskets are ever materialized — the basket arrays are built
+    // exactly once, already pruned (the earlier shape built them, then
+    // exploded, semi-joined, and rebuilt them: one full extra
+    // materialization of every basket). The frequent set joins by
+    // broadcast (catalog-sized, same bound as the rule joins below).
     val frequent = supItem.filter(col("sup_i") >= minSup).select(col("p"))
-    val pruned = baskets
-      .select(col("ok"), explode(col("ps")).as("p"))
+    val pruned = d
       .join(broadcast(frequent), Seq("p"), "left_semi")
       .groupBy(col("ok"))
       .agg(sort_array(collect_list(col("p"))).as("ps"))
