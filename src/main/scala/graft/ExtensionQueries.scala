@@ -236,6 +236,52 @@ object ExtensionQueries {
         .groupBy(col("target_pct"), col("cutoff_q"))
         .agg(sum(col("toks")).as("toks_ge"), sum(col("docs")).as("docs_ge"))
         .orderBy(col("target_pct"))
+    }),
+
+    // X78 — MinHash sketch-quality audit: estimated vs EXACT Jaccard,
+    // per pair, in integer thousandths. est = matching signature
+    // components / k; exact = |∩|/|∪| over the distinct 3-shingle sets.
+    // Everything is md5-deterministic, so the audit is hash-checkable —
+    // not a statistical test but the measured error surface this corpus
+    // actually gets from k=8, which is what you consult before choosing
+    // band counts for x06/x16 (more components ⇒ smaller err at linear
+    // signature cost). Audited pairs cover BOTH error regimes:
+    // adjacent-id pairs (the x08 frame — background, low-Jaccard mass,
+    // O(N) map-side) plus the exact >= 1/2 near-dup pairs from
+    // SetSimJoin, where underestimation is what LSH recall would pay
+    // for. Pair generation is the already-bounded q111 dataflow; the
+    // audit itself is two keyed joins against the signature frame.
+    "x78_minhash_error" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), T.words(col("text")).as("_w"))
+        .select(col("doc_id"),
+          graft.functions.expr.MinHashSigMd5(col("_w"), 3, 8).as("sig"),
+          array_distinct(T.shinglesFromWords(col("_w"), 3)).as("sh"))
+        .persist()
+      val adj = d.select(col("doc_id").as("id_a"),
+                         (col("doc_id") + 1).as("id_b"))
+      val near = graft.operators.SetSimJoin
+        .join(d.select(col("doc_id"), col("sh")), "doc_id", "sh", 1, 2)
+        .select(col("id_a"), col("id_b"))
+      val a = d.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+                       col("sh").as("sh_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+                       col("sh").as("sh_b"))
+      adj.unionByName(near).distinct()
+        .join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
+        .withColumn("est_x1000", expr(
+          """(1000 * size(filter(zip_with(sig_a, sig_b,
+               (x, y) -> x = y), m -> m))) DIV 8"""))
+        .withColumn("inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("uni",
+          size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
+        .withColumn("jac_x1000", expr("(1000 * inter) DIV uni"))
+        .select(col("id_a"), col("id_b"), col("est_x1000"),
+                col("jac_x1000"),
+                abs(col("est_x1000") - col("jac_x1000")).as("abs_err_x1000"))
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   // --- DuckDB oracles ------------------------------------------------------
@@ -462,5 +508,47 @@ object ExtensionQueries {
                    PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
                  FROM r)
           SELECT qid, rank, nid, round(cos, 4) AS cos
-          FROM rk WHERE rank <= 3 ORDER BY qid, rank""")
+          FROM rk WHERE rank <= 3 ORDER BY qid, rank""",
+
+    "x78_minhash_error" ->
+      s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh,
+                       list_distinct($shinglesSql) AS dsh
+                     FROM documents),
+          sig AS (SELECT doc_id,
+            [${(0 until 8).map(minhashSql).mkString(",\n             ")}] AS sg,
+            dsh FROM s),
+          e AS (SELECT doc_id, unnest(dsh) AS g FROM s),
+          nd0 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM e a JOIN e b ON b.g = a.g AND b.doc_id > a.doc_id),
+          nd AS (SELECT id_a, id_b FROM (
+                   SELECT id_a, id_b,
+                     len(list_filter(sa.dsh,
+                       x -> list_contains(sb.dsh, x)))::BIGINT AS inter,
+                     (len(sa.dsh) + len(sb.dsh))::BIGINT AS tot
+                   FROM nd0
+                   JOIN s sa ON sa.doc_id = nd0.id_a
+                   JOIN s sb ON sb.doc_id = nd0.id_b)
+                 WHERE inter * 2 >= tot - inter),
+          adj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM s a JOIN s b ON b.doc_id = a.doc_id + 1),
+          pairs AS (SELECT DISTINCT id_a, id_b FROM
+                    (SELECT * FROM adj UNION ALL SELECT * FROM nd)),
+          p AS (SELECT id_a, id_b, a.sg AS sga, b.sg AS sgb,
+                  a.dsh AS da, b.dsh AS db
+                FROM pairs
+                JOIN sig a ON a.doc_id = pairs.id_a
+                JOIN sig b ON b.doc_id = pairs.id_b
+                WHERE len(a.dsh) > 0 AND len(b.dsh) > 0),
+          v AS (SELECT id_a, id_b,
+                  (1000 * len(list_filter(generate_series(1, 8),
+                     i -> sga[i] = sgb[i]))) // 8 AS est_x1000,
+                  len(list_filter(da, x -> list_contains(db, x)))::BIGINT
+                    AS inter,
+                  (len(da) + len(db))::BIGINT AS tot
+                FROM p)
+          SELECT id_a, id_b, est_x1000,
+            (1000 * inter) // (tot - inter) AS jac_x1000,
+            abs(est_x1000 - (1000 * inter) // (tot - inter))
+              AS abs_err_x1000
+          FROM v ORDER BY id_a, id_b""")
 }
