@@ -282,7 +282,60 @@ object ExtensionQueries {
                 col("jac_x1000"),
                 abs(col("est_x1000") - col("jac_x1000")).as("abs_err_x1000"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // X79 — LSH band-configuration tuning census: for each (bands,
+    // rows_per_band) split of the SAME k=8 signature, the candidate
+    // join cost (Σ n·(n−1)/2 over band buckets — the pairs the banded
+    // equi-join would emit) against the recall of the EXACT ≥ ½
+    // near-dup truth set (SetSimJoin, zero-miss by theorem). More rows
+    // per band ⇒ fewer, tighter buckets ⇒ cheaper joins and lower
+    // recall; this is the table that choice gets made from, computed on
+    // the corpus itself rather than assumed from the S-curve formula.
+    // All counting is integer and md5-deterministic; cost comes from
+    // bucket SIZES (one keyed agg per config), never from materializing
+    // candidate pairs.
+    "x79_lsh_tuning" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), T.words(col("text")).as("_w"))
+        .select(col("doc_id"),
+          graft.functions.expr.MinHashSigMd5(col("_w"), 3, 8).as("sig"),
+          array_distinct(T.shinglesFromWords(col("_w"), 3)).as("sh"))
+        .persist()
+      val truth = graft.operators.SetSimJoin
+        .join(d.select(col("doc_id"), col("sh")), "doc_id", "sh", 1, 2)
+        .select(col("id_a"), col("id_b")).persist()
+      LshConfigs.map { case (nb, r) =>
+        val withBands = d.select(col("doc_id"),
+          T.lshBands(col("sig"), nb, r).as("bs"))
+        val cost = withBands
+          .select(posexplode(col("bs")).as(Seq("bi", "bk")))
+          .groupBy(col("bi"), col("bk"))
+          .agg(count(lit(1)).as("n"))
+          .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L))
+                 .as("cand_pairs"))
+        val found = truth
+          .join(withBands.select(col("doc_id").as("id_a"),
+                                 col("bs").as("ba")), Seq("id_a"))
+          .join(withBands.select(col("doc_id").as("id_b"),
+                                 col("bs").as("bb")), Seq("id_b"))
+          .agg(count(lit(1)).as("true_pairs"),
+               coalesce(sum(when(expr(
+                   """size(filter(zip_with(ba, bb, (x, y) -> x = y),
+                        m -> m)) > 0"""), 1L).otherwise(0L)), lit(0L))
+                 .as("found"))
+        cost.crossJoin(found)
+          .select(lit(nb.toLong).as("bands"),
+                  lit(r.toLong).as("rows_per_band"),
+                  col("cand_pairs"), col("true_pairs"), col("found"),
+                  when(col("true_pairs") > 0,
+                       expr("(1000 * found) DIV true_pairs"))
+                    .as("recall_x1000"))
+      }.reduce(_ unionAll _).orderBy(col("bands").desc)
     }))
+
+  /** x79: the (bands, rowsPerBand) splits of the 8-component signature. */
+  private val LshConfigs = Seq((8, 1), (4, 2), (2, 4))
 
   // --- DuckDB oracles ------------------------------------------------------
 
@@ -550,5 +603,57 @@ object ExtensionQueries {
             (1000 * inter) // (tot - inter) AS jac_x1000,
             abs(est_x1000 - (1000 * inter) // (tot - inter))
               AS abs_err_x1000
-          FROM v ORDER BY id_a, id_b""")
+          FROM v ORDER BY id_a, id_b""",
+
+    "x79_lsh_tuning" -> {
+      def bandArr(nb: Int, r: Int): String =
+        (0 until nb).map { b =>
+          val parts = (1 to r).map(i => s"sg[${b * r + i}]")
+            .mkString(" || '|' || ")
+          s"md5($parts)"
+        }.mkString("[", ", ", "]")
+      def cfg(nb: Int, r: Int): String =
+        s"""SELECT $nb::BIGINT AS bands, $r::BIGINT AS rows_per_band,
+            (SELECT coalesce(sum(n * (n - 1) // 2), 0)::BIGINT FROM (
+               SELECT bi, bs[bi] AS bk, count(*) AS n FROM (
+                 SELECT doc_id, unnest(range(1, $nb + 1)) AS bi, bs
+                 FROM bn${nb}x$r) t0
+               GROUP BY 1, 2
+             ) x) AS cand_pairs,
+            (SELECT count(*)::BIGINT FROM truth) AS true_pairs,
+            (SELECT coalesce(sum(CASE WHEN len(list_filter(
+                  range(1, $nb + 1), i -> ba.bs[i] = bb.bs[i])) > 0
+                THEN 1 ELSE 0 END), 0)::BIGINT
+             FROM truth
+             JOIN bn${nb}x$r ba ON ba.doc_id = truth.id_a
+             JOIN bn${nb}x$r bb ON bb.doc_id = truth.id_b) AS found"""
+      def bn(nb: Int, r: Int): String =
+        s"bn${nb}x$r AS (SELECT doc_id, ${bandArr(nb, r)} AS bs FROM sig)"
+      s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh,
+                       list_distinct($shinglesSql) AS dsh
+                     FROM documents),
+          sig AS (SELECT doc_id,
+            [${(0 until 8).map(minhashSql).mkString(",\n             ")}] AS sg,
+            dsh FROM s),
+          e AS (SELECT doc_id, unnest(dsh) AS g FROM s),
+          nd0 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM e a JOIN e b ON b.g = a.g AND b.doc_id > a.doc_id),
+          truth AS (SELECT id_a, id_b FROM (
+                   SELECT id_a, id_b,
+                     len(list_filter(sa.dsh,
+                       x -> list_contains(sb.dsh, x)))::BIGINT AS inter,
+                     (len(sa.dsh) + len(sb.dsh))::BIGINT AS tot
+                   FROM nd0
+                   JOIN s sa ON sa.doc_id = nd0.id_a
+                   JOIN s sb ON sb.doc_id = nd0.id_b)
+                 WHERE inter * 2 >= tot - inter),
+          ${bn(8, 1)},
+          ${bn(4, 2)},
+          ${bn(2, 4)},
+          u AS (${cfg(8, 1)} UNION ALL ${cfg(4, 2)} UNION ALL ${cfg(2, 4)})
+          SELECT bands, rows_per_band, cand_pairs, true_pairs, found,
+            CASE WHEN true_pairs = 0 THEN NULL
+                 ELSE (1000 * found) // true_pairs END AS recall_x1000
+          FROM u ORDER BY bands DESC"""
+    })
 }
