@@ -78,6 +78,29 @@ object AnalyticsQueries {
           Seq("user_id"), "event_id", "ts", 300L)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Q114 — moving median (robust sliding smoother): per user, the
+    // lower median of the last 5 observed values — the de-noiser that a
+    // moving AVERAGE is not (one spike drags a mean for 5 rows; a
+    // median ignores it). The frame is a bounded 5-row buffer per
+    // output row (collect over ROWS BETWEEN 4 PRECEDING), so cost is
+    // O(w log w) per row after ONE user_id exchange — a windowed
+    // aggregate, never a self-join; the q104-class hazard doesn't apply
+    // because the frame, not the group, bounds the state. Integer
+    // cents; lower-median (sorted[(n+1) DIV 2], 1-based) avoids
+    // interpolation so both engines pick an actual data value.
+    "q114_moving_median" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+                cents(col("value")).as("cents"))
+        .withColumn("_arr", sort_array(collect_list(col("cents")).over(w)))
+        .select(col("user_id"), col("event_id"), col("cents"),
+          element_at(col("_arr"),
+            expr("CAST((size(_arr) + 1) DIV 2 AS INT)")).as("med5"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Q30 — window analytics over each customer's order history:
     // lag/lead, 3-row moving sum, running total, sequence rank
     "q30_window_analytics" -> ((s, dir) => {
@@ -645,6 +668,19 @@ object AnalyticsQueries {
             ON b.user_id = a.user_id AND a.event_id < b.event_id
            AND abs($epochB - $epochA) <= 300
           ORDER BY id_a, id_b""",
+
+    "q114_moving_median" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+              CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events),
+          l AS (SELECT user_id, event_id, cents,
+              list_sort(list(cents) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+            FROM e)
+          SELECT user_id, event_id, cents,
+            arr[(len(arr) + 1) // 2] AS med5
+          FROM l ORDER BY user_id, event_id""",
 
     "q30_window_analytics" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,

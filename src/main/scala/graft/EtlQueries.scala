@@ -163,6 +163,36 @@ object EtlQueries {
     // decomposable (count/sum/max re-aggregate; avg derives from sum and
     // count at the end), which is exactly what makes the pattern valid;
     // the oracle recomputes from scratch, proving merge ≡ full recompute.
+    // Q115 — incremental view maintenance for a JOIN view: V = γ(A ⋈ B)
+    // under an insert-only delta of the fact A obeys
+    // ΔV = γ(ΔA ⋈ B) — the delta joins the dimension, the BASE fact is
+    // never rescanned, and V' merges V with ΔV by re-aggregating the
+    // decomposable partials (q99's merge, upgraded past one table). The
+    // delta side is explicitly broadcast: at 100 TB the arriving batch
+    // is the small side against a huge dimension, so maintenance costs
+    // O(|Δ| + |ΔV| + |V|) with zero exchange of B (plan-asserted: the
+    // delta branch joins as BroadcastHashJoin). The oracle recomputes
+    // the view from scratch — merge ≡ full recompute is the whole
+    // correctness claim.
+    "q115_ivm_join" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+                cents(col("l_extendedprice")).as("c"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("ok"),
+                col("o_orderpriority").as("prio"))
+      def view(items: DataFrame) = items.join(o, Seq("ok"))
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      val base = view(li.filter(col("ok") % 10 =!= 7))
+      val delta = view(broadcast(li.filter(col("ok") % 10 === 7)))
+      base.unionAll(delta)
+        .groupBy(col("prio"))
+        .agg(sum(col("n")).as("n_items"), sum(col("s")).as("rev_cents"))
+        .withColumn("avg_cents", expr("rev_cents DIV n_items"))
+        .orderBy(col("prio"))
+    }),
+
     "q99_incremental_rollup" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
         .select(col("o_orderpriority").as("prio"),
@@ -320,6 +350,16 @@ object EtlQueries {
          SELECT coalesce(channel, 'direct') AS channel,
            count(*) AS n_conv, sum(cents)::BIGINT AS revenue_cents
          FROM lt GROUP BY 1 ORDER BY 1""",
+
+    // full recompute of the maintained join view — incremental must match
+    "q115_ivm_join" ->
+      """SELECT o_orderpriority AS prio, count(*)::BIGINT AS n_items,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+             AS rev_cents,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+             // count(*) AS avg_cents
+         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         GROUP BY 1 ORDER BY 1""",
 
     "q99_incremental_rollup" ->
       """SELECT o_orderpriority AS prio, count(*) AS n_orders,

@@ -801,6 +801,13 @@ class PlanShapeSpec extends SparkSpec {
            !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("q115 IVM: the delta branch joins the dimension by broadcast — base is merged, not re-joined") {
+    val plan = planOf("q115_ivm_join")
+    assert(plan.contains("BroadcastHashJoin"),
+      "delta-side maintenance must broadcast the arriving batch:\n"
+        + plan.take(3000))
+  }
+
   test("q107 zone-map pruned read opens only the files whose zones intersect the range") {
     import graft.io.Compaction
     // build the per-SF scratch layout (idempotent), then check the scan
