@@ -156,6 +156,47 @@ object EtlQueries {
         .orderBy(col("channel"))
     }),
 
+    // Q116 — LINEAR multi-touch attribution (q98's last-touch sibling):
+    // every click/view in the 7 days before a purchase shares its value,
+    // each touch weighted 1/n (credit = (cents · k_channel) DIV n per
+    // conversion — integer, remainder dropped identically on both
+    // engines). The touch window is a one-sided interval join executed
+    // as a banded equi-join: touches carry their 7-day time cell, each
+    // conversion probes exactly 2 cells (its own + the previous — a
+    // touch ≤ 7 days older can live nowhere else), so the shuffle stays
+    // O(N) keyed on (user, cell) and the residual bound is a post-join
+    // filter — the q29 shape across two tables, never a per-row probe.
+    // Untouched conversions credit 'direct' via one anti join.
+    "q116_multitouch" -> ((s, dir) => {
+      val gapUs = 7L * 86400 * 1000000L
+      val ev = Tables(s, dir, "events")
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("cid"), col("user_id"),
+                unix_micros(col("ts")).as("ep"),
+                cents(col("value")).as("cents"))
+      val touch = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), unix_micros(col("ts")).as("et"),
+                col("event_type").as("channel"))
+        .withColumn("cell", expr(s"et DIV ${gapUs}L"))
+      val probe = conv.withColumn("cell",
+        explode(array(expr(s"ep DIV ${gapUs}L"),
+                      expr(s"ep DIV ${gapUs}L - 1"))))
+      val matched = probe.join(touch, Seq("user_id", "cell"))
+        .filter(col("et") <= col("ep") &&
+                col("et") >= col("ep") - lit(gapUs))
+      val k = matched.groupBy(col("cid"), col("cents"), col("channel"))
+        .agg(count(lit(1)).as("k"))
+      val n = k.groupBy(col("cid")).agg(sum(col("k")).as("n"))
+      val credited = k.join(n, Seq("cid"))
+        .groupBy(col("channel"))
+        .agg(sum(expr("(cents * k) DIV n")).as("credit_cents"))
+      val direct = conv
+        .join(matched.select(col("cid")).distinct(), Seq("cid"), "left_anti")
+        .agg(coalesce(sum(col("cents")), lit(0L)).as("credit_cents"))
+        .select(lit("direct").as("channel"), col("credit_cents"))
+      credited.unionByName(direct).orderBy(col("channel"))
+    }),
+
     // Q99 — incremental rollup maintenance: the nightly-delta pattern.
     // The base partition's partial aggregate (at 100 TB: a tiny persisted
     // state table) merges with the delta's partial via union + re-agg —
@@ -350,6 +391,31 @@ object EtlQueries {
          SELECT coalesce(channel, 'direct') AS channel,
            count(*) AS n_conv, sum(cents)::BIGINT AS revenue_cents
          FROM lt GROUP BY 1 ORDER BY 1""",
+
+    // the textbook correlated interval join — the banded plan must match
+    "q116_multitouch" ->
+      """WITH conv AS (SELECT event_id AS cid, user_id,
+             epoch_us(ts) AS ep,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         touch AS (SELECT user_id, epoch_us(ts) AS et,
+             event_type AS channel
+           FROM events WHERE event_type IN ('click', 'view')),
+         t AS (SELECT c.cid, c.cents, tt.channel
+               FROM conv c JOIN touch tt ON tt.user_id = c.user_id
+                AND tt.et <= c.ep AND tt.et >= c.ep - 604800000000),
+         k AS (SELECT cid, cents, channel, count(*)::BIGINT AS k
+               FROM t GROUP BY 1, 2, 3),
+         n AS (SELECT cid, sum(k)::BIGINT AS n FROM k GROUP BY 1),
+         credited AS (SELECT k.channel,
+             sum((k.cents * k.k) // n.n)::BIGINT AS credit_cents
+           FROM k JOIN n USING (cid) GROUP BY 1),
+         direct AS (SELECT 'direct' AS channel,
+             coalesce(sum(cents), 0)::BIGINT AS credit_cents
+           FROM conv WHERE cid NOT IN (SELECT cid FROM t))
+         SELECT channel, credit_cents FROM credited
+         UNION ALL SELECT channel, credit_cents FROM direct
+         ORDER BY channel""",
 
     // full recompute of the maintained join view — incremental must match
     "q115_ivm_join" ->

@@ -497,8 +497,13 @@ object RelationalQueries {
     // also re-proves completeness of the pruning on this corpus.
     "q111_setsim_join" -> ((s, dir) =>
       SetSimJoin.join(
-          Tables(s, dir, "documents").select(col("doc_id"),
-            array_distinct(T.shingles(col("text"), 3)).as("sh")),
+          // STAGED words → shingles (TextFunctions:94): inlining
+          // T.shingles(text) re-evaluates the split per element_at —
+          // O(words²) per doc, measured ~2× the whole query at sf0.1
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), T.words(col("text")).as("_w"))
+            .select(col("doc_id"), array_distinct(
+              T.shinglesFromWords(col("_w"), 3)).as("sh")),
           "doc_id", "sh", 1, 2)
         .orderBy(col("id_a"), col("id_b"))),
 

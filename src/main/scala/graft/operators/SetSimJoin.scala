@@ -26,10 +26,11 @@ import org.apache.spark.sql.functions._
   *    inside the candidate join before the distinct.
   *
   * Dataflow at scale: one exchange keyed on element for the df count,
-  * one co-partitioned join to attach df, a per-row sort of each set
-  * (O(len log len) map-side), the prefix equi-join (the only data-sized
-  * fan-out, bounded as above), a distinct on pairs, and two keyed joins
-  * to fetch the sets for exact verification. Nothing is ever all-pairs;
+  * one co-partitioned join to attach df, one doc-keyed rank window to
+  * mark prefix membership (partition = one set, state bounded by set
+  * width), the prefix equi-join (the only data-sized fan-out, bounded
+  * as above), a distinct on pairs, and two keyed joins to fetch the
+  * sets for exact verification. Nothing is ever all-pairs;
   * nothing buffers more than one set per row. The PPJoin positional
   * upgrade (carry the prefix POSITION and bound the remaining overlap)
   * would cut candidates further at identical semantics if a profile ever
@@ -50,30 +51,49 @@ object SetSimJoin {
     * @return (id_a, id_b, inter, uni, jac) for every pair with
     *         inter*tauDen >= uni*tauNum and id_a < id_b. */
   def join(docs: DataFrame, idCol: String, setCol: String,
-           tauNum: Int, tauDen: Int): DataFrame = {
+           tauNum: Int, tauDen: Int): DataFrame =
+    joinImpl(docs, idCol, setCol, tauNum, tauDen)._2
+
+  /** Dev/probe hook: run only candidate generation, return its count. */
+  private[graft] def joinCandidatesForProbe(
+      docs: DataFrame, idCol: String, setCol: String,
+      tauNum: Int, tauDen: Int): Long =
+    joinImpl(docs, idCol, setCol, tauNum, tauDen)._1.count()
+
+  private def joinImpl(docs: DataFrame, idCol: String, setCol: String,
+                       tauNum: Int, tauDen: Int)
+      : (DataFrame, DataFrame) = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"setSimJoin: tau must be in (0,1], got $tauNum/$tauDen")
+    // both the element stream (df count + ranked rebuild) and the verify
+    // joins re-read the sets; persist so tokenization upstream runs once
     val sets = docs.select(col(idCol).cast("long").as("_id"),
-                           col(setCol).as("_set"))
-    val elems = sets.select(col("_id"), explode(col("_set")).as("_e"))
+                           col(setCol).as("_set")).persist()
+    val elems = sets.select(col("_id"),
+      size(col("_set")).cast("long").as("_len"),
+      explode(col("_set")).as("_e"))
     val dfreq = elems.groupBy(col("_e"))
       .agg(count(lit(1)).cast("long").as("_df"))
-    // Each set sorted by the global rarest-first order, prefix kept.
-    // ceil(tau*len) = (tauNum*len + tauDen - 1) DIV tauDen, so
-    // p = len - ceil(tau*len) + 1  (p >= 1 whenever len >= 1).
-    val ranked = elems.join(dfreq, Seq("_e"))
-      .groupBy(col("_id"))
-      .agg(sort_array(collect_list(struct(col("_df"), col("_e"))))
-             .as("_r"))
-      .select(col("_id"),
-              transform(col("_r"), s => s.getField("_e")).as("_sorted"),
-              size(col("_r")).cast("long").as("_len"))
-      .withColumn("_p",
-        (col("_len") -
-         expr(s"(_len * $tauNum + ${tauDen - 1}) DIV $tauDen") + lit(1L))
-          .cast("int"))
-    val prefix = ranked.select(col("_id"), col("_len"),
-      explode(slice(col("_sorted"), lit(1), col("_p"))).as("_e"))
+    // Prefix membership WITHOUT rebuilding per-doc arrays: an element is
+    // in its doc's prefix iff its rank under the global (df, element)
+    // order within the doc is <= p = len - ceil(tau*len) + 1, with
+    // ceil(tau*len) = (tauNum*len + tauDen - 1) DIV tauDen. One
+    // row_number window partitioned by doc replaces the earlier
+    // collect_list + sort_array + slice + re-explode round trip (which
+    // materialized every set twice and measured ~7s of the bench-SF
+    // runtime on its own). Elements are distinct within a doc, so
+    // (df, e) totally orders each partition — deterministic ranks.
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_df"), col("_e"))
+    // the prefix stream feeds BOTH sides of the candidate self-join —
+    // persist or the df join + window execute twice
+    val prefix = elems.join(dfreq, Seq("_e"))
+      .withColumn("_rn", row_number().over(wDoc).cast("long"))
+      .filter(col("_rn") <=
+        col("_len") -
+        expr(s"(_len * $tauNum + ${tauDen - 1}) DIV $tauDen") + lit(1L))
+      .select(col("_id"), col("_len"), col("_e"))
+      .persist()
     val a = prefix.select(col("_id").as("id_a"), col("_len").as("_la"),
                           col("_e").as("_ea"))
     val b = prefix.select(col("_id").as("id_b"), col("_len").as("_lb"),
@@ -87,12 +107,13 @@ object SetSimJoin {
                          size(col("_set")).cast("long").as("_la"))
     val sb = sets.select(col("_id").as("id_b"), col("_set").as("_sb"),
                          size(col("_set")).cast("long").as("_lb"))
-    cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+    val out = cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
       .withColumn("inter",
         size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
       .withColumn("uni", col("_la") + col("_lb") - col("inter"))
       .filter(col("inter") * tauDen >= col("uni") * tauNum)
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
               round(col("inter").cast("double") / col("uni"), 4).as("jac"))
+    (cand, out)
   }
 }
