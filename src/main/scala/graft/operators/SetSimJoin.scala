@@ -87,7 +87,11 @@ object SetSimJoin {
       .partitionBy(col("_id")).orderBy(col("_df"), col("_e"))
     // the prefix stream feeds BOTH sides of the candidate self-join —
     // persist or the df join + window execute twice
-    val prefix = elems.join(dfreq, Seq("_e"))
+    // dfreq (one row per distinct element) is data-sized at scale and its
+    // post-aggregate size estimate is exactly the kind Catalyst gets
+    // wrong on a stats-less input — pin this join too so the whole
+    // dataflow has one deterministic shape at every SF
+    val prefix = elems.join(dfreq.hint("shuffle_hash"), Seq("_e"))
       .withColumn("_rn", row_number().over(wDoc).cast("long"))
       .filter(col("_rn") <=
         col("_len") -
@@ -98,7 +102,16 @@ object SetSimJoin {
                           col("_e").as("_ea"))
     val b = prefix.select(col("_id").as("id_b"), col("_len").as("_lb"),
                           col("_e").as("_eb"))
-    val cand = a.join(b,
+    // Join strategies are PINNED with shuffle_hash hints: every frame
+    // here is data-sized (prefix stream, candidate pairs, the set
+    // corpus), so at scale none is broadcastable, and the persisted
+    // stats-less inputs are exactly the class where Catalyst's size
+    // estimate can flip the strategy run-to-run (a broadcast of a
+    // data-sized frame, or a SortMergeJoin that sorts rows carrying the
+    // full element arrays). The hint fixes the plan: hash-partition on
+    // the key, build the hinted side per-partition — the strategy that
+    // is correct at every SF. PlanShapeSpec asserts the pin holds.
+    val cand = a.hint("shuffle_hash").join(b,
         col("_ea") === col("_eb") && col("id_a") < col("id_b") &&
         least(col("_la"), col("_lb")) * tauDen >=
           greatest(col("_la"), col("_lb")) * tauNum)
@@ -107,7 +120,8 @@ object SetSimJoin {
                          size(col("_set")).cast("long").as("_la"))
     val sb = sets.select(col("_id").as("id_b"), col("_set").as("_sb"),
                          size(col("_set")).cast("long").as("_lb"))
-    val out = cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+    val out = cand.join(sa.hint("shuffle_hash"), Seq("id_a"))
+      .join(sb.hint("shuffle_hash"), Seq("id_b"))
       .withColumn("inter",
         size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
       .withColumn("uni", col("_la") + col("_lb") - col("inter"))

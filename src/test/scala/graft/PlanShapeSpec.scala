@@ -795,10 +795,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
   }
 
-  test("q111 set-sim join: candidates come from equi-joins only — no cartesian, no nested loop") {
+  test("q111 set-sim join: candidate + verify joins are pinned shuffled-hash — no broadcast/SMJ flip possible") {
     val plan = planOf("q111_setsim_join")
     assert(!plan.contains("CartesianProduct") &&
            !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // every frame in this dataflow is data-sized; the shuffle_hash hints
+    // in SetSimJoin must pin all three joins (candidate self-join + the
+    // two verify set-fetch joins) so a stats-less persisted input can
+    // never flip the strategy to a data-sized broadcast or an
+    // array-sorting SortMergeJoin (the r7 42s-vs-4s instability class)
+    val shj = "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(shj >= 4,
+      s"expected >=4 pinned ShuffledHashJoins (df-attach, candidate, " +
+        s"2× verify), got $shj:\n" + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "SMJ flip on the set-sim dataflow:\n" + plan.take(3000))
+    assert(!plan.contains("BroadcastHashJoin"),
+      "data-sized broadcast flip on the set-sim dataflow:\n" + plan.take(3000))
   }
 
   test("q115 IVM: the delta branch joins the dimension by broadcast — base is merged, not re-joined") {
