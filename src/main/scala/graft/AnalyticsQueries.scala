@@ -94,6 +94,11 @@ object AnalyticsQueries {
       Tables(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("ts"),
                 cents(col("value")).as("cents"))
+        // NULL semantics pinned on BOTH engines: Spark's collect_list
+        // silently drops NULLs while DuckDB's list() keeps them, so a
+        // NULL value would silently shrink this frame here but shift
+        // the median there — exclude NULL observations identically
+        .filter(col("cents").isNotNull)
         .withColumn("_arr", sort_array(collect_list(col("cents")).over(w)))
         .select(col("user_id"), col("event_id"), col("cents"),
           element_at(col("_arr"),
@@ -672,7 +677,7 @@ object AnalyticsQueries {
     "q114_moving_median" ->
       """WITH e AS (SELECT user_id, event_id, ts,
               CAST(round(value * 100) AS BIGINT) AS cents
-            FROM events),
+            FROM events WHERE value IS NOT NULL),
           l AS (SELECT user_id, event_id, cents,
               list_sort(list(cents) OVER (PARTITION BY user_id
                 ORDER BY ts, event_id

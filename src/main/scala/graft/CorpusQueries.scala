@@ -581,10 +581,12 @@ object CorpusQueries {
     // text. Both sides are single-word posting reads; adjacency is a
     // keyed equi-join on (doc_id, pos). x34 is the doc-level index;
     // this is the positional upgrade that unlocks phrase/adjacency
-    // queries. At rest the index is written bucketed by word
-    // (BucketOps) and a phrase query reads exactly two postings lists
-    // co-partitioned — cost O(|postings|), independent of corpus size;
-    // the per-word filters push down to the index scan.
+    // queries. This dataflow builds the index inline from the documents
+    // scan (the oracle-checkable form); the intended AT-REST production
+    // shape is the x34 deployment — write the index bucketed by word
+    // via BucketOps, so a phrase query reads exactly two co-partitioned
+    // postings lists, cost O(|postings|) independent of corpus size,
+    // with the per-word filters pushed down to the index scan.
     "x77_phrase_search" -> ((s, dir) => {
       val idx = Tables(s, dir, "documents")
         .select(col("doc_id"),

@@ -306,7 +306,12 @@ object ExtensionQueries {
         .join(d.select(col("doc_id"), col("sh")), "doc_id", "sh", 1, 2)
         .select(col("id_a"), col("id_b")).persist()
       LshConfigs.map { case (nb, r) =>
-        val withBands = d.select(col("doc_id"),
+        // docs with <3 words have no shingles and an all-NULL signature;
+        // lshBands would map every one of them to the md5("") band key,
+        // so each degenerate PAIR would count as an LSH candidate a real
+        // LSH join should never emit — drop them before banding (the
+        // truth set can't contain them: an empty set joins nothing)
+        val withBands = d.filter(size(col("sh")) > 0).select(col("doc_id"),
           T.lshBands(col("sig"), nb, r).as("bs"))
         val cost = withBands
           .select(posexplode(col("bs")).as(Seq("bi", "bk")))
@@ -628,7 +633,8 @@ object ExtensionQueries {
              JOIN bn${nb}x$r ba ON ba.doc_id = truth.id_a
              JOIN bn${nb}x$r bb ON bb.doc_id = truth.id_b) AS found"""
       def bn(nb: Int, r: Int): String =
-        s"bn${nb}x$r AS (SELECT doc_id, ${bandArr(nb, r)} AS bs FROM sig)"
+        s"bn${nb}x$r AS (SELECT doc_id, ${bandArr(nb, r)} AS bs " +
+          "FROM sig WHERE len(dsh) > 0)"
       s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh,
                        list_distinct($shinglesSql) AS dsh
                      FROM documents),

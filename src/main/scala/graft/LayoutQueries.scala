@@ -66,6 +66,32 @@ object LayoutQueries {
             array()),
          array(_n + 1))"""
 
+  /** q103 dataflow over any (user_id, ts, event_id, value) frame — each
+    * observation holds until the next one, so its weight is the
+    * microsecond gap to the successor (the last observation carries no
+    * weight). One lead window per user; all integer (cents × µs stays
+    * far under 2^63 at any realistic event density). Factored so the
+    * degenerate-fixture spec can feed a synthetic frame. */
+  private[graft] def twap(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("dt",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_holds"),
+           sum(col("dt")).as("span_us"),
+           expr("sum(cents * dt) DIV sum(dt)").as("twap_cents"))
+      // degenerate users whose events all share one timestamp have
+      // sum(dt)=0: Spark's DIV yields null but DuckDB's // raises, so
+      // BOTH sides drop them identically (HAVING sum(dt) > 0)
+      .filter(col("span_us") > 0)
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q95 — Z-order clustering kernel: interleave (custkey, balance)
@@ -229,25 +255,7 @@ object LayoutQueries {
     // window per user — the irregular-time-series mean without
     // resampling. All integer: cents × µs products stay far under 2^63
     // at any realistic event density.
-    "q103_time_weighted_avg" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      Tables(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-                round(col("value") * 100).cast("long").as("cents"))
-        .withColumn("dt",
-          unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
-        .filter(col("dt").isNotNull)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_holds"),
-             sum(col("dt")).as("span_us"),
-             expr("sum(cents * dt) DIV sum(dt)").as("twap_cents"))
-        // degenerate users whose events all share one timestamp have
-        // sum(dt)=0: Spark's DIV yields null but DuckDB's // raises, so
-        // BOTH sides drop them identically (HAVING sum(dt) > 0)
-        .filter(col("span_us") > 0)
-        .orderBy(col("user_id"))
-    }),
+    "q103_time_weighted_avg" -> ((s, dir) => twap(Tables(s, dir, "events"))),
 
     // Q104 — equi-depth histogram (the optimizer-statistics form: equal
     // ROW mass per bucket, unlike q58's fixed-width buckets): collapse

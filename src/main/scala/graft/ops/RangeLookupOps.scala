@@ -44,7 +44,12 @@ object RangeLookupOps {
     val names  = array(tiers.map(t => lit(t._2)): _*)
     // lower_bound counts bounds strictly below v+1 == bounds <= v, so the
     // covering tier is that count − 1; 0 ⇒ v below every bound ⇒ miss.
-    val n = SortedLowerBound(bounds, v + lit(1L)).cast("long")
+    // v = Long.MaxValue would wrap the +1 probe to Long.MinValue and
+    // misclassify the row as a miss — but MaxValue is >= every possible
+    // long bound, so its count is |tiers| by definition; branch there
+    // instead of probing (the CaseWhen evaluates v+1 only when safe).
+    val n = when(v === lit(Long.MaxValue), lit(tiers.length.toLong))
+      .otherwise(SortedLowerBound(bounds, v + lit(1L)).cast("long"))
     facts
       .withColumn("tier_id", when(n > 0, n - lit(1L)))
       .withColumn("tier", when(n > 0, element_at(names, n.cast("int"))))

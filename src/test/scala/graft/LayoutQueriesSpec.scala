@@ -287,6 +287,27 @@ class LayoutQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q103 TWAP: an all-same-timestamp user is dropped, not divided by zero") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000)
+    // user 1: three observations on ONE timestamp — sum(dt) = 0, the
+    // fixture that made DuckDB's // abort before the HAVING guard;
+    // user 2: 10.00 held 10s then 20.00 held 30s → twap 17.50
+    val events = Seq(
+      (1L, t0, 100L, 5.0), (1L, t0, 101L, 6.0), (1L, t0, 102L, 7.0),
+      (2L, at(0), 200L, 10.0), (2L, at(10), 201L, 20.0),
+      (2L, at(40), 202L, 30.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val rows = LayoutQueries.twap(events).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L),
+      "the zero-span user must be dropped, the normal user kept")
+    val r = rows.head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 40000000L &&
+           r.getLong(3) == 1750L,
+      s"user 2: want (2 holds, 40s span, twap 1750 cents), got $r")
+  }
+
   test("q104 equi-depth: buckets tile the value range with near-equal mass") {
     val rows = run("q104_equidepth_hist").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -819,6 +819,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       "delta-side maintenance must broadcast the arriving batch:\n"
         + plan.take(3000))
+    // "some broadcast exists" is not the claim — at tiny SF the planner
+    // may also broadcast the orders dimension on the base branch. Pin
+    // that the ARRIVING DELTA is a broadcast side: some
+    // BroadcastExchange subtree must carry the delta's defining filter
+    // (ok % 10 = 7), i.e. the explicitly-hinted filtered lineitem batch
+    val deltaBroadcast = "BroadcastExchange".r.findAllMatchIn(plan)
+      .exists(m => plan.substring(m.start,
+        math.min(plan.length, m.start + 1200)).contains("% 10) = 7"))
+    assert(deltaBroadcast,
+      "no BroadcastExchange subtree contains the delta filter " +
+        "(ok % 10 = 7) — the delta batch is not the broadcast side:\n"
+        + plan.take(3000))
   }
 
   test("q107 zone-map pruned read opens only the files whose zones intersect the range") {

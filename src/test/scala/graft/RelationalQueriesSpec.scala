@@ -321,6 +321,14 @@ class RelationalQueriesSpec extends SparkSpec {
       (10L, Some(1L), Some("b"), Some(10L)), // boundary-exact → next tier
       (11L, Some(1L), Some("b"), Some(10L)),
       (99L, Some(1L), Some("b"), Some(10L)))) // last tier open-ended
+    // Long.MaxValue: the +1 probe would wrap to MinValue and report a
+    // miss — the branched path must land it in the open-ended last tier
+    val top = graft.ops.RangeLookupOps
+      .intervalLookup(Seq(Long.MaxValue).toDF("v"), col("v"),
+        Seq(0L -> "a", 10L -> "b"))
+      .as[(Long, Option[Long], Option[String], Option[Long])]
+      .collect().toSeq
+    assert(top === Seq((Long.MaxValue, Some(1L), Some("b"), Some(10L))))
     intercept[IllegalArgumentException] {
       graft.ops.RangeLookupOps.intervalLookup(
         facts, col("v"), Seq(10L -> "a", 10L -> "b"))
