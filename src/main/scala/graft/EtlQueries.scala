@@ -17,6 +17,37 @@ object EtlQueries {
 
   private def cents(c: Column) = round(c * 100).cast("long")
 
+  /** q117 core — maintain the join view V = γ_prio(count, sum c) of
+    * fact ⋈ dim under a SIGNED delta batch: `batch` rows carry
+    * m = +1 (insert) / −1 (delete of a row present in the base), and
+    * the maintained partials are Δn = Σm, Δs = Σ m·c. The base fact is
+    * never rescanned — only its (tiny) partial-aggregate state merges
+    * with the delta view, and the arriving batch is explicitly the
+    * broadcast side of its dimension join (at 100 TB the batch is the
+    * small side against a huge dimension). A group whose merged count
+    * hits 0 leaves the view; a negative merged count means the feed
+    * deleted rows it never inserted — surfaced loudly downstream by the
+    * n_items > 0 filter dropping the group entirely rather than
+    * publishing negative counts.
+    *
+    * @param baseFact (ok, c) rows of the current base state
+    * @param batch    (ok, c, m) signed CDC rows
+    * @param dim      (ok, prio) join dimension */
+  private[graft] def ivmRetract(baseFact: DataFrame, batch: DataFrame,
+                                dim: DataFrame): DataFrame = {
+    val base = baseFact.join(dim, Seq("ok"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+    val delta = broadcast(batch).join(dim, Seq("ok"))
+      .groupBy(col("prio"))
+      .agg(sum(col("m")).as("n"), sum(col("m") * col("c")).as("s"))
+    base.unionAll(delta)
+      .groupBy(col("prio"))
+      .agg(sum(col("n")).as("n_items"), sum(col("s")).as("rev_cents"))
+      .filter(col("n_items") > 0)
+      .withColumn("avg_cents", expr("rev_cents DIV n_items"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q67 — SCD1 upsert (MERGE INTO ... WHEN MATCHED UPDATE / WHEN NOT
@@ -234,6 +265,32 @@ object EtlQueries {
         .orderBy(col("prio"))
     }),
 
+    // Q117 — IVM with RETRACTION: q115 handles insert-only deltas, but a
+    // real CDC feed carries deletes. Each batch row gets a signed
+    // multiplicity m (+1 insert, −1 delete); the maintained partials are
+    // Δn = Σm and Δs = Σ m·c — γ(Δ⁺A ⋈ B) − γ(Δ⁻A ⋈ B) in ONE pass of
+    // one broadcast batch, base fact never rescanned. Groups whose
+    // merged count reaches 0 leave the view (the HAVING arm of the
+    // merge — q109's MERGE delete arm applied to aggregation state).
+    // Batch here: insert the ok%10=7 rows, delete the ok%10=3 rows
+    // already in the base; the oracle recomputes from scratch on the
+    // post-batch corpus (ok%10 <> 3), so merge ≡ full recompute is the
+    // checked claim, deletes included.
+    "q117_ivm_retract" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+                cents(col("l_extendedprice")).as("c"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("ok"),
+                col("o_orderpriority").as("prio"))
+      val batch = li.filter(col("ok") % 10 === 7)
+          .withColumn("m", lit(1L))
+        .unionAll(li.filter(col("ok") % 10 === 3)
+          .withColumn("m", lit(-1L)))
+      ivmRetract(li.filter(col("ok") % 10 =!= 7), batch, o)
+        .orderBy(col("prio"))
+    }),
+
     "q99_incremental_rollup" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
         .select(col("o_orderpriority").as("prio"),
@@ -425,6 +482,18 @@ object EtlQueries {
            sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
              // count(*) AS avg_cents
          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         GROUP BY 1 ORDER BY 1""",
+
+    // full recompute on the POST-BATCH corpus (inserts applied, deletes
+    // gone) — the retracting merge must reproduce it exactly
+    "q117_ivm_retract" ->
+      """SELECT o_orderpriority AS prio, count(*)::BIGINT AS n_items,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+             AS rev_cents,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+             // count(*) AS avg_cents
+         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         WHERE l_orderkey % 10 <> 3
          GROUP BY 1 ORDER BY 1""",
 
     "q99_incremental_rollup" ->

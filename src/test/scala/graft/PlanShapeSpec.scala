@@ -814,6 +814,27 @@ class PlanShapeSpec extends SparkSpec {
       "data-sized broadcast flip on the set-sim dataflow:\n" + plan.take(3000))
   }
 
+  /** True iff some BroadcastExchange SUBTREE (structural, not a string
+    * window — the base branch's `NOT (pred)` contains `pred` as a
+    * substring) carries a positive Filter matching `pred`. */
+  private def broadcastCarriesFilter(name: String, pred: String): Boolean = {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val p = SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other                    => other
+      }
+    // toString, not .sql: .sql renders literals with explicit CASTs
+    // ("% CAST(10 AS BIGINT)") and would never match the plain pattern
+    p.collect { case b: BroadcastExchangeExec => b }.exists(
+      _.child.collect {
+        case f: FilterExec if f.condition.toString.contains(pred) &&
+            !f.condition.toString.contains("NOT") => f
+      }.nonEmpty)
+  }
+
   test("q115 IVM: the delta branch joins the dimension by broadcast — base is merged, not re-joined") {
     val plan = planOf("q115_ivm_join")
     assert(plan.contains("BroadcastHashJoin"),
@@ -821,15 +842,22 @@ class PlanShapeSpec extends SparkSpec {
         + plan.take(3000))
     // "some broadcast exists" is not the claim — at tiny SF the planner
     // may also broadcast the orders dimension on the base branch. Pin
-    // that the ARRIVING DELTA is a broadcast side: some
-    // BroadcastExchange subtree must carry the delta's defining filter
-    // (ok % 10 = 7), i.e. the explicitly-hinted filtered lineitem batch
-    val deltaBroadcast = "BroadcastExchange".r.findAllMatchIn(plan)
-      .exists(m => plan.substring(m.start,
-        math.min(plan.length, m.start + 1200)).contains("% 10) = 7"))
-    assert(deltaBroadcast,
-      "no BroadcastExchange subtree contains the delta filter " +
+    // that the ARRIVING DELTA is a broadcast side: a BroadcastExchange
+    // subtree must carry the delta's defining filter (ok % 10 = 7)
+    assert(broadcastCarriesFilter("q115_ivm_join", "% 10) = 7"),
+      "no BroadcastExchange subtree carries the delta filter " +
         "(ok % 10 = 7) — the delta batch is not the broadcast side:\n"
+        + plan.take(3000))
+  }
+
+  test("q117 retracting IVM: the signed CDC batch is the broadcast side of its dimension join") {
+    val plan = planOf("q117_ivm_retract")
+    // the batch is insert(=7) ∪ delete(=3); the delete arm's positive
+    // filter can only live under the batch's BroadcastExchange (the
+    // base branch filters ok % 10 <> 7 — a NOT, excluded structurally)
+    assert(broadcastCarriesFilter("q117_ivm_retract", "% 10) = 3"),
+      "no BroadcastExchange subtree carries the delete-arm filter " +
+        "(ok % 10 = 3) — the CDC batch is not the broadcast side:\n"
         + plan.take(3000))
   }
 

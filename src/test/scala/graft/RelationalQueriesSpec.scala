@@ -19,6 +19,22 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(got.toSeq === Seq(3L, 7L, 500L, 999L))
   }
 
+  test("q117 retracting IVM: deletes retract sums, a fully-deleted group leaves the view") {
+    val dim = Seq((1L, "HIGH"), (2L, "HIGH"), (3L, "LOW"))
+      .toDF("ok", "prio")
+    val base = Seq((1L, 100L), (2L, 50L), (3L, 30L)).toDF("ok", "c")
+    // delete ok=2 (partial retraction of HIGH), delete ok=3 AND insert
+    // nothing for LOW (full retraction), insert ok=1 a second time
+    val batch = Seq((2L, 50L, -1L), (3L, 30L, -1L), (1L, 200L, 1L))
+      .toDF("ok", "c", "m")
+    val got = EtlQueries.ivmRetract(base, batch, dim)
+      .orderBy("prio")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // HIGH: rows (1,100),(1,200) → n=2, s=300, avg=150; LOW: gone
+    assert(got === Seq(("HIGH", 2L, 300L, 150L)),
+      s"retraction must drop LOW and re-aggregate HIGH, got $got")
+  }
+
   test("q74 bloom prefilter: null left keys never match") {
     val left = Seq(Some(1L), None, Some(2L)).toDF("k")
     val right = Seq(1L).toDF("rk")
