@@ -504,6 +504,20 @@ object CorpusQueries {
     "x66_bpe_pairs" -> ((s, dir) =>
       bpePairs(Tables(s, dir, "documents"), topK = 20)),
 
+    // X80 — PMI collocation mining: the top multi-word expressions of
+    // the corpus by pointwise mutual information — the statistic a
+    // tokenizer/phrase-vocabulary build consults ("new york" is a unit;
+    // "of the" is not, despite a higher raw count). PMI =
+    // log₂(c₁₂·N / (c_a·c_b)) via the x46 bitlen device, integer-exact
+    // and engine-independent; min-count 3 kills the hapax pairs whose
+    // PMI is maximal but meaningless. x56 scores DOCUMENTS with the
+    // conditional p(b|a); this ranks the PAIRS by symmetric association
+    // — same model frames, different statistic and a global-top-k plan
+    // (TakeOrderedAndProject — the limit never sorts the corpus).
+    "x80_pmi_collocations" -> ((s, dir) =>
+      pmiCollocations(Tables(s, dir, "documents"),
+        minCount = 3L, topK = 100)),
+
     // X67 — cross-document repeated-SPAN detection: the unaligned
     // complement of x42's line dedup (which only sees copies that share
     // line boundaries). Every doc samples fixed-width character windows
@@ -843,6 +857,42 @@ object CorpusQueries {
            sum(col("surprise")).as("surprise_sum"))
       .withColumn("avg_surprise_x100",
         expr("(surprise_sum * 100) DIV n_bigrams"))
+  }
+
+  /** X80 core — top-K adjacent-pair collocations by integer PMI bits:
+    * bitlen(c₁₂·N) − bitlen(c_a·c_b) ≈ log₂(c₁₂·N / (c_a·c_b)) within
+    * 1 bit. The bigram agg is the only corpus-sized exchange (keyed,
+    * partial-combined); the unigram model is vocabulary-sized and
+    * broadcast (x56's rationale — a cached stats-less model frame left
+    * to the planner intermittently sort-merges the whole pair stream).
+    * c₁₂·N needs bitlen(c₁₂)+bitlen(N) bits — at extreme corpus sizes
+    * promote the products to decimal(38,0) before bitlen (x51 note).
+    * Ties cannot straddle the top-K cut: the order
+    * (pmi desc, c₁₂ desc, bg) is total because bg is unique. */
+  def pmiCollocations(docs: DataFrame, minCount: Long,
+                      topK: Int): DataFrame = {
+    val w = docs.select(T.words(col("text")).as("_w"))
+    val uni = w.select(explode(col("_w")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("c1"))
+      .persist()
+    val nTot = uni.agg(sum(col("c1")).cast("long").as("n_total"))
+    val bg = w.select(explode(T.shinglesFromWords(col("_w"), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .withColumn("w_a", split(col("bg"), " ").getItem(0))
+      .withColumn("w_b", split(col("bg"), " ").getItem(1))
+    bg.join(broadcast(uni.select(col("t").as("w_a"), col("c1").as("ca"))),
+            Seq("w_a"))
+      .join(broadcast(uni.select(col("t").as("w_b"), col("c1").as("cb"))),
+            Seq("w_b"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("pmi_bits",
+        (length(bin(col("c12") * col("n_total"))) -
+         length(bin(col("ca") * col("cb")))).cast("long"))
+      .orderBy(col("pmi_bits").desc, col("c12").desc, col("bg"))
+      .limit(topK)
+      .select(col("w_a"), col("w_b"), col("c12"), col("pmi_bits"))
   }
 
   /** X57 core — per-language discrete percentile bands of the token
@@ -1347,6 +1397,26 @@ object CorpusQueries {
            FROM wf)
          SELECT pair, sum(cnt)::BIGINT AS n
          FROM pe GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+
+    "x80_pmi_collocations" ->
+      s"""WITH w AS (SELECT $wordsSql AS w FROM documents),
+         tok AS (SELECT unnest(w) AS t FROM w),
+         uni AS (SELECT t, count(*)::BIGINT AS c1 FROM tok
+                 WHERE t <> '' GROUP BY t),
+         n AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total FROM uni),
+         bgo AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1])) AS bg FROM w),
+         cb AS (SELECT bg, count(*)::BIGINT AS c12 FROM bgo
+                GROUP BY bg HAVING count(*) >= 3),
+         sp AS (SELECT bg, c12, string_split(bg, ' ')[1] AS w_a,
+                  string_split(bg, ' ')[2] AS w_b FROM cb)
+         SELECT w_a, w_b, c12,
+           CAST(length(to_base(c12 * n_total, 2))
+                - length(to_base(ca.c1 * cbu.c1, 2)) AS BIGINT) AS pmi_bits
+         FROM sp JOIN uni ca ON ca.t = sp.w_a
+                 JOIN uni cbu ON cbu.t = sp.w_b
+                 CROSS JOIN n
+         ORDER BY pmi_bits DESC, c12 DESC, bg LIMIT 100""",
 
     "x67_repeated_spans" ->
       """WITH raw AS (

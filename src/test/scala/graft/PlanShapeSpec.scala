@@ -67,6 +67,16 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("x80 PMI top-k: TakeOrderedAndProject over broadcast model joins — no global sort, no SMJ of the pair stream") {
+    val plan = planOf("x80_pmi_collocations")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("rangepartitioning"), plan.take(2000))
+    // the vocabulary model joins must broadcast — a sort-merge of the
+    // corpus-sized pair stream against a 1k-row model is the x56 flip
+    assert(plan.contains("BroadcastHashJoin") &&
+           !plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("x24 TF-IDF broadcasts the corpus-size scalar — no cartesian blowup") {
     val plan = planOf("x24_tfidf_top_term")
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
