@@ -294,6 +294,46 @@ object StreamingOps {
       }
   }
 
+  final case class IvmView(key: String, n_items: Long, rev_cents: Long)
+  final case class IvmState(n: Long, s: Long)
+
+  /** Streaming twin of the batch retracting IVM
+    * ([[graft.EtlQueries.ivmRetract]]): maintain a grouped
+    * (count, sum) view over a SIGNED CDC stream — (key, cents, m) with
+    * m = +1 insert / −1 delete. Spark's native watermarked aggregation
+    * cannot retract (sum(m)/sum(m·c) would work for totals but a group
+    * can never leave the view, and append mode only emits closed
+    * windows); flatMapGroupsWithState holds the decomposable partials
+    * (n, s) per key — O(1) state per LIVE group — and emits the group's
+    * post-batch view row every micro-batch it is touched. A group whose
+    * count returns to 0 emits a tombstone (n_items = 0) and FREES its
+    * state, so the state store is bounded by live groups, not by every
+    * key ever seen; a later re-insert starts fresh. A batch driving the
+    * count negative (the feed deleted rows it never inserted) collapses
+    * to the same tombstone — the contract violation is visible
+    * downstream as a delete of the whole group, never published as a
+    * negative count. Dimension attributes join upstream via [[enrich]]
+    * (stream-static), mirroring the batch dataflow's broadcast side. */
+  def streamingIvmRetract(
+      recs: Dataset[(String, Long, Long)]): Dataset[IvmView] = {
+    import recs.sparkSession.implicits._
+    recs.groupByKey(_._1)
+      .flatMapGroupsWithState[IvmState, IvmView](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[IvmState]) =>
+          var st = state.getOption.getOrElse(IvmState(0L, 0L))
+          rows.foreach { case (_, c, m) =>
+            st = IvmState(st.n + m, st.s + m * c) }
+          if (st.n <= 0L) {
+            state.remove()
+            Iterator.single(IvmView(key, 0L, 0L))
+          } else {
+            state.update(st)
+            Iterator.single(IvmView(key, st.n, st.s))
+          }
+      }
+  }
+
   final case class Anomaly(key: Long, value: Double, n: Long,
                            mean: Double, std: Double)
   final case class WelfordState(n: Long, mean: Double, m2: Double)

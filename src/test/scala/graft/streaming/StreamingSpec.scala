@@ -284,6 +284,52 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("streamingIvmRetract maintains the view across batches; full deletion tombstones and re-insert starts fresh") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = StreamingOps.streamingIvmRetract(mem.toDS())
+      .writeStream.format("memory").queryName("ivm")
+      .outputMode("append").start()
+    // batch 1: inserts only
+    mem.addData(("HIGH", 100L, 1L), ("HIGH", 50L, 1L), ("LOW", 30L, 1L))
+    q.processAllAvailable()
+    val after1 = spark.sql(
+        "select key, n_items, rev_cents from ivm order by key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(after1 == Seq(("HIGH", 2L, 150L), ("LOW", 1L, 30L)))
+    // batch 2: partial retraction of HIGH, FULL retraction of LOW
+    mem.addData(("HIGH", 50L, -1L), ("LOW", 30L, -1L))
+    q.processAllAvailable()
+    // batch 3: LOW re-inserts — must start fresh, not resurrect old sums
+    mem.addData(("LOW", 7L, 1L))
+    q.processAllAvailable()
+    val all = spark.sql("select key, n_items, rev_cents from ivm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    q.stop()
+    // emitted view-row sequence per group, in batch order
+    assert(all.count { case ("LOW", 0L, 0L) => true; case _ => false } == 1,
+      s"full deletion must emit exactly one tombstone: ${all.toSeq}")
+    assert(all.contains(("HIGH", 1L, 100L)),
+      s"partial retraction must re-publish HIGH as (1, 100): ${all.toSeq}")
+    assert(all.contains(("LOW", 1L, 7L)),
+      s"post-tombstone re-insert must start from empty state: ${all.toSeq}")
+    // reconcile the final streamed state against the batch operator fed
+    // the equivalent base + signed batch
+    val base = Seq(("h1", 100L), ("h2", 50L), ("l1", 30L))
+      .toDF("ok", "c")
+    val dim = Seq(("h1", "HIGH"), ("h2", "HIGH"), ("l1", "LOW"),
+                  ("l2", "LOW")).toDF("ok", "prio")
+    val batch = Seq(("h2", 50L, -1L), ("l1", 30L, -1L), ("l2", 7L, 1L))
+      .toDF("ok", "c", "m")
+    val batchView = graft.EtlQueries.ivmRetract(base, batch, dim)
+      .select(col("prio"), col("n_items"), col("rev_cents"))
+      .as[(String, Long, Long)].collect().toSet
+    val streamedFinal = Set(("HIGH", 1L, 100L), ("LOW", 1L, 7L))
+    assert(batchView == streamedFinal,
+      s"streamed view must reconcile with batch ivmRetract: $batchView")
+  }
+
   test("streamingCdcClassify tracks add/change/unchange/remove across batches; deletes free state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
