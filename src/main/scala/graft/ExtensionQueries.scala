@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
@@ -337,6 +337,105 @@ object ExtensionQueries {
                        expr("(1000 * found) DIV true_pairs"))
                     .as("recall_x1000"))
       }.reduce(_ unionAll _).orderBy(col("bands").desc)
+    }),
+
+    // X81 — Count-Min sketch AS A TABLE: the frequency sketch that backs
+    // per-token frequency estimation at corpus scale without ever keying
+    // an exchange by token. Every occurrence updates d=4 md5-derived
+    // buckets; the sketch is the (r, b, cnt) relation — d·w = 2048 rows
+    // after the keyed agg, so the exchange is O(d·w), not O(vocab), and
+    // two sketch tables merge by unionAll + re-sum (the CMS merge
+    // closure — the same shape x68 proves for exact counts). Estimates
+    // (min over the d probed cells) are md5-deterministic, so the oracle
+    // checks the estimate VALUES, not just an error bound: est ≥ exact
+    // is the CMS theorem, and the observed over-count is emitted for
+    // audit. Probes use the top-20 exact tokens; the exact vocab agg
+    // exists here only as that audit truth — production reads the
+    // 2048-row sketch alone.
+    "x81_cms_freq" -> ((s, dir) => {
+      val w = 512
+      def bucket(r: Int, tok: Column): Column =
+        conv(substring(md5(concat_ws(":", lit(r), tok)), 1, 8), 16, 10)
+          .cast("long") % w
+      def probes(tok: Column): Column =
+        explode(array((0 until 4).map(r =>
+          struct(lit(r.toLong).as("r"), bucket(r, tok).as("b"))): _*))
+      val toks = Tables(s, dir, "documents")
+        .select(explode(T.words(col("text"))).as("tok")).persist()
+      val sketch = toks.select(probes(col("tok")).as("p"))
+        .groupBy(col("p.r").as("r"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val topk = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok")).limit(20)
+      topk.select(col("tok"), col("exact_n"), probes(col("tok")).as("p"))
+        .join(broadcast(sketch),
+          col("p.r") === sketch("r") && col("p.b") === sketch("b"))
+        .groupBy(col("tok"), col("exact_n"))
+        .agg(min(col("cnt")).as("cms_est"))
+        .select(col("tok"), col("exact_n"), col("cms_est"),
+                (col("cms_est") - col("exact_n")).as("over_n"))
+        .orderBy(col("tok"))
+    }),
+
+    // X82 — corpus-level source similarity: pairwise Jaccard between
+    // SOURCES, estimated from per-source MinHash UNION sketches — the
+    // statistic a mixture/dedup plan consults before any doc-level work
+    // ("how much of src7 overlaps src3?"). The union closure is the
+    // point: sketch(source) = elementwise min over its docs' k=8 md5
+    // signatures, so source sketches compose from the per-doc sketches a
+    // production corpus already persists (x16's index) — one tiny keyed
+    // agg, no second pass over text. Pairings are sources² over a frame
+    // of |sources| rows — broadcast-trivial at any corpus size. The
+    // exact Jaccard over distinct shingle sets rides along as the audit
+    // truth (the shingle-keyed join the sketch path exists to avoid);
+    // both est and exact are md5/integer-deterministic, so the oracle
+    // checks values, and the observed |error| is emitted per pair.
+    "x82_source_jaccard" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("source"), T.words(col("text")).as("_w"))
+        .select(col("source"),
+          graft.functions.expr.MinHashSigMd5(col("_w"), 3, 8).as("sig"),
+          array_distinct(T.shinglesFromWords(col("_w"), 3)).as("sh"))
+        .persist()
+      val srcSig = d.groupBy(col("source"))
+        .agg(min(col("sig")(0)).as("m0"),
+             (1 until 8).map(i => min(col("sig")(i)).as(s"m$i")): _*)
+      val srcSh = d.select(col("source"), explode(col("sh")).as("g"))
+        .distinct().persist()
+      val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("nsh"))
+      val inter = srcSh.select(col("source").as("src_a"), col("g"))
+        .join(srcSh.select(col("source").as("src_b"), col("g")), Seq("g"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      val a = srcSig.select(col("source").as("src_a") +:
+        (0 until 8).map(i => col(s"m$i").as(s"a$i")): _*)
+      val b = srcSig.select(col("source").as("src_b") +:
+        (0 until 8).map(i => col(s"m$i").as(s"b$i")): _*)
+      // null components (a source whose every doc is sub-shingle-width)
+      // never count as a match: === is null there and when() falls
+      // through to 0 — mirrored by the oracle's CASE WHEN a = b
+      a.crossJoin(broadcast(b)).filter(col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          (0 until 8).map(i =>
+            when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+            .reduce(_ + _).as("matches"))
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+                                     col("nsh").as("na"))), Seq("src_a"), "left")
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+                                     col("nsh").as("nb"))), Seq("src_b"), "left")
+        .join(broadcast(inter), Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+          expr("(1000 * matches) DIV 8").as("est_x1000"),
+          coalesce(col("inter"), lit(0L)).as("inter"),
+          (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))
+            - coalesce(col("inter"), lit(0L))).as("uni"))
+        .withColumn("jac_x1000",
+          when(col("uni") > 0, expr("(1000 * inter) DIV uni")))
+        .withColumn("abs_err_x1000",
+          when(col("uni") > 0, abs(col("est_x1000") - col("jac_x1000"))))
+        .orderBy(col("src_a"), col("src_b"))
     }))
 
   /** x79: the (bands, rowsPerBand) splits of the 8-component signature. */
@@ -661,5 +760,63 @@ object ExtensionQueries {
             CASE WHEN true_pairs = 0 THEN NULL
                  ELSE (1000 * found) // true_pairs END AS recall_x1000
           FROM u ORDER BY bands DESC"""
+    },
+
+    "x81_cms_freq" -> {
+      def bSql(tokExpr: String, rExpr: String) =
+        s"('0x' || substr(md5($rExpr || ':' || $tokExpr), 1, 8))::BIGINT % 512"
+      s"""WITH toks AS (SELECT unnest($wordsSql) AS tok FROM documents),
+          rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+          sk AS (SELECT rs.r AS r, ${bSql("toks.tok", "rs.r::VARCHAR")} AS b,
+                        count(*) AS cnt
+                 FROM toks CROSS JOIN rs GROUP BY 1, 2),
+          ex AS (SELECT tok, count(*) AS exact_n FROM toks GROUP BY 1
+                 ORDER BY exact_n DESC, tok LIMIT 20),
+          pr AS (SELECT ex.tok, ex.exact_n, rs.r AS r,
+                        ${bSql("ex.tok", "rs.r::VARCHAR")} AS b
+                 FROM ex CROSS JOIN rs),
+          est AS (SELECT pr.tok, pr.exact_n, min(sk.cnt) AS cms_est
+                  FROM pr JOIN sk ON sk.r = pr.r AND sk.b = pr.b
+                  GROUP BY 1, 2)
+          SELECT tok, exact_n, cms_est, cms_est - exact_n AS over_n
+          FROM est ORDER BY tok"""
+    },
+
+    "x82_source_jaccard" -> {
+      val mins = (0 until 8)
+        .map(i => s"min(md5('$i:' || g)) AS m$i").mkString(", ")
+      val matches = (0 until 8)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+        .mkString("\n                 + ")
+      s"""WITH s AS (SELECT source, $shinglesSql AS sh FROM documents),
+          srcs AS (SELECT DISTINCT source FROM documents),
+          e AS (SELECT DISTINCT source, unnest(sh) AS g FROM s),
+          ssig0 AS (SELECT source, $mins FROM e GROUP BY source),
+          ssig AS (SELECT srcs.source,
+                     ${(0 until 8).map(i => s"ssig0.m$i").mkString(", ")}
+                   FROM srcs LEFT JOIN ssig0 USING (source)),
+          sizes AS (SELECT source, count(*) AS nsh FROM e GROUP BY source),
+          inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                           count(*)::BIGINT AS inter
+                    FROM e a JOIN e b ON b.g = a.g AND a.source < b.source
+                    GROUP BY 1, 2),
+          pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                      ($matches)::BIGINT AS matches
+                    FROM ssig a JOIN ssig b ON a.source < b.source),
+          o AS (SELECT p.src_a, p.src_b,
+                  (1000 * p.matches) // 8 AS est_x1000,
+                  coalesce(i.inter, 0)::BIGINT AS inter,
+                  (coalesce(sa.nsh, 0) + coalesce(sb.nsh, 0)
+                    - coalesce(i.inter, 0))::BIGINT AS uni
+                FROM pairs p
+                LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+                LEFT JOIN sizes sa ON sa.source = p.src_a
+                LEFT JOIN sizes sb ON sb.source = p.src_b)
+          SELECT src_a, src_b, est_x1000, inter, uni,
+            CASE WHEN uni > 0 THEN (1000 * inter) // uni END AS jac_x1000,
+            CASE WHEN uni > 0
+                 THEN abs(est_x1000 - (1000 * inter) // uni) END
+              AS abs_err_x1000
+          FROM o ORDER BY src_a, src_b"""
     })
 }

@@ -467,4 +467,69 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(got === want)
     assert(want.nonEmpty, "fixture must actually contain the phrase")
   }
+
+  test("x81 CMS: estimate dominates exact on every probe, and sketch tables merge by re-sum") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("x81_cms_freq")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS theorem violated: est ${r.getLong(2)} < exact ${r.getLong(1)} for ${r.getString(0)}")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+    // merge closure: the sketch of A ∪ B equals the per-half sketches
+    // summed cell-by-cell — the property that lets production keep one
+    // 2048-row sketch table per batch and fold them without re-scanning
+    def sketch(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(T.words(col("text"))).as("tok"))
+      .select(col("tok"), explode(array((0 until 4).map(r => struct(
+        lit(r.toLong).as("r"),
+        (conv(substring(md5(concat_ws(":", lit(r), col("tok"))), 1, 8),
+          16, 10).cast("long") % 512).as("b"))): _*)).as("p"))
+      .groupBy(col("p.r").as("r"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val docs = Tables(spark, sfDir, "documents")
+    val whole = sketch(docs)
+    val halves = sketch(docs.filter(col("doc_id") % 2 === 0))
+      .unionByName(sketch(docs.filter(col("doc_id") % 2 === 1)))
+      .groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cnt"))
+    assert(whole.exceptAll(halves).isEmpty && halves.exceptAll(whole).isEmpty,
+      "CMS sketch tables must merge exactly by unionAll + re-sum")
+  }
+
+  test("x82 source Jaccard: union sketch equals direct sketch; disjoint and identical sources pin the scale ends") {
+    import graft.functions.expr.MinHashSigMd5
+    // two identical sources, one disjoint, one degenerate (sub-shingle)
+    val docs = Seq(
+      (1L, "sa", "w x y z q r s t u v"), (2L, "sa", "a b c d e f g h"),
+      (3L, "sb", "w x y z q r s t u v"), (4L, "sb", "a b c d e f g h"),
+      (5L, "sc", "k1 k2 k3 k4 k5 k6 k7 k8"),
+      (6L, "sd", "one two")
+    ).toDF("doc_id", "source", "text")
+    val d = docs.select(col("source"), T.words(col("text")).as("_w"))
+      .select(col("source"), MinHashSigMd5(col("_w"), 3, 8).as("sig"),
+        array_distinct(T.shinglesFromWords(col("_w"), 3)).as("sh"))
+    // union closure: elementwise min over doc sigs == min over the
+    // source's whole shingle set, seed by seed
+    val viaDocs = d.groupBy(col("source"))
+      .agg(min(col("sig")(0)).as("m0"),
+           (1 until 8).map(i => min(col("sig")(i)).as(s"m$i")): _*)
+      .collect().map(r => r.getString(0) ->
+        (0 until 8).map(i => r.getString(i + 1))).toMap
+    val direct = d.select(col("source"), explode(col("sh")).as("g"))
+      .groupBy(col("source"))
+      .agg(min(md5(concat(lit("0:"), col("g")))).as("m0"),
+           (1 until 8).map(i =>
+             min(md5(concat(lit(s"$i:"), col("g")))).as(s"m$i")): _*)
+      .collect().map(r => r.getString(0) ->
+        (0 until 8).map(i => r.getString(i + 1))).toMap
+    assert(viaDocs("sa") === direct("sa") && viaDocs("sb") === direct("sb")
+      && viaDocs("sc") === direct("sc"),
+      "per-source union of doc sketches must equal the direct source sketch")
+    // identical sources estimate 1.0; disjoint estimate 0; degenerate
+    // source pairs report null jaccard (uni = 0)
+    assert(viaDocs("sa") === viaDocs("sb"))
+    assert(viaDocs("sd").forall(_ == null))
+    assert(viaDocs("sa") !== viaDocs("sc"))
+  }
 }
