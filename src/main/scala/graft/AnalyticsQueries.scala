@@ -510,6 +510,56 @@ object AnalyticsQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // X84 — PERSISTED-sketch rollup: the two-stage shape x15 only hints
+    // at. Stage 1 builds per-(priority, month) DataSketches partials —
+    // HLL over customers, KLL over prices — the 60-row sketch TABLE a
+    // production pipeline persists alongside the data. Stage 2 answers
+    // the priority-level question by MERGING sketches alone
+    // (hll_union_agg / kll_merge_agg): raw orders are never rescanned,
+    // which is the entire economics of sketch columns at 100 TB — the
+    // rollup exchange carries ~kilobyte buffers, not data. Both sketch
+    // families are merge-closed, so stage-2 estimates carry the same
+    // error bounds as a direct single-pass sketch. Oracle: x15's
+    // bracketing idiom — exact twins (computed here as the audit, from
+    // the one extra pass the sketch table exists to avoid) plus bound
+    // flags the oracle pins as literals: HLL within 3σ at lgK=12
+    // (rsd ≈ 1.6%), the merged-KLL median's exact rank within ±5% of
+    // 0.5 (k=200 ⇒ ~1% normalized rank error, 5× margin). n_orders
+    // (Σ of partial counts) is exact and proves the rollup covered
+    // every partial.
+    "x84_sketch_rollup" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"),
+                date_trunc("month", col("o_orderdate")).as("mon"),
+                col("o_custkey"), col("o_totalprice"))
+      val partials = o.groupBy(col("prio"), col("mon"))
+        .agg(hll_sketch_agg(col("o_custkey"), 12).as("hs"),
+             kll_sketch_agg_double(col("o_totalprice"), 200).as("ks"),
+             count(lit(1)).as("n"))
+      val rolled = partials.groupBy(col("prio"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("hs"))).as("est_cust"),
+             kll_sketch_get_quantile_double(kll_merge_agg_double(col("ks")),
+               lit(0.5)).as("amed"),
+             sum(col("n")).as("n_orders"))
+      val exact = o.groupBy(col("prio"))
+        .agg(count_distinct(col("o_custkey")).as("exact_cust"))
+      val rk = o
+        .join(broadcast(rolled.select(col("prio"), col("amed"))), Seq("prio"))
+        .groupBy(col("prio"))
+        .agg(sum(when(col("o_totalprice") <= col("amed"), 1L).otherwise(0L))
+               .as("cnt_le"),
+             sum(when(col("o_totalprice") < col("amed"), 1L).otherwise(0L))
+               .as("cnt_lt"))
+      exact.join(broadcast(rolled), Seq("prio"))
+        .join(broadcast(rk), Seq("prio"))
+        .select(col("prio"), col("exact_cust"), col("n_orders"),
+          (abs(col("est_cust") - col("exact_cust")) <=
+             col("exact_cust") * lit(0.05)).as("hll_ok"),
+          (col("cnt_le") >= col("n_orders") * lit(0.45) &&
+           col("cnt_lt") <= col("n_orders") * lit(0.55)).as("med_rank_ok"))
+        .orderBy(col("prio"))
+    }),
+
     // X52 — near-dup candidate QUALITY histogram: the LSH tuning
     // diagnostic. Every MinHash band-collision pair gets its exact
     // 3-gram Jaccard, integer-bucketed into deciles (ppm DIV 100000) —
@@ -615,6 +665,13 @@ object AnalyticsQueries {
            count(DISTINCT o_custkey)::BIGINT AS exact_cust,
            count(*)::BIGINT AS n,
            TRUE AS hll_ok, TRUE AS median_rank_ok
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "x84_sketch_rollup" ->
+      """SELECT o_orderpriority AS prio,
+           count(DISTINCT o_custkey)::BIGINT AS exact_cust,
+           count(*)::BIGINT AS n_orders,
+           TRUE AS hll_ok, TRUE AS med_rank_ok
          FROM orders GROUP BY 1 ORDER BY 1""",
 
     "q28_asof_join" ->

@@ -298,6 +298,39 @@ object CorpusQueries {
       vocabApply(Tables(s, dir, "documents"), minCount = 5)
         .orderBy(col("doc_id"))),
 
+    // X83 — per-source DRIFT census: chi-square divergence of each
+    // source's document-length profile from the corpus baseline — the
+    // mixture-monitoring statistic read next to x63's datasheet ("which
+    // source stopped looking like the rest of the diet?"). Lengths are
+    // integer-binned (10 fixed bins), so the only doubles are the final
+    // fixed-arity expression: both engines pivot the bins to columns
+    // and evaluate the SAME left-associated term chain, making every
+    // IEEE operation order-identical — chi-square instead of PSI/KL
+    // precisely because it needs no ln (libm differs across engines;
+    // +,-,*,/ are exactly-rounded everywhere). Dataflow: one map-side
+    // bin projection, one keyed agg per source, one 1-row corpus agg
+    // broadcast back — no shuffle grows with corpus size beyond the
+    // per-source partial agg.
+    "x83_source_drift" -> ((s, dir) => {
+      val binned = Tables(s, dir, "documents")
+        .select(col("source"), expr("least(9L, n_chars DIV 200)").as("bin"))
+      def cnts(pfx: String) = (0 until 10).map(i =>
+        sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"$pfx$i"))
+      val bySrc = binned.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), cnts("c"): _*)
+      val corpus = binned.agg(count(lit(1)).as("nn"), cnts("t"): _*)
+      val terms = (0 until 10).map { i =>
+        val p = col(s"c$i").cast("double") / col("n_docs").cast("double")
+        val q = col(s"t$i").cast("double") / col("nn").cast("double")
+        when(col(s"t$i") === 0, lit(0.0)).otherwise((p - q) * (p - q) / q)
+      }
+      bySrc.crossJoin(broadcast(corpus))
+        .select(col("source") +: col("n_docs") +:
+          (0 until 10).map(i => col(s"c$i")) :+
+          terms.reduceLeft(_ + _).as("chi2"): _*)
+        .orderBy(col("source"))
+    }),
+
     // X63 — per-source dataset datasheet: the one-page report card a
     // corpus release ships with (counts, token mass, short-doc and
     // exact-dup rates, dominant language), all integer per-mille so the
@@ -1192,6 +1225,29 @@ object CorpusQueries {
            count(*) FILTER (WHERE id = 0) AS n_oov,
            md5(string_agg(id::VARCHAR, ',' ORDER BY pos)) AS ids_md5
          FROM j GROUP BY doc_id ORDER BY doc_id""",
+
+    "x83_source_drift" -> {
+      def cnts(pfx: String) = (0 until 10)
+        .map(i => s"sum(CASE WHEN bin = $i THEN 1 ELSE 0 END)::BIGINT AS $pfx$i")
+        .mkString(",\n              ")
+      val terms = (0 until 10).map { i =>
+        val p = s"(c$i::DOUBLE / n_docs::DOUBLE)"
+        val q = s"(t$i::DOUBLE / nn::DOUBLE)"
+        s"(CASE WHEN t$i = 0 THEN 0.0 ELSE ($p - $q) * ($p - $q) / $q END)"
+      }.mkString("\n            + ")
+      s"""WITH b AS (SELECT source, least(9, n_chars // 200) AS bin
+                     FROM documents),
+          s AS (SELECT source, count(*) AS n_docs,
+              ${cnts("c")}
+            FROM b GROUP BY source),
+          t AS (SELECT count(*) AS nn,
+              ${cnts("t")}
+            FROM b)
+          SELECT source, n_docs,
+            ${(0 until 10).map(i => s"c$i").mkString(", ")},
+            $terms AS chi2
+          FROM s CROSS JOIN t ORDER BY source"""
+    },
 
     "x63_source_datasheet" ->
       s"""WITH d AS (SELECT source, lang, md5(text) AS h,

@@ -532,4 +532,64 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(viaDocs("sd").forall(_ == null))
     assert(viaDocs("sa") !== viaDocs("sc"))
   }
+
+  test("x83 drift: a source matching the corpus profile scores exactly 0; concentration diverges") {
+    val rows = SparkEntry.queries("x83_source_drift")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val chi2 = r.getDouble(r.length - 1)
+      assert(!chi2.isNaN && chi2 >= 0.0, s"chi2 must be finite >= 0: $r")
+    }
+    // p = q per bin makes every term (p-q)^2/q EXACTLY zero in IEEE
+    // arithmetic — no epsilon needed; that is the point of the
+    // fixed-order formulation
+    import org.apache.spark.sql.functions.{col, expr, sum => fsum,
+      count => fcount, when => fwhen, lit, broadcast}
+    // consecutive (odd, even) pairs share n_chars, so both sources have
+    // the exact corpus bin profile
+    val docs = (1 to 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "even" else "odd", ((i - 1) / 2 % 4) * 250L))
+      .toDF("doc_id", "source", "n_chars")
+    val binned = docs.select(col("source"),
+      expr("least(9L, n_chars DIV 200)").as("bin"))
+    def cnts(p: String) = (0 until 10).map(i =>
+      fsum(fwhen(col("bin") === i, 1L).otherwise(0L)).as(s"$p$i"))
+    val bySrc = binned.groupBy(col("source"))
+      .agg(fcount(lit(1)).as("n_docs"), cnts("c"): _*)
+    val corpus = binned.agg(fcount(lit(1)).as("nn"), cnts("t"): _*)
+    val terms = (0 until 10).map { i =>
+      val p = col(s"c$i").cast("double") / col("n_docs").cast("double")
+      val q = col(s"t$i").cast("double") / col("nn").cast("double")
+      fwhen(col(s"t$i") === 0, lit(0.0)).otherwise((p - q) * (p - q) / q)
+    }
+    val got = bySrc.crossJoin(broadcast(corpus))
+      .select(col("source"), terms.reduceLeft(_ + _).as("chi2"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("even") == 0.0 && got("odd") == 0.0,
+      s"sources with the corpus profile must score exactly 0.0, got $got")
+  }
+
+  test("x84 sketch rollup: merged partials bound the exact answer and cover every row") {
+    val rows = SparkEntry.queries("x84_sketch_rollup")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"HLL union estimate outside 3-sigma: $r")
+      assert(r.getBoolean(4), s"merged-KLL median rank outside +/-5%: $r")
+      assert(r.getLong(2) > 0L)
+    }
+    // coverage: the sum of stage-1 partial counts must equal the table
+    // count — the invariant that makes a persisted sketch table safe to
+    // serve from without consulting raw data
+    val o = Tables(spark, "/root/testdata/sf0.001", "orders")
+    val viaPartials = o
+      .groupBy(col("o_orderpriority"),
+        org.apache.spark.sql.functions.date_trunc("month",
+          col("o_orderdate")))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .agg(org.apache.spark.sql.functions.sum(col("n"))).collect()(0).getLong(0)
+    assert(viaPartials === o.count())
+  }
 }
