@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.expr.{CdcBounds, MinHashSig, MinHashSigMd5, NgramJaccard, SimHash64, SortedLowerBound, VecDot}
+import graft.functions.expr.{CdcBounds, JaroWinkler, MinHashSig, MinHashSigMd5, NgramJaccard, SimHash64, SortedLowerBound, VecDot}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions so SQL users get them too.
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(NgramJaccard.registration)
     ext.injectFunction(CdcBounds.registration)
     ext.injectFunction(SortedLowerBound.registration)
+    ext.injectFunction(JaroWinkler.registration)
     // inequality temporal joins (abs(Δsec) <= gap with no equi key) are
     // rewritten to banded equi-joins instead of nested-loop scans
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)

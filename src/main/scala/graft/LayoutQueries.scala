@@ -145,6 +145,37 @@ object LayoutQueries {
 
     // Q97 — bitmap-index COUNT(DISTINCT): keys are bucketed into fixed
     // 32k-bit bitmaps, OR-merged by partial aggregation, and counted.
+    // X85 — Jaro-Winkler entity matching: q96's blocked-resolution
+    // dataflow with the record-linkage scorer Spark lacks, as a native
+    // codegen'd expression ([[graft.functions.expr.JaroWinkler]],
+    // bit-identical to DuckDB's jaro_winkler_similarity — the oracle
+    // compares the DOUBLES, not buckets). Where q96 hard-filters at
+    // edit distance ≤ 2, JW RANKS every in-block candidate, so the
+    // best-match step is the operator: per dirty record, argmax by
+    // (jw desc, key asc) — computed as min(struct(-jw, key)), which is
+    // a partial-aggregable keyed agg (map-side combine), NOT a window
+    // sort over the candidate fan-out. At 100 TB the only exchanges are
+    // the block-key join and that combining agg; block width bounds the
+    // fan-out exactly as in q96.
+    "x85_jw_entity_match" -> ((s, dir) => {
+      val clean = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+                expr(blockKey("c_name")).as("bk"))
+      val dirty = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("d_id"), expr(dirtySql).as("d_name"))
+        .withColumn("bk", expr(blockKey("d_name")))
+      dirty.join(clean, Seq("bk"))
+        .withColumn("jw", graft.functions.expr.JaroWinkler(
+          col("d_name"), col("c_name")))
+        .groupBy(col("d_id"))
+        .agg(min(struct((-col("jw")).as("njw"),
+                        col("c_custkey").as("cid"),
+                        col("jw").as("jw"))).as("m"))
+        .select(col("d_id"), col("m.cid").as("matched"),
+                col("m.jw").as("jw"))
+        .orderBy(col("d_id"))
+    }),
+
     // Each (group, bucket) ships ONE 4 KB bitmap through the shuffle
     // regardless of how many raw keys an executor saw — the scalable
     // form of exact distinct counting over high-cardinality keys
@@ -388,6 +419,21 @@ object LayoutQueries {
            FROM cand)
          SELECT d_id, c_custkey AS matched, lev, n_cands
          FROM best WHERE rn = 1 ORDER BY d_id""",
+
+    "x85_jw_entity_match" ->
+      s"""WITH clean AS (SELECT c_custkey, c_name,
+             ${blockKey("c_name")} AS bk FROM customer),
+         dirty AS (SELECT c_custkey AS d_id, $dirtySql AS d_name,
+             ${blockKey(dirtySql)} AS bk FROM customer),
+         j AS (SELECT d.d_id, c.c_custkey,
+             jaro_winkler_similarity(d.d_name, c.c_name) AS jw
+           FROM dirty d JOIN clean c USING (bk)),
+         r AS (SELECT d_id, c_custkey, jw,
+             row_number() OVER (PARTITION BY d_id
+                                ORDER BY jw DESC, c_custkey) AS rn
+           FROM j)
+         SELECT d_id, c_custkey AS matched, jw
+         FROM r WHERE rn = 1 ORDER BY d_id""",
 
     "q97_bitmap_distinct" ->
       """SELECT l_returnflag,
