@@ -436,6 +436,30 @@ object ExtensionQueries {
         .withColumn("abs_err_x1000",
           when(col("uni") > 0, abs(col("est_x1000") - col("jac_x1000"))))
         .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // X86 — containment (subsumption) detection: which corpus documents
+    // fully CONTAIN a probe's shingle set — the dedup mode similarity
+    // thresholds cannot express (a clip of a long page has Jaccard ≈ 0
+    // against its source). Probes are derived excerpts (first 15 words
+    // of every doc_id % 7 = 2 doc — the x71 derive-the-second-frame
+    // idiom, so the oracle can state the expected hits exactly: every
+    // probe is contained at least in its own source). Candidates come
+    // from ONE equi-join of each probe's rarest corpus element against
+    // the postings ([[ContainmentJoin]]'s zero-miss theorem); the
+    // DuckDB twin generates candidates from ANY shared element, so
+    // parity re-proves the pruning dropped nothing.
+    "x86_containment_join" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val corpus = d.select(col("doc_id"),
+        array_distinct(T.shinglesFromWords(T.words(col("text")), 3))
+          .as("sh"))
+      val probes = d.filter(col("doc_id") % 7 === 2)
+        .select(col("doc_id"),
+          array_distinct(T.shinglesFromWords(
+            slice(T.words(col("text")), 1, 15), 3)).as("sh"))
+      graft.operators.ContainmentJoin.join(probes, corpus, "doc_id", "sh")
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   /** x79: the (bands, rowsPerBand) splits of the 8-component signature. */
@@ -818,5 +842,31 @@ object ExtensionQueries {
                  THEN abs(est_x1000 - (1000 * inter) // uni) END
               AS abs_err_x1000
           FROM o ORDER BY src_a, src_b"""
+    },
+
+    "x86_containment_join" -> {
+      val probeShingles =
+        s"""list_transform(generate_series(1,
+              least(len($wordsSql) - 2, 13)),
+            i -> $wordsSql[i] || ' ' || $wordsSql[i+1] || ' '
+                 || $wordsSql[i+2])"""
+      s"""WITH s AS (SELECT doc_id, list_distinct($shinglesSql) AS sh
+                     FROM documents),
+          p AS (SELECT doc_id, list_distinct($probeShingles) AS sh
+                FROM documents WHERE doc_id % 7 = 2),
+          ea AS (SELECT doc_id, unnest(sh) AS g FROM p),
+          eb AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM ea a JOIN eb b USING (g)),
+          v AS (SELECT id_a, id_b,
+                  len(pa.sh)::BIGINT AS n_a, len(sb.sh)::BIGINT AS n_b,
+                  len(list_filter(pa.sh,
+                    x -> list_contains(sb.sh, x)))::BIGINT AS inter
+                FROM cand
+                JOIN p pa ON pa.doc_id = cand.id_a
+                JOIN s sb ON sb.doc_id = cand.id_b)
+          SELECT id_a, id_b, n_a, n_b
+          FROM v WHERE inter = n_a AND n_a > 0
+          ORDER BY id_a, id_b"""
     })
 }
