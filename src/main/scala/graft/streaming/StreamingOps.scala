@@ -371,4 +371,29 @@ object StreamingOps {
           out.result().iterator
       }
   }
+
+  /** Streaming Count-Min sketch maintenance — the streaming twin of
+    * x81's relational CMS. Each micro-batch's token occurrences update
+    * d·w counter cells through the SAME md5 bucketing as the batch
+    * sketch, and the engine's own streaming aggregation holds the
+    * sketch as state: O(d·w) rows (2048 at the defaults) REGARDLESS of
+    * stream volume, which is why no watermark is needed — the state
+    * never grows with the data. That bound is what makes CMS the right
+    * frequency store for an unbounded token stream where exact
+    * per-token counts would accumulate vocabulary-sized state.
+    * Update-mode output re-emits changed cells per batch; the current
+    * sketch table is the latest value per (r, b), and because both
+    * twins are pure counts over the same buckets, the streamed sketch
+    * after any stream prefix EQUALS the batch x81 sketch of that
+    * prefix (reconciliation-tested). */
+  def streamingCmsSketch(toks: DataFrame, depth: Int = 4,
+                         width: Int = 512): DataFrame = {
+    val probes = explode(array((0 until depth).map(r =>
+      struct(lit(r.toLong).as("r"),
+        (conv(substring(md5(concat_ws(":", lit(r), col("tok"))), 1, 8),
+          16, 10).cast("long") % width).as("b"))): _*))
+    toks.select(probes.as("p"))
+      .groupBy(col("p.r").as("r"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

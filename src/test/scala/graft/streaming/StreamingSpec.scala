@@ -355,4 +355,42 @@ class StreamingSpec extends SparkSpec {
       (3L, "added", "fpD"), (2L, "removed", "zz"),
       (2L, "added", "fpE")))
   }
+
+  test("streamingCmsSketch state reconciles cell-by-cell with the batch x81 sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamingOps.streamingCmsSketch(mem.toDF().toDF("tok"))
+      .writeStream.format("memory").queryName("cms")
+      .outputMode("complete").start()
+    val batch1 = Seq("the", "the", "cat", "sat", "on", "the", "mat")
+    val batch2 = Seq("the", "dog", "sat", "mat", "mat")
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("select r, b, cnt from cms").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    q.stop()
+    val batch = StreamingOps.streamingCmsSketch(
+        (batch1 ++ batch2).toDF("tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch,
+      "streamed CMS state must equal the batch sketch of the same tokens")
+    // state bound: never more than depth * width cells, whatever streams
+    assert(streamed.size <= 4 * 512)
+    // and the sketch dominates every exact count (CMS theorem holds on
+    // the streamed state too)
+    val exact = (batch1 ++ batch2).groupBy(identity).view.mapValues(_.size)
+    exact.foreach { case (tok, n) =>
+      val est = (0 until 4).map { r =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$r:$tok".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        val bkt = java.lang.Long.parseLong(h, 16) % 512
+        streamed.getOrElse((r.toLong, bkt), 0L)
+      }.min
+      assert(est >= n, s"CMS estimate $est < exact $n for '$tok'")
+    }
+  }
 }
