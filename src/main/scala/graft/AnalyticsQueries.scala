@@ -560,6 +560,47 @@ object AnalyticsQueries {
         .orderBy(col("prio"))
     }),
 
+    // X87 — right-censored survival (time-to-conversion) table: the
+    // Kaplan-Meier risk table behind every retention/conversion curve,
+    // computed integer-exact so it hashes cross-engine. Each user
+    // enters at their first event; the "event" is their first purchase;
+    // users who never purchase are CENSORED at their last activity —
+    // the distinction q86's cohort grid ignores (a user who left after
+    // day 2 is not evidence about day 30). Output per whole-day t:
+    // n_risk (still under observation at t), n_event, n_censored, and
+    // the discrete hazard in ppm — the (d_i, n_i) pairs a K-M product
+    // or a log-rank test consumes. Deliberately NO survival-probability
+    // column: that cumulative PRODUCT of rationals is summation-order-
+    // dependent in IEEE and engines disagree; the integer risk table is
+    // the lossless form. Dataflow: one user-keyed agg collapses 10k
+    // events to one row per user; everything after runs on the
+    // VALUE DOMAIN of distinct day indices (the x57 device) — the
+    // global cumulative window orders days, not users, so it is
+    // corpus-size-independent.
+    "x87_survival_table" -> ((s, dir) => {
+      val perUser = Tables(s, dir, "events").groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t0"),
+             min(when(col("event_type") === "purchase", col("ts")))
+               .as("tc"),
+             max(col("ts")).as("tl"))
+      val tte = perUser.select(
+        expr("(unix_micros(coalesce(tc, tl)) - unix_micros(t0))" +
+          " DIV 86400000000").as("t"),
+        col("tc").isNotNull.as("conv"))
+      val byT = tte.groupBy(col("t"))
+        .agg(sum(when(col("conv"), 1L).otherwise(0L)).as("n_event"),
+             sum(when(col("conv"), 0L).otherwise(1L)).as("n_censored"))
+      val w = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byT.crossJoin(broadcast(tte.agg(count(lit(1)).as("n_total"))))
+        .withColumn("prior", coalesce(
+          sum(col("n_event") + col("n_censored")).over(w), lit(0L)))
+        .select(col("t"), (col("n_total") - col("prior")).as("n_risk"),
+                col("n_event"), col("n_censored"))
+        .withColumn("hazard_ppm", expr("(1000000 * n_event) DIV n_risk"))
+        .orderBy(col("t"))
+    }),
+
     // X52 — near-dup candidate QUALITY histogram: the LSH tuning
     // diagnostic. Every MinHash band-collision pair gets its exact
     // 3-gram Jaccard, integer-bucketed into deciles (ppm DIV 100000) —
@@ -673,6 +714,28 @@ object AnalyticsQueries {
            count(*)::BIGINT AS n_orders,
            TRUE AS hll_ok, TRUE AS med_rank_ok
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "x87_survival_table" ->
+      """WITH u AS (SELECT user_id, min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tc,
+             max(ts) AS tl
+           FROM events GROUP BY 1),
+         d AS (SELECT (epoch_us(coalesce(tc, tl)) - epoch_us(t0))
+                 // 86400000000 AS t,
+               tc IS NOT NULL AS conv FROM u),
+         g AS (SELECT t,
+             sum(CASE WHEN conv THEN 1 ELSE 0 END)::BIGINT AS n_event,
+             sum(CASE WHEN conv THEN 0 ELSE 1 END)::BIGINT AS n_censored
+           FROM d GROUP BY 1),
+         w AS (SELECT t, n_event, n_censored,
+             ((SELECT count(*) FROM d)
+               - coalesce(sum(n_event + n_censored) OVER
+                   (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0))::BIGINT AS n_risk
+           FROM g)
+         SELECT t, n_risk, n_event, n_censored,
+           (1000000 * n_event) // n_risk AS hazard_ppm
+         FROM w ORDER BY t""",
 
     "q28_asof_join" ->
       """WITH v AS (SELECT event_id, user_id, ts FROM events

@@ -451,13 +451,21 @@ object ExtensionQueries {
     // parity re-proves the pruning dropped nothing.
     "x86_containment_join" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val corpus = d.select(col("doc_id"),
-        array_distinct(T.shinglesFromWords(T.words(col("text")), 3))
-          .as("sh"))
-      val probes = d.filter(col("doc_id") % 7 === 2)
+      // persist the shingled frames: the operator consumes the corpus on
+      // THREE branches (df count, candidate postings, verify fetch) and
+      // the probes on two — without the cache each branch re-runs the
+      // interpreted HOF shingling over the full text (the exact cost
+      // MinHashSigMd5 exists to kill; measured 29 s → ~2 s at sf0.1)
+      val corpus = d
+        .select(col("doc_id"), T.words(col("text")).as("_w"))
         .select(col("doc_id"),
-          array_distinct(T.shinglesFromWords(
-            slice(T.words(col("text")), 1, 15), 3)).as("sh"))
+          array_distinct(T.shinglesFromWords(col("_w"), 3)).as("sh"))
+        .persist()
+      val probes = d.filter(col("doc_id") % 7 === 2)
+        .select(col("doc_id"), slice(T.words(col("text")), 1, 15).as("_w"))
+        .select(col("doc_id"),
+          array_distinct(T.shinglesFromWords(col("_w"), 3)).as("sh"))
+        .persist()
       graft.operators.ContainmentJoin.join(probes, corpus, "doc_id", "sh")
         .orderBy(col("id_a"), col("id_b"))
     }))

@@ -25,10 +25,14 @@ import org.apache.spark.sql.functions._
   *
   * Dataflow at scale: one element-keyed agg (corpus df), one keyed join
   * to attach df to probe elements, one probe-keyed min(struct) agg
-  * (partial-aggregable — no window), the candidate equi-join, and two
-  * keyed set fetches for the exact verify (`|A ∩ B| = |A|`, integer).
-  * Nothing is all-pairs; the |A| ≤ |B| length filter prunes before the
-  * intersection is computed.
+  * (partial-aggregable — no window), the candidate equi-join, and a
+  * RELATIONAL verify: candidate pairs fan back out to their probe
+  * elements and equi-join the corpus postings on (doc, element), so
+  * `|A ∩ B| = |A|` is a keyed count — the set ARRAYS never cross the
+  * wire (an array-fetch verify measured 10× slower at sf0.1: two
+  * broadcasts of every corpus shingle array vs one join of a
+  * candidates×|A| stream against the postings already exploded for the
+  * df count). Nothing is all-pairs.
   *
   * Empty probe sets are excluded (vacuous containment in everything is
   * never the question being asked).
@@ -45,8 +49,13 @@ object ContainmentJoin {
            idCol: String, setCol: String): DataFrame = {
     val ea = probes
       .select(col(idCol).as("id_a"), explode(col(setCol)).as("g"))
+    // the postings feed THREE consumers (df count, candidate join,
+    // verify join) — persist the exploded form once instead of paying
+    // the array explode per branch (the same economics as SetSimJoin's
+    // persisted element stream)
     val eb = corpus
       .select(col(idCol).as("id_b"), explode(col(setCol)).as("g"))
+      .persist()
     val dfb = eb.groupBy(col("g")).agg(count(lit(1)).as("df"))
     // rarest element per probe under the CORPUS order — absent elements
     // coalesce to df 0, sort first, and kill the probe at the join
@@ -57,15 +66,19 @@ object ContainmentJoin {
       .select(col("id_a"), col("m.g").as("g"))
     val cand = rarest.join(eb, Seq("g"))
       .select(col("id_a"), col("id_b"))
-    val pa = probes.select(col(idCol).as("id_a"), col(setCol).as("sh_a"))
-    val cb = corpus.select(col(idCol).as("id_b"), col(setCol).as("sh_b"))
-    cand
-      .join(pa, Seq("id_a"))
-      .join(cb, Seq("id_b"))
-      .withColumn("n_a", size(col("sh_a")).cast("long"))
-      .withColumn("n_b", size(col("sh_b")).cast("long"))
-      .filter(col("n_a") > 0 && col("n_a") <= col("n_b"))
-      .filter(size(array_intersect(col("sh_a"), col("sh_b"))) === col("n_a"))
+    // verify |A ∩ B| = |A| relationally: fan each candidate pair back
+    // out to A's elements and count hits against the postings — only
+    // (id, id, element) keys move, never the arrays
+    val inter = cand.join(ea, Seq("id_a"))
+      .join(eb, Seq("id_b", "g"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val na = probes
+      .select(col(idCol).as("id_a"), size(col(setCol)).cast("long").as("n_a"))
+    val nb = corpus
+      .select(col(idCol).as("id_b"), size(col(setCol)).cast("long").as("n_b"))
+    inter.join(na, Seq("id_a")).join(nb, Seq("id_b"))
+      .filter(col("inter") === col("n_a"))
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
   }
 }

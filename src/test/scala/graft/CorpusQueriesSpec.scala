@@ -592,4 +592,43 @@ class CorpusQueriesSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum(col("n"))).collect()(0).getLong(0)
     assert(viaPartials === o.count())
   }
+
+  test("x87 survival table: risk sets telescope, censoring is not an event, totals reconcile") {
+    val rows = SparkEntry.queries("x87_survival_table")(spark,
+      "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // n_risk at t must equal n_risk at previous t minus its exits —
+    // the telescoping identity every K-M consumer depends on
+    rows.sliding(2).foreach {
+      case Array((_, r0, e0, c0), (_, r1, _, _)) =>
+        assert(r1 == r0 - e0 - c0, s"risk set must telescope: $rows")
+      case _ =>
+    }
+    val total = rows.map(r => r._3 + r._4).sum
+    assert(rows.head._2 == total,
+      "first risk set must equal all users; every user exits exactly once")
+    // pinned fixture: u1 converts day 1, u2 converts day 0,
+    // u3 never converts -> censored at its last activity (day 2)
+    import java.sql.Timestamp
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d $h%02d:00:00")
+    val ev = Seq(
+      (1L, ts(0, 1), "view"), (1L, ts(1, 1), "purchase"),
+      (2L, ts(0, 2), "purchase"),
+      (3L, ts(0, 3), "view"), (3L, ts(2, 3), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t0"),
+           min(when(col("event_type") === "purchase", col("ts"))).as("tc"),
+           max(col("ts")).as("tl"))
+    val tte = perUser.select(col("user_id"),
+      expr("(unix_micros(coalesce(tc, tl)) - unix_micros(t0))" +
+        " DIV 86400000000").as("t"),
+      col("tc").isNotNull.as("conv"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(tte(1L) == ((1L, true)) && tte(2L) == ((0L, true))
+      && tte(3L) == ((2L, false)),
+      s"censoring must use last activity, conversion first purchase: $tte")
+  }
 }
