@@ -601,6 +601,36 @@ object AnalyticsQueries {
         .orderBy(col("t"))
     }),
 
+    // X88 — exponentially-decayed activity ("trending") per event
+    // stream, ENGINE-EXACT: the recency-weighted count behind every
+    // trending/leaderboard feature, with half-life = 1 day. The decay
+    // weight is deliberately DYADIC — day at age a weighs 2^(-a) — so
+    // the whole score can be carried as the INTEGER
+    // Σ n_a · 2^(30 − a) (a ≤ 30; older days round to zero, which at
+    // half-life 1d means < 1e-9 of current weight — a defined cutoff,
+    // not an approximation hazard). No pow(), no libm, no
+    // summation-order sensitivity: shifts and integer adds only, which
+    // is what makes the statistic hash bit-identical cross-engine where
+    // an exp(-λΔt) formulation cannot. One keyed agg to (stream, day),
+    // one broadcast of the 1-row reference day, one keyed re-agg —
+    // exchanges carry day-collapsed counts, never events.
+    "x88_trending_decay" -> ((s, dir) => {
+      val byDay = Tables(s, dir, "events")
+        .select(col("event_type"),
+                expr("unix_micros(ts) DIV 86400000000").as("d"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(count(lit(1)).as("n"))
+      val ref = byDay.agg(max(col("d")).as("ref"))
+      byDay.crossJoin(broadcast(ref))
+        .withColumn("age", col("ref") - col("d"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_total"),
+             sum(when(col("age") <= 30,
+               expr("n * shiftleft(CAST(1 AS BIGINT), CAST(30 - age AS INT))"))
+               .otherwise(0L)).as("score_x2p30"))
+        .orderBy(col("event_type"))
+    }),
+
     // X52 — near-dup candidate QUALITY histogram: the LSH tuning
     // diagnostic. Every MinHash band-collision pair gets its exact
     // 3-gram Jaccard, integer-bucketed into deciles (ppm DIV 100000) —
@@ -736,6 +766,18 @@ object AnalyticsQueries {
          SELECT t, n_risk, n_event, n_censored,
            (1000000 * n_event) // n_risk AS hazard_ppm
          FROM w ORDER BY t""",
+
+    "x88_trending_decay" ->
+      """WITH b AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT max(d) AS ref FROM b)
+         SELECT event_type, sum(n)::BIGINT AS n_total,
+           sum(CASE WHEN ref - d <= 30
+                    THEN n * (1::BIGINT << (30 - (ref - d)))
+                    ELSE 0 END)::BIGINT AS score_x2p30
+         FROM b CROSS JOIN r
+         GROUP BY 1 ORDER BY 1""",
 
     "q28_asof_join" ->
       """WITH v AS (SELECT event_id, user_id, ts FROM events

@@ -331,6 +331,55 @@ object CorpusQueries {
         .orderBy(col("source"))
     }),
 
+    // X89 — EXACT two-sample Kolmogorov-Smirnov drift per source: the
+    // order-statistic twin of x83's binned chi-square. Binning hides
+    // within-bin shape; KS is the sup over ALL thresholds of
+    // |F_src − F_rest|, and because both ECDFs are step functions over
+    // the pooled value domain, that sup is attained at a pooled jump
+    // point — so the max over the (source × distinct value) grid is the
+    // EXACT statistic, not an approximation. Carried in integers the
+    // whole way: the numerator max |cs·n_rest − c_rest·n_src| avoids
+    // the 1/n divisions entirely (cross-multiplication), and the rest-
+    // of-corpus side is DERIVED (c_rest = c_all − c_src) so one scan
+    // feeds every source. Windows run on the value domain (x57's
+    // device): |sources| × |distinct lengths| rows, corpus-size-
+    // independent. At extreme scale the cross-products need decimal
+    // promotion (the x51 note); at any realistic doc-count they fit
+    // comfortably in int64.
+    "x89_ks_drift" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("source"), col("n_chars").as("v"))
+      val perSV = docs.groupBy(col("source"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val vals = docs.select(col("v")).distinct()
+      val srcs = docs.select(col("source")).distinct()
+      val wSrc = Window.partitionBy(col("source")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = srcs.crossJoin(vals)
+        .join(perSV, Seq("source", "v"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .withColumn("cs", sum(col("c")).over(wSrc))
+      val wAll = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumAll = docs.groupBy(col("v")).agg(count(lit(1)).as("ca"))
+        .withColumn("call", sum(col("ca")).over(wAll))
+        .select(col("v"), col("call"))
+      val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      val n = docs.agg(count(lit(1)).as("nn"))
+      cum.join(broadcast(cumAll), Seq("v"))
+        .join(broadcast(sizes), Seq("source"))
+        .crossJoin(broadcast(n))
+        .withColumn("num", abs(col("cs") * (col("nn") - col("ns"))
+          - (col("call") - col("cs")) * col("ns")))
+        .groupBy(col("source"), col("ns"), col("nn"))
+        .agg(max(col("num")).as("ks_num"))
+        .select(col("source"), col("ns").as("n_src"),
+                (col("nn") - col("ns")).as("n_rest"), col("ks_num"))
+        .withColumn("ks_ppm", when(col("n_rest") > 0,
+          expr("(1000000 * ks_num) DIV (n_src * n_rest)")))
+        .orderBy(col("source"))
+    }),
+
     // X63 — per-source dataset datasheet: the one-page report card a
     // corpus release ships with (counts, token mass, short-doc and
     // exact-dup rates, dominant language), all integer per-mille so the
@@ -1248,6 +1297,40 @@ object CorpusQueries {
             $terms AS chi2
           FROM s CROSS JOIN t ORDER BY source"""
     },
+
+    "x89_ks_drift" ->
+      """WITH d AS (SELECT source, n_chars AS v FROM documents),
+         sv AS (SELECT source, v, count(*) AS c FROM d GROUP BY 1, 2),
+         vals AS (SELECT DISTINCT v FROM d),
+         srcs AS (SELECT DISTINCT source FROM d),
+         grid AS (SELECT s.source, va.v, coalesce(sv.c, 0)::BIGINT AS c
+                  FROM srcs s CROSS JOIN vals va
+                  LEFT JOIN sv ON sv.source = s.source AND sv.v = va.v),
+         cum AS (SELECT source, v,
+             sum(c) OVER (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS cs
+           FROM grid),
+         pv AS (SELECT v, count(*) AS ca FROM d GROUP BY 1),
+         cal AS (SELECT v,
+             sum(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS call
+           FROM pv),
+         sz AS (SELECT source, count(*) AS ns FROM d GROUP BY 1),
+         tot AS (SELECT count(*) AS nn FROM d),
+         j AS (SELECT cum.source, sz.ns, tot.nn,
+                 abs(cum.cs * (tot.nn - sz.ns)
+                   - (cal.call - cum.cs) * sz.ns)::BIGINT AS num
+               FROM cum
+               JOIN cal USING (v)
+               JOIN sz ON sz.source = cum.source
+               CROSS JOIN tot)
+         SELECT source, ns::BIGINT AS n_src, (nn - ns)::BIGINT AS n_rest,
+           max(num)::BIGINT AS ks_num,
+           CASE WHEN nn - ns > 0
+                THEN (1000000 * max(num)) // (ns * (nn - ns)) END AS ks_ppm
+         FROM j GROUP BY source, ns, nn ORDER BY source""",
 
     "x63_source_datasheet" ->
       s"""WITH d AS (SELECT source, lang, md5(text) AS h,

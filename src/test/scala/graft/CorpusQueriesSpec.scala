@@ -631,4 +631,67 @@ class CorpusQueriesSpec extends SparkSpec {
       && tte(3L) == ((2L, false)),
       s"censoring must use last activity, conversion first purchase: $tte")
   }
+
+  test("x88 dyadic decay: integer score halves per day of age and cuts off past 30") {
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-03-${d}%02d 12:00:00")
+    // stream A: 4 events today; stream B: 8 events yesterday (same
+    // decayed weight as A); stream C: ancient — cut to 0
+    val ev = (Seq.fill(4)((ts(20), "a")) ++ Seq.fill(8)((ts(19), "b")) ++
+        Seq.fill(100)((Timestamp.valueOf("2020-01-01 00:00:00"), "c")) ++
+        Seq((ts(20), "c")))
+      .toDF("ts", "event_type")
+    val byDay = ev
+      .select(col("event_type"),
+              expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("n"))
+    val got = byDay.crossJoin(broadcast(byDay.agg(max(col("d")).as("ref"))))
+      .withColumn("age", col("ref") - col("d"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("age") <= 30,
+        expr("n * shiftleft(CAST(1 AS BIGINT), CAST(30 - age AS INT))"))
+        .otherwise(0L)).as("score"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a") == 4L << 30)
+    assert(got("b") == 8L << 29, "one day of age must halve the weight")
+    assert(got("a") == got("b"))
+    assert(got("c") == 1L << 30, "events past the 30-day horizon add zero")
+  }
+
+  test("x89 KS numerator equals the brute-force sup over all thresholds") {
+    // src 'x' uniform on {10,20,30,40}; src 'y' concentrated at {10}
+    val docs = (Seq(10, 20, 30, 40).map(v => ("x", v.toLong)) ++
+        Seq.fill(4)(("y", 10L))).toDF("source", "v")
+      .withColumnRenamed("v", "n_chars")
+      .withColumn("doc_id", col("n_chars"))
+    val rows = {
+      val d = docs.select(col("source"), col("n_chars").as("v"))
+      val perSV = d.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      val vals = d.select(col("v")).distinct()
+      val srcs = d.select(col("source")).distinct()
+      val wSrc = Window.partitionBy(col("source")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = srcs.crossJoin(vals)
+        .join(perSV, Seq("source", "v"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .withColumn("cs", sum(col("c")).over(wSrc))
+      val wAll = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumAll = d.groupBy(col("v")).agg(count(lit(1)).as("ca"))
+        .withColumn("call", sum(col("ca")).over(wAll))
+        .select(col("v"), col("call"))
+      val sizes = d.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      val n = d.agg(count(lit(1)).as("nn"))
+      cum.join(cumAll, Seq("v")).join(sizes, Seq("source")).crossJoin(n)
+        .withColumn("num", abs(col("cs") * (col("nn") - col("ns"))
+          - (col("call") - col("cs")) * col("ns")))
+        .groupBy(col("source")).agg(max(col("num")).as("ks_num"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    // brute force: F_x jumps 1/4 at each value, F_y is 1 from v=10 on;
+    // sup |F_x - F_y| = 3/4 at v=10 → numerator = |1*4 - 4*4|... per
+    // source x vs rest(y): at v=10: cs_x=1, rest=4 → |1*4 - 4*4| = 12
+    assert(rows("x") == 12L && rows("y") == 12L,
+      s"KS numerator must be 12 (=> D = 12/16 = 0.75): $rows")
+  }
 }
