@@ -468,6 +468,35 @@ object ExtensionQueries {
         .persist()
       graft.operators.ContainmentJoin.join(probes, corpus, "doc_id", "sh")
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // X90 — τ-PARTIAL containment: x86 with edits. The probes are the
+    // same first-15-word excerpts but with the 5th word REPLACED — one
+    // edit corrupts the 3 shingles that cross it, so containment drops
+    // to ~10/13 and STRICT subsumption (x86) finds nothing, which is
+    // precisely the recall gap τ-containment closes ("this doc is
+    // ≥ 70% a clip of that one"). Candidates come from the pigeonhole
+    // prefix — each probe's ⌊(1−τ)|A|⌋+1 rarest corpus elements — so
+    // edited excerpts still hit their source through any surviving
+    // rare shingle; the DuckDB twin generates candidates from ANY
+    // shared element, re-proving the prefix dropped nothing.
+    "x90_partial_containment" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val corpus = d
+        .select(col("doc_id"), T.words(col("text")).as("_w"))
+        .select(col("doc_id"),
+          array_distinct(T.shinglesFromWords(col("_w"), 3)).as("sh"))
+        .persist()
+      val probes = d.filter(col("doc_id") % 7 === 2)
+        .select(col("doc_id"), transform(
+          slice(T.words(col("text")), 1, 15),
+          (x, i) => when(i === 4, lit("zqx")).otherwise(x)).as("_w"))
+        .select(col("doc_id"),
+          array_distinct(T.shinglesFromWords(col("_w"), 3)).as("sh"))
+        .persist()
+      graft.operators.ContainmentJoin
+        .joinPartial(probes, corpus, "doc_id", "sh", 7, 10)
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   /** x79: the (bands, rowsPerBand) splits of the 8-component signature. */
@@ -875,6 +904,34 @@ object ExtensionQueries {
                 JOIN s sb ON sb.doc_id = cand.id_b)
           SELECT id_a, id_b, n_a, n_b
           FROM v WHERE inter = n_a AND n_a > 0
+          ORDER BY id_a, id_b"""
+    },
+
+    "x90_partial_containment" -> {
+      s"""WITH s AS (SELECT doc_id, list_distinct($shinglesSql) AS sh
+                     FROM documents),
+          pw AS (SELECT doc_id,
+                   list_transform(generate_series(1, least(len(w), 15)),
+                     i -> CASE WHEN i = 5 THEN 'zqx' ELSE w[i] END) AS w
+                 FROM (SELECT doc_id, $wordsSql AS w FROM documents
+                       WHERE doc_id % 7 = 2) t0),
+          p AS (SELECT doc_id, list_distinct(
+                  list_transform(generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+                FROM pw),
+          ea AS (SELECT doc_id, unnest(sh) AS g FROM p),
+          eb AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM ea a JOIN eb b USING (g)),
+          v AS (SELECT id_a, id_b,
+                  len(list_filter(pa.sh,
+                    x -> list_contains(sb.sh, x)))::BIGINT AS inter,
+                  len(pa.sh)::BIGINT AS n_a, len(sb.sh)::BIGINT AS n_b
+                FROM cand
+                JOIN p pa ON pa.doc_id = cand.id_a
+                JOIN s sb ON sb.doc_id = cand.id_b)
+          SELECT id_a, id_b, inter, n_a, n_b
+          FROM v WHERE inter * 10 >= n_a * 7
           ORDER BY id_a, id_b"""
     })
 }

@@ -81,4 +81,59 @@ object ContainmentJoin {
       .filter(col("inter") === col("n_a"))
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
   }
+
+  /** τ-PARTIAL containment: all (a, b) with |A ∩ B| / |A| ≥ τ — the
+    * edit-tolerant generalization of [[join]] ("this doc is ≥ 80% a
+    * clip of that one"), which strict subsumption misses the moment one
+    * shingle is edited. Pruning is the pigeonhole form of the prefix
+    * theorem: missing ALL of A's ⌊(1−τ)|A|⌋ + 1 rarest elements means
+    * more than (1−τ)|A| of A is outside B, i.e. containment < τ — so
+    * candidates come from the PREFIX of rarest elements joined against
+    * the postings, zero-miss. τ = 1 degenerates to exactly [[join]]'s
+    * single-rarest-element candidates. The per-probe rarity rank is a
+    * window partitioned by probe (state bounded by set width — the
+    * SetSimJoin prefix device); verify is the same relational hit
+    * count, thresholded as the exact rational inter·den ≥ num·|A|.
+    *
+    * @param tauNum/tauDen the threshold as an exact rational, e.g. 4/5.
+    * @return (id_a, id_b, inter, n_a, n_b) for every qualifying pair. */
+  def joinPartial(probes: DataFrame, corpus: DataFrame,
+                  idCol: String, setCol: String,
+                  tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen,
+      s"tau must be in (0, 1], got $tauNum/$tauDen")
+    val ea = probes
+      .select(col(idCol).as("id_a"), explode(col(setCol)).as("g"))
+    val eb = corpus
+      .select(col(idCol).as("id_b"), explode(col(setCol)).as("g"))
+      .persist()
+    val dfb = eb.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val na = probes
+      .select(col(idCol).as("id_a"), size(col(setCol)).cast("long").as("n_a"))
+    // prefix = the floor((1-tau)*n_a) + 1 rarest elements of each probe
+    // under the corpus (df, g) order; rank is per-probe, bounded by the
+    // probe's own width
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("df"), col("g"))
+    val prefix = ea.join(dfb, Seq("g"), "left")
+      .select(col("id_a"), coalesce(col("df"), lit(0L)).as("df"), col("g"))
+      .withColumn("rk", row_number().over(byRarity))
+      .join(na, Seq("id_a"))
+      .filter(col("rk") <=
+        col("n_a") - expr(s"($tauNum * n_a + ${tauDen - 1}) DIV $tauDen")
+          + lit(1L))
+      .select(col("id_a"), col("g"))
+    val cand = prefix.join(eb, Seq("g"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = cand.join(ea, Seq("id_a"))
+      .join(eb, Seq("id_b", "g"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val nb = corpus
+      .select(col(idCol).as("id_b"), size(col(setCol)).cast("long").as("n_b"))
+    inter.join(na, Seq("id_a")).join(nb, Seq("id_b"))
+      .filter(col("inter") * tauDen >= col("n_a") * tauNum)
+      .select(col("id_a"), col("id_b"), col("inter"),
+              col("n_a"), col("n_b"))
+  }
 }
