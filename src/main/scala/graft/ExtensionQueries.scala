@@ -497,6 +497,46 @@ object ExtensionQueries {
       graft.operators.ContainmentJoin
         .joinPartial(probes, corpus, "doc_id", "sh", 7, 10)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // X91 — INCREMENTAL sketch maintenance: merge a new batch's CMS
+    // into the persisted corpus sketch WITHOUT re-scanning the corpus —
+    // the sketch twin of x68's incremental vocabulary (and the batch
+    // form of the streaming maintenance in StreamingOps). The
+    // "persisted" side is derived in-query (doc_id % 10 ≠ 0, the x68
+    // device) so the oracle can assert the property that makes the
+    // pattern sound: base ⊎ batch merged by unionAll + re-sum must
+    // equal the full-corpus sketch CELL FOR CELL — CMS is a linear
+    // sketch, so the identity is exact, not approximate. Output is the
+    // audit row a production merge job would log: cells touched,
+    // total mass (= token occurrences, conserved by the merge), and
+    // the count of cells where merge ≠ recompute (pinned 0 by the
+    // oracle). Exchanges carry O(d·w) cells; the corpus text is read
+    // once per side.
+    "x91_cms_incremental" -> ((s, dir) => {
+      val w = 512
+      def bucket(r: Int, tok: Column): Column =
+        conv(substring(md5(concat_ws(":", lit(r), tok)), 1, 8), 16, 10)
+          .cast("long") % w
+      def probes(tok: Column): Column =
+        explode(array((0 until 4).map(r =>
+          struct(lit(r.toLong).as("r"), bucket(r, tok).as("b"))): _*))
+      def sketch(docs: DataFrame): DataFrame = docs
+        .select(explode(T.words(col("text"))).as("tok"))
+        .select(probes(col("tok")).as("p"))
+        .groupBy(col("p.r").as("r"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val d = Tables(s, dir, "documents").persist()
+      val merged = sketch(d.filter(col("doc_id") % 10 =!= 0))
+        .unionByName(sketch(d.filter(col("doc_id") % 10 === 0)))
+        .groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cnt"))
+      val full = sketch(d)
+      merged.join(full.select(col("r"), col("b"),
+          col("cnt").as("cnt_full")), Seq("r", "b"), "full")
+        .agg(count(lit(1)).as("n_cells"),
+             coalesce(sum(col("cnt")), lit(0L)).as("mass"),
+             sum(when(col("cnt") <=> col("cnt_full"), 0L).otherwise(1L))
+               .as("n_diverged"))
     }))
 
   /** x79: the (bands, rowsPerBand) splits of the 8-component signature. */
@@ -933,5 +973,17 @@ object ExtensionQueries {
           SELECT id_a, id_b, inter, n_a, n_b
           FROM v WHERE inter * 10 >= n_a * 7
           ORDER BY id_a, id_b"""
-    })
+    },
+
+    "x91_cms_incremental" ->
+      s"""WITH toks AS (SELECT unnest($wordsSql) AS tok FROM documents)
+          SELECT (SELECT count(*) FROM (
+                    SELECT DISTINCT rs.r,
+                      ('0x' || substr(md5(rs.r::VARCHAR || ':' || tok), 1, 8))
+                        ::BIGINT % 512 AS b
+                    FROM toks CROSS JOIN
+                      (SELECT unnest([0, 1, 2, 3]) AS r) rs) c)::BIGINT
+            AS n_cells,
+          (SELECT 4 * count(*) FROM toks)::BIGINT AS mass,
+          0::BIGINT AS n_diverged""")
 }

@@ -886,4 +886,51 @@ class PlanShapeSpec extends SparkSpec {
     assert(pruned.inputFiles.length < total,
       s"pruning must drop files: ${pruned.inputFiles.length} of $total")
   }
+
+  test("x81 CMS: the sketch agg is keyed by (r, b) with a map-side partial — never by token") {
+    val plan = planOf("x81_cms_freq")
+    // the sketch branch groups on the struct-derived (r, b) pair —
+    // Catalyst prints those as a two-key _groupingexpression exchange,
+    // distinct from the audit branch's token-keyed exchange — and must
+    // carry a map-side partial_count so the wire sees O(d*w) cells per
+    // task, not occurrences
+    assert(plan.contains("hashpartitioning(_groupingexpression"),
+      "sketch exchange must be keyed by the derived (r, b) pair:\n"
+        + plan.take(3000))
+    assert(plan.contains("partial_count"),
+      "sketch agg must combine map-side:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("x86/x90 containment: candidate and verify joins are keyed — no nested loop anywhere") {
+    Seq("x86_containment_join", "x90_partial_containment").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin")
+        && !plan.contains("CartesianProduct"),
+        s"$q must stay equi-join only:\n" + plan.take(3000))
+      // the verify is relational: no array_intersect fetch remains
+      assert(!plan.contains("array_intersect"),
+        s"$q verify must count postings hits, not ship arrays:\n"
+          + plan.take(3000))
+    }
+  }
+
+  test("x85 JW matching: best-match is a partial-aggregable agg, not a window sort") {
+    val plan = planOf("x85_jw_entity_match")
+    assert(!plan.contains("Window"),
+      "argmax must be min(struct), not row_number over a window:\n"
+        + plan.take(3000))
+    assert(plan.contains("jaro_winkler"),
+      "the native expression must appear in the plan:\n" + plan.take(3000))
+  }
+
+  test("x84 sketch rollup: stage 2 aggregates sketch partials, never rescanning wide orders") {
+    val plan = planOf("x84_sketch_rollup")
+    // both sketch aggs are object-hash aggregates with partial_ modes —
+    // the rollup merge must appear as hll_union_agg over the stage-1
+    // partials
+    assert(plan.contains("hll_union_agg") && plan.contains("kll_merge_agg"),
+      plan.take(3000))
+  }
 }
