@@ -346,6 +346,37 @@ object AnalyticsQueries {
         .orderBy(col("id"))
     }),
 
+    // X92 — INCREMENTAL duplicate-cluster maintenance: fold a new
+    // batch's near-dup edges into yesterday's cluster labels WITHOUT
+    // re-traversing the historical candidate graph — the clustering
+    // member of the incremental family (x16 candidates, x68 counts,
+    // x91 sketches). The device: yesterday's labels collapse each old
+    // component to a STAR (node → root, one edge per node), so the
+    // incremental pass runs pointer jumping over |V_old| + |ΔE| edges
+    // instead of |E_total| — at 100 TB the historical edge list is the
+    // thing you cannot afford to re-shuffle, and the star preserves
+    // both connectivity and the min-root, so merged components get the
+    // same minimum label a full recompute would. The oracle IS the
+    // full recompute (x14's recursive-CTE closure over ALL edges), so
+    // hash parity directly proves incremental ≡ from-scratch. The
+    // "yesterday" split is derived in-query (both endpoints
+    // doc_id % 23 ≠ 5 — the x68 device); new edges are those touching
+    // a % 23 = 5 doc.
+    "x92_cluster_incremental" -> ((s, dir) => {
+      val all = DedupOperators.minhashCandidates(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4).persist()
+      val isNew = (col("id_a") % 23 === 5) || (col("id_b") % 23 === 5)
+      val labelsOld = DedupOperators.clusterPairs(
+        all.filter(!isNew), maxIters = 30)
+      val labelEdges = labelsOld.filter(col("id") =!= col("label"))
+        .select(col("id").as("id_a"), col("label").as("id_b"))
+      DedupOperators.clusterPairs(
+          labelEdges.unionByName(all.filter(isNew)), maxIters = 30)
+        .select(col("id"), col("label"))
+        .orderBy(col("id"))
+    }),
+
     // X74 — duplicate-cluster census: the "how duplicated is this
     // corpus" report read before choosing a keep-one-per-cluster policy
     // — for each cluster size, how many clusters and how many documents
@@ -1125,6 +1156,24 @@ object AnalyticsQueries {
     },
 
     "x14_dedup_cluster" ->
+      s"""WITH RECURSIVE
+          ${minhashSigSql.stripPrefix("WITH ")},
+          $bandedSql,
+          pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                    FROM banded a JOIN banded b
+                      ON a.bi = b.bi AND a.bk = b.bk
+                     AND a.doc_id < b.doc_id),
+          edges AS (SELECT src, dst FROM pairs
+                    UNION SELECT dst, src FROM pairs),
+          comp(id, lbl) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id)
+          SELECT id, min(lbl) AS label FROM comp GROUP BY id ORDER BY id""",
+
+    // the oracle for the INCREMENTAL path is the FULL recompute: hash
+    // parity against it is exactly the merge-equals-recompute proof
+    "x92_cluster_incremental" ->
       s"""WITH RECURSIVE
           ${minhashSigSql.stripPrefix("WITH ")},
           $bandedSql,

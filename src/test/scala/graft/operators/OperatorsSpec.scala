@@ -99,6 +99,30 @@ class OperatorsSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 9L -> 5L))
   }
 
+  test("x92 star-collapse: incremental clustering over label edges equals full recompute") {
+    import spark.implicits._
+    // yesterday: {1,2,3} and {5,9}; today's batch bridges them (3-5)
+    // and starts a fresh component {20,21}
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (5L, 9L)).toDF("id_a", "id_b")
+    val newPairs = Seq((3L, 5L), (20L, 21L)).toDF("id_a", "id_b")
+    val labelEdges = DedupOperators.clusterPairs(oldPairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("id_a"), col("label").as("id_b"))
+    // the star has ONE edge per non-root node — strictly fewer than the
+    // historical edge list as components grow
+    assert(labelEdges.count() == 3)
+    val incr = DedupOperators
+      .clusterPairs(labelEdges.unionByName(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = DedupOperators
+      .clusterPairs(oldPairs.unionByName(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr === full,
+      s"incremental labels must equal from-scratch labels: $incr vs $full")
+    assert(incr(9L) == 1L, "bridged components must take the global min root")
+    assert(incr(21L) == 20L)
+  }
+
   test("incrementalCandidates: new batch vs persisted index, corpus pairs excluded") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
