@@ -76,6 +76,40 @@ object BenchQueries {
             .as("revenue_cents_x100"),
           count(lit(1)).as("n_items"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // B04 — the PERSISTED form of x84's sketch rollup: the b03 economics
+    // applied to sketch columns. The per-(priority, month) HLL partials
+    // are written ONCE as a parquet sketch table (rows = grouping
+    // cardinality, ~60 here — kilobytes at any corpus size); the
+    // steady-state query answers "distinct customers per priority" by
+    // reading THAT table and merging sketches, never rescanning orders.
+    // The exact-distinct audit branch rides along so the oracle pins the
+    // estimate inside its 3σ bound (x15's device) — in production that
+    // branch doesn't exist, and the steady-state cost is the sketch-table
+    // read alone.
+    "b04_sketch_steady" -> ((s, dir) => {
+      val sfTag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_sk_$sfTag").getPath
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        Tables(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("prio"),
+                   date_trunc("month", col("o_orderdate")).as("mon"))
+          .agg(hll_sketch_agg(col("o_custkey"), 12).as("hs"),
+               count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(path)
+      val rolled = s.read.parquet(path).groupBy(col("prio"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("hs"))).as("est_cust"),
+             sum(col("n")).as("n_orders"))
+      val exact = Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count_distinct(col("o_custkey")).as("exact_cust"))
+      rolled.join(broadcast(exact), Seq("prio"))
+        .select(col("prio"), col("n_orders"),
+          (abs(col("est_cust") - col("exact_cust")) <=
+             col("exact_cust") * lit(0.05)).as("hll_ok"))
+        .orderBy(col("prio"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -112,5 +146,10 @@ object BenchQueries {
              AS revenue_cents_x100,
            count(*) AS n_items
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "b04_sketch_steady" ->
+      """SELECT o_orderpriority AS prio, count(*)::BIGINT AS n_orders,
+           TRUE AS hll_ok
+         FROM orders GROUP BY 1 ORDER BY 1""")
 }

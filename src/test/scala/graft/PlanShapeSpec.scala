@@ -925,6 +925,21 @@ class PlanShapeSpec extends SparkSpec {
       "the native expression must appear in the plan:\n" + plan.take(3000))
   }
 
+  test("b04 persisted sketch table: pay-once write is idempotent; steady state reads it") {
+    val df1 = SparkEntry.queries("b04_sketch_steady")(spark, sfDir)
+    df1.collect() // materializes the sketch table if absent
+    val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val dirF = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_sk_$sfTag")
+    assert(dirF.isDirectory, "pay-once sketch table must exist")
+    val stamp = dirF.listFiles().map(_.lastModified()).max
+    val rows = SparkEntry.queries("b04_sketch_steady")(spark, sfDir).collect()
+    assert(dirF.listFiles().map(_.lastModified()).max == stamp,
+      "steady-state run must not rewrite the sketch table")
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(2)),
+      s"merged estimates must stay inside the 5% bound: ${rows.mkString}")
+  }
+
   test("x84 sketch rollup: stage 2 aggregates sketch partials, never rescanning wide orders") {
     val plan = planOf("x84_sketch_rollup")
     // both sketch aggs are object-hash aggregates with partial_ modes —
