@@ -537,6 +537,111 @@ object ExtensionQueries {
              coalesce(sum(col("cnt")), lit(0L)).as("mass"),
              sum(when(col("cnt") <=> col("cnt_full"), 0L).otherwise(1L))
                .as("n_diverged"))
+    }),
+
+    // X93 — JOIN-SIZE ESTIMATION from sketch inner products: the AQE-style
+    // planner statistic |R ⋈ S| = Σ_k f_R(k)·f_S(k), estimated WITHOUT
+    // executing the join from the two relations' CMS tables (x81's
+    // persisted form). Per depth row r the estimate is the cell-wise inner
+    // product Σ_b cms_R[r][b]·cms_S[r][b]; the final estimate is the min
+    // over the d rows, and est ≥ exact is the Cormode–Muthukrishnan
+    // inner-product theorem — hash collisions only ever ADD mass. Both
+    // sketches are md5-deterministic, so the oracle reproduces the
+    // ESTIMATE bit-for-bit and the exact join size rides along as the
+    // audit truth (the join the sketch path exists to avoid). At 100 TB
+    // the decision "can this join broadcast / will it explode" costs two
+    // O(d·w) = 2048-cell frames — data never moves, and the sketches are
+    // the persisted per-relation artifacts a lakehouse stats job already
+    // maintains (b04 economics).
+    "x93_cms_joinsize" -> ((s, dir) => {
+      val w = 512
+      def bucket(r: Int, k: Column): Column =
+        conv(substring(md5(concat_ws(":", lit(r), k)), 1, 8), 16, 10)
+          .cast("long") % w
+      def probes(k: Column): Column =
+        explode(array((0 until 4).map(r =>
+          struct(lit(r.toLong).as("r"), bucket(r, k).as("b"))): _*))
+      def sketch(keys: DataFrame, cnt: String): DataFrame = keys
+        .select(probes(col("k")).as("p"))
+        .groupBy(col("p.r").as("r"), col("p.b").as("b"))
+        .agg(count(lit(1)).as(cnt))
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id").cast("string").as("k"))
+      val od = Tables(s, dir, "orders")
+        .select(col("o_custkey").cast("string").as("k"))
+      val est = sketch(ev, "ca").join(sketch(od, "cb"), Seq("r", "b"))
+        .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip"))
+        .agg(min(col("ip")).as("est_join"))
+      val exact = ev.join(od, Seq("k"))
+        .agg(count(lit(1)).as("exact_join"))
+      est.crossJoin(exact)
+        .select(col("est_join"), col("exact_join"),
+                (col("est_join") - col("exact_join")).as("over_n"))
+    }),
+
+    // X94 — KMV (k-minimum-values) distinct-cardinality algebra: per-source
+    // distinct-token estimates plus UNION and INTERSECTION estimates for
+    // every source pair, all from O(k)-state sketches. The sketch is the
+    // k=64 smallest distinct 48-bit md5 hashes per source — maintained by
+    // the merge-closed [[graft.functions.BottomKDistinctLongAggregator]]
+    // (ObjectHashAggregate with map-side partials: each partition ships
+    // ≤ k longs per source, never the token stream). Estimators are the
+    // classic KMV/theta forms made INTEGER-EXACT so the oracle checks
+    // values, not tolerance bands: est = (k−1)·2⁴⁸ div h_(k) when the
+    // sketch saturates (exact = sketch size below that); union sketches
+    // compose by merging the two lists and re-taking the bottom k (the
+    // same closure the streaming bottom-k state uses); intersection is the
+    // theta-sketch rule matches·est_union div k. Exact distinct counts ride
+    // along as audit truth — at corpus scale only the k-long sketches move,
+    // and source-pair math runs over a |sources|-row broadcast frame.
+    "x94_kmv_cardinality" -> ((s, dir) => {
+      val k = 64
+      val maxNum = (k - 1).toLong * (1L << 48) // (k−1)·2⁴⁸, < 2⁶³
+      val bk = udaf(new graft.functions.BottomKDistinctLongAggregator(k),
+                    org.apache.spark.sql.Encoders.scalaLong)
+      val toks = Tables(s, dir, "documents")
+        .select(col("source"), explode(T.words(col("text"))).as("tok"))
+        .persist()
+      def estOf(kmv: String): Column =
+        when(size(col(kmv)) < k, size(col(kmv)).cast("long"))
+          .otherwise(expr(s"${maxNum}L div element_at($kmv, $k)"))
+      val kv = toks
+        .select(col("source"),
+          conv(substring(md5(concat(lit("kmv:"), col("tok"))), 1, 12), 16, 10)
+            .cast("long").as("h"))
+        .groupBy(col("source")).agg(bk(col("h")).as("kmv"))
+      val ex = toks.select(col("source"), col("tok")).distinct().persist()
+      val sizes = ex.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+      val inter = ex.select(col("source").as("src_a"), col("tok"))
+        .join(ex.select(col("source").as("src_b"), col("tok")), Seq("tok"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      val a = kv.select(col("source").as("src_a"), col("kmv").as("kmv_a"))
+      val b = kv.select(col("source").as("src_b"), col("kmv").as("kmv_b"))
+      a.crossJoin(broadcast(b)).filter(col("src_a") < col("src_b"))
+        .withColumn("kmv_u",
+          slice(array_sort(array_union(col("kmv_a"), col("kmv_b"))), 1, k))
+        .withColumn("matches",
+          size(array_intersect(array_intersect(col("kmv_u"), col("kmv_a")),
+                               col("kmv_b"))).cast("long"))
+        .withColumn("est_union", estOf("kmv_u"))
+        .withColumn("est_inter",
+          when(size(col("kmv_u")) < k, col("matches"))
+            .otherwise(expr(s"(matches * est_union) div $k")))
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+                                     col("nd").as("exact_a"))), Seq("src_a"))
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+                                     col("nd").as("exact_b"))), Seq("src_b"))
+        .join(broadcast(inter), Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+                estOf("kmv_a").as("est_a"), estOf("kmv_b").as("est_b"),
+                col("est_union"), col("est_inter"),
+                col("exact_a"), col("exact_b"),
+                (col("exact_a") + col("exact_b")
+                  - coalesce(col("exact_inter"), lit(0L))).as("exact_union"),
+                coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+        .orderBy(col("src_a"), col("src_b"))
     }))
 
   /** x79: the (bands, rowsPerBand) splits of the 8-component signature. */
@@ -985,5 +1090,69 @@ object ExtensionQueries {
                       (SELECT unnest([0, 1, 2, 3]) AS r) rs) c)::BIGINT
             AS n_cells,
           (SELECT 4 * count(*) FROM toks)::BIGINT AS mass,
-          0::BIGINT AS n_diverged""")
+          0::BIGINT AS n_diverged""",
+
+    "x93_cms_joinsize" ->
+      s"""WITH ka AS (SELECT user_id::VARCHAR AS k FROM events),
+          kb AS (SELECT o_custkey::VARCHAR AS k FROM orders),
+          rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+          sa AS (SELECT rs.r AS r,
+                   ('0x' || substr(md5(rs.r::VARCHAR || ':' || k), 1, 8))
+                     ::BIGINT % 512 AS b, count(*)::BIGINT AS ca
+                 FROM ka CROSS JOIN rs GROUP BY 1, 2),
+          sb AS (SELECT rs.r AS r,
+                   ('0x' || substr(md5(rs.r::VARCHAR || ':' || k), 1, 8))
+                     ::BIGINT % 512 AS b, count(*)::BIGINT AS cb
+                 FROM kb CROSS JOIN rs GROUP BY 1, 2),
+          ip AS (SELECT sa.r, sum(sa.ca * sb.cb)::BIGINT AS ip
+                 FROM sa JOIN sb ON sb.r = sa.r AND sb.b = sa.b GROUP BY 1),
+          est AS (SELECT min(ip)::BIGINT AS est_join FROM ip),
+          ex AS (SELECT count(*)::BIGINT AS exact_join
+                 FROM ka JOIN kb USING (k))
+          SELECT est_join, exact_join, est_join - exact_join AS over_n
+          FROM est, ex""",
+
+    "x94_kmv_cardinality" -> {
+      val est = (kmv: String) =>
+        s"""CASE WHEN len($kmv) < 64 THEN len($kmv)::BIGINT
+                 ELSE ${63L * (1L << 48)} // $kmv[64] END"""
+      s"""WITH toks AS (SELECT source, unnest($wordsSql) AS tok
+                        FROM documents),
+          dh AS (SELECT DISTINCT source,
+                   ('0x' || substr(md5('kmv:' || tok), 1, 12))::BIGINT AS h
+                 FROM toks),
+          kv AS (SELECT source, (list_sort(list(h)))[1:64] AS kmv
+                 FROM dh GROUP BY source),
+          dt AS (SELECT DISTINCT source, tok FROM toks),
+          sizes AS (SELECT source, count(*)::BIGINT AS nd FROM dt
+                    GROUP BY source),
+          ix AS (SELECT a.source AS src_a, b.source AS src_b,
+                        count(*)::BIGINT AS exact_inter
+                 FROM dt a JOIN dt b
+                   ON b.tok = a.tok AND a.source < b.source
+                 GROUP BY 1, 2),
+          pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                      a.kmv AS kmv_a, b.kmv AS kmv_b,
+                      (list_sort(list_distinct(a.kmv || b.kmv)))[1:64] AS kmv_u
+                    FROM kv a JOIN kv b ON a.source < b.source),
+          m AS (SELECT src_a, src_b, kmv_a, kmv_b, kmv_u,
+                  len(list_filter(kmv_u,
+                    x -> list_contains(kmv_a, x)
+                     AND list_contains(kmv_b, x)))::BIGINT AS matches,
+                  ${est("kmv_u")} AS est_union
+                FROM pairs)
+          SELECT m.src_a, m.src_b,
+            ${est("m.kmv_a")} AS est_a, ${est("m.kmv_b")} AS est_b,
+            m.est_union,
+            CASE WHEN len(m.kmv_u) < 64 THEN m.matches
+                 ELSE (m.matches * m.est_union) // 64 END AS est_inter,
+            sa.nd AS exact_a, sb.nd AS exact_b,
+            sa.nd + sb.nd - coalesce(ix.exact_inter, 0) AS exact_union,
+            coalesce(ix.exact_inter, 0)::BIGINT AS exact_inter
+          FROM m
+          JOIN sizes sa ON sa.source = m.src_a
+          JOIN sizes sb ON sb.source = m.src_b
+          LEFT JOIN ix ON ix.src_a = m.src_a AND ix.src_b = m.src_b
+          ORDER BY m.src_a, m.src_b"""
+    })
 }

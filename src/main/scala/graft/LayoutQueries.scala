@@ -176,6 +176,70 @@ object LayoutQueries {
         .orderBy(col("d_id"))
     }),
 
+    // X95 — SORTED-NEIGHBORHOOD blocking: the record-linkage blocking
+    // strategy for when key-based blocks (q96/x85's first-3+last-3 key)
+    // can't survive the corruption — sort BOTH record lists on a pass
+    // key and pair every record with its w−1 sort neighbors. The pass
+    // key here is the REVERSED name (multi-pass SN's classic second
+    // pass): the deletion corrupts the name's leading zero-run, so a
+    // forward sort scatters true pairs (measured: 1/1500 in-window),
+    // while reversing puts the stable significant digits first and the
+    // same window captures 1322/1500 — the `hit` column audits exactly
+    // this. Candidate fan-out is exactly (w−1)·N — DATA-INDEPENDENT,
+    // so no block-size skew can blow up a task (the failure mode of
+    // key blocking on a hot block). The global sort rank comes from
+    // [[graft.ops.DedupOps.withIngestOrdinalFrom]] (range-split prefix
+    // sums — no single-partition sort, rank a pure function of the key),
+    // and neighbor pairs come from a BANDED EQUI-JOIN: the lower side
+    // explodes to rank-bands ⌊rn/(w−1)⌋ and +1, the higher side joins on
+    // its own band, so |rn_b − rn_a| ≤ w−1 pairs meet without any
+    // inequality join. Cross-side pairs are JW-scored (native codegen'd
+    // expression) and survivorship is the same partial-aggregable
+    // min(struct(−jw, key)) as x85; `hit` audits whether the sort
+    // neighborhood actually contained the true match.
+    "x95_sorted_neighborhood" -> ((s, dir) => {
+      val w = 4 // neighborhood width: pair ranks within distance ≤ 3
+      val clean = Tables(s, dir, "customer")
+        .select(col("c_name").as("nm"), lit(0).as("side"),
+                col("c_custkey").as("id"))
+      val dirty = Tables(s, dir, "customer")
+        .select(expr(dirtySql).as("nm"), lit(1).as("side"),
+                col("c_custkey").as("id"))
+      val ord = graft.ops.DedupOps.withIngestOrdinalFrom(
+          clean.unionByName(dirty),
+          Seq(reverse(col("nm")), col("side"), col("id")))
+        .withColumnRenamed(graft.ops.DedupOps.OrdinalCol, "rn")
+        .persist()
+      val lo = ord.select(col("rn").as("rn_a"), col("nm").as("nm_a"),
+                          col("side").as("side_a"), col("id").as("id_a"))
+        .withColumn("blk", explode(array(expr(s"rn_a div ${w - 1}"),
+                                         expr(s"rn_a div ${w - 1} + 1"))))
+      val hi = ord.select(col("rn").as("rn_b"), col("nm").as("nm_b"),
+                          col("side").as("side_b"), col("id").as("id_b"))
+        .withColumn("blk", expr(s"rn_b div ${w - 1}"))
+      lo.join(hi, Seq("blk"))
+        .filter((col("rn_b") - col("rn_a")).between(1, w - 1) &&
+                col("side_a") =!= col("side_b"))
+        .select(
+          when(col("side_a") === 1, col("id_a")).otherwise(col("id_b"))
+            .as("d_id"),
+          when(col("side_a") === 1, col("nm_a")).otherwise(col("nm_b"))
+            .as("d_name"),
+          when(col("side_a") === 1, col("id_b")).otherwise(col("id_a"))
+            .as("cid"),
+          when(col("side_a") === 1, col("nm_b")).otherwise(col("nm_a"))
+            .as("c_name"))
+        .withColumn("jw", graft.functions.expr.JaroWinkler(
+          col("d_name"), col("c_name")))
+        .groupBy(col("d_id"))
+        .agg(min(struct((-col("jw")).as("njw"),
+                        col("cid").as("cid"),
+                        col("jw").as("jw"))).as("m"))
+        .select(col("d_id"), col("m.cid").as("matched"), col("m.jw").as("jw"),
+                (col("m.cid") === col("d_id")).as("hit"))
+        .orderBy(col("d_id"))
+    }),
+
     // Each (group, bucket) ships ONE 4 KB bitmap through the shuffle
     // regardless of how many raw keys an executor saw — the scalable
     // form of exact distinct counting over high-cardinality keys
@@ -434,6 +498,31 @@ object LayoutQueries {
            FROM j)
          SELECT d_id, c_custkey AS matched, jw
          FROM r WHERE rn = 1 ORDER BY d_id""",
+
+    "x95_sorted_neighborhood" ->
+      s"""WITH clean AS (SELECT c_name AS nm, 0 AS side, c_custkey AS id
+                         FROM customer),
+          dirty AS (SELECT $dirtySql AS nm, 1 AS side, c_custkey AS id
+                    FROM customer),
+          u AS (SELECT nm, side, id,
+                  row_number() OVER (ORDER BY reverse(nm), side, id) AS rn
+                FROM (SELECT * FROM clean UNION ALL SELECT * FROM dirty)),
+          p AS (SELECT
+                  CASE WHEN a.side = 1 THEN a.id ELSE b.id END AS d_id,
+                  CASE WHEN a.side = 1 THEN a.nm ELSE b.nm END AS d_name,
+                  CASE WHEN a.side = 1 THEN b.id ELSE a.id END AS cid,
+                  CASE WHEN a.side = 1 THEN b.nm ELSE a.nm END AS c_name
+                FROM u a JOIN u b
+                  ON b.rn - a.rn BETWEEN 1 AND 3 AND a.side <> b.side),
+          sc AS (SELECT d_id, cid,
+                   jaro_winkler_similarity(d_name, c_name) AS jw
+                 FROM p),
+          best AS (SELECT d_id, cid, jw,
+                     row_number() OVER (PARTITION BY d_id
+                                        ORDER BY jw DESC, cid) AS r
+                   FROM sc)
+          SELECT d_id, cid AS matched, jw, (cid = d_id) AS hit
+          FROM best WHERE r = 1 ORDER BY d_id""",
 
     "q97_bitmap_distinct" ->
       """SELECT l_returnflag,

@@ -694,4 +694,43 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(rows("x") == 12L && rows("y") == 12L,
       s"KS numerator must be 12 (=> D = 12/16 = 0.75): $rows")
   }
+
+  test("x93 CMS join size: estimate dominates the exact join cardinality") {
+    val rows = SparkEntry.queries("x93_cms_joinsize")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.length == 1)
+    val (est, exact, over) =
+      (rows(0).getLong(0), rows(0).getLong(1), rows(0).getLong(2))
+    assert(exact > 0, "fixture join must be non-empty")
+    assert(est >= exact,
+      s"CMS inner-product theorem violated: est $est < exact $exact")
+    assert(over == est - exact)
+  }
+
+  test("x94 KMV: unsaturated sketch is exact, saturated estimate lands in the k=64 envelope, union sketch = re-bottom-k of merged lists") {
+    val k = 64
+    val bk = udaf(new graft.functions.BottomKDistinctLongAggregator(k),
+                  org.apache.spark.sql.Encoders.scalaLong)
+    // s1: 40 distinct tokens (unsaturated); s2: 2000 distinct (saturated);
+    // tokens repeat 3x to prove the sketch distincts its input
+    val toks = ((1 to 40).map(i => ("s1", s"a$i")) ++
+                (1 to 2000).map(i => ("s2", s"b$i")))
+      .flatMap(t => Seq(t, t, t)).toDF("source", "tok")
+      .select(col("source"),
+        conv(substring(md5(concat(lit("kmv:"), col("tok"))), 1, 12), 16, 10)
+          .cast("long").as("h"))
+    val kv = toks.groupBy(col("source")).agg(bk(col("h")).as("kmv"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(kv("s1").length == 40, "unsaturated sketch keeps every hash")
+    assert(kv("s2").length == k)
+    val est2 = (k - 1).toLong * (1L << 48) / kv("s2").last
+    assert(math.abs(est2 - 2000L) < 1000,
+      s"saturated KMV estimate far outside the 1/sqrt(k-1) envelope: $est2")
+    // union closure: bottom-k of the merged lists == sketch of the union
+    val direct = toks.groupBy().agg(bk(col("h")).as("kmv"))
+      .collect()(0).getSeq[Long](0)
+    val merged = (kv("s1") ++ kv("s2")).distinct.sorted.take(k)
+    assert(direct == merged,
+      "KMV union must compose from per-source sketches")
+  }
 }

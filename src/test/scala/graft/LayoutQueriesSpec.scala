@@ -332,4 +332,50 @@ class LayoutQueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("x95 sorted neighborhood: banded equi-join finds exactly the brute-force rank-window pairs") {
+    import org.apache.spark.sql.expressions.Window
+    // brute-force reference: row_number over the same reversed-name sort,
+    // inequality-filtered cross-side pairs within rank distance 3, best
+    // match by (jw desc, cid asc) — the single-partition form the banded
+    // query must reproduce exactly
+    val dirtySql = "concat(substring(c_name, 1, 9 + c_custkey % 5), " +
+      "substring(c_name, 11 + c_custkey % 5, 30))"
+    val clean = Tables(spark, sfDir, "customer")
+      .select(col("c_name").as("nm"), lit(0).as("side"),
+              col("c_custkey").as("id"))
+    val dirty = Tables(spark, sfDir, "customer")
+      .select(expr(dirtySql).as("nm"), lit(1).as("side"),
+              col("c_custkey").as("id"))
+    val u = clean.unionByName(dirty)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(reverse(col("nm")), col("side"), col("id"))))
+    val a = u.select(col("rn").as("ra"), col("nm").as("na"),
+                     col("side").as("sa"), col("id").as("ia"))
+    val b = u.select(col("rn").as("rb"), col("nm").as("nb"),
+                     col("side").as("sb"), col("id").as("ib"))
+    val brute = a.crossJoin(b)
+      .filter((col("rb") - col("ra")).between(1, 3) &&
+              col("sa") =!= col("sb"))
+      .select(
+        when(col("sa") === 1, col("ia")).otherwise(col("ib")).as("d_id"),
+        when(col("sa") === 1, col("na")).otherwise(col("nb")).as("dn"),
+        when(col("sa") === 1, col("ib")).otherwise(col("ia")).as("cid"),
+        when(col("sa") === 1, col("nb")).otherwise(col("na")).as("cn"))
+      .withColumn("jw",
+        graft.functions.expr.JaroWinkler(col("dn"), col("cn")))
+      .groupBy(col("d_id"))
+      .agg(min(struct((-col("jw")).as("njw"), col("cid").as("cid"),
+                      col("jw").as("jw"))).as("m"))
+      .select(col("d_id"), col("m.cid").as("matched"),
+              col("m.jw").as("jw"),
+              (col("m.cid") === col("d_id")).as("hit"))
+    val got = run("x95_sorted_neighborhood")
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty,
+      "banded neighborhood pairs must equal the brute-force rank window")
+    // the reversed-key pass must actually rescue recall on this fixture
+    val hits = got.filter(col("hit")).count()
+    assert(hits > got.count() / 2,
+      s"reversed-name pass should catch most true matches, got $hits")
+  }
 }
