@@ -443,6 +443,40 @@ object AnalyticsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X96 — MULTIMODAL pHash near-dup: payload-level duplicate detection
+    // over an opaque binary column — x18's plumbing upgraded from metadata
+    // to DEDUP, the image/audio use case (perceptual-hash dedup of media
+    // assets) with the codec stubbed exactly as x18 documents. The
+    // fingerprint is a block-hash pHash: the payload's hex encoding is
+    // split into fixed 16-byte blocks, each block hashed once, and a
+    // 32-bit SimHash taken over the block hashes — per-row map-side work,
+    // no shuffle until the candidate join. Near-dups within Hamming
+    // radius 3 come from [[graft.operators.DedupOperators
+    // .simhashNearDupsFromHash]]'s pigeonhole block join (never all
+    // pairs); the oracle brute-forces every pair, so each hash-green run
+    // re-proves the banding dropped no qualifying pair. 32 bits (not
+    // x07's 16) because the radius-3 ball holds ~5.5k of 2³² points —
+    // random collisions ~1e-6 per pair — where 16 bits would drown real
+    // dups in noise (measured: 1514 noise pairs vs 15 real ones at
+    // sf0.01). A real deployment swaps the hex-block features for
+    // decoded-pixel blocks; the signature, banding, and verify are
+    // unchanged.
+    "x96_phash_neardup" -> ((s, dir) => {
+      import graft.operators.{DedupOperators, Multimodal}
+      val m = Multimodal.withMediaStruct(
+        Tables(s, dir, "documents").select("doc_id", "text"),
+        col("text").cast("binary"), lit("img"))
+      val sig = m
+        .withColumn("_hx", hex(col("media.payload")))
+        .withColumn("_chunks", expr(
+          "transform(sequence(1, greatest(1, cast((length(_hx) + 31) div 32" +
+          " as int))), i -> substring(_hx, (i - 1) * 32 + 1, 32))"))
+        .select(col("doc_id").as("_id"),
+                T.simhashFromTokens(col("_chunks"), 32).as("_sh"))
+      DedupOperators.simhashNearDupsFromHash(sig, bits = 32, radius = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // X19 — vector statistics via higher-order functions (aggregate /
     // transform over the embedding arrays — all map-side, codegen'd)
     "x19_vector_stats" -> ((s, dir) =>
@@ -1112,6 +1146,29 @@ object AnalyticsQueries {
                 WHEN octet_length(encode(text)) < 1048576 THEN 'm'
                 ELSE 'l' END AS size_class
          FROM documents ORDER BY doc_id""",
+
+    // brute-force ALL pairs (feasible at oracle scale), so every
+    // hash-green run re-proves the engine's pigeonhole banding is
+    // zero-miss; hex() of a BLOB is uppercase in both engines
+    "x96_phash_neardup" -> {
+      val bits = (0 until 32).map(i =>
+        s"""CASE WHEN list_sum(list_transform(hv,
+              x -> CASE WHEN (x >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+            THEN ${1L << i} ELSE 0 END""").mkString("\n + ")
+      s"""WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+          ck AS (SELECT doc_id,
+                   list_transform(
+                     generate_series(1, greatest(1, (length(h) + 31) // 32)),
+                     i -> ('0x' || substr(md5(substr(h, (i-1)*32 + 1, 32)),
+                                          1, 8))::BIGINT) AS hv
+                 FROM hx),
+          sig AS (SELECT doc_id, ($bits)::BIGINT AS sh FROM ck)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 bit_count(xor(a.sh, b.sh))::INT AS hamming
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sh, b.sh)) <= 3
+          ORDER BY id_a, id_b"""
+    },
 
     "x17_dedup_corpus" -> {
       val comps = (0 until 8).map(seed =>

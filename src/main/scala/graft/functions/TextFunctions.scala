@@ -136,10 +136,18 @@ object TextFunctions {
   /** SimHash over word unigrams, `bits` wide (≤ 16): per word take the
     * first 16 bits of md5, accumulate ±1 per bit position, emit the sign
     * bit-vector as an int. */
-  def simhash(text: Column, bits: Int): Column = {
-    val w = words(text)
+  def simhash(text: Column, bits: Int): Column =
+    simhashFromTokens(words(text), bits)
+
+  /** [[simhash]] over an arbitrary token array — the general form used by
+    * payload-chunk fingerprinting (x96), where the "tokens" are fixed-width
+    * blocks of a binary payload's hex encoding rather than words. Per-token
+    * hash width follows `bits`: 4 hex chars (16 bits) suffice only up to
+    * 16-bit signatures; wider signatures read 8 chars. */
+  def simhashFromTokens(w: Column, bits: Int): Column = {
+    val hexChars = if (bits <= 16) 4 else 8
     val hashes = transform(w, x =>
-      conv(substring(md5(x.cast("binary")), 1, 4), 16, 10).cast("int"))
+      conv(substring(md5(x.cast("binary")), 1, hexChars), 16, 10).cast("long"))
     val bitCols = (0 until bits).map { i =>
       val contrib = aggregate(hashes, lit(0),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))

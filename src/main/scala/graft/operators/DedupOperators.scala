@@ -166,11 +166,18 @@ object DedupOperators {
     * values within the radius must agree on at least one whole block
     * (pigeonhole), so candidates come from equality joins on block values. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      bits: Int = 16, radius: Int = 3): DataFrame = {
+                      bits: Int = 16, radius: Int = 3): DataFrame =
+    simhashNearDupsFromHash(
+      df.select(col(idCol).as("_id"), T.simhash(col(textCol), bits).as("_sh")),
+      bits, radius)
+
+  /** [[simhashNearDups]] over a pre-computed signature frame `(_id, _sh)` —
+    * the entry point when the fingerprint isn't word-SimHash (x96's
+    * payload-chunk pHash) or is already persisted as a column. */
+  def simhashNearDupsFromHash(sh: DataFrame,
+                              bits: Int, radius: Int): DataFrame = {
     val blocks = radius + 1
     val blockBits = bits / blocks
-    val sh = df.select(col(idCol).as("_id"),
-                       T.simhash(col(textCol), bits).as("_sh"))
     val banded = sh.select(col("_id"), col("_sh"),
       posexplode(array((0 until blocks).map { blk =>
         shiftright(col("_sh"), blk * blockBits)

@@ -396,4 +396,33 @@ object StreamingOps {
       .groupBy(col("p.r").as("r"), col("p.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Streaming KMV distinct-cardinality per stratum — the streaming twin
+    * of batch x94 exactly as [[streamingCmsSketch]] twins x81. Input:
+    * `(stratum, key)` rows. State per stratum is the k smallest distinct
+    * 48-bit md5 hashes of the keys seen so far, held by the merge-closed
+    * [[graft.functions.BottomKDistinctLongAggregator]] — O(k) longs per
+    * stratum FOREVER, duplicate-absorbing, so no watermark is needed:
+    * like the CMS, the state bound is structural, not temporal. The
+    * estimate column applies x94's integer-exact estimator ((k−1)·2⁴⁸
+    * div h_(k) once saturated; the sketch size, which IS the exact
+    * distinct count, below saturation), so after any stream prefix the
+    * state and estimate equal the batch sketch of that prefix
+    * (reconciliation-tested), and downstream set-operation estimates
+    * (union/intersection across strata) compose from the emitted `kmv`
+    * lists exactly as in x94. */
+  def streamingKmvDistinct(keys: DataFrame, k: Int = 64): DataFrame = {
+    val bk = udaf(new graft.functions.BottomKDistinctLongAggregator(k),
+                  org.apache.spark.sql.Encoders.scalaLong)
+    keys.select(col("stratum"),
+        conv(substring(md5(concat(lit("kmv:"), col("key"))), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("stratum"))
+      .agg(bk(col("h")).as("kmv"))
+      .select(col("stratum"), col("kmv"),
+        when(size(col("kmv")) < k, size(col("kmv")).cast("long"))
+          .otherwise(expr(
+            s"${(k - 1).toLong * (1L << 48)}L div element_at(kmv, $k)"))
+          .as("est_distinct"))
+  }
 }

@@ -58,6 +58,27 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("simhashNearDupsFromHash: 32-bit banding equals brute force on crafted signatures") {
+    import spark.implicits._
+    // x96's entry point: pre-computed signatures, 8-bit pigeonhole blocks
+    val raw = Seq(
+      0L -> 0x12345678L,
+      1L -> 0x12345679L,          // 1 bit from id 0
+      2L -> (0x12345678L ^ 0x7L), // 3 bits from id 0, 2 from id 1
+      3L -> (0x12345678L ^ 0xFL), // 4 bits from id 0 — outside radius
+      4L -> 0x0FF00FF0L)          // far from everything
+    val got = DedupOperators
+      .simhashNearDupsFromHash(raw.toDF("_id", "_sh"), bits = 32, radius = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (ia, sa) <- raw; (ib, sb) <- raw if ia < ib
+      hd = java.lang.Long.bitCount(sa ^ sb) if hd <= 3
+    } yield (ia, ib, hd)).toSet
+    assert(got == brute,
+      s"banded pairs must equal brute force: got $got want $brute")
+    assert(brute.exists(_._3 == 3), "fixture must exercise the radius edge")
+  }
+
   test("embedding near-dups via LSH buckets + cosine verify") {
     import spark.implicits._
     val vecs = Seq(

@@ -393,4 +393,40 @@ class StreamingSpec extends SparkSpec {
       assert(est >= n, s"CMS estimate $est < exact $n for '$tok'")
     }
   }
+
+  test("streamingKmvDistinct state reconciles with the batch sketch and is exact below saturation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = StreamingOps.streamingKmvDistinct(
+        mem.toDF().toDF("stratum", "key"), k = 8)
+      .writeStream.format("memory").queryName("kmv")
+      .outputMode("complete").start()
+    // sa: 5 distinct (below k=8 -> exact, duplicates absorbed across
+    // batches); sb: 20 distinct (saturated -> estimator path)
+    val batch1 = Seq("a1", "a2", "a3").map(("sa", _)) ++
+      (1 to 12).map(i => ("sb", s"b$i"))
+    val batch2 = Seq("a1", "a4", "a5", "a2").map(("sa", _)) ++
+      (8 to 20).map(i => ("sb", s"b$i"))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("select stratum, kmv, est_distinct from kmv")
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    q.stop()
+    val batch = StreamingOps.streamingKmvDistinct(
+        (batch1 ++ batch2).toDF("stratum", "key"), k = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    assert(streamed === batch,
+      "streamed KMV state must equal the batch sketch of the same keys")
+    assert(streamed("sa")._2 == 5L,
+      "unsaturated stratum must report the exact distinct count")
+    assert(streamed("sb")._1.length == 8, "state capped at k hashes")
+    val est = streamed("sb")._2
+    assert(est > 0 && math.abs(est - 20L) < 40,
+      s"saturated estimate wildly off (k=8 envelope): $est vs 20")
+  }
 }
