@@ -948,4 +948,59 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("hll_union_agg") && plan.contains("kll_merge_agg"),
       plan.take(3000))
   }
+
+  test("x93 join-size estimate: sketch branches combine map-side; relations meet only in the audit join") {
+    val plan = planOf("x93_cms_joinsize")
+    // both CMS branches must carry partial_count on the derived (r, b)
+    // keys so only O(d*w) cells cross the wire per relation
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(plan.contains("hashpartitioning(_groupingexpression"),
+      "sketch exchanges must be keyed by the derived (r, b) pair:\n"
+        + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the only nested-loop is the 1-row x 1-row cross stitching the two
+    // scalar aggregates into the output row — certified-small by
+    // construction, never data-sized
+    assert(plan.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 1, plan.take(3000))
+  }
+
+  test("x94 KMV: sketches build as object-hash aggregates with map-side partials; pair math is broadcast") {
+    val plan = planOf("x94_kmv_cardinality")
+    assert(plan.contains("ObjectHashAggregate"),
+      "bottom-k UDAF must run as ObjectHashAggregate:\n" + plan.take(3000))
+    assert(plan.contains("partial_bottomkdistinctlongaggregator"),
+      "KMV partials must combine map-side (k longs per partition):\n"
+        + plan.take(3000))
+    assert(plan.contains("BroadcastExchange"),
+      "pair/size joins over the sources-row frames must broadcast:\n"
+        + plan.take(3000))
+  }
+
+  test("x95 sorted neighborhood: band join is an equi-join — no inequality nested loop, no data-wide window") {
+    val plan = planOf("x95_sorted_neighborhood")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the pair join must be an equi-join KEYED on the rank band (the
+    // rank-distance predicate rides it as a post-join condition); the
+    // only nested-loops in the plan are the ordinal machinery's 1-row
+    // broadcast scaffolding (sample count + range bounds), never a
+    // data-sized side
+    assert(plan.contains("Join [blk"),
+      "neighbor pairs must come from the banded equi-join:\n"
+        + plan.take(3000))
+    // the only unpartitioned window is the ordinal machinery's bounded
+    // range frame (over splits rows) and sample sort; the best-match step
+    // must be the partial-aggregable min(struct), not a window rank
+    assert(plan.contains("partial_min"),
+      "survivorship must combine map-side:\n" + plan.take(3000))
+    assert(plan.contains("jaro_winkler"), plan.take(3000))
+  }
+
+  test("x96 pHash near-dup: signature is map-side; candidates from the block equi-join only") {
+    val plan = planOf("x96_phash_neardup")
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      "near-dup candidates must come from pigeonhole blocks:\n"
+        + plan.take(3000))
+  }
 }
