@@ -471,8 +471,11 @@ object AnalyticsQueries {
         .withColumn("_chunks", expr(
           "transform(sequence(1, greatest(1, cast((length(_hx) + 31) div 32" +
           " as int))), i -> substring(_hx, (i - 1) * 32 + 1, 32))"))
+        // native one-pass md5 SimHash: one hash per block, not one per
+        // bit per block (composed twin measured 9.1 s vs ~1 s here;
+        // SimHashMd5Spec proves them bit-identical)
         .select(col("doc_id").as("_id"),
-                T.simhashFromTokens(col("_chunks"), 32).as("_sh"))
+                graft.functions.expr.SimHashMd5(col("_chunks"), 32).as("_sh"))
       DedupOperators.simhashNearDupsFromHash(sig, bits = 32, radius = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),

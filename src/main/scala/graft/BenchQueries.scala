@@ -110,6 +110,62 @@ object BenchQueries {
           (abs(col("est_cust") - col("exact_cust")) <=
              col("exact_cust") * lit(0.05)).as("hll_ok"))
         .orderBy(col("prio"))
+    }),
+
+    // B05 — ANN serving on a PARTITION-PRUNED layout: the b03/b04
+    // pay-once economics applied to similarity search. The corpus is
+    // written once partitioned by a DETERMINISTIC sign-bit cell (3
+    // coordinate hyperplanes → 8 cells — the quantizer is a pure
+    // function of the vector, so the oracle reproduces the entire
+    // search, which KMeans cells cannot offer); the steady-state query
+    // probes each query's own cell plus its three 1-bit neighbors
+    // (x76's multi-probe) and the scan OPENS ONLY THOSE PARTITIONS.
+    // Probe cells are collected from the 5-row query set at plan time
+    // (q110's certified-small device), so the pruning is STATIC —
+    // `PartitionFilters: [cell IN (…)]` in the plan, no dynamic-pruning
+    // dependence. At 100 TB the steady-state read is nprobe/cells of
+    // the corpus, and the exact in-cell top-k is the x09 kernel over
+    // that slice alone.
+    "b05_ann_steady" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => V}
+      import org.apache.spark.sql.expressions.Window
+      val sfTag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_ivf_$sfTag").getPath
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        graft.io.TableIo.writePartitioned(
+          Tables(s, dir, "embeddings")
+            .withColumn("cell", V.signBand(col("embedding"), 0, 3).cast("int")),
+          path, Seq("cell"))
+      val qs = Tables(s, dir, "embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+                V.norm(col("embedding")).as("qn"),
+                V.signBand(col("embedding"), 0, 3).cast("int").as("qc"))
+        .select(col("qid"), col("qv"), col("qn"),
+          explode(array(col("qc"), col("qc").bitwiseXOR(1),
+            col("qc").bitwiseXOR(2), col("qc").bitwiseXOR(4))).as("cell"))
+      // ≤ 20 ints — the certified-small probe set; folding it to a
+      // literal IN gives static partition pruning on the corpus scan
+      val probeCells = qs.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val corpus = s.read.parquet(path)
+        .filter(col("cell").isin(probeCells: _*))
+        .select(col("cell"), col("vec_id"), col("embedding"),
+                V.norm(col("embedding")).as("cn"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      corpus.join(broadcast(qs), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          when(col("qn") === 0.0 || col("cn") === 0.0,
+            lit(null).cast("double"))
+          .otherwise(V.dot(col("qv"), col("embedding"))
+                       / (col("qn") * col("cn"))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+                col("vec_id").as("nid"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("qid"), col("rank"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -151,5 +207,38 @@ object BenchQueries {
     "b04_sketch_steady" ->
       """SELECT o_orderpriority AS prio, count(*)::BIGINT AS n_orders,
            TRUE AS hll_ok
-         FROM orders GROUP BY 1 ORDER BY 1""")
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // layout must never change results: the oracle runs the identical
+    // deterministic quantizer + multi-probe + exact in-cell top-k with
+    // no partitioned table at all
+    "b05_ann_steady" -> {
+      val cell = (0 until 3).map(i =>
+        s"(CASE WHEN v[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      val cos =
+        """CASE WHEN sqrt(list_dot_product(qv, qv)) = 0
+                OR sqrt(list_dot_product(cv, cv)) = 0 THEN NULL
+           ELSE list_dot_product(qv, cv) /
+                (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+           END"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+          s AS (SELECT vec_id, v, ($cell)::INT AS cell FROM e),
+          q AS (SELECT vec_id AS qid, v AS qv, cell AS qc
+                FROM s WHERE vec_id < 5),
+          pr AS (SELECT qid, qv,
+                   unnest([qc, xor(qc, 1), xor(qc, 2), xor(qc, 4)]) AS cell
+                 FROM q),
+          cand AS (SELECT p.qid, p.qv, c.vec_id AS nid, c.v AS cv
+                   FROM pr p JOIN s c
+                     ON c.cell = p.cell AND c.vec_id <> p.qid),
+          r AS (SELECT qid, nid, $cos AS cos FROM cand),
+          rk AS (SELECT qid, nid, cos,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY cos DESC NULLS LAST, nid) AS rank
+                 FROM r)
+          SELECT qid, rank::BIGINT AS rank, nid, round(cos, 4) AS cos
+          FROM rk WHERE rank <= 3 ORDER BY qid, rank"""
+    })
 }

@@ -697,6 +697,44 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_hits"),
              min(col("p")).cast("long").as("first_pos"))
         .orderBy(col("doc_id"))
+    }),
+
+    // X97 — SYSTEMATIC PPS (probability-proportional-to-size) sampling:
+    // the deterministic weighted-sampling design — walk the cumulative
+    // weight line and take one unit every `step = totalW div n` units,
+    // anchored at step/2. Inclusion probability is exactly proportional
+    // to weight, heavy items (w ≥ step) are selected with multiplicity
+    // ≥ 1 (the `mult` column), and there is NO RNG: both engines derive
+    // the identical sample from the data alone. All arithmetic is
+    // integer with non-negative dividends — Spark's `div` truncates
+    // toward zero while DuckDB's `//` floors, so the CASE guards keep
+    // every dividend ≥ 0 where the two agree. The cumulative weights
+    // come from [[graft.ops.PrefixSumOps.runningSum]] (range-split
+    // prefix sums — no single-partition window over the corpus), which
+    // is what makes the design viable at 100 TB where the classic
+    // cumulative-line walk is usually written off as "needs a global
+    // sort". Selection count is exactly n by construction (all n anchor
+    // points fall inside [0, totalW)).
+    "x97_pps_systematic" -> ((s, dir) => {
+      val n = 50
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+      graft.ops.PrefixSumOps
+        .runningSum(d, Seq(), "doc_id", "w", "cum_w", "tot_w")
+        .withColumn("step", expr(s"tot_w div $n"))
+        .withColumn("anchor", expr("step div 2"))
+        .filter(col("step") > 0)
+        .withColumn("lo", col("cum_w") - col("w"))
+        .withColumn("g_hi", expr(
+          s"CASE WHEN cum_w <= anchor THEN 0L ELSE " +
+          s"least(cast($n as bigint), (cum_w - anchor - 1) div step + 1) END"))
+        .withColumn("g_lo", expr(
+          s"CASE WHEN lo <= anchor THEN 0L ELSE " +
+          s"least(cast($n as bigint), (lo - anchor - 1) div step + 1) END"))
+        .withColumn("mult", col("g_hi") - col("g_lo"))
+        .filter(col("mult") >= 1)
+        .select(col("doc_id"), col("w"), col("cum_w"), col("mult"))
+        .orderBy(col("doc_id"))
     }))
 
   /** X51 core — per-source token lift. lift_x1000 = (sc·ctot·1000) DIV
@@ -1635,5 +1673,27 @@ object CorpusQueries {
                WHERE w1 = 'hash' AND w2 = 'scan')
          SELECT doc_id, count(*)::BIGINT AS n_hits,
            min(i)::BIGINT AS first_pos
-         FROM h GROUP BY doc_id ORDER BY doc_id""")
+         FROM h GROUP BY doc_id ORDER BY doc_id""",
+
+    "x97_pps_systematic" ->
+      """WITH d AS (SELECT doc_id, n_chars::BIGINT AS w FROM documents),
+         c AS (SELECT doc_id, w,
+                 sum(w) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_w,
+                 sum(w) OVER () AS tot_w
+               FROM d),
+         p AS (SELECT doc_id, w, cum_w::BIGINT AS cum_w,
+                 (tot_w // 50)::BIGINT AS step,
+                 ((tot_w // 50) // 2)::BIGINT AS anchor,
+                 (cum_w - w)::BIGINT AS lo
+               FROM c WHERE tot_w // 50 > 0),
+         g AS (SELECT doc_id, w, cum_w,
+                 (CASE WHEN cum_w <= anchor THEN 0
+                       ELSE least(50, (cum_w - anchor - 1) // step + 1) END
+                - CASE WHEN lo <= anchor THEN 0
+                       ELSE least(50, (lo - anchor - 1) // step + 1) END
+                 )::BIGINT AS mult
+               FROM p)
+         SELECT doc_id, w, cum_w, mult FROM g
+         WHERE mult >= 1 ORDER BY doc_id""")
 }

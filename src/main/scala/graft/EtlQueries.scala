@@ -315,6 +315,29 @@ object EtlQueries {
     // load runs before publishing. Distinct key counts ride the same
     // pass; the child side aggregates to its key set FIRST, so each
     // anti join probes |distinct keys| rows, never the fact table.
+    // X101 — DECLARATIVE quality-constraint suite (Deequ-shaped): the
+    // publish gate as a VALUE — a list of declared checks evaluated by
+    // [[graft.ops.QualityOps.report]] into one (check, observed,
+    // violations, pass) frame. All four row-level checks share ONE
+    // aggregation pass (conditional sums — adding a check adds a column,
+    // not a scan); Unique is one keyed agg, the FK check one anti join
+    // over distinct child keys. q69/q105 are the ad-hoc forms; this is
+    // the contract form a pipeline declares once and runs per load.
+    "x101_quality_report" -> ((s, dir) => {
+      import graft.ops.QualityOps._
+      val o = Tables(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      report(o, Seq(
+        NotNull("o_custkey"),
+        InSet("o_orderstatus", Seq("O", "F", "P")),
+        Bounds("cents", 1L, 100000000L),
+        Satisfies("date_range",
+          col("o_orderdate") >= lit("1992-01-01").cast("timestamp")),
+        Unique(Seq("o_orderkey")),
+        RefIntegrity("o_custkey", Tables(s, dir, "customer"), "c_custkey")))
+        .orderBy(col("check"))
+    }),
+
     "q105_ri_audit" -> ((s, dir) => {
       import s.implicits._
       def audit(name: String, childKeys: DataFrame, parent: DataFrame,
@@ -521,5 +544,43 @@ object EtlQueries {
          SELECT 'orders->customer', n_keys, n_orphans FROM oc
          UNION ALL
          SELECT 'customer->nation', n_keys, n_orphans FROM cn
-         ORDER BY relation""")
+         ORDER BY relation""",
+
+    "x101_quality_report" ->
+      """WITH o AS (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT)
+                      AS cents FROM orders),
+         n AS (SELECT count(*)::BIGINT AS n FROM o),
+         rep AS (
+           SELECT 'not_null(o_custkey)' AS chk, n.n AS observed,
+             (SELECT count(*) FROM o WHERE o_custkey IS NULL)::BIGINT
+               AS violations FROM n
+           UNION ALL
+           SELECT 'in_set(o_orderstatus)', n.n,
+             (SELECT count(*) FROM o WHERE o_orderstatus IS NULL
+                OR o_orderstatus NOT IN ('O', 'F', 'P'))::BIGINT FROM n
+           UNION ALL
+           SELECT 'bounds(cents)', n.n,
+             (SELECT count(*) FROM o WHERE cents IS NULL
+                OR cents < 1 OR cents > 100000000)::BIGINT FROM n
+           UNION ALL
+           SELECT 'satisfies(date_range)', n.n,
+             (SELECT count(*) FROM o WHERE NOT coalesce(
+                o_orderdate >= TIMESTAMP '1992-01-01', FALSE))::BIGINT
+             FROM n
+           UNION ALL
+           SELECT 'unique(o_orderkey)',
+             (SELECT count(DISTINCT o_orderkey) FROM o)::BIGINT,
+             (SELECT coalesce(sum(c - 1), 0) FROM (
+                SELECT count(*) AS c FROM o GROUP BY o_orderkey
+                HAVING count(*) > 1))::BIGINT
+           UNION ALL
+           SELECT 'ref(o_custkey)',
+             (SELECT count(DISTINCT o_custkey) FROM o
+              WHERE o_custkey IS NOT NULL)::BIGINT,
+             (SELECT count(DISTINCT o_custkey) FROM o
+              LEFT JOIN customer ON o_custkey = c_custkey
+              WHERE o_custkey IS NOT NULL AND c_custkey IS NULL)::BIGINT)
+         SELECT chk AS "check", observed, violations,
+           (violations = 0) AS pass
+         FROM rep ORDER BY chk""")
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.expr.{CdcBounds, JaroWinkler, MinHashSig, MinHashSigMd5, NgramJaccard, SimHash64, SortedLowerBound, VecDot}
+import graft.functions.expr.{CdcBounds, JaroWinkler, MinHashSig, MinHashSigMd5, NgramJaccard, SimHash64, SimHashMd5, SortedLowerBound, VecDot}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions so SQL users get them too.
@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(MinHashSig.registration)
     ext.injectFunction(MinHashSigMd5.registration)
     ext.injectFunction(SimHash64.registration)
+    ext.injectFunction(SimHashMd5.registration)
     ext.injectFunction(VecDot.registration)
     ext.injectFunction(NgramJaccard.registration)
     ext.injectFunction(CdcBounds.registration)

@@ -176,6 +176,42 @@ object LayoutQueries {
         .orderBy(col("d_id"))
     }),
 
+    // X100 — RECIPROCAL best match (mutual nearest neighbor): the
+    // high-confidence tier of entity resolution — keep a (dirty, clean)
+    // pair only when each side is the other's argmax. One-directional
+    // best match (x85) happily pairs a record with a hub that is
+    // "everyone's best"; requiring agreement in both directions is the
+    // classic reciprocal-best-hit filter (bioinformatics orthologs, MNN
+    // batch alignment) and costs exactly one more partial-aggregable
+    // argmax over the SAME candidate frame — the in-block JW scores are
+    // computed once, and both argmaxes are min(struct) keyed aggs with
+    // map-side combine, never a window over the candidate fan-out.
+    "x100_reciprocal_match" -> ((s, dir) => {
+      val clean = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+                expr(blockKey("c_name")).as("bk"))
+      val dirty = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("d_id"), expr(dirtySql).as("d_name"))
+        .withColumn("bk", expr(blockKey("d_name")))
+      val cand = dirty.join(clean, Seq("bk"))
+        .withColumn("jw", graft.functions.expr.JaroWinkler(
+          col("d_name"), col("c_name")))
+        .persist()
+      val bestD = cand.groupBy(col("d_id"))
+        .agg(min(struct((-col("jw")).as("njw"),
+                        col("c_custkey").as("cid"),
+                        col("jw").as("jw"))).as("m"))
+        .select(col("d_id"), col("m.cid").as("cid"), col("m.jw").as("jw"))
+      val bestC = cand.groupBy(col("c_custkey"))
+        .agg(min(struct((-col("jw")).as("njw"),
+                        col("d_id").as("did"))).as("m"))
+        .select(col("c_custkey").as("cid"), col("m.did").as("back"))
+      bestD.join(bestC, Seq("cid"))
+        .filter(col("back") === col("d_id"))
+        .select(col("d_id"), col("cid").as("matched"), col("jw"))
+        .orderBy(col("d_id"))
+    }),
+
     // X95 — SORTED-NEIGHBORHOOD blocking: the record-linkage blocking
     // strategy for when key-based blocks (q96/x85's first-3+last-3 key)
     // can't survive the corruption — sort BOTH record lists on a pass
@@ -238,6 +274,56 @@ object LayoutQueries {
         .select(col("d_id"), col("m.cid").as("matched"), col("m.jw").as("jw"),
                 (col("m.cid") === col("d_id")).as("hit"))
         .orderBy(col("d_id"))
+    }),
+
+    // X99 — EXACT edit-distance JOIN (threshold ed ≤ 2) via q-gram
+    // prefix filtering, in the BATCH-vs-CORPUS shape: a 1% incoming
+    // batch of corrupted records matched against the full master list —
+    // the zero-miss member of the string-matching family, where q96/x95
+    // are recall heuristics. Each name's q=2-grams are ranked by global
+    // document frequency and only the 5 rarest (q·k+1 — the Ed-Join
+    // prefix bound) enter the candidate join, so the constant
+    // "Customer#" stopgrams shared by EVERY row never pair anything.
+    // The batch framing is deliberate: on THIS fixture every record has
+    // ~85 true ed≤2 neighbors (sequential ids make the name space
+    // dense), so the symmetric all-pairs join's OUTPUT is quadratic —
+    // measured minutes at bench SF with one skew-bound gram task — while
+    // the batch form is the shape production runs daily (new records →
+    // master list) and stays linear in the batch. The length filter
+    // (||a|−|b|| ≤ k) prunes before the bounded levenshtein(·,·,2)
+    // verify, which early-exits the DP for far pairs. The oracle
+    // brute-forces every (batch, clean) pair, so each hash-green run
+    // re-proves the prefix pruning dropped no qualifying pair.
+    "x99_editdist_join" -> ((s, dir) => {
+      val pref = 5 // q·k + 1 with q = 2, k = 2
+      val clean = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("cid"), col("c_name").as("cn"))
+      val dirty = Tables(s, dir, "customer")
+        .filter(col("c_custkey") % 100 === 7)
+        .select(col("c_custkey").as("did"), expr(dirtySql).as("dn"))
+      def grams(df: DataFrame, id: String, nm: String): DataFrame = df
+        .select(col(id), explode(array_distinct(expr(
+          s"transform(sequence(1, length($nm) - 1)," +
+          s" i -> substring($nm, i, 2))"))).as("g"))
+      val gd = grams(dirty, "did", "dn")
+      val gc = grams(clean, "cid", "cn")
+      val dfreq = gd.select(col("g")).unionAll(gc.select(col("g")))
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      def prefix(g: DataFrame, id: String): DataFrame = {
+        val w = Window.partitionBy(col(id))
+          .orderBy(col("df"), col("g"))
+        g.join(dfreq, Seq("g"))
+          .withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") <= pref).select(col(id), col("g"))
+      }
+      prefix(gd, "did").join(prefix(gc, "cid"), Seq("g"))
+        .select(col("did"), col("cid")).distinct()
+        .join(dirty, Seq("did")).join(clean, Seq("cid"))
+        .filter(abs(length(col("dn")) - length(col("cn"))) <= 2)
+        .withColumn("lev", levenshtein(col("dn"), col("cn"), 2))
+        .filter(col("lev") >= 0 && col("lev") <= 2)
+        .select(col("did"), col("cid"), col("lev"))
+        .orderBy(col("did"), col("cid"))
     }),
 
     // Each (group, bucket) ships ONE 4 KB bitmap through the shuffle
@@ -523,6 +609,37 @@ object LayoutQueries {
                    FROM sc)
           SELECT d_id, cid AS matched, jw, (cid = d_id) AS hit
           FROM best WHERE r = 1 ORDER BY d_id""",
+
+    "x100_reciprocal_match" ->
+      s"""WITH clean AS (SELECT c_custkey, c_name,
+             ${blockKey("c_name")} AS bk FROM customer),
+          dirty AS (SELECT c_custkey AS d_id, $dirtySql AS d_name,
+             ${blockKey(dirtySql)} AS bk FROM customer),
+          j AS (SELECT d.d_id, c.c_custkey,
+              jaro_winkler_similarity(d.d_name, c.c_name) AS jw
+            FROM dirty d JOIN clean c USING (bk)),
+          bd AS (SELECT d_id, c_custkey AS cid, jw,
+              row_number() OVER (PARTITION BY d_id
+                                 ORDER BY jw DESC, c_custkey) AS rn
+            FROM j),
+          bc AS (SELECT c_custkey AS cid, d_id AS back,
+              row_number() OVER (PARTITION BY c_custkey
+                                 ORDER BY jw DESC, d_id) AS rn
+            FROM j)
+          SELECT bd.d_id, bd.cid AS matched, bd.jw
+          FROM bd JOIN bc ON bc.cid = bd.cid
+          WHERE bd.rn = 1 AND bc.rn = 1 AND bc.back = bd.d_id
+          ORDER BY bd.d_id""",
+
+    "x99_editdist_join" ->
+      s"""WITH cl AS (SELECT c_custkey AS cid, c_name AS cn FROM customer),
+          dr AS (SELECT c_custkey AS did, $dirtySql AS dn FROM customer
+                 WHERE c_custkey % 100 = 7)
+          SELECT d.did, c.cid, levenshtein(d.dn, c.cn)::INT AS lev
+          FROM dr d JOIN cl c
+            ON abs(length(d.dn) - length(c.cn)) <= 2
+          WHERE levenshtein(d.dn, c.cn) <= 2
+          ORDER BY did, cid""",
 
     "q97_bitmap_distinct" ->
       """SELECT l_returnflag,

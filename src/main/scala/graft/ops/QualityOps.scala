@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint suite (Deequ-shaped): a list of
+  * [[QualityOps.Check]]s evaluates to ONE report frame
+  * `(check, observed, violations, pass)` — the publish gate a warehouse
+  * load runs, as a value instead of ad-hoc queries (q69 profiles columns,
+  * q105 audits one FK chain; this is the declared-contract form of both).
+  *
+  * Evaluation cost is the point of the design: every ROW-LEVEL check
+  * (null, set membership, bounds, custom predicate) folds into a SINGLE
+  * aggregation pass over the table — one scan, one 1-row result,
+  * regardless of how many such checks are declared. Only set-level
+  * checks add work: `Unique` is one keyed agg (map-side combined; the
+  * wire carries distinct keys), `RefIntegrity` one left-anti join per
+  * declared FK (probing the child's DISTINCT keys, never the fact
+  * table). Nothing here collects data to the driver; the report is a
+  * ≤ |checks|-row frame.
+  *
+  * Determinism: observed/violations are exact integers, `pass` a
+  * boolean — the report is hash-comparable across engines, which is how
+  * x101 oracles the whole suite.
+  */
+object QualityOps {
+
+  sealed trait Check { def name: String }
+
+  /** Column must be non-null (and non-blank when `trimBlank`). */
+  final case class NotNull(col: String, trimBlank: Boolean = false)
+      extends Check { def name = s"not_null($col)" }
+
+  /** Column values must come from `allowed`. Nulls count as violations —
+    * declare a separate NotNull to attribute them. */
+  final case class InSet(col: String, allowed: Seq[String]) extends Check {
+    def name = s"in_set($col)"
+  }
+
+  /** Numeric column within [lo, hi], null-safe (nulls violate). */
+  final case class Bounds(col: String, lo: Long, hi: Long) extends Check {
+    def name = s"bounds($col)"
+  }
+
+  /** Arbitrary row predicate that must hold (violations = rows where it
+    * is false or null). */
+  final case class Satisfies(label: String, predicate: Column)
+      extends Check { def name = s"satisfies($label)" }
+
+  /** Key columns must identify rows uniquely. */
+  final case class Unique(cols: Seq[String]) extends Check {
+    def name = s"unique(${cols.mkString(",")})"
+  }
+
+  /** Every non-null child key must exist in `dim.dimKey`. */
+  final case class RefIntegrity(col: String, dim: DataFrame, dimKey: String)
+      extends Check { def name = s"ref($col)" }
+
+  /** Evaluate `checks` against `df` → one row per check:
+    * (check, observed, violations, pass). `observed` is the row count
+    * for row-level checks, the distinct-key count for Unique, and the
+    * distinct non-null child-key count for RefIntegrity. */
+  def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "QualityOps.report needs at least one check")
+    def viol(c: Check): Column = c match {
+      case NotNull(cl, blank) =>
+        val base = col(cl).isNull
+        if (blank) base || trim(col(cl)) === "" else base
+      case InSet(cl, allowed) => !col(cl).isInCollection(allowed) ||
+        col(cl).isNull
+      case Bounds(cl, lo, hi) => col(cl).isNull ||
+        col(cl) < lo || col(cl) > hi
+      case Satisfies(_, p) => !coalesce(p, lit(false))
+      case other => throw new IllegalArgumentException(
+        s"not a row-level check: $other")
+    }
+    val rowLevel = checks.collect {
+      case c @ (_: NotNull | _: InSet | _: Bounds | _: Satisfies) => c
+    }
+    val rowReport: Option[DataFrame] =
+      if (rowLevel.isEmpty) None
+      else Some {
+        // one scan, one agg: every row-level check is a conditional sum
+        val aggs = rowLevel.zipWithIndex.map { case (c, i) =>
+          sum(when(viol(c), 1L).otherwise(0L)).as(s"_v$i") }
+        val agged = df.agg(count(lit(1)).as("_n"), aggs: _*)
+        val one = rowLevel.zipWithIndex.map { case (c, i) =>
+          struct(lit(c.name).as("check"), col("_n").as("observed"),
+                 col(s"_v$i").as("violations"))
+        }
+        agged.select(explode(array(one: _*)).as("r"))
+          .select(col("r.check"), col("r.observed"), col("r.violations"))
+      }
+    val setReports: Seq[DataFrame] = checks.collect {
+      case c @ Unique(cols_) =>
+        val keyed = df.groupBy(cols_.map(col): _*)
+          .agg(count(lit(1)).as("_c"))
+        keyed.agg(count(lit(1)).as("observed"),
+            coalesce(sum(when(col("_c") > 1, col("_c") - 1L)
+              .otherwise(0L)), lit(0L)).as("violations"))
+          .select(lit(c.name).as("check"), col("observed"),
+                  col("violations"))
+      case c @ RefIntegrity(cl, dim, dimKey) =>
+        val keys = df.filter(col(cl).isNotNull)
+          .select(col(cl).as(dimKey)).distinct()
+        val orphans = keys.join(dim.select(col(dimKey)).distinct(),
+                                Seq(dimKey), "left_anti")
+        keys.agg(count(lit(1)).as("observed"))
+          .crossJoin(broadcast(
+            orphans.agg(count(lit(1)).as("violations"))))
+          .select(lit(c.name).as("check"), col("observed"),
+                  col("violations"))
+    }
+    (rowReport.toSeq ++ setReports)
+      .reduce(_ unionByName _)
+      .withColumn("pass", col("violations") === 0L)
+  }
+}

@@ -733,4 +733,49 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(direct == merged,
       "KMV union must compose from per-source sketches")
   }
+
+  test("x97 systematic PPS: exactly n draws, heavy items guaranteed in, partition-invariant") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("x97_pps_systematic")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3)))
+    // the n anchor points all fall in [0, totalW) => total multiplicity
+    // is exactly n
+    assert(rows.map(_._4).sum == 50L,
+      s"systematic PPS must draw exactly n units, got ${rows.map(_._4).sum}")
+    assert(rows.forall(_._4 >= 1))
+    // selection is a pure function of the data: physical layout must not
+    // change the sample
+    val d = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+      .repartition(13)
+    val again = graft.ops.PrefixSumOps
+      .runningSum(d, Seq(), "doc_id", "w", "cum_w", "tot_w")
+      .withColumn("step", expr("tot_w div 50"))
+      .withColumn("anchor", expr("step div 2"))
+      .filter(col("step") > 0)
+      .withColumn("lo", col("cum_w") - col("w"))
+      .withColumn("g_hi", expr(
+        "CASE WHEN cum_w <= anchor THEN 0L ELSE " +
+        "least(cast(50 as bigint), (cum_w - anchor - 1) div step + 1) END"))
+      .withColumn("g_lo", expr(
+        "CASE WHEN lo <= anchor THEN 0L ELSE " +
+        "least(cast(50 as bigint), (lo - anchor - 1) div step + 1) END"))
+      .withColumn("mult", col("g_hi") - col("g_lo"))
+      .filter(col("mult") >= 1)
+      .select(col("doc_id"), col("w"), col("cum_w"), col("mult"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq,
+      "sample must be invariant to physical partitioning")
+    // a document at least one step wide can never be skipped
+    val tot = Tables(spark, sfDir, "documents")
+      .agg(sum(col("n_chars"))).collect()(0).getLong(0)
+    val trueStep = tot / 50
+    val heavy = Tables(spark, sfDir, "documents")
+      .filter(col("n_chars") >= trueStep)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(heavy.subsetOf(rows.map(_._1).toSet),
+      "items with w >= step must be selected")
+  }
 }

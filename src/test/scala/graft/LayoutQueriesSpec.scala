@@ -378,4 +378,27 @@ class LayoutQueriesSpec extends SparkSpec {
     assert(hits > got.count() / 2,
       s"reversed-name pass should catch most true matches, got $hits")
   }
+
+  test("x99 edit-distance join: prefix pruning equals brute force and finds every planted 1-edit pair") {
+    val dirtySql = "concat(substring(c_name, 1, 9 + c_custkey % 5), " +
+      "substring(c_name, 11 + c_custkey % 5, 30))"
+    val clean = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey").as("cid"), col("c_name").as("cn"))
+    val dirty = Tables(spark, sfDir, "customer")
+      .filter(col("c_custkey") % 100 === 7)
+      .select(col("c_custkey").as("did"), expr(dirtySql).as("dn"))
+    val brute = dirty.crossJoin(clean)
+      .withColumn("lev", levenshtein(col("dn"), col("cn"), 2))
+      .filter(col("lev") >= 0 && col("lev") <= 2)
+      .select(col("did"), col("cid"), col("lev"))
+    val got = run("x99_editdist_join")
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty,
+      "q-gram prefix candidates must lose no qualifying pair")
+    // the deletion fixture plants (k, k) at distance exactly 1 for every
+    // customer — zero-miss means all of them surface
+    val n = dirty.count()
+    assert(n > 0, "batch filter must select some records at this SF")
+    assert(got.filter(col("did") === col("cid") && col("lev") === 1)
+      .count() == n, "every planted 1-edit pair must be found")
+  }
 }

@@ -1003,4 +1003,32 @@ class PlanShapeSpec extends SparkSpec {
       "near-dup candidates must come from pigeonhole blocks:\n"
         + plan.take(3000))
   }
+
+  test("x99 edit-distance join: candidates from rare-gram equi-joins; prefix ranks push down as group limits") {
+    val plan = planOf("x99_editdist_join")
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the gram equi-join:\n" + plan.take(3000))
+    // the per-name rank<=5 prefix selection must push a map-side
+    // WindowGroupLimit so only 5 grams per name reach the rank exchange
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
+  test("b05 ANN steady state: corpus scan is statically partition-pruned to the probed cells") {
+    val df = SparkEntry.queries("b05_ann_steady")(spark, sfDir)
+    df.collect() // materializes the pay-once layout if absent
+    val plan = SparkEntry.queries("b05_ann_steady")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      "probe cells must prune partitions at the scan:\n" + plan.take(3000))
+    // layout is pay-once: a second run must not rewrite it
+    val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val dirF = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_ivf_$sfTag")
+    assert(dirF.isDirectory)
+    val stamp = dirF.listFiles().map(_.lastModified()).max
+    SparkEntry.queries("b05_ann_steady")(spark, sfDir).collect()
+    assert(dirF.listFiles().map(_.lastModified()).max == stamp,
+      "steady-state run must not rewrite the cell layout")
+  }
 }

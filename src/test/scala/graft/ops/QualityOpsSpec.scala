@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import QualityOps._
+
+/** Crafted-violation coverage for the declarative constraint suite: every
+  * check type must count its planted defects exactly (x101 oracles the
+  * clean-table case; these pin the dirty paths). */
+class QualityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = Seq(1L, 2L, 3L).toDF("k")
+
+  test("each check counts exactly its planted violations") {
+    val df = Seq(
+      // (id, fk, status, v)
+      (Some(1L), Some(1L), "O", Some(10L)),
+      (Some(1L), Some(2L), "F", Some(20L)),   // dup id 1
+      (Some(2L), None, "X", Some(-5L)),       // bad status, below bounds
+      (None, Some(9L), "O", None),            // null id, orphan fk, null v
+      (Some(3L), Some(3L), "P", Some(999L))   // above bounds
+    ).toDF("id", "fk", "status", "v")
+    val rep = report(df, Seq(
+      NotNull("id"),
+      InSet("status", Seq("O", "F", "P")),
+      Bounds("v", 0L, 100L),
+      Satisfies("v_even", col("v") % 2 === 0),
+      Unique(Seq("id")),
+      RefIntegrity("fk", dim, "k")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rep("not_null(id)") == ((5L, 1L, false)))
+    assert(rep("in_set(status)") == ((5L, 1L, false)))
+    // violations: -5 below, null, 999 above
+    assert(rep("bounds(v)") == ((5L, 3L, false)))
+    // odd or null v: -5 odd, null, 999 odd
+    assert(rep("satisfies(v_even)") == ((5L, 3L, false)))
+    // 4 distinct keys (1, 2, null, 3); one extra row of id 1
+    assert(rep("unique(id)") == ((4L, 1L, false)))
+    // distinct non-null fks {1,2,3,9}; 9 is an orphan
+    assert(rep("ref(fk)") == ((4L, 1L, false)))
+  }
+
+  test("a clean frame passes every check and row-level checks share one scan") {
+    val df = Seq((1L, 1L, "O", 10L), (2L, 2L, "F", 20L))
+      .toDF("id", "fk", "status", "v")
+    val checks = Seq(NotNull("id"), InSet("status", Seq("O", "F")),
+      Bounds("v", 0L, 100L), Unique(Seq("id")),
+      RefIntegrity("fk", dim, "k"))
+    val rep = report(df, checks)
+    assert(rep.collect().forall(_.getBoolean(3)), "clean frame must pass")
+    // the three row-level checks fold into ONE aggregate over one scan:
+    // the plan contains exactly one scan of the base frame feeding an
+    // agg with all three conditional sums
+    val rowOnly = report(df, Seq(NotNull("id"),
+      InSet("status", Seq("O", "F")), Bounds("v", 0L, 100L)))
+    val plan = rowOnly.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Union"),
+      "row-level checks must not fan out into per-check scans:\n" + plan)
+  }
+
+  test("NotNull with trimBlank counts blank strings; empty check list refuses") {
+    val df = Seq(("a"), (" "), ("")).toDF("s")
+    val rep = report(df, Seq(NotNull("s", trimBlank = true))).collect()
+    assert(rep(0).getLong(2) == 2L)
+    intercept[IllegalArgumentException] {
+      report(df, Seq.empty)
+    }
+  }
+}
