@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Compaction
@@ -174,6 +174,57 @@ object LayoutQueries {
         .select(col("d_id"), col("m.cid").as("matched"),
                 col("m.jw").as("jw"))
         .orderBy(col("d_id"))
+    }),
+
+    // X102 — GOLDEN-RECORD consolidation, end-to-end MDM: duplicate
+    // customer records (three deterministic variants per customer — the
+    // original, a name-corrupted copy with a missing balance, a
+    // conflicting-balance copy with a missing segment) are blocked,
+    // matched (lev ≤ 2), clustered (connected components — the x14
+    // label-propagation kernel on linkage edges), and each cluster is
+    // collapsed to ONE canonical record by FIELD-WISE survivorship
+    // rules: name = longest (ties → lexicographically greatest — one
+    // max(struct)), balance = greatest non-null, segment = first
+    // non-null by sort. Every rule is a partial-aggregable agg, so
+    // consolidation is one keyed pass over cluster labels; the whole
+    // dataflow (block → verify → cluster → survive) is the ER twin of
+    // x17's dedup-corpus pipeline and is oracled end-to-end with a
+    // recursive-CTE closure. Blocks can legitimately merge different
+    // source customers whose names sit within the threshold (dense key
+    // space) — n_records > 3 rows audit exactly that over-merge.
+    "x102_golden_record" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      def rec(variant: Int, nm: Column, bal: Column, seg: Column) =
+        c.select((col("c_custkey") * 10 + variant).as("rid"),
+                 nm.as("nm"), bal.as("bal"), seg.as("seg"))
+      val recs = rec(0, col("c_name"),
+          round(col("c_acctbal") * 100).cast("long"), col("c_mktsegment"))
+        .unionByName(rec(1, expr(dirtySql),
+          lit(null).cast("long"), col("c_mktsegment")))
+        .unionByName(rec(2, col("c_name"),
+          (round(col("c_acctbal") * 100) + col("c_custkey") % 7)
+            .cast("long"), lit(null).cast("string")))
+        .withColumn("bk", expr(blockKey("nm")))
+        .persist()
+      val a = recs.select(col("bk"), col("rid").as("id_a"),
+                          col("nm").as("nm_a"))
+      val b = recs.select(col("bk"), col("rid").as("id_b"),
+                          col("nm").as("nm_b"))
+      val pairs = a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+        .withColumn("lev", levenshtein(col("nm_a"), col("nm_b"), 2))
+        .filter(col("lev") >= 0 && col("lev") <= 2)
+        .select(col("id_a"), col("id_b"))
+      val labels = graft.operators.DedupOperators.clusterPairs(pairs)
+      recs.join(labels, recs("rid") === labels("id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_records"),
+             max(struct(length(col("nm")).as("l"), col("nm").as("nm")))
+               .as("m"),
+             max(col("bal")).as("bal_cents"),
+             min(col("seg")).as("segment"))
+        .select(col("label"), col("n_records"), col("m.nm").as("name"),
+                col("bal_cents"), col("segment"))
+        .orderBy(col("label"))
     }),
 
     // X100 — RECIPROCAL best match (mutual nearest neighbor): the
@@ -609,6 +660,47 @@ object LayoutQueries {
                    FROM sc)
           SELECT d_id, cid AS matched, jw, (cid = d_id) AS hit
           FROM best WHERE r = 1 ORDER BY d_id""",
+
+    "x102_golden_record" ->
+      s"""WITH RECURSIVE
+          recs AS (
+            SELECT c_custkey * 10 AS rid, c_name AS nm,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+                   c_mktsegment AS seg
+            FROM customer
+            UNION ALL
+            SELECT c_custkey * 10 + 1, $dirtySql, NULL, c_mktsegment
+            FROM customer
+            UNION ALL
+            SELECT c_custkey * 10 + 2, c_name,
+                   CAST(round(c_acctbal * 100) AS BIGINT) + c_custkey % 7,
+                   NULL
+            FROM customer),
+          bkd AS (SELECT rid, nm, ${blockKey("nm")} AS bk FROM recs),
+          pairs AS (SELECT a.rid AS src, b.rid AS dst
+                    FROM bkd a JOIN bkd b
+                      ON a.bk = b.bk AND a.rid < b.rid
+                     AND levenshtein(a.nm, b.nm) <= 2),
+          edges AS (SELECT src, dst FROM pairs
+                    UNION SELECT dst, src FROM pairs),
+          comp(id, lbl) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id),
+          lab AS (SELECT id, min(lbl) AS label FROM comp GROUP BY id),
+          j AS (SELECT lab.label, r.nm, r.bal, r.seg
+                FROM recs r JOIN lab ON lab.id = r.rid),
+          g AS (SELECT label, count(*)::BIGINT AS n_records,
+                  max(bal)::BIGINT AS bal_cents, min(seg) AS segment
+                FROM j GROUP BY label),
+          best AS (SELECT label, nm,
+                     row_number() OVER (PARTITION BY label
+                       ORDER BY length(nm) DESC, nm DESC) AS rn
+                   FROM j)
+          SELECT g.label, g.n_records, best.nm AS name,
+                 g.bal_cents, g.segment
+          FROM g JOIN best ON best.label = g.label AND best.rn = 1
+          ORDER BY g.label""",
 
     "x100_reciprocal_match" ->
       s"""WITH clean AS (SELECT c_custkey, c_name,

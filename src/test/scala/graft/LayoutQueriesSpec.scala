@@ -401,4 +401,18 @@ class LayoutQueriesSpec extends SparkSpec {
     assert(got.filter(col("did") === col("cid") && col("lev") === 1)
       .count() == n, "every planted 1-edit pair must be found")
   }
+
+  test("x102 golden record: survivorship recovers the uncorrupted fields for every cluster") {
+    val rows = run("x102_golden_record").collect()
+    val nCust = Tables(spark, sfDir, "customer").count()
+    // every record lands in exactly one cluster
+    assert(rows.map(_.getLong(1)).sum == 3 * nCust)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 3, s"cluster below one customer's variants: $r")
+      // longest-name rule always recovers an uncorrupted 18-char name
+      assert(r.getString(2).length == 18, s"corrupted name survived: $r")
+      // balance and segment each exist on >= 1 variant per customer
+      assert(!r.isNullAt(3) && !r.isNullAt(4), s"null field survived: $r")
+    }
+  }
 }
