@@ -92,6 +92,46 @@ object LayoutQueries {
       .orderBy(col("user_id"))
   }
 
+  /** x102/x103 record fixture: three deterministic variants per
+    * customer — original, name-corrupted with missing balance,
+    * conflicting balance with missing segment — plus the blocking key. */
+  private def goldenRecords(c: DataFrame): DataFrame = {
+    def rec(variant: Int, nm: Column, bal: Column, seg: Column) =
+      c.select((col("c_custkey") * 10 + variant).as("rid"),
+               nm.as("nm"), bal.as("bal"), seg.as("seg"))
+    rec(0, col("c_name"),
+        round(col("c_acctbal") * 100).cast("long"), col("c_mktsegment"))
+      .unionByName(rec(1, expr(dirtySql),
+        lit(null).cast("long"), col("c_mktsegment")))
+      .unionByName(rec(2, col("c_name"),
+        (round(col("c_acctbal") * 100) + col("c_custkey") % 7)
+          .cast("long"), lit(null).cast("string")))
+      .withColumn("bk", expr(blockKey("nm")))
+  }
+
+  /** Blocked lev≤2 linkage edges a×b, normalized to id_a < id_b. */
+  private def linkPairs(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("bk"), col("rid").as("id_a"), col("nm").as("nm_a"))
+      .join(b.select(col("bk"), col("rid").as("id_b"),
+                     col("nm").as("nm_b")), Seq("bk"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("lev", levenshtein(col("nm_a"), col("nm_b"), 2))
+      .filter(col("lev") >= 0 && col("lev") <= 2)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+              greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+
+  /** Field-wise survivorship partials over labeled records — merge-closed
+    * (count sums, max(struct)/max/min re-reduce), which is what makes the
+    * x103 incremental path sound. */
+  private def survivorPartials(labeled: DataFrame): DataFrame =
+    labeled.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_records"),
+           max(struct(length(col("nm")).as("l"), col("nm").as("nm")))
+             .as("m"),
+           max(col("bal")).as("bal_cents"),
+           min(col("seg")).as("segment"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q95 — Z-order clustering kernel: interleave (custkey, balance)
@@ -193,35 +233,58 @@ object LayoutQueries {
     // source customers whose names sit within the threshold (dense key
     // space) — n_records > 3 rows audit exactly that over-merge.
     "x102_golden_record" -> ((s, dir) => {
-      val c = Tables(s, dir, "customer")
-      def rec(variant: Int, nm: Column, bal: Column, seg: Column) =
-        c.select((col("c_custkey") * 10 + variant).as("rid"),
-                 nm.as("nm"), bal.as("bal"), seg.as("seg"))
-      val recs = rec(0, col("c_name"),
-          round(col("c_acctbal") * 100).cast("long"), col("c_mktsegment"))
-        .unionByName(rec(1, expr(dirtySql),
-          lit(null).cast("long"), col("c_mktsegment")))
-        .unionByName(rec(2, col("c_name"),
-          (round(col("c_acctbal") * 100) + col("c_custkey") % 7)
-            .cast("long"), lit(null).cast("string")))
-        .withColumn("bk", expr(blockKey("nm")))
+      val recs = goldenRecords(Tables(s, dir, "customer")).persist()
+      val labels = graft.operators.DedupOperators
+        .clusterPairs(linkPairs(recs, recs))
+      survivorPartials(recs.join(labels, recs("rid") === labels("id")))
+        .select(col("label"), col("n_records"), col("m.nm").as("name"),
+                col("bal_cents"), col("segment"))
+        .orderBy(col("label"))
+    }),
+
+    // X103 — INCREMENTAL golden record: maintain x102's consolidated
+    // table under a 10% batch of newly arriving customers WITHOUT
+    // re-scanning history. Three persisted artifacts do all the work:
+    // yesterday's labels (collapsed to star edges — x92's device, which
+    // preserves connectivity and the min-root), yesterday's per-cluster
+    // SURVIVORSHIP PARTIALS (merge-closed: counts sum, max(struct)/max/
+    // min re-reduce), and the batch records. New linkage edges touch
+    // only batch×all blocks; pointer jumping runs over |V_old| + |ΔE|;
+    // old partials are re-keyed through the label map (old label → its
+    // new label, identity for untouched clusters) and re-aggregated with
+    // the batch partials. The oracle is x102's FULL-RECOMPUTE closure
+    // over all records, so hash parity IS the incremental ≡ recompute
+    // proof — including batch records that merge two old clusters.
+    "x103_golden_incremental" -> ((s, dir) => {
+      import graft.operators.DedupOperators
+      val recs = goldenRecords(Tables(s, dir, "customer")).persist()
+      val isBatch = expr("rid div 10 % 10 = 3")
+      val hist = recs.filter(!isBatch)
+      val batch = recs.filter(isBatch)
+      val labelsOld = DedupOperators.clusterPairs(
+        linkPairs(hist, hist), maxIters = 30).persist()
+      val oldPart = survivorPartials(
+        hist.join(labelsOld, hist("rid") === labelsOld("id")))
+      val starEdges = labelsOld.filter(col("id") =!= col("label"))
+        .select(col("id").as("id_a"), col("label").as("id_b"))
+      val labelsNew = DedupOperators.clusterPairs(
+        starEdges.unionByName(linkPairs(batch, recs)), maxIters = 30)
         .persist()
-      val a = recs.select(col("bk"), col("rid").as("id_a"),
-                          col("nm").as("nm_a"))
-      val b = recs.select(col("bk"), col("rid").as("id_b"),
-                          col("nm").as("nm_b"))
-      val pairs = a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
-        .withColumn("lev", levenshtein(col("nm_a"), col("nm_b"), 2))
-        .filter(col("lev") >= 0 && col("lev") <= 2)
-        .select(col("id_a"), col("id_b"))
-      val labels = graft.operators.DedupOperators.clusterPairs(pairs)
-      recs.join(labels, recs("rid") === labels("id"))
+      // old label → new label; clusters untouched by the batch keep
+      // their label (their root never entered the new edge set)
+      val relabel = labelsNew
+        .select(col("id").as("label"), col("label").as("_nl"))
+      val oldMapped = oldPart.join(relabel, Seq("label"), "left")
+        .withColumn("label", coalesce(col("_nl"), col("label")))
+        .drop("_nl")
+      val batchPart = survivorPartials(
+        batch.join(labelsNew, batch("rid") === labelsNew("id")))
+      oldMapped.unionByName(batchPart)
         .groupBy(col("label"))
-        .agg(count(lit(1)).as("n_records"),
-             max(struct(length(col("nm")).as("l"), col("nm").as("nm")))
-               .as("m"),
-             max(col("bal")).as("bal_cents"),
-             min(col("seg")).as("segment"))
+        .agg(sum(col("n_records")).as("n_records"),
+             max(col("m")).as("m"),
+             max(col("bal_cents")).as("bal_cents"),
+             min(col("segment")).as("segment"))
         .select(col("label"), col("n_records"), col("m.nm").as("name"),
                 col("bal_cents"), col("segment"))
         .orderBy(col("label"))
@@ -662,6 +725,48 @@ object LayoutQueries {
           FROM best WHERE r = 1 ORDER BY d_id""",
 
     "x102_golden_record" ->
+      s"""WITH RECURSIVE
+          recs AS (
+            SELECT c_custkey * 10 AS rid, c_name AS nm,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+                   c_mktsegment AS seg
+            FROM customer
+            UNION ALL
+            SELECT c_custkey * 10 + 1, $dirtySql, NULL, c_mktsegment
+            FROM customer
+            UNION ALL
+            SELECT c_custkey * 10 + 2, c_name,
+                   CAST(round(c_acctbal * 100) AS BIGINT) + c_custkey % 7,
+                   NULL
+            FROM customer),
+          bkd AS (SELECT rid, nm, ${blockKey("nm")} AS bk FROM recs),
+          pairs AS (SELECT a.rid AS src, b.rid AS dst
+                    FROM bkd a JOIN bkd b
+                      ON a.bk = b.bk AND a.rid < b.rid
+                     AND levenshtein(a.nm, b.nm) <= 2),
+          edges AS (SELECT src, dst FROM pairs
+                    UNION SELECT dst, src FROM pairs),
+          comp(id, lbl) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id),
+          lab AS (SELECT id, min(lbl) AS label FROM comp GROUP BY id),
+          j AS (SELECT lab.label, r.nm, r.bal, r.seg
+                FROM recs r JOIN lab ON lab.id = r.rid),
+          g AS (SELECT label, count(*)::BIGINT AS n_records,
+                  max(bal)::BIGINT AS bal_cents, min(seg) AS segment
+                FROM j GROUP BY label),
+          best AS (SELECT label, nm,
+                     row_number() OVER (PARTITION BY label
+                       ORDER BY length(nm) DESC, nm DESC) AS rn
+                   FROM j)
+          SELECT g.label, g.n_records, best.nm AS name,
+                 g.bal_cents, g.segment
+          FROM g JOIN best ON best.label = g.label AND best.rn = 1
+          ORDER BY g.label""",
+
+        // incremental ≡ recompute: the oracle is the identical full closure
+    "x103_golden_incremental" ->
       s"""WITH RECURSIVE
           recs AS (
             SELECT c_custkey * 10 AS rid, c_name AS nm,

@@ -415,4 +415,15 @@ class LayoutQueriesSpec extends SparkSpec {
       assert(!r.isNullAt(3) && !r.isNullAt(4), s"null field survived: $r")
     }
   }
+
+  test("x103 incremental golden record is row-identical to the x102 full recompute") {
+    val full = run("x102_golden_record")
+    val inc = run("x103_golden_incremental")
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "merging old partials + batch must equal consolidating everything")
+    // the batch split must be non-trivial for the test to mean anything
+    val batchCust = Tables(spark, sfDir, "customer")
+      .filter(col("c_custkey") % 10 === 3).count()
+    assert(batchCust > 0)
+  }
 }
