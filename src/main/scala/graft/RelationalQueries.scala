@@ -507,6 +507,22 @@ object RelationalQueries {
           "doc_id", "sh", 1, 2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // X104 — exact binary-COSINE threshold join (cos >= 0.8 over the
+    // distinct 3-gram shingle sets): the fourth exact-join family member. Same zero-miss
+    // prefix architecture as q111 with the cosine bounds (overlap >=
+    // tau²·max length, symmetric tau² length filter, integer
+    // cross-multiplied verify); the oracle generates candidates from ANY
+    // shared token, so hash parity re-proves the tighter cosine prefix
+    // dropped no qualifying pair.
+    "x104_cosine_setjoin" -> ((s, dir) =>
+      SetSimJoin.cosineJoin(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), T.words(col("text")).as("_w"))
+            .select(col("doc_id"), array_distinct(
+              T.shinglesFromWords(col("_w"), 3)).as("sh")),
+          "doc_id", "sh", 4, 5)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Q112 — skyline / Pareto frontier per brand (minimize price,
     // maximize size): the O(n log n) window formulation instead of the
     // textbook O(n²) NOT-EXISTS self-join (which the oracle runs — same
@@ -1093,6 +1109,26 @@ object RelationalQueries {
          SELECT id_a, id_b, inter, tot - inter AS uni,
                 round(inter::DOUBLE / (tot - inter), 4) AS jac
          FROM v WHERE inter * 2 >= (tot - inter) * 1
+         ORDER BY id_a, id_b""",
+
+    // candidates from ANY shared token — parity re-proves the cosine
+    // prefix filter is zero-miss
+    "x104_cosine_setjoin" ->
+      s"""WITH s AS (SELECT doc_id, list_distinct($shinglesSql) AS ws
+                     FROM documents),
+         e AS (SELECT doc_id, unnest(ws) AS g FROM s),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM e a JOIN e b ON b.g = a.g AND b.doc_id > a.doc_id),
+         v AS (SELECT id_a, id_b,
+                 len(list_filter(sa.ws, x -> list_contains(sb.ws, x)))::BIGINT
+                   AS inter,
+                 len(sa.ws)::BIGINT AS n_a, len(sb.ws)::BIGINT AS n_b
+               FROM cand
+               JOIN s sa ON sa.doc_id = cand.id_a
+               JOIN s sb ON sb.doc_id = cand.id_b)
+         SELECT id_a, id_b, inter, n_a, n_b,
+                round(inter::DOUBLE / sqrt((n_a * n_b)::DOUBLE), 4) AS cos
+         FROM v WHERE inter * inter * 25 >= n_a * n_b * 16
          ORDER BY id_a, id_b""",
 
     // The textbook quadratic dominance check — the window formulation in

@@ -130,4 +130,69 @@ object SetSimJoin {
               round(col("inter").cast("double") / col("uni"), 4).as("jac"))
     (cand, out)
   }
+
+  /** Exact binary-COSINE threshold join: all pairs with
+    * cos(A,B) = |A∩B| / sqrt(|A|·|B|) >= tau over distinct-element
+    * sets — the fourth member of the exact-join family (Jaccard above,
+    * containment x86/x90, edit distance x99). Same architecture, cosine
+    * bounds:
+    *
+    *  - Overlap bound: cos >= tau forces ov >= tau²·max(|A|,|B|)
+    *    (ov² >= tau²|A||B| and ov <= min(|A|,|B|)), so per doc the
+    *    prefix is the first |A| - ceil(tau²·|A|) + 1 elements under the
+    *    global (df, element) order — zero-miss by the same pigeonhole
+    *    as the Jaccard prefix.
+    *  - Length filter: tau²·|A| <= |B| <= |A|/tau², applied inside the
+    *    candidate join.
+    *  - Verify: ov²·tauDen² >= |A|·|B|·tauNum² — all integer, so the
+    *    oracle (candidates from ANY shared element) re-proves the
+    *    pruning complete and checks exact values.
+    */
+  def cosineJoin(docs: DataFrame, idCol: String, setCol: String,
+                 tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"cosineJoin: tau must be in (0,1], got $tauNum/$tauDen")
+    val n2 = tauNum.toLong * tauNum
+    val d2 = tauDen.toLong * tauDen
+    val sets = docs.select(col(idCol).cast("long").as("_id"),
+                           col(setCol).as("_set")).persist()
+    val elems = sets.select(col("_id"),
+      size(col("_set")).cast("long").as("_len"),
+      explode(col("_set")).as("_e"))
+    val dfreq = elems.groupBy(col("_e"))
+      .agg(count(lit(1)).cast("long").as("_df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_df"), col("_e"))
+    // prefix p = len - ceil(tau² * len) + 1
+    val prefix = elems.join(dfreq.hint("shuffle_hash"), Seq("_e"))
+      .withColumn("_rn", row_number().over(wDoc).cast("long"))
+      .filter(col("_rn") <=
+        col("_len") - expr(s"(_len * $n2 + ${d2 - 1}) DIV $d2") + lit(1L))
+      .select(col("_id"), col("_len"), col("_e"))
+      .persist()
+    val a = prefix.select(col("_id").as("id_a"), col("_len").as("_la"),
+                          col("_e").as("_ea"))
+    val b = prefix.select(col("_id").as("id_b"), col("_len").as("_lb"),
+                          col("_e").as("_eb"))
+    val cand = a.hint("shuffle_hash").join(b,
+        col("_ea") === col("_eb") && col("id_a") < col("id_b") &&
+        least(col("_la"), col("_lb")) * d2 >=
+          greatest(col("_la"), col("_lb")) * n2)
+      .select(col("id_a"), col("id_b")).distinct()
+    val sa = sets.select(col("_id").as("id_a"), col("_set").as("_sa"),
+                         size(col("_set")).cast("long").as("_la"))
+    val sb = sets.select(col("_id").as("id_b"), col("_set").as("_sb"),
+                         size(col("_set")).cast("long").as("_lb"))
+    cand.join(sa.hint("shuffle_hash"), Seq("id_a"))
+      .join(sb.hint("shuffle_hash"), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+      .filter(col("inter") * col("inter") * d2 >=
+              col("_la") * col("_lb") * n2)
+      .select(col("id_a"), col("id_b"), col("inter"),
+              col("_la").as("n_a"), col("_lb").as("n_b"),
+              round(col("inter").cast("double") /
+                    sqrt((col("_la") * col("_lb")).cast("double")), 4)
+                .as("cos"))
+  }
 }

@@ -411,6 +411,30 @@ object StreamingOps {
     * (reconciliation-tested), and downstream set-operation estimates
     * (union/intersection across strata) compose from the emitted `kmv`
     * lists exactly as in x94. */
+  /** Streaming entity resolution against a static master list — x85's
+    * block/score/survive dataflow as a stream: arriving dirty records
+    * `(d_id, d_name, bk)` join the master `(cid, c_name, bk)` on the
+    * blocking key (a stream-static equi-join — the master is re-read
+    * per micro-batch, never state), every in-block candidate is
+    * JW-scored by the native expression, and the per-record best match
+    * is the same partial-aggregable min(struct(−jw, cid)) — held as
+    * streaming aggregation state so a record whose better match arrives
+    * in a later batch (or whose candidates span batches) converges to
+    * the batch answer. State is O(distinct streamed records) — one
+    * struct per d_id, no block fan-out retained — and update-mode
+    * output re-emits a record's row whenever its best match improves.
+    * Reconciliation-tested: the final state equals batch x85 restricted
+    * to the streamed ids. */
+  def streamingEntityMatch(dirty: DataFrame, master: DataFrame): DataFrame =
+    dirty.join(master, Seq("bk"))
+      .withColumn("jw", graft.functions.expr.JaroWinkler(
+        col("d_name"), col("c_name")))
+      .groupBy(col("d_id"))
+      .agg(min(struct((-col("jw")).as("njw"),
+                      col("cid").as("cid"),
+                      col("jw").as("jw"))).as("m"))
+      .select(col("d_id"), col("m.cid").as("matched"), col("m.jw").as("jw"))
+
   def streamingKmvDistinct(keys: DataFrame, k: Int = 64): DataFrame = {
     val bk = udaf(new graft.functions.BottomKDistinctLongAggregator(k),
                   org.apache.spark.sql.Encoders.scalaLong)

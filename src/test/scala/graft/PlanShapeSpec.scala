@@ -805,8 +805,9 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
   }
 
-  test("q111 set-sim join: candidate + verify joins are pinned shuffled-hash — no broadcast/SMJ flip possible") {
-    val plan = planOf("q111_setsim_join")
+  test("q111/x104 set-sim joins: candidate + verify joins are pinned shuffled-hash — no broadcast/SMJ flip possible") {
+    for (q <- Seq("q111_setsim_join", "x104_cosine_setjoin")) {
+    val plan = planOf(q)
     assert(!plan.contains("CartesianProduct") &&
            !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     // every frame in this dataflow is data-sized; the shuffle_hash hints
@@ -822,6 +823,7 @@ class PlanShapeSpec extends SparkSpec {
       "SMJ flip on the set-sim dataflow:\n" + plan.take(3000))
     assert(!plan.contains("BroadcastHashJoin"),
       "data-sized broadcast flip on the set-sim dataflow:\n" + plan.take(3000))
+    }
   }
 
   /** True iff some BroadcastExchange SUBTREE (structural, not a string

@@ -368,6 +368,38 @@ class RelationalQueriesSpec extends SparkSpec {
       (2L, 3L, 4L, 8L, 0.5)))
   }
 
+
+  test("x104 cosine join: boundary tau kept, prefix equals brute force on crafted sets") {
+    // cos(1,2) = 1.0; cos(1,3) = 4/sqrt(4*25) = 0.4 < 0.8 -> dropped;
+    // cos(4,5) = 4/sqrt(4*5) ~= 0.894 -> kept; cos(1,5) = 4/sqrt(20)
+    // ~= 0.894 -> kept; (6,7) share nothing
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "d")),
+      (3L, (1 to 21).map(i => s"z$i") ++ Seq("a", "b", "c", "d")),
+      (4L, Seq("a", "b", "c", "d")),
+      (5L, Seq("a", "b", "c", "d", "e")),
+      (6L, Seq("q", "r")),
+      (7L, Seq("s", "t")))
+      .toDF("doc_id", "sh")
+    val got = graft.operators.SetSimJoin
+      .cosineJoin(docs, "doc_id", "sh", 4, 5)
+      .select("id_a", "id_b", "inter", "n_a", "n_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // brute force with the same integer test
+    val raw = Seq(1L -> Set("a","b","c","d"), 2L -> Set("a","b","c","d"),
+      3L -> ((1 to 21).map(i => s"z$i").toSet ++ Set("a","b","c","d")),
+      4L -> Set("a","b","c","d"), 5L -> Set("a","b","c","d","e"),
+      6L -> Set("q","r"), 7L -> Set("s","t"))
+    val brute = (for {
+      (ia, sa) <- raw; (ib, sb) <- raw if ia < ib
+      ov = (sa & sb).size.toLong
+      if ov * ov * 25 >= sa.size.toLong * sb.size * 16
+    } yield (ia, ib, ov, sa.size.toLong, sb.size.toLong)).toSet
+    assert(got == brute, s"got $got want $brute")
+    assert(brute.exists { case (a, b, _, na, nb) => na != nb },
+      "fixture must exercise unequal set sizes")
+  }
 }
 
 object RelationalQueriesSpecHelper {

@@ -429,4 +429,38 @@ class StreamingSpec extends SparkSpec {
     assert(est > 0 && math.abs(est - 20L) < 40,
       s"saturated estimate wildly off (k=8 envelope): $est vs 20")
   }
+
+  test("streamingEntityMatch converges to the batch best-match for every streamed record") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dirtySql = "concat(substring(c_name, 1, 9 + c_custkey % 5), " +
+      "substring(c_name, 11 + c_custkey % 5, 30))"
+    def bk(nm: String) =
+      s"concat(substring($nm, 1, 3), substring($nm, -3, 3))"
+    val master = graft.Tables(spark, "/root/testdata/sf0.001", "customer")
+      .selectExpr("c_custkey AS cid", "c_name", s"${bk("c_name")} AS bk")
+    val dirtyAll = graft.Tables(spark, "/root/testdata/sf0.001", "customer")
+      .selectExpr("c_custkey AS d_id", s"$dirtySql AS d_name")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = dirtyAll.splitAt(dirtyAll.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingEntityMatch(
+        mem.toDF().toDF("d_id", "d_name")
+          .selectExpr("d_id", "d_name", s"${bk("d_name")} AS bk"),
+        master)
+      .writeStream.format("memory").queryName("em")
+      .outputMode("complete").start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("select d_id, matched, jw from em")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    val batch = graft.SparkEntry.queries("x85_jw_entity_match")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch,
+      "streamed best-match state must equal the batch x85 result")
+  }
 }
