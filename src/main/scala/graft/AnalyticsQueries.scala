@@ -480,6 +480,37 @@ object AnalyticsQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // X105 — frame-sampled VIDEO near-dup: the temporal-media member of
+    // the multimodal dedup family. The payload is treated as a frame
+    // sequence (64-byte frames over the hex encoding — the stub stands
+    // where a demuxer would); [[graft.operators.Multimodal
+    // .frameSamplePlan]] picks every 2nd frame BEFORE any per-frame work
+    // (the plan-level sampling that at scale means only sampled frames
+    // are ever decoded), each sampled frame gets one md5 fingerprint,
+    // and videos whose fingerprint SETS overlap at Jaccard ≥ ½ pair up
+    // through the exact [[graft.operators.SetSimJoin]] — prefix-filtered,
+    // shuffled-hash-pinned, zero-miss (the oracle generates candidates
+    // from ANY shared frame). Swapping the stub for real keyframes
+    // changes the fingerprint expression only; the sampling plan, the
+    // set join, and the verify are modality-independent.
+    "x105_video_neardup" -> ((s, dir) => {
+      import graft.operators.{Multimodal, SetSimJoin}
+      val m = Multimodal.withMediaStruct(
+        Tables(s, dir, "documents").select("doc_id", "text"),
+        col("text").cast("binary"), lit("vid"))
+      val vids = m
+        .withColumn("_hx", hex(col("media.payload")))
+        .withColumn("_nf", greatest(lit(1),
+          expr("length(_hx) div 128")).cast("int"))
+        .withColumn("fps", array_distinct(transform(
+          Multimodal.frameSamplePlan(col("_nf"), stride = 2),
+          i => md5(col("_hx").substr(i * 128 + 1, lit(128))
+                     .cast("binary")))))
+        .select(col("doc_id"), col("fps"))
+      SetSimJoin.join(vids, "doc_id", "fps", 1, 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // X19 — vector statistics via higher-order functions (aggregate /
     // transform over the embedding arrays — all map-side, codegen'd)
     "x19_vector_stats" -> ((s, dir) =>
@@ -1172,6 +1203,31 @@ object AnalyticsQueries {
           WHERE bit_count(xor(a.sh, b.sh)) <= 3
           ORDER BY id_a, id_b"""
     },
+
+    // candidates from ANY shared frame fingerprint — parity re-proves
+    // the set-join prefix dropped no qualifying video pair
+    "x105_video_neardup" ->
+      """WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+         fr AS (SELECT doc_id, list_distinct(list_transform(
+                  list_filter(
+                    generate_series(0, greatest(1, length(h) // 128) - 1),
+                    i -> i % 2 = 0),
+                  i -> md5(substr(h, i * 128 + 1, 128)))) AS fps
+                FROM hx),
+         e AS (SELECT doc_id, unnest(fps) AS g FROM fr),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM e a JOIN e b ON b.g = a.g AND b.doc_id > a.doc_id),
+         v AS (SELECT id_a, id_b,
+                 len(list_filter(sa.fps,
+                   x -> list_contains(sb.fps, x)))::BIGINT AS inter,
+                 (len(sa.fps) + len(sb.fps))::BIGINT AS tot
+               FROM cand
+               JOIN fr sa ON sa.doc_id = cand.id_a
+               JOIN fr sb ON sb.doc_id = cand.id_b)
+         SELECT id_a, id_b, inter, tot - inter AS uni,
+                round(inter::DOUBLE / (tot - inter), 4) AS jac
+         FROM v WHERE inter * 2 >= (tot - inter) * 1
+         ORDER BY id_a, id_b""",
 
     "x17_dedup_corpus" -> {
       val comps = (0 until 8).map(seed =>

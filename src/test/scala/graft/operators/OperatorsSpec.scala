@@ -292,4 +292,29 @@ class OperatorsSpec extends SparkSpec {
     val again = media.select("decoded.width").collect()
     assert(r.map(_.getInt(1)).toSeq == again.map(_.getInt(0)).toSeq)
   }
+
+  test("frameSamplePlan + fingerprint set: identical payloads pair exactly; stride picks every k-th frame") {
+    import spark.implicits._
+    // stride semantics: frames 0..9, stride 3 -> 0,3,6,9
+    val plan = Seq(1).toDF("x")
+      .select(Multimodal.frameSamplePlan(lit(10), 3).as("f"))
+      .collect().head.getSeq[Int](0)
+    assert(plan == Seq(0, 3, 6, 9))
+    // x105 composition: same payload -> same fingerprint set -> jac 1.0;
+    // disjoint payload never pairs
+    val base = ("A" * 600, "B" * 600)
+    val vids = Seq((1L, base._1), (2L, base._1), (3L, base._2))
+      .toDF("doc_id", "text")
+      .withColumn("_hx", hex(col("text").cast("binary")))
+      .withColumn("_nf", greatest(lit(1),
+        expr("length(_hx) div 128")).cast("int"))
+      .withColumn("fps", array_distinct(transform(
+        Multimodal.frameSamplePlan(col("_nf"), stride = 2),
+        i => md5(col("_hx").substr(i * 128 + 1, lit(128))
+                   .cast("binary")))))
+      .select(col("doc_id"), col("fps"))
+    val got = SetSimJoin.join(vids, "doc_id", "fps", 1, 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+  }
 }
