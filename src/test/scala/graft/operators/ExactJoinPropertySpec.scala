@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Randomized (seeded — reproducible) brute-force equivalence for the
+  * exact-join family: on arbitrary random set corpora the prefix-filtered
+  * joins must return EXACTLY the brute-force result — the zero-miss
+  * theorems hold for every input, not just the crafted fixtures and the
+  * testdata the oracle sees. Element distributions are zipf-ish so
+  * prefixes actually prune (uniform elements would make every prefix
+  * equally rare and hide ordering bugs). */
+class ExactJoinPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Zipf-ish random set corpus: n sets of size in [1, maxLen] over a
+    * skewed element universe. */
+  private def corpus(seed: Long, n: Int, maxLen: Int): Seq[(Long, Seq[String])] = {
+    val rnd = new scala.util.Random(seed)
+    val base = (0 until n).map { i =>
+      val len = 1 + rnd.nextInt(maxLen)
+      val els = Iterator.continually {
+        // skew: element k drawn with weight ~ 1/(k+1)
+        val u = rnd.nextDouble()
+        s"e${(math.pow(60.0, u).toInt - 1)}"
+      }.take(len * 3).toSeq.distinct.take(len)
+      (i.toLong, els)
+    }
+    // plant exact and one-element-off clones of the widest sets so even
+    // tau -> 1 thresholds have qualifying pairs (non-vacuous at every
+    // threshold the tests use)
+    val wide = base.maxBy(_._2.length)
+    base ++ Seq(
+      (n.toLong, wide._2),
+      (n + 1L, wide._2.drop(1) :+ "planted"))
+  }
+
+  private def bruteJaccard(c: Seq[(Long, Seq[String])], num: Int, den: Int) =
+    (for {
+      (ia, sa0) <- c; (ib, sb0) <- c if ia < ib
+      sa = sa0.toSet; sb = sb0.toSet
+      inter = (sa & sb).size.toLong
+      uni = sa.size.toLong + sb.size - inter
+      if inter * den >= uni * num
+    } yield (ia, ib, inter, uni)).toSet
+
+  private def bruteCosine(c: Seq[(Long, Seq[String])], num: Int, den: Int) =
+    (for {
+      (ia, sa0) <- c; (ib, sb0) <- c if ia < ib
+      sa = sa0.toSet; sb = sb0.toSet
+      ov = (sa & sb).size.toLong
+      if ov * ov * den * den >= sa.size.toLong * sb.size * num * num
+    } yield (ia, ib, ov)).toSet
+
+  test("SetSimJoin.join equals brute force on random skewed corpora at several thresholds") {
+    for ((seed, num, den) <- Seq((1L, 1, 2), (2L, 3, 10), (3L, 9, 10))) {
+      val c = corpus(seed, n = 60, maxLen = 12)
+      val got = SetSimJoin.join(c.toDF("doc_id", "sh"), "doc_id", "sh",
+          num, den)
+        .select("id_a", "id_b", "inter", "uni")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = bruteJaccard(c, num, den)
+      assert(got == want,
+        s"seed=$seed tau=$num/$den: missed ${want -- got}, extra ${got -- want}")
+      assert(want.nonEmpty, s"seed=$seed tau=$num/$den: vacuous fixture")
+    }
+  }
+
+  test("SetSimJoin.cosineJoin equals brute force on random skewed corpora at several thresholds") {
+    for ((seed, num, den) <- Seq((4L, 4, 5), (5L, 1, 2), (6L, 19, 20))) {
+      val c = corpus(seed, n = 60, maxLen = 12)
+      val got = SetSimJoin.cosineJoin(c.toDF("doc_id", "sh"), "doc_id", "sh",
+          num, den)
+        .select("id_a", "id_b", "inter")
+        .as[(Long, Long, Long)].collect().toSet
+      val want = bruteCosine(c, num, den)
+      assert(got == want,
+        s"seed=$seed tau=$num/$den: missed ${want -- got}, extra ${got -- want}")
+      assert(want.nonEmpty, s"seed=$seed tau=$num/$den: vacuous fixture")
+    }
+  }
+
+  test("ContainmentJoin.join equals brute force on random skewed corpora") {
+    for (seed <- Seq(7L, 8L)) {
+      val c = corpus(seed, n = 50, maxLen = 10)
+      val df = c.toDF("doc_id", "sh")
+      // self-pairs are trivially contained when probes == corpus; compare
+      // on the ia != ib pairs, both directions (equal sets contain both
+      // ways)
+      val got = ContainmentJoin.join(df, df, "doc_id", "sh")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        .filterNot(p => p._1 == p._2)
+      val want = (for {
+        (ia, sa0) <- c; (ib, sb0) <- c if ia != ib
+        sa = sa0.toSet; sb = sb0.toSet
+        if sa.nonEmpty && sa.subsetOf(sb)
+      } yield (ia, ib)).toSet
+      assert(got == want,
+        s"seed=$seed: missed ${want -- got}, extra ${got -- want}")
+      assert(want.nonEmpty, s"seed=$seed: vacuous containment fixture")
+    }
+  }
+}
