@@ -409,34 +409,13 @@ object LayoutQueries {
     // brute-forces every (batch, clean) pair, so each hash-green run
     // re-proves the prefix pruning dropped no qualifying pair.
     "x99_editdist_join" -> ((s, dir) => {
-      val pref = 5 // q·k + 1 with q = 2, k = 2
       val clean = Tables(s, dir, "customer")
         .select(col("c_custkey").as("cid"), col("c_name").as("cn"))
       val dirty = Tables(s, dir, "customer")
         .filter(col("c_custkey") % 100 === 7)
         .select(col("c_custkey").as("did"), expr(dirtySql).as("dn"))
-      def grams(df: DataFrame, id: String, nm: String): DataFrame = df
-        .select(col(id), explode(array_distinct(expr(
-          s"transform(sequence(1, length($nm) - 1)," +
-          s" i -> substring($nm, i, 2))"))).as("g"))
-      val gd = grams(dirty, "did", "dn")
-      val gc = grams(clean, "cid", "cn")
-      val dfreq = gd.select(col("g")).unionAll(gc.select(col("g")))
-        .groupBy(col("g")).agg(count(lit(1)).as("df"))
-      def prefix(g: DataFrame, id: String): DataFrame = {
-        val w = Window.partitionBy(col(id))
-          .orderBy(col("df"), col("g"))
-        g.join(dfreq, Seq("g"))
-          .withColumn("_rk", row_number().over(w))
-          .filter(col("_rk") <= pref).select(col(id), col("g"))
-      }
-      prefix(gd, "did").join(prefix(gc, "cid"), Seq("g"))
-        .select(col("did"), col("cid")).distinct()
-        .join(dirty, Seq("did")).join(clean, Seq("cid"))
-        .filter(abs(length(col("dn")) - length(col("cn"))) <= 2)
-        .withColumn("lev", levenshtein(col("dn"), col("cn"), 2))
-        .filter(col("lev") >= 0 && col("lev") <= 2)
-        .select(col("did"), col("cid"), col("lev"))
+      graft.operators.EditDistanceJoin
+        .join(dirty, clean, "did", "dn", "cid", "cn", k = 2, q = 2)
         .orderBy(col("did"), col("cid"))
     }),
 

@@ -100,4 +100,47 @@ class ExactJoinPropertySpec extends SparkSpec {
       assert(want.nonEmpty, s"seed=$seed: vacuous containment fixture")
     }
   }
+
+  test("EditDistanceJoin equals brute force on random strings with planted edits") {
+    for (seed <- Seq(11L, 12L)) {
+      val rnd = new scala.util.Random(seed)
+      val alpha = "abcdef"
+      def randStr(len: Int) =
+        (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val corpus = (0 until 40).map(i => (i.toLong, randStr(8 + rnd.nextInt(6))))
+      // probes: random edits of corpus strings (0-3 char substitutions /
+      // deletions) plus fresh noise — guarantees pairs at 0, 1, 2 and
+      // just-outside-threshold distances
+      val probes = (0 until 30).map { i =>
+        val (_, base) = corpus(rnd.nextInt(corpus.length))
+        val nEdits = rnd.nextInt(4)
+        val edited = (0 until nEdits).foldLeft(base) { (st, _) =>
+          val p = rnd.nextInt(st.length)
+          if (rnd.nextBoolean() && st.length > 4) st.take(p) + st.drop(p + 1)
+          else st.take(p) + alpha(rnd.nextInt(alpha.length)) + st.drop(p + 1)
+        }
+        (100L + i, edited)
+      }
+      val got = EditDistanceJoin.join(
+          probes.toDF("did", "dn"), corpus.toDF("cid", "cn"),
+          "did", "dn", "cid", "cn", k = 2, q = 2)
+        .select("did", "cid", "lev")
+        .as[(Long, Long, Int)].collect().toSet
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val want = (for {
+        (pi, ps) <- probes; (ci, cs) <- corpus
+        l = lev(ps, cs) if l <= 2
+      } yield (pi, ci, l)).toSet
+      assert(got == want,
+        s"seed=$seed: missed ${want -- got}, extra ${got -- want}")
+      assert(want.exists(_._3 == 2), s"seed=$seed: no distance-2 pair")
+    }
+  }
 }
