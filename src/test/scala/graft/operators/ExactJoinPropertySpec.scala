@@ -143,4 +143,68 @@ class ExactJoinPropertySpec extends SparkSpec {
       assert(want.exists(_._3 == 2), s"seed=$seed: no distance-2 pair")
     }
   }
+
+  test("simhashNearDupsFromHash equals brute force on random 32-bit signatures") {
+    import spark.implicits._
+    for (seed <- Seq(21L, 22L)) {
+      val rnd = new scala.util.Random(seed)
+      // half uniform noise, half clustered around a few centers so the
+      // radius actually fires
+      val centers = Seq.fill(4)(rnd.nextLong() & 0xffffffffL)
+      val sigs = (0 until 100).map { i =>
+        val v = if (i % 2 == 0) rnd.nextLong() & 0xffffffffL
+        else {
+          var c = centers(rnd.nextInt(centers.length))
+          (0 until rnd.nextInt(5)).foreach(_ => c ^= 1L << rnd.nextInt(32))
+          c
+        }
+        (i.toLong, v)
+      }
+      val got = DedupOperators
+        .simhashNearDupsFromHash(sigs.toDF("_id", "_sh"), bits = 32,
+          radius = 3)
+        .select("id_a", "id_b", "hamming")
+        .as[(Long, Long, Int)].collect().toSet
+      val want = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        hd = java.lang.Long.bitCount(sa ^ sb) if hd <= 3
+      } yield (ia, ib, hd)).toSet
+      assert(got == want,
+        s"seed=$seed: missed ${want -- got}, extra ${got -- want}")
+      assert(want.exists(_._3 == 3), s"seed=$seed: radius edge unexercised")
+    }
+  }
+
+  test("clusterPairs labels equal brute-force connected components on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(31L, 32L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 80
+      // sparse random graph + a long planted chain (exercises pointer
+      // jumping past trivial diameters)
+      val edges = (0 until 60).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2) ++
+        (100L until 130L).map(i => (i, i + 1))
+      val got = DedupOperators
+        .clusterPairs(edges.toDF("id_a", "id_b"), maxIters = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical min-id label per component
+      val comp = nodes.groupBy(find).flatMap { case (_, ns) =>
+        val m = ns.min; ns.map(_ -> m) }
+      assert(got == comp,
+        s"seed=$seed: ${got.toSet -- comp.toSet} vs ${comp.toSet -- got.toSet}")
+    }
+  }
 }
