@@ -48,7 +48,19 @@ object PlanCheck {
                "x69_hyperplane_lsh", "x70_hybrid_rrf",
                "x71_snapshot_diff", "x72_importance_weights",
                "x73_ivf_search", "q108_scd2_intervals",
-               "x74_cluster_census", "q109_merge_apply")
+               "x74_cluster_census", "q109_merge_apply",
+               "q110_interval_lookup", "q111_setsim_join",
+               "q112_skyline", "q113_mad_outliers", "q114_moving_median",
+               "q115_ivm_join", "q117_ivm_retract", "x77_phrase_search",
+               "x81_cms_freq", "x84_sketch_rollup", "x85_jw_entity_match",
+               "x86_containment_join", "x90_partial_containment",
+               "x92_cluster_incremental", "x93_cms_joinsize",
+               "x94_kmv_cardinality", "x95_sorted_neighborhood",
+               "x96_phash_neardup", "x97_pps_systematic",
+               "x99_editdist_join", "x100_reciprocal_match",
+               "x101_quality_report", "x102_golden_record",
+               "x103_golden_incremental", "x104_cosine_setjoin",
+               "x105_video_neardup", "b04_sketch_steady", "b05_ann_steady")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")
