@@ -579,6 +579,58 @@ object ExtensionQueries {
                 (col("est_join") - col("exact_join")).as("over_n"))
     }),
 
+    // X106 — JOIN-ORDER ADVISOR from the relations' own sketches: x93's
+    // single estimate turned into the planning artifact — every pairwise
+    // join size among (events.user_id, orders.o_custkey,
+    // customer.c_custkey) estimated from three 2048-cell CMS tables and
+    // RANKED, which is exactly the input a cost-based join reorder or a
+    // broadcast decision consumes. Data never moves for the estimates
+    // (three O(d·w) sketch frames, pairwise cell products); the exact
+    // join sizes ride along as audit truth and est ≥ exact holds per
+    // pair by the inner-product theorem. Ranking ties break by the pair
+    // name, so the advisor's ORDER itself is hash-checked — the oracle
+    // must reproduce not just the numbers but the decision.
+    "x106_join_planner" -> ((s, dir) => {
+      val w = 512
+      def bucket(r: Int, k: Column): Column =
+        conv(substring(md5(concat_ws(":", lit(r), k)), 1, 8), 16, 10)
+          .cast("long") % w
+      def probes(k: Column): Column =
+        explode(array((0 until 4).map(r =>
+          struct(lit(r.toLong).as("r"), bucket(r, k).as("b"))): _*))
+      def sketch(keys: DataFrame, cnt: String): DataFrame = keys
+        .select(probes(col("k")).as("p"))
+        .groupBy(col("p.r").as("r"), col("p.b").as("b"))
+        .agg(count(lit(1)).as(cnt))
+      val rels: Seq[(String, DataFrame)] = Seq(
+        "events" -> Tables(s, dir, "events")
+          .select(col("user_id").cast("string").as("k")),
+        "orders" -> Tables(s, dir, "orders")
+          .select(col("o_custkey").cast("string").as("k")),
+        "customer" -> Tables(s, dir, "customer")
+          .select(col("c_custkey").cast("string").as("k")))
+      val pairs = for {
+        (na, da) <- rels; (nb, db) <- rels if na < nb
+      } yield {
+        val est = sketch(da, "ca").join(sketch(db, "cb"), Seq("r", "b"))
+          .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip"))
+          .agg(min(col("ip")).as("est_join"))
+        val exact = da.join(db, Seq("k"))
+          .agg(count(lit(1)).as("exact_join"))
+        est.crossJoin(exact)
+          .select(lit(s"$na-$nb").as("pair"), col("est_join"),
+                  col("exact_join"))
+      }
+      val all = pairs.reduce(_ unionByName _)
+      val byEst = Window.orderBy(col("est_join"), col("pair"))
+      all
+        .withColumn("rank", row_number().over(byEst).cast("long"))
+        .select(col("rank"), col("pair"), col("est_join"),
+                col("exact_join"),
+                (col("est_join") - col("exact_join")).as("over_n"))
+        .orderBy(col("rank"))
+    }),
+
     // X94 — KMV (k-minimum-values) distinct-cardinality algebra: per-source
     // distinct-token estimates plus UNION and INTERSECTION estimates for
     // every source pair, all from O(k)-state sketches. The sketch is the
@@ -1111,6 +1163,36 @@ object ExtensionQueries {
                  FROM ka JOIN kb USING (k))
           SELECT est_join, exact_join, est_join - exact_join AS over_n
           FROM est, ex""",
+
+    "x106_join_planner" -> {
+      def sk(rel: String, key: String, cnt: String) =
+        s"""(SELECT rs.r AS r,
+               ('0x' || substr(md5(rs.r::VARCHAR || ':' || $key::VARCHAR),
+                 1, 8))::BIGINT % 512 AS b, count(*)::BIGINT AS $cnt
+             FROM $rel CROSS JOIN
+               (SELECT unnest([0, 1, 2, 3]) AS r) rs GROUP BY 1, 2)"""
+      def pair(na: String, ka: String, nb: String, kb: String) =
+        s"""SELECT '$na-$nb' AS pair,
+              (SELECT min(ip) FROM (
+                 SELECT sum(sa.ca * sb.cb)::BIGINT AS ip
+                 FROM ${sk(na, ka, "ca")} sa
+                 JOIN ${sk(nb, kb, "cb")} sb ON sb.r = sa.r AND sb.b = sa.b
+                 GROUP BY sa.r))::BIGINT AS est_join,
+              (SELECT count(*) FROM $na a JOIN $nb b
+                 ON a.$ka = b.$kb)::BIGINT AS exact_join"""
+      s"""WITH allp AS (
+            ${pair("customer", "c_custkey", "events", "user_id")}
+            UNION ALL
+            ${pair("customer", "c_custkey", "orders", "o_custkey")}
+            UNION ALL
+            ${pair("events", "user_id", "orders", "o_custkey")}),
+          rk AS (SELECT pair, est_join, exact_join,
+                   row_number() OVER (ORDER BY est_join, pair) AS rank
+                 FROM allp)
+          SELECT rank::BIGINT AS rank, pair, est_join, exact_join,
+                 est_join - exact_join AS over_n
+          FROM rk ORDER BY rank"""
+    },
 
     "x94_kmv_cardinality" -> {
       val est = (kmv: String) =>
