@@ -507,6 +507,43 @@ object LayoutQueries {
         .orderBy(col("wday"))
     }),
 
+    // X107 — sliding-window distinct actives from MERGED DAILY SKETCHES:
+    // q101's sketch twin. The exact path must fan every (user, day) pair
+    // into its 7 windows — at 100 TB that is 7× the distinct-pair volume
+    // through a count_distinct expand; here the raw events collapse ONCE
+    // into |days| HLL partials (the persisted artifact, b04 economics)
+    // and each window merges 7 sketch rows — the fan-out is 7·|days|
+    // sketch structs, data-volume-independent. Estimates aren't
+    // ANSI-oracle-able, so the output brackets them (x15/b04 device):
+    // the exact WAU twin rides along and the documented 3σ bound for
+    // lgK=12 (rsd ≈ 1.6%) is asserted in-engine as `hll_ok`, which the
+    // oracle states as a literal — a drifting sketch turns the row red.
+    "x107_sliding_hll" -> ((s, dir) => {
+      val ud = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val daily = ud.groupBy(col("day"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("hs"))
+      val maxd = daily.agg(max(col("day")).as("maxd"))
+      val est = daily
+        .select(explode(sequence(col("day"), date_add(col("day"), 6)))
+                  .as("wday"), col("hs"))
+        .crossJoin(broadcast(maxd))
+        .filter(col("wday") <= col("maxd"))
+        .groupBy(col("wday"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(hs))").as("est"))
+      val exact = ud.distinct()
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6)))
+            .as("wday"))
+        .groupBy(col("wday"))
+        .agg(count_distinct(col("user_id")).as("wau_7d"))
+      est.join(exact, Seq("wday"))
+        .select(col("wday").cast("string").as("wday"), col("wau_7d"),
+          (abs(col("est") - col("wau_7d")) <= col("wau_7d") * lit(0.05))
+            .as("hll_ok"))
+        .orderBy(col("wday"))
+    }),
+
     // Q102 — market-basket association rules (a-priori's pair stage):
     // support from one keyed pair-count (the self-join fan-out is
     // Σ basket-size², bounded by basket width, never catalog²),
@@ -864,6 +901,19 @@ object LayoutQueries {
            FROM ud, unnest(range(0, 7)) AS t(i))
          SELECT wday::VARCHAR AS wday,
            count(DISTINCT user_id)::BIGINT AS wau_7d
+         FROM c WHERE wday <= (SELECT max(day) FROM ud)
+         GROUP BY 1 ORDER BY 1""",
+
+    // exact twin + the in-engine-asserted bound flag as a literal —
+    // the sketch values never cross engines (x15/b04 device)
+    "x107_sliding_hll" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+         c AS (SELECT user_id,
+             (day + INTERVAL (i) DAY)::DATE AS wday
+           FROM ud, unnest(range(0, 7)) AS t(i))
+         SELECT wday::VARCHAR AS wday,
+           count(DISTINCT user_id)::BIGINT AS wau_7d,
+           TRUE AS hll_ok
          FROM c WHERE wday <= (SELECT max(day) FROM ud)
          GROUP BY 1 ORDER BY 1""",
 

@@ -60,20 +60,27 @@ object QualityOps {
     * (check, observed, violations, pass). `observed` is the row count
     * for row-level checks, the distinct-key count for Unique, and the
     * distinct non-null child-key count for RefIntegrity. */
+  /** Row-level violation predicate for a check — shared by the batch
+    * [[report]] and the streaming counter
+    * ([[graft.streaming.StreamingOps.streamingQualityCounts]]). Only
+    * row-level checks have one; set-level checks (Unique, RefIntegrity)
+    * throw. */
+  private[graft] def rowViolation(c: Check): Column = c match {
+    case NotNull(cl, blank) =>
+      val base = col(cl).isNull
+      if (blank) base || trim(col(cl)) === "" else base
+    case InSet(cl, allowed) => !col(cl).isInCollection(allowed) ||
+      col(cl).isNull
+    case Bounds(cl, lo, hi) => col(cl).isNull ||
+      col(cl) < lo || col(cl) > hi
+    case Satisfies(_, p) => !coalesce(p, lit(false))
+    case other => throw new IllegalArgumentException(
+      s"not a row-level check: $other")
+  }
+
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "QualityOps.report needs at least one check")
-    def viol(c: Check): Column = c match {
-      case NotNull(cl, blank) =>
-        val base = col(cl).isNull
-        if (blank) base || trim(col(cl)) === "" else base
-      case InSet(cl, allowed) => !col(cl).isInCollection(allowed) ||
-        col(cl).isNull
-      case Bounds(cl, lo, hi) => col(cl).isNull ||
-        col(cl) < lo || col(cl) > hi
-      case Satisfies(_, p) => !coalesce(p, lit(false))
-      case other => throw new IllegalArgumentException(
-        s"not a row-level check: $other")
-    }
+    def viol(c: Check): Column = rowViolation(c)
     val rowLevel = checks.collect {
       case c @ (_: NotNull | _: InSet | _: Bounds | _: Satisfies) => c
     }

@@ -411,6 +411,34 @@ object StreamingOps {
     * (reconciliation-tested), and downstream set-operation estimates
     * (union/intersection across strata) compose from the emitted `kmv`
     * lists exactly as in x94. */
+  /** Streaming data-quality counters — x101's row-level contract
+    * ([[graft.ops.QualityOps]] NotNull / InSet / Bounds / Satisfies)
+    * evaluated over a stream: every check is a conditional sum in ONE
+    * streaming aggregation, so the state is a single row of counters
+    * regardless of stream volume or how many checks are declared (the
+    * same one-scan economics as the batch report — no watermark needed,
+    * the bound is structural). Output schema matches the batch report
+    * (check, observed, violations, pass) per micro-batch state; after
+    * any stream prefix the counters equal the batch report of that
+    * prefix (reconciliation-tested). Set-level checks (Unique,
+    * RefIntegrity) need keyed state and stay batch-side by design. */
+  def streamingQualityCounts(df: DataFrame,
+                             checks: Seq[graft.ops.QualityOps.Check])
+      : DataFrame = {
+    require(checks.nonEmpty, "streamingQualityCounts needs >= 1 check")
+    val aggs = checks.zipWithIndex.map { case (c, i) =>
+      sum(when(graft.ops.QualityOps.rowViolation(c), 1L).otherwise(0L))
+        .as(s"_v$i") }
+    val one = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check"), col("_n").as("observed"),
+             col(s"_v$i").as("violations"))
+    }
+    df.agg(count(lit(1)).as("_n"), aggs: _*)
+      .select(explode(array(one: _*)).as("r"))
+      .select(col("r.check"), col("r.observed"), col("r.violations"),
+              (col("r.violations") === 0L).as("pass"))
+  }
+
   /** Streaming entity resolution against a static master list — x85's
     * block/score/survive dataflow as a stream: arriving dirty records
     * `(d_id, d_name, bk)` join the master `(cid, c_name, bk)` on the

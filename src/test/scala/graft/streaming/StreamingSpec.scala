@@ -463,4 +463,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       "streamed best-match state must equal the batch x85 result")
   }
+
+  test("streamingQualityCounts reconciles with the batch report after any prefix") {
+    import spark.implicits._
+    import graft.ops.QualityOps._
+    implicit val sqlCtx = spark.sqlContext
+    val checks = Seq(NotNull("sval"), InSet("sval", Seq("O", "F")),
+      Bounds("v", 0L, 100L), Satisfies("v_even", col("v") % 2 === 0))
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamingOps.streamingQualityCounts(
+        mem.toDF().toDF("sval", "v"), checks)
+      .writeStream.format("memory").queryName("qc")
+      .outputMode("complete").start()
+    val b1 = Seq(("O", 10L), ("X", -5L), ("F", 7L))
+    val b2 = Seq(("O", 999L), ("F", 4L), ("Z", 3L))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql(
+        "select check, observed, violations, pass from qc")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    q.stop()
+    val batch = report((b1 ++ b2).toDF("sval", "v"), checks)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(streamed == batch,
+      s"streamed counters must equal the batch report: $streamed vs $batch")
+    assert(streamed("in_set(sval)")._2 == 2L) // X and Z
+    assert(streamed("bounds(v)")._2 == 2L)    // -5 and 999
+  }
 }
