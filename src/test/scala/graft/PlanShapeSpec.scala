@@ -1033,4 +1033,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(dirF.listFiles().map(_.lastModified()).max == stamp,
       "steady-state run must not rewrite the cell layout")
   }
+
+  test("b06 IVM steady state: pay-once view is idempotent; merged view equals the recompute") {
+    SparkEntry.queries("b06_ivm_steady")(spark, sfDir).collect()
+    val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val dirF = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_ivm_$sfTag")
+    assert(dirF.isDirectory, "pay-once view must exist")
+    val stamp = dirF.listFiles().map(_.lastModified()).max
+    val rows = SparkEntry.queries("b06_ivm_steady")(spark, sfDir).collect()
+    assert(dirF.listFiles().map(_.lastModified()).max == stamp,
+      "steady-state run must not rewrite the view")
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(3)),
+      s"merged view must equal the recompute: ${rows.mkString}")
+    // the fact table is scanned exactly twice: once for the delta
+    // branch and once for the audit recompute (which doesn't exist in
+    // production) — the merged view itself never re-reads it
+    val plan = SparkEntry.queries("b06_ivm_steady")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val factScans = "orders\\.parquet".r.findAllIn(plan).size
+    assert(factScans == 2,
+      s"expected delta + audit fact scans only, got $factScans:\n"
+        + plan.take(3000))
+    assert(plan.contains("graft_ivm_"),
+      "steady state must read the persisted view:\n" + plan.take(3000))
+  }
 }
