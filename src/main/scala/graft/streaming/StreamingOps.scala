@@ -411,6 +411,52 @@ object StreamingOps {
     * (reconciliation-tested), and downstream set-operation estimates
     * (union/intersection across strata) compose from the emitted `kmv`
     * lists exactly as in x94. */
+  final case class ScdVersion(key: Long, value: String,
+                              valid_from: java.sql.Timestamp,
+                              valid_to: java.sql.Timestamp)
+  final case class ScdState(lastTs: Long, lastVal: String)
+
+  /** Streaming SCD2 maintenance: a per-key CHANGE STREAM
+    * `(key, ts, value)` maintained as validity intervals — the streaming
+    * twin of [[graft.ops.HistoryOps.validityIntervals]] (q42/q108). Each
+    * arriving change CLOSES the key's previous version (emitting the
+    * finished `[valid_from, valid_to)` row — append-mode, immutable once
+    * emitted, exactly what a warehouse history table ingests) and opens
+    * the next; the open head stays in state, one (ts, value) pair per
+    * key FOREVER — the bound is the live-key count, not stream volume,
+    * so no watermark is needed. Within a micro-batch events sort by ts;
+    * ACROSS batches the feed must be per-key monotone (the CDC-log
+    * contract — per-key order is what log compaction/partitioned topics
+    * guarantee); an out-of-order straggler older than the open head is
+    * dropped rather than silently rewriting closed history. After any
+    * prefix, the emitted closed rows equal the batch lead()-interval
+    * builder's non-null-valid_to rows over the same events
+    * (reconciliation-tested). */
+  def streamingScdIntervals(changes: Dataset[(Long, java.sql.Timestamp,
+                                              String)])
+      : Dataset[ScdVersion] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_._1)
+      .flatMapGroupsWithState[ScdState, ScdVersion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[ScdState]) =>
+          var cur = state.getOption
+          val out = Vector.newBuilder[ScdVersion]
+          rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, v) =>
+            cur match {
+              case Some(s) if ts.getTime >= s.lastTs =>
+                out += ScdVersion(key, s.lastVal,
+                  new java.sql.Timestamp(s.lastTs), ts)
+                cur = Some(ScdState(ts.getTime, v))
+              case Some(_) => () // straggler older than the open head
+              case None => cur = Some(ScdState(ts.getTime, v))
+            }
+          }
+          cur.foreach(c => state.update(c))
+          out.result().iterator
+      }
+  }
+
   /** Streaming data-quality counters — x101's row-level contract
     * ([[graft.ops.QualityOps]] NotNull / InSet / Bounds / Satisfies)
     * evaluated over a stream: every check is a conditional sum in ONE

@@ -494,4 +494,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed("in_set(sval)")._2 == 2L) // X and Z
     assert(streamed("bounds(v)")._2 == 2L)    // -5 and 999
   }
+
+  test("streamingScdIntervals: closed versions reconcile with the batch lead() intervals") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx = spark.sqlContext
+    // per-user monotone change feed split ACROSS batches mid-key
+    val evs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "bronze"),
+      (1L, ts("2024-01-01 01:00:00"), "silver"),
+      (2L, ts("2024-01-01 00:30:00"), "bronze"),
+      (1L, ts("2024-01-01 02:00:00"), "gold"),
+      (2L, ts("2024-01-01 03:00:00"), "gold"),
+      (2L, ts("2024-01-01 04:00:00"), "bronze"))
+    val (b1, b2) = evs.splitAt(3)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingOps.streamingScdIntervals(mem.toDS())
+      .writeStream.format("memory").queryName("scd")
+      .outputMode("append").start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql(
+        "select key, value, valid_from, valid_to from scd")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSet
+    q.stop()
+    // batch reference: lead() over the same events — closed rows only
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"))
+    val batch = evs.toDF("key", "ts", "value")
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .filter(col("valid_to").isNotNull)
+      .select(col("key"), col("value"), col("ts").as("valid_from"),
+              col("valid_to"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSet
+    assert(streamed == batch,
+      s"closed versions must equal the batch intervals: $streamed vs $batch")
+    // the open heads (gold@1, bronze@2 from 04:00) are state, not rows
+    assert(streamed.size == 4)
+  }
 }
