@@ -179,18 +179,22 @@ object CorpusQueries {
 
     // X39 — vocabulary build: corpus-wide token counts, min-count 5,
     // ids ranked by (count desc, token). The explode+agg is the scale
-    // path (shuffle keyed by token); the ranking window is global but
-    // runs over the VOCABULARY (post-threshold, bounded by type count —
-    // a few 100k for real corpora), not the corpus.
+    // path (shuffle keyed by token); the id assignment is the
+    // range-split global ordinal on (−n, token) — even though a real
+    // post-threshold vocabulary is type-bounded (a few 100k), nothing
+    // here should FORCE it through one ranking task, and the repo
+    // already owns the scale-safe kernel (x95 uses the same one). The
+    // only unpartitioned windows left are the kernel's own bounded
+    // frames (sample sort, per-range offsets over `splits` rows).
     "x39_vocab_build" -> ((s, dir) => {
       val counts = Tables(s, dir, "documents")
         .select(explode(split(trim(col("text")), "\\s+")).as("token"))
         .filter(col("token") =!= "")
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= 5)
-      counts
-        .withColumn("token_id", row_number().over(
-          Window.orderBy(col("n").desc, col("token"))).cast("long"))
+      graft.ops.DedupOps
+        .withIngestOrdinalFrom(counts, Seq(negate(col("n")), col("token")))
+        .withColumn("token_id", col(graft.ops.DedupOps.OrdinalCol))
         .select(col("token_id"), col("token"), col("n"))
         .orderBy(col("token_id"))
     }),
@@ -897,8 +901,9 @@ object CorpusQueries {
     * and APPLY it: every token becomes its id, OOV → 0, and each doc emits
     * its exact id sequence as an md5 plus its OOV count. The vocab is
     * broadcast (bounded by type count, not corpus size); the only exchange
-    * is the per-doc reassembly agg keyed by doc_id. The ranking window runs
-    * over the post-threshold VOCABULARY, never the corpus. */
+    * is the per-doc reassembly agg keyed by doc_id. Ids come from the
+    * range-split ordinal on (−n, token) — same kernel as x39, so even the
+    * id assignment never funnels the vocabulary through one task. */
   def vocabApply(docs: DataFrame, minCount: Int): DataFrame = {
     val tok = docs
       .select(col("doc_id"),
@@ -906,10 +911,11 @@ object CorpusQueries {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
               col("col").as("token"))
       .filter(col("token") =!= "")
-    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-      .withColumn("token_id", row_number().over(
-        Window.orderBy(col("n").desc, col("token"))).cast("long"))
+    val vocab = graft.ops.DedupOps
+      .withIngestOrdinalFrom(counts, Seq(negate(col("n")), col("token")))
+      .withColumn("token_id", col(graft.ops.DedupOps.OrdinalCol))
       .select(col("token"), col("token_id"))
     tok.join(broadcast(vocab), Seq("token"), "left")
       .withColumn("id", coalesce(col("token_id"), lit(0L)))

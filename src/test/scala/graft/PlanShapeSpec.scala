@@ -1058,4 +1058,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("graft_ivm_"),
       "steady state must read the persisted view:\n" + plan.take(3000))
   }
+
+  test("x39 vocab build: token_id is the range-split ordinal — no vocab-wide unpartitioned window remains") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = SparkEntry.queries("x39_vocab_build")(spark, sfDir)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other                    => other
+      }
+    val plan = p.toString
+    // the data-sized numbering must be keyed by the deterministic range
+    // id (the withIngestOrdinalFrom kernel), not a global orderBy
+    assert("hashpartitioning\\(_rb#\\d+".r.findFirstIn(plan).isDefined,
+      "token_id must come from the range-split ordinal:\n" + plan.take(3000))
+    // any remaining unpartitioned window must be one of the kernel's two
+    // bounded frames: the sample sort (child carries the pmod(hash)
+    // sample filter) or the per-range offsets (child aggregates by _rb,
+    // `splits` rows max) — never the full vocabulary
+    p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .foreach { w =>
+        val sampleSort = w.child.collect {
+          case f: FilterExec if f.condition.toString.contains("pmod") => f
+        }.nonEmpty
+        val rangeOffsets = w.child.collect {
+          case a: HashAggregateExec
+            if a.groupingExpressions.exists(_.toString.contains("_rb")) => a
+        }.nonEmpty
+        assert(sampleSort || rangeOffsets,
+          "unpartitioned window over an unbounded frame:\n"
+            + w.toString.take(2000))
+      }
+  }
 }
