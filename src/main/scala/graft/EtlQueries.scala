@@ -570,9 +570,11 @@ object EtlQueries {
            UNION ALL
            SELECT 'unique(o_orderkey)',
              (SELECT count(DISTINCT o_orderkey) FROM o)::BIGINT,
-             (SELECT coalesce(sum(c - 1), 0) FROM (
-                SELECT count(*) AS c FROM o GROUP BY o_orderkey
-                HAVING count(*) > 1))::BIGINT
+             (SELECT coalesce(sum(CASE WHEN o_orderkey IS NULL THEN c
+                                       WHEN c > 1 THEN c - 1
+                                       ELSE 0 END), 0) FROM (
+                SELECT o_orderkey, count(*) AS c FROM o
+                GROUP BY o_orderkey))::BIGINT
            UNION ALL
            SELECT 'ref(o_custkey)',
              (SELECT count(DISTINCT o_custkey) FROM o

@@ -236,7 +236,14 @@ object LayoutQueries {
       val recs = goldenRecords(Tables(s, dir, "customer")).persist()
       val labels = graft.operators.DedupOperators
         .clusterPairs(linkPairs(recs, recs))
-      survivorPartials(recs.join(labels, recs("rid") === labels("id")))
+      // LEFT join + coalesce(label, rid): cluster labels only cover ids
+      // that appear in a linkage edge — a record with no lev<=2 in-block
+      // neighbor must survive as its own one-record cluster, not vanish
+      // from the consolidated table (record loss the oracle could never
+      // catch if it shared the inner-join blind spot)
+      survivorPartials(
+        recs.join(labels, recs("rid") === labels("id"), "left")
+          .withColumn("label", coalesce(col("label"), col("rid"))))
         .select(col("label"), col("n_records"), col("m.nm").as("name"),
                 col("bal_cents"), col("segment"))
         .orderBy(col("label"))
@@ -263,8 +270,10 @@ object LayoutQueries {
       val batch = recs.filter(isBatch)
       val labelsOld = DedupOperators.clusterPairs(
         linkPairs(hist, hist), maxIters = 30).persist()
+      // singletons (no edge ever) label themselves — x102's left join
       val oldPart = survivorPartials(
-        hist.join(labelsOld, hist("rid") === labelsOld("id")))
+        hist.join(labelsOld, hist("rid") === labelsOld("id"), "left")
+          .withColumn("label", coalesce(col("label"), col("rid"))))
       val starEdges = labelsOld.filter(col("id") =!= col("label"))
         .select(col("id").as("id_a"), col("label").as("id_b"))
       val labelsNew = DedupOperators.clusterPairs(
@@ -278,7 +287,8 @@ object LayoutQueries {
         .withColumn("label", coalesce(col("_nl"), col("label")))
         .drop("_nl")
       val batchPart = survivorPartials(
-        batch.join(labelsNew, batch("rid") === labelsNew("id")))
+        batch.join(labelsNew, batch("rid") === labelsNew("id"), "left")
+          .withColumn("label", coalesce(col("label"), col("rid"))))
       oldMapped.unionByName(batchPart)
         .groupBy(col("label"))
         .agg(sum(col("n_records")).as("n_records"),
@@ -767,8 +777,9 @@ object LayoutQueries {
             UNION
             SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id),
           lab AS (SELECT id, min(lbl) AS label FROM comp GROUP BY id),
-          j AS (SELECT lab.label, r.nm, r.bal, r.seg
-                FROM recs r JOIN lab ON lab.id = r.rid),
+          j AS (SELECT coalesce(lab.label, r.rid) AS label,
+                       r.nm, r.bal, r.seg
+                FROM recs r LEFT JOIN lab ON lab.id = r.rid),
           g AS (SELECT label, count(*)::BIGINT AS n_records,
                   max(bal)::BIGINT AS bal_cents, min(seg) AS segment
                 FROM j GROUP BY label),
@@ -809,8 +820,9 @@ object LayoutQueries {
             UNION
             SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id),
           lab AS (SELECT id, min(lbl) AS label FROM comp GROUP BY id),
-          j AS (SELECT lab.label, r.nm, r.bal, r.seg
-                FROM recs r JOIN lab ON lab.id = r.rid),
+          j AS (SELECT coalesce(lab.label, r.rid) AS label,
+                       r.nm, r.bal, r.seg
+                FROM recs r LEFT JOIN lab ON lab.id = r.rid),
           g AS (SELECT label, count(*)::BIGINT AS n_records,
                   max(bal)::BIGINT AS bal_cents, min(seg) AS segment
                 FROM j GROUP BY label),

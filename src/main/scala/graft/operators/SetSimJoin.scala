@@ -44,12 +44,21 @@ import org.apache.spark.sql.functions._
   */
 object SetSimJoin {
 
-  /** @param docs one row per set: (`idCol` bigint, `setCol` array<string>
-    *             with DISTINCT elements — duplicates violate set
-    *             semantics and are the caller's bug)
+  /** @param docs one row per set: (`idCol` — any orderable type, kept
+    *             as-is in the output; `setCol` array<string> with
+    *             DISTINCT elements — duplicates violate set semantics
+    *             and are the caller's bug)
     * @param tauNum/tauDen  the threshold as an exact rational, e.g. 1/2.
     * @return (id_a, id_b, inter, uni, jac) for every pair with
-    *         inter*tauDen >= uni*tauNum and id_a < id_b. */
+    *         inter*tauDen >= uni*tauNum and id_a < id_b.
+    *
+    * Cache lifetime: the dataflow persists two intermediates (the
+    * tokenized sets and the ranked prefix) because each is consumed by
+    * more than one join; they are registered in the session cache and
+    * are CALLER-MANAGED — a lazy operator cannot unpersist what its
+    * result still reads. Long-lived sessions should
+    * `spark.catalog.clearCache()` after consuming the result (Verify
+    * and Bench both do, per query). */
   def join(docs: DataFrame, idCol: String, setCol: String,
            tauNum: Int, tauDen: Int): DataFrame =
     joinImpl(docs, idCol, setCol, tauNum, tauDen)._2
@@ -66,8 +75,10 @@ object SetSimJoin {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"setSimJoin: tau must be in (0,1], got $tauNum/$tauDen")
     // both the element stream (df count + ranked rebuild) and the verify
-    // joins re-read the sets; persist so tokenization upstream runs once
-    val sets = docs.select(col(idCol).cast("long").as("_id"),
+    // joins re-read the sets; persist so tokenization upstream runs once.
+    // The id keeps its ORIGINAL type — a cast("long") here would turn a
+    // string/uuid id into NULL and silently collapse every pair onto it
+    val sets = docs.select(col(idCol).as("_id"),
                            col(setCol).as("_set")).persist()
     val elems = sets.select(col("_id"),
       size(col("_set")).cast("long").as("_len"),
@@ -147,6 +158,10 @@ object SetSimJoin {
     *  - Verify: ov²·tauDen² >= |A|·|B|·tauNum² — all integer, so the
     *    oracle (candidates from ANY shared element) re-proves the
     *    pruning complete and checks exact values.
+    *
+    * Id type and cache lifetime follow [[join]]: the id keeps its
+    * original type, and the two persisted intermediates are
+    * caller-managed (`spark.catalog.clearCache()` after consuming).
     */
   def cosineJoin(docs: DataFrame, idCol: String, setCol: String,
                  tauNum: Int, tauDen: Int): DataFrame = {
@@ -154,7 +169,7 @@ object SetSimJoin {
       s"cosineJoin: tau must be in (0,1], got $tauNum/$tauDen")
     val n2 = tauNum.toLong * tauNum
     val d2 = tauDen.toLong * tauDen
-    val sets = docs.select(col(idCol).cast("long").as("_id"),
+    val sets = docs.select(col(idCol).as("_id"),
                            col(setCol).as("_set")).persist()
     val elems = sets.select(col("_id"),
       size(col("_set")).cast("long").as("_len"),

@@ -47,7 +47,12 @@ object QualityOps {
   final case class Satisfies(label: String, predicate: Column)
       extends Check { def name = s"satisfies($label)" }
 
-  /** Key columns must identify rows uniquely. */
+  /** Key columns must identify rows uniquely. NULL-key semantics are
+    * pinned: a row with ANY null key column cannot be identified by the
+    * key, so it counts as a violation outright; `observed` counts
+    * DISTINCT fully-non-null keys (SQL `count(DISTINCT k)` parity —
+    * DuckDB/ANSI exclude the null group there while Spark's groupBy
+    * would keep it, a cross-engine divergence this definition closes). */
   final case class Unique(cols: Seq[String]) extends Check {
     def name = s"unique(${cols.mkString(",")})"
   }
@@ -100,10 +105,18 @@ object QualityOps {
       }
     val setReports: Seq[DataFrame] = checks.collect {
       case c @ Unique(cols_) =>
+        // one keyed agg still: the null-key arm rides the same groups.
+        // Every null-key ROW is a violation (its count, not count−1 —
+        // no null key identifies anything); observed counts distinct
+        // fully-non-null keys, matching SQL count(DISTINCT k)
         val keyed = df.groupBy(cols_.map(col): _*)
           .agg(count(lit(1)).as("_c"))
-        keyed.agg(count(lit(1)).as("observed"),
-            coalesce(sum(when(col("_c") > 1, col("_c") - 1L)
+        val nullKey = cols_.map(col(_).isNull).reduce(_ || _)
+        keyed.agg(
+            coalesce(sum(when(nullKey, 0L).otherwise(1L)), lit(0L))
+              .as("observed"),
+            coalesce(sum(when(nullKey, col("_c"))
+              .when(col("_c") > 1, col("_c") - 1L)
               .otherwise(0L)), lit(0L)).as("violations"))
           .select(lit(c.name).as("check"), col("observed"),
                   col("violations"))

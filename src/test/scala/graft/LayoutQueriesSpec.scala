@@ -426,4 +426,28 @@ class LayoutQueriesSpec extends SparkSpec {
       .filter(col("c_custkey") % 10 === 3).count()
     assert(batchCust > 0)
   }
+
+  test("x102/x103: a record with no linkage edge survives as its own one-record cluster") {
+    import spark.implicits._
+    // Customer 1's name is short enough that the dirty deletion (drop
+    // char 10 + key%5) eats into the LAST-3 block suffix: its corrupted
+    // variant lands in a block of its own, with no lev<=2 neighbor —
+    // the singleton the inner-join form silently dropped. Customer 2 is
+    // a normal 3-variant cluster.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-singleton").toString
+    Seq((1L, "ABCDEFGHIJKL", 100.0, "AUTO"),
+        (2L, "Customer#000000002", 200.0, "AUTO"))
+      .toDF("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    for (q <- Seq("x102_golden_record", "x103_golden_incremental")) {
+      val out = SparkEntry.queries(q)(spark, dir)
+        .select("label", "n_records").as[(Long, Long)].collect().toMap
+      assert(out.values.sum == 6L,
+        s"$q lost records: ${out.toSeq.sorted} must total 2 customers x 3 variants")
+      // rid 11 (customer 1's dirty variant) is the engineered singleton
+      assert(out.get(11L).contains(1L),
+        s"$q: the edgeless record must self-label, got ${out.toSeq.sorted}")
+    }
+  }
 }

@@ -400,6 +400,23 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(brute.exists { case (a, b, _, na, nb) => na != nb },
       "fixture must exercise unequal set sizes")
   }
+
+  test("set-sim joins keep non-numeric ids intact — no silent long cast to NULL") {
+    // a cast("long") on a string id yields NULL, collapsing every pair
+    // onto the null id; both join flavors must carry the id type through
+    val docs = Seq(
+      ("u-a", Seq("a", "b", "c")),
+      ("u-b", Seq("a", "b", "c")),
+      ("u-c", Seq("x", "y")))
+      .toDF("doc_id", "sh")
+    val jac = graft.operators.SetSimJoin.join(docs, "doc_id", "sh", 1, 2)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(jac == Set(("u-a", "u-b")), s"jaccard got $jac")
+    val cos = graft.operators.SetSimJoin
+      .cosineJoin(docs, "doc_id", "sh", 4, 5)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(cos == Set(("u-a", "u-b")), s"cosine got $cos")
+  }
 }
 
 object RelationalQueriesSpecHelper {

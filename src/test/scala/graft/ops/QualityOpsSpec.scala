@@ -36,8 +36,10 @@ class QualityOpsSpec extends SparkSpec {
     assert(rep("bounds(v)") == ((5L, 3L, false)))
     // odd or null v: -5 odd, null, 999 odd
     assert(rep("satisfies(v_even)") == ((5L, 3L, false)))
-    // 4 distinct keys (1, 2, null, 3); one extra row of id 1
-    assert(rep("unique(id)") == ((4L, 1L, false)))
+    // observed = 3 distinct NON-NULL keys (1, 2, 3) — count(DISTINCT)
+    // parity; violations = one extra row of id 1 + the null-id row
+    // (a null key identifies nothing, so the row is a violation)
+    assert(rep("unique(id)") == ((3L, 2L, false)))
     // distinct non-null fks {1,2,3,9}; 9 is an orphan
     assert(rep("ref(fk)") == ((4L, 1L, false)))
   }
@@ -58,6 +60,20 @@ class QualityOpsSpec extends SparkSpec {
     val plan = rowOnly.queryExecution.executedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Union"),
       "row-level checks must not fan out into per-check scans:\n" + plan)
+  }
+
+  test("Unique: null-key rows are violations, never keys — composite keys too") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("a")), // duplicate composite
+      (Some(2L), None),                             // half-null key
+      (None, Some("b")),
+      (None, None)
+    ).toDF("k1", "k2")
+    val rep = report(df, Seq(Unique(Seq("k1", "k2")))).collect()(0)
+    // observed = 1 fully-non-null distinct key (1,a); violations =
+    // 1 duplicate + 3 rows with any null key component
+    assert((rep.getLong(1), rep.getLong(2), rep.getBoolean(3))
+      == ((1L, 4L, false)), rep.toString)
   }
 
   test("NotNull with trimBlank counts blank strings; empty check list refuses") {
