@@ -89,9 +89,7 @@ object BenchQueries {
     // branch doesn't exist, and the steady-state cost is the sketch-table
     // read alone.
     "b04_sketch_steady" -> ((s, dir) => {
-      val sfTag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
-      val path = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft_sk_$sfTag").getPath
+      val path = Scratch.dir("sk", dir)
       if (!new java.io.File(path, "_SUCCESS").exists())
         Tables(s, dir, "orders")
           .groupBy(col("o_orderpriority").as("prio"),
@@ -127,9 +125,7 @@ object BenchQueries {
     // exist and the steady-state cost is the delta scan plus a 5-row
     // read.
     "b06_ivm_steady" -> ((s, dir) => {
-      val sfTag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
-      val path = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft_ivm_$sfTag").getPath
+      val path = Scratch.dir("ivm", dir)
       val isDelta = col("o_orderkey") % 10 === 7
       def agg(df: DataFrame): DataFrame = df
         .groupBy(col("o_orderpriority").as("prio"))
@@ -173,9 +169,7 @@ object BenchQueries {
     "b05_ann_steady" -> ((s, dir) => {
       import graft.functions.{VectorFunctions => V}
       import org.apache.spark.sql.expressions.Window
-      val sfTag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
-      val path = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft_ivf_$sfTag").getPath
+      val path = Scratch.dir("ivf", dir)
       if (!new java.io.File(path, "_SUCCESS").exists())
         graft.io.TableIo.writePartitioned(
           Tables(s, dir, "embeddings")

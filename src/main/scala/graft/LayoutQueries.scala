@@ -661,9 +661,7 @@ object LayoutQueries {
     // 100 TB this is the difference between opening every file of a
     // table and opening the two files a point lookup needs).
     "q107_zonemap_prune" -> ((s, dir) => {
-      val sfTag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
-      val out = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft_zm_$sfTag").getPath
+      val out = Scratch.dir("zm", dir)
       if (!new java.io.File(out, "_SUCCESS").isFile) {
         val src = s"$dir/documents.parquet"
         val total = Compaction.dataFiles(s, src).map(_._2).sum

@@ -878,9 +878,7 @@ class PlanShapeSpec extends SparkSpec {
     // build the per-SF scratch layout (idempotent), then check the scan
     val df = SparkEntry.queries("q107_zonemap_prune")(spark, sfDir)
     df.collect() // ensures the pay-once compaction exists
-    val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_zm_$sfTag").getPath
+    val out = Scratch.dir("zm", sfDir)
     val total = Compaction.dataFiles(spark, out).size
     val zm = Compaction.zoneMap(spark, out, Seq("n_chars"))
     val pruned = Compaction.readPruned(spark, out, zm, "n_chars",
@@ -930,9 +928,7 @@ class PlanShapeSpec extends SparkSpec {
   test("b04 persisted sketch table: pay-once write is idempotent; steady state reads it") {
     val df1 = SparkEntry.queries("b04_sketch_steady")(spark, sfDir)
     df1.collect() // materializes the sketch table if absent
-    val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
-    val dirF = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_sk_$sfTag")
+    val dirF = new java.io.File(Scratch.dir("sk", sfDir))
     assert(dirF.isDirectory, "pay-once sketch table must exist")
     val stamp = dirF.listFiles().map(_.lastModified()).max
     val rows = SparkEntry.queries("b04_sketch_steady")(spark, sfDir).collect()
@@ -1024,9 +1020,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [cell"),
       "probe cells must prune partitions at the scan:\n" + plan.take(3000))
     // layout is pay-once: a second run must not rewrite it
-    val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
-    val dirF = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_ivf_$sfTag")
+    val dirF = new java.io.File(Scratch.dir("ivf", sfDir))
     assert(dirF.isDirectory)
     val stamp = dirF.listFiles().map(_.lastModified()).max
     SparkEntry.queries("b05_ann_steady")(spark, sfDir).collect()
@@ -1036,9 +1030,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("b06 IVM steady state: pay-once view is idempotent; merged view equals the recompute") {
     SparkEntry.queries("b06_ivm_steady")(spark, sfDir).collect()
-    val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
-    val dirF = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_ivm_$sfTag")
+    val dirF = new java.io.File(Scratch.dir("ivm", sfDir))
     assert(dirF.isDirectory, "pay-once view must exist")
     val stamp = dirF.listFiles().map(_.lastModified()).max
     val rows = SparkEntry.queries("b06_ivm_steady")(spark, sfDir).collect()

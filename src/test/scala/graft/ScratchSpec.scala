@@ -1,0 +1,34 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pay-once scratch path must miss its cache when the source data
+  * changes — a basename-only key silently serves a stale layout after a
+  * dataset regeneration (the `_SUCCESS` guard can't tell). */
+class ScratchSpec extends AnyFunSuite {
+
+  test("scratch dir is stable for unchanged data, new for changed data") {
+    val d = Files.createTempDirectory("graft-scr").toFile
+    val f = new File(d, "t.parquet")
+    Files.write(f.toPath, "aa".getBytes)
+    val p1 = Scratch.dir("x", d.getPath)
+    assert(p1 == Scratch.dir("x", d.getPath), "same data, same path")
+    assert(new File(p1).getName.startsWith("graft_x_"))
+    Files.write(f.toPath, "aaa".getBytes) // content (length) changed
+    val p2 = Scratch.dir("x", d.getPath)
+    assert(p1 != p2, "changed data must miss the pay-once cache")
+  }
+
+  test("directory-shaped tables fingerprint their children") {
+    val d = Files.createTempDirectory("graft-scr2").toFile
+    val t = new File(d, "t.parquet"); t.mkdir()
+    Files.write(new File(t, "part-0").toPath, "aa".getBytes)
+    val p1 = Scratch.dir("x", d.getPath)
+    Files.write(new File(t, "part-1").toPath, "bb".getBytes)
+    assert(p1 != Scratch.dir("x", d.getPath),
+      "a new part file inside a table dir must change the fingerprint")
+  }
+}
