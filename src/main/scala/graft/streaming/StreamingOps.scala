@@ -413,8 +413,9 @@ object StreamingOps {
     * lists exactly as in x94. */
   final case class ScdVersion(key: Long, value: String,
                               valid_from: java.sql.Timestamp,
-                              valid_to: java.sql.Timestamp)
-  final case class ScdState(lastTs: Long, lastVal: String)
+                              valid_to: java.sql.Timestamp,
+                              stragglers_seen: Long)
+  final case class ScdState(lastTs: Long, lastVal: String, dropped: Long)
 
   /** Streaming SCD2 maintenance: a per-key CHANGE STREAM
     * `(key, ts, value)` maintained as validity intervals — the streaming
@@ -428,10 +429,17 @@ object StreamingOps {
     * ACROSS batches the feed must be per-key monotone (the CDC-log
     * contract — per-key order is what log compaction/partitioned topics
     * guarantee); an out-of-order straggler older than the open head is
-    * dropped rather than silently rewriting closed history. After any
-    * prefix, the emitted closed rows equal the batch lead()-interval
-    * builder's non-null-valid_to rows over the same events
-    * (reconciliation-tested). */
+    * dropped rather than silently rewriting closed history — and
+    * COUNTED: the per-key state carries a cumulative drop counter,
+    * surfaced as `stragglers_seen` on every emitted version, so a
+    * batch-vs-stream reconciliation mismatch is attributable to feed
+    * disorder instead of silent. Equal-timestamp semantics are pinned
+    * deliberately: ts == open head CLOSES the head as a zero-length
+    * [t, t) version — the same row the batch lead()-interval builder
+    * produces for duplicate timestamps — rather than being ignored.
+    * After any prefix, the emitted closed rows equal the batch
+    * lead()-interval builder's non-null-valid_to rows over the same
+    * events (reconciliation-tested). */
   def streamingScdIntervals(changes: Dataset[(Long, java.sql.Timestamp,
                                               String)])
       : Dataset[ScdVersion] = {
@@ -446,10 +454,12 @@ object StreamingOps {
             cur match {
               case Some(s) if ts.getTime >= s.lastTs =>
                 out += ScdVersion(key, s.lastVal,
-                  new java.sql.Timestamp(s.lastTs), ts)
-                cur = Some(ScdState(ts.getTime, v))
-              case Some(_) => () // straggler older than the open head
-              case None => cur = Some(ScdState(ts.getTime, v))
+                  new java.sql.Timestamp(s.lastTs), ts, s.dropped)
+                cur = Some(ScdState(ts.getTime, v, s.dropped))
+              case Some(s) => // straggler older than the open head:
+                // never rewrite closed history, but never drop silently
+                cur = Some(s.copy(dropped = s.dropped + 1))
+              case None => cur = Some(ScdState(ts.getTime, v, 0L))
             }
           }
           cur.foreach(c => state.update(c))

@@ -535,4 +535,37 @@ class StreamingSpec extends SparkSpec {
     // the open heads (gold@1, bronze@2 from 04:00) are state, not rows
     assert(streamed.size == 4)
   }
+
+  test("streamingScdIntervals: stragglers are counted, not silently dropped; equal ts closes zero-length") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingOps.streamingScdIntervals(mem.toDS())
+      .writeStream.format("memory").queryName("scd_strag")
+      .outputMode("append").start()
+    mem.addData((1L, ts("2024-01-01 03:00:00"), "head"))
+    q.processAllAvailable()
+    // two stragglers older than the open head, then a real change
+    mem.addData(
+      (1L, ts("2024-01-01 01:00:00"), "late1"),
+      (1L, ts("2024-01-01 02:00:00"), "late2"),
+      (1L, ts("2024-01-01 04:00:00"), "next"))
+    q.processAllAvailable()
+    // equal-timestamp change: closes the open head as a [t, t) version
+    mem.addData((1L, ts("2024-01-01 04:00:00"), "dup"))
+    q.processAllAvailable()
+    val rows = spark.sql(
+        "select value, valid_from, valid_to, stragglers_seen from scd_strag" +
+        " order by valid_to, value")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3))).toSeq
+    q.stop()
+    assert(rows == Seq(
+      // the close carries the key's cumulative straggler count: the two
+      // lates never rewrote history, but the feed disorder is visible
+      ("head", ts("2024-01-01 03:00:00"), ts("2024-01-01 04:00:00"), 2L),
+      // pinned equal-ts semantics: a zero-length version, like lead()
+      ("next", ts("2024-01-01 04:00:00"), ts("2024-01-01 04:00:00"), 2L)),
+      s"got $rows")
+  }
 }
