@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.BucketOps
 
@@ -204,6 +204,90 @@ object BenchQueries {
         .select(col("qid"), col("rank").cast("long").as("rank"),
                 col("vec_id").as("nid"), round(col("cos"), 4).as("cos"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // B07 — ADVISOR-DRIVEN JOIN ORDERING: x106 ranks pairwise join sizes
+    // from CMS sketches; here the ranking is CONSUMED. The three
+    // single-key relations (events.user_id, orders.o_custkey,
+    // customer.c_custkey) are sketched (O(d·w) cells each — data never
+    // moves for the estimates), the greedy decision picks the smallest
+    // estimated pair as the first join, and the 3-way join executes in
+    // BOTH the advisor's order and the anti-advisor's (largest-first)
+    // order, each pinned shuffled-hash so Catalyst cannot quietly undo
+    // the experiment. The output carries the decision (best/worst pair,
+    // their estimates, their EXACT first-join sizes as audit — the
+    // intermediate the advisor actually saved) and proves both orders
+    // agree on (row count, cents checksum): join order changes cost,
+    // never results. The only driver-side values are the three 1-row
+    // estimate aggregates — exactly the stats consultation a cost-based
+    // optimizer performs, certified-small by construction (b05's probe
+    // precedent). Timings for the two orders land in BENCH_DETAIL per
+    // round; at 100 TB the first-join choice here is the difference
+    // between a |events ⋈ orders| fan-out intermediate and the
+    // dimension-sized one.
+    "b07_join_order" -> ((s, dir) => {
+      val w = 512
+      def bucket(r: Int, k: Column): Column =
+        conv(substring(md5(concat_ws(":", lit(r), k)), 1, 8), 16, 10)
+          .cast("long") % w
+      def probes(k: Column): Column =
+        explode(array((0 until 4).map(r =>
+          struct(lit(r.toLong).as("r"), bucket(r, k).as("b"))): _*))
+      def sketch(keys: DataFrame, cnt: String): DataFrame = keys
+        .select(probes(col("k")).as("p"))
+        .groupBy(col("p.r").as("r"), col("p.b").as("b"))
+        .agg(count(lit(1)).as(cnt))
+      val rels: Map[String, DataFrame] = Map(
+        "events" -> Tables(s, dir, "events")
+          .select(col("user_id").cast("string").as("k")),
+        "orders" -> Tables(s, dir, "orders")
+          .select(col("o_custkey").cast("string").as("k"),
+                  cents(col("o_totalprice")).as("c")),
+        "customer" -> Tables(s, dir, "customer")
+          .select(col("c_custkey").cast("string").as("k")))
+      val names = rels.keys.toSeq.sorted
+      val ests: Seq[(String, Long)] = for {
+        a <- names; b <- names if a < b
+      } yield {
+        val est = sketch(rels(a).select("k"), "ca")
+          .join(sketch(rels(b).select("k"), "cb"), Seq("r", "b"))
+          .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip"))
+          .agg(min(col("ip")).as("est"))
+          .collect()(0).getLong(0) // certified-small: one row per pair
+        (s"$a-$b", est)
+      }
+      val sorted = ests.sortBy { case (p, e) => (e, p) }
+      val (bestPair, estBest) = sorted.head
+      val (worstPair, estWorst) = sorted.last
+      def order(first: String): Seq[String] = {
+        val Array(a, b) = first.split("-")
+        Seq(a, b, (names.toSet -- Set(a, b)).head)
+      }
+      def threeWay(ord: Seq[String]): DataFrame =
+        ord.map(rels).reduce((l, r) =>
+          l.hint("shuffle_hash").join(r, Seq("k")))
+      def resOf(ord: Seq[String]): DataFrame = threeWay(ord)
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+      def exactOf(p: String): DataFrame = {
+        val Array(a, b) = p.split("-")
+        rels(a).select("k").hint("shuffle_hash")
+          .join(rels(b).select("k"), Seq("k"))
+          .agg(count(lit(1)).as("x"))
+      }
+      resOf(order(bestPair))
+        .select(col("n").as("n_best"), col("sc").as("sc_best"))
+        .crossJoin(resOf(order(worstPair))
+          .select(col("n").as("n_worst"), col("sc").as("sc_worst")))
+        .crossJoin(exactOf(bestPair).select(col("x").as("exact_best")))
+        .crossJoin(exactOf(worstPair).select(col("x").as("exact_worst")))
+        .select(lit(bestPair).as("best_pair"),
+                lit(worstPair).as("worst_pair"),
+                lit(estBest).as("est_best"), lit(estWorst).as("est_worst"),
+                col("exact_best"), col("exact_worst"),
+                col("n_best").as("joined_rows"),
+                col("sc_best").as("joined_cents"),
+                (col("n_best") === col("n_worst") &&
+                 col("sc_best") === col("sc_worst")).as("orders_agree"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -287,5 +371,48 @@ object BenchQueries {
                  FROM r)
           SELECT qid, rank::BIGINT AS rank, nid, round(cos, 4) AS cos
           FROM rk WHERE rank <= 3 ORDER BY qid, rank"""
+    },
+
+    // the oracle reproduces the DECISION (same sketch formula, same
+    // tie-breaks) and computes the 3-way join once — join order cannot
+    // change SQL results, so orders_agree is pinned TRUE
+    "b07_join_order" -> {
+      def sk(rel: String, key: String, cnt: String) =
+        s"""(SELECT rs.r AS r,
+               ('0x' || substr(md5(rs.r::VARCHAR || ':' || $key::VARCHAR),
+                 1, 8))::BIGINT % 512 AS b, count(*)::BIGINT AS $cnt
+             FROM $rel CROSS JOIN
+               (SELECT unnest([0, 1, 2, 3]) AS r) rs GROUP BY 1, 2)"""
+      def pair(na: String, ka: String, nb: String, kb: String) =
+        s"""SELECT '$na-$nb' AS pair,
+              (SELECT min(ip) FROM (
+                 SELECT sum(sa.ca * sb.cb)::BIGINT AS ip
+                 FROM ${sk(na, ka, "ca")} sa
+                 JOIN ${sk(nb, kb, "cb")} sb ON sb.r = sa.r AND sb.b = sa.b
+                 GROUP BY sa.r))::BIGINT AS est,
+              (SELECT count(*) FROM $na a JOIN $nb b
+                 ON a.$ka = b.$kb)::BIGINT AS exact"""
+      s"""WITH allp AS (
+            ${pair("customer", "c_custkey", "events", "user_id")}
+            UNION ALL
+            ${pair("customer", "c_custkey", "orders", "o_custkey")}
+            UNION ALL
+            ${pair("events", "user_id", "orders", "o_custkey")}),
+          best AS (SELECT pair, est, exact FROM allp
+                   ORDER BY est, pair LIMIT 1),
+          worst AS (SELECT pair, est, exact FROM allp
+                    ORDER BY est DESC, pair DESC LIMIT 1),
+          j AS (SELECT count(*)::BIGINT AS n,
+                  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS sc
+                FROM events e
+                JOIN orders o ON o.o_custkey = e.user_id
+                JOIN customer c ON c.c_custkey = e.user_id)
+          SELECT best.pair AS best_pair, worst.pair AS worst_pair,
+            best.est AS est_best, worst.est AS est_worst,
+            best.exact AS exact_best, worst.exact AS exact_worst,
+            j.n AS joined_rows, j.sc AS joined_cents,
+            TRUE AS orders_agree
+          FROM best, worst, j"""
     })
 }

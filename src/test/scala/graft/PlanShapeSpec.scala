@@ -1051,6 +1051,51 @@ class PlanShapeSpec extends SparkSpec {
       "steady state must read the persisted view:\n" + plan.take(3000))
   }
 
+  test("b07 advisor-driven join order: leaf joins are exactly the chosen pairs, pinned shuffled-hash") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val df = SparkEntry.queries("b07_join_order")(spark, sfDir)
+    val row = df.collect()(0)
+    val best = row.getString(0).split("-").toSet
+    val worst = row.getString(1).split("-").toSet
+    assert(row.getBoolean(8), "both execution orders must agree on the result")
+    // join ORDER is decided on the logical plan (ReorderJoin runs
+    // there) — pin it where a reorder would show. AQE stage boundaries
+    // make the physical tree unwalkable for this; the logical tree is
+    // the authoritative order anyway.
+    val lp = df.queryExecution.optimizedPlan
+    def tables(n: LogicalPlan): Set[String] = n.collect {
+      case l: LogicalRelation => l.relation match {
+        case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          f.location.rootPaths.map(_.getName).toSet
+        case _ => Set.empty[String]
+      }
+    }.flatten.toSet.map((s: String) => s.stripSuffix(".parquet"))
+    // a LEAF join (no join beneath it) is a FIRST join of some branch:
+    // the two 3-way chains must open with the advisor's best pair and
+    // the anti-advisor's worst pair respectively — if Catalyst reordered
+    // a chain, some leaf join would scan a pair the advisor never chose
+    val leafJoins = lp.collect {
+      case j: LJoin if j.children.forall(
+        _.collect { case jj: LJoin => jj }.isEmpty) => j
+    }
+    assert(leafJoins.nonEmpty, "expected leaf joins in the logical plan")
+    val pairs = leafJoins.map(tables)
+    assert(pairs.forall(pr => pr == best || pr == worst),
+      s"every first join must be an advisor-chosen pair: got $pairs, " +
+        s"best=$best worst=$worst")
+    assert(pairs.contains(best) && pairs.contains(worst),
+      s"both experiment arms must execute their first join: $pairs")
+    // strategy stays pinned shuffled-hash — a stats-less flip to SMJ
+    // would sort the fan-out intermediate (the q111 class)
+    val phys = df.queryExecution.sparkPlan
+    assert(phys.collect { case s: SortMergeJoinExec => s }.isEmpty,
+      "SMJ flip in the b07 join tree")
+    assert(phys.toString.contains("ShuffledHashJoin"),
+      "the pinned joins must plan shuffled-hash")
+  }
+
   test("x39 vocab build: token_id is the range-split ordinal — no vocab-wide unpartitioned window remains") {
     import org.apache.spark.sql.execution.FilterExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
