@@ -631,6 +631,86 @@ object ExtensionQueries {
         .orderBy(col("rank"))
     }),
 
+    // X108 — DETERMINISTIC APPROXIMATE QUERY PROCESSING: a group-by
+    // answered from the x97 systematic-PPS sample instead of the fact
+    // table. Orders are sampled probability-proportional-to-price (the
+    // cumulative-cents line walked every `step = totW div 100` cents, no
+    // RNG — both engines derive the identical sample), and the
+    // per-priority revenue is ESTIMATED as step·Σmult: each anchor hit
+    // stands for exactly `step` cents of the line, so the estimator is
+    // pure integer and cross-engine exact even though it is approximate
+    // w.r.t. the true total. The count estimate is the Horvitz–Thompson
+    // read (mult·step div w ≈ units represented). Exact per-group totals
+    // ride along as audit with an integer err_permille — the error the
+    // sample size buys, measured, not assumed. At 100 TB the sample
+    // (id, w, mult) is a persisted artifact refreshed with the
+    // prefix-sum pass; every dashboard group-by then reads |sample| rows
+    // (b04's steady-state economics applied to AQP); here it is derived
+    // inline so the oracle can check the whole dataflow.
+    "x108_aqp_sample" -> ((s, dir) => {
+      val n = 100
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("id"),
+                col("o_orderpriority").as("prio"),
+                round(col("o_totalprice") * 100).cast("long").as("w"))
+      val sel = graft.ops.PrefixSumOps
+        .runningSum(o, Seq(), "id", "w", "cum_w", "tot_w")
+        .withColumn("step", expr(s"tot_w div $n"))
+        .withColumn("anchor", expr("step div 2"))
+        .filter(col("step") > 0)
+        .withColumn("lo", col("cum_w") - col("w"))
+        .withColumn("g_hi", expr(
+          s"CASE WHEN cum_w <= anchor THEN 0L ELSE " +
+          s"least(cast($n as bigint), (cum_w - anchor - 1) div step + 1) END"))
+        .withColumn("g_lo", expr(
+          s"CASE WHEN lo <= anchor THEN 0L ELSE " +
+          s"least(cast($n as bigint), (lo - anchor - 1) div step + 1) END"))
+        .withColumn("mult", col("g_hi") - col("g_lo"))
+        .filter(col("mult") >= 1)
+      val est = sel.groupBy(col("prio"))
+        .agg(sum(col("mult")).as("n_sampled"),
+             sum(col("mult") * col("step")).as("est_cents"),
+             sum(expr("(mult * step) div w")).as("est_n"))
+      val exact = o.groupBy(col("prio"))
+        .agg(count(lit(1)).as("exact_n"), sum(col("w")).as("exact_cents"))
+      est.join(broadcast(exact), Seq("prio"))
+        .select(col("prio"), col("n_sampled"),
+                col("est_cents"), col("exact_cents"),
+                expr("abs(est_cents - exact_cents) * 1000 div exact_cents")
+                  .as("err_permille"),
+                col("est_n"), col("exact_n"))
+        .orderBy(col("prio"))
+    }),
+
+    // X109 — HIERARCHY ROLLUP (org chart / category tree): every node's
+    // root and depth plus per-tree aggregates, from a parent relation.
+    // The fixture derives a deterministic forest over customers
+    // (parent = custkey div 10; keys are contiguous so every parent
+    // exists; custkey < 10 ⇒ root). Resolution is
+    // [[graft.ops.GraphOps.rootAndDepth]] pointer doubling — ⌈log₂ h⌉
+    // keyed self-joins, so a depth-1000 bill-of-materials costs ~10
+    // rounds where row-at-a-time recursion (the oracle's recursive CTE,
+    // and what SQL engines actually run) walks 1000 levels. Tree
+    // aggregates are one keyed agg over root labels, then a
+    // roots-sized broadcast back onto the nodes.
+    "x109_hierarchy_rollup" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("node"),
+                round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val par = c.select(col("node"),
+        when(col("node") >= 10, expr("node div 10")).as("parent"))
+      val rd = graft.ops.GraphOps.rootAndDepth(par)
+      val trees = rd.join(c, Seq("node"))
+        .groupBy(col("root"))
+        .agg(count(lit(1)).as("tree_n"),
+             sum(col("cents")).as("tree_cents"),
+             max(col("depth")).as("tree_depth"))
+      rd.join(broadcast(trees), Seq("root"))
+        .select(col("node"), col("root"), col("depth"),
+                col("tree_n"), col("tree_cents"), col("tree_depth"))
+        .orderBy(col("node"))
+    }),
+
     // X94 — KMV (k-minimum-values) distinct-cardinality algebra: per-source
     // distinct-token estimates plus UNION and INTERSECTION estimates for
     // every source pair, all from O(k)-state sketches. The sketch is the
@@ -1193,6 +1273,61 @@ object ExtensionQueries {
                  est_join - exact_join AS over_n
           FROM rk ORDER BY rank"""
     },
+
+    "x108_aqp_sample" ->
+      """WITH d AS (SELECT o_orderkey AS id, o_orderpriority AS prio,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS w
+                    FROM orders),
+         c AS (SELECT id, prio, w,
+                 sum(w) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS cum_w,
+                 sum(w) OVER () AS tot_w
+               FROM d),
+         p AS (SELECT id, prio, w, cum_w::BIGINT AS cum_w,
+                 (tot_w // 100)::BIGINT AS step,
+                 ((tot_w // 100) // 2)::BIGINT AS anchor,
+                 (cum_w - w)::BIGINT AS lo
+               FROM c WHERE tot_w // 100 > 0),
+         g AS (SELECT id, prio, w, step,
+                 (CASE WHEN cum_w <= anchor THEN 0
+                       ELSE least(100, (cum_w - anchor - 1) // step + 1) END
+                - CASE WHEN lo <= anchor THEN 0
+                       ELSE least(100, (lo - anchor - 1) // step + 1) END
+                 )::BIGINT AS mult
+               FROM p),
+         est AS (SELECT prio, sum(mult)::BIGINT AS n_sampled,
+                   sum(mult * step)::BIGINT AS est_cents,
+                   sum((mult * step) // w)::BIGINT AS est_n
+                 FROM g WHERE mult >= 1 GROUP BY prio),
+         ex AS (SELECT prio, count(*)::BIGINT AS exact_n,
+                  sum(w)::BIGINT AS exact_cents
+                FROM d GROUP BY prio)
+         SELECT est.prio, n_sampled, est_cents, exact_cents,
+           (abs(est_cents - exact_cents) * 1000 // exact_cents)::BIGINT
+             AS err_permille,
+           est_n, exact_n
+         FROM est JOIN ex ON ex.prio = est.prio
+         ORDER BY est.prio""",
+
+    // the oracle resolves the same forest by row-at-a-time recursion —
+    // the shape the doubling operator exists to avoid
+    "x109_hierarchy_rollup" ->
+      """WITH RECURSIVE
+         c AS (SELECT c_custkey AS node,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+               FROM customer),
+         r(node, root, depth) AS (
+           SELECT node, node, 0::BIGINT FROM c WHERE node < 10
+           UNION ALL
+           SELECT c.node, r.root, r.depth + 1
+           FROM c JOIN r ON r.node = c.node // 10
+           WHERE c.node >= 10),
+         t AS (SELECT root, count(*)::BIGINT AS tree_n,
+                 sum(c.cents)::BIGINT AS tree_cents,
+                 max(depth)::BIGINT AS tree_depth
+               FROM r JOIN c USING (node) GROUP BY root)
+         SELECT node, r.root, depth, tree_n, tree_cents, tree_depth
+         FROM r JOIN t ON t.root = r.root
+         ORDER BY node""",
 
     "x94_kmv_cardinality" -> {
       val est = (kmv: String) =>

@@ -60,7 +60,9 @@ object PlanCheck {
                "x99_editdist_join", "x100_reciprocal_match",
                "x101_quality_report", "x102_golden_record",
                "x103_golden_incremental", "x104_cosine_setjoin",
-               "x105_video_neardup", "b04_sketch_steady", "b05_ann_steady")
+               "x105_video_neardup", "b04_sketch_steady", "b05_ann_steady",
+               "b06_ivm_steady", "b07_join_order", "x108_aqp_sample",
+               "x109_hierarchy_rollup", "x110_salted_join")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -523,6 +523,35 @@ object RelationalQueries {
           "doc_id", "sh", 4, 5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // X110 — SKEW-SALTED enrichment join: a fact stream whose key
+    // distribution has a dominant hot key (a third of all events folded
+    // onto user 1 — the bot-account / null-surrogate shape) enriched
+    // against the customer dimension through
+    // [[graft.ops.SkewOps.saltedLeftJoin]]. The left side gets a
+    // deterministic salt from its own row id, the dimension replicates
+    // once per salt value, and the join key becomes (k, salt) — the hot
+    // key's rows spread over 8 reducers instead of serializing on one.
+    // The oracle is the PLAIN left join: hash parity is the proof that
+    // salting changes the schedule, never the result. (AQE's runtime
+    // skew split covers most cases; explicit salting is the stable-plan
+    // tool when a key dominates so heavily that even split partitions
+    // bottleneck — and it needs exactly this invariant checked.)
+    "x110_salted_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"),
+          when(col("user_id") % 3 === 0, 1L)
+            .otherwise(col("user_id")).as("k"))
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      graft.ops.SkewOps
+        .saltedLeftJoin(ev, cust, "k", buckets = 8,
+                        saltFrom = Seq(col("event_id")))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_events"),
+             count_distinct(col("k")).as("n_users"))
+        .orderBy(col("seg"))
+    }),
+
     // Q112 — skyline / Pareto frontier per brand (minimize price,
     // maximize size): the O(n log n) window formulation instead of the
     // textbook O(n²) NOT-EXISTS self-join (which the oracle runs — same
@@ -1093,6 +1122,16 @@ object RelationalQueries {
 
     // Candidates from ANY shared shingle (no prefix filter): exact
     // semantics stated independently of the pruning under test.
+    // plain join, no salt: parity proves salting never changes results
+    "x110_salted_join" ->
+      """WITH e AS (SELECT event_id,
+              CASE WHEN user_id % 3 = 0 THEN 1 ELSE user_id END AS k
+            FROM events)
+         SELECT c_mktsegment AS seg, count(*)::BIGINT AS n_events,
+           count(DISTINCT k)::BIGINT AS n_users
+         FROM e LEFT JOIN customer ON c_custkey = k
+         GROUP BY 1 ORDER BY 1""",
+
     "q111_setsim_join" ->
       s"""WITH s AS (SELECT doc_id, list_distinct($shinglesSql) AS sh
                      FROM documents),

@@ -160,4 +160,59 @@ object GraphOps {
     linked.unpersist()
     ranks
   }
+
+  /** Root and depth for every node of a FOREST, given exactly one
+    * `(node, parent)` row per node (`parent` NULL ⇒ root). Every
+    * non-null parent must itself appear as a node — a dangling parent
+    * is the caller's bug and FAILS LOUD (row-loss check per round)
+    * instead of silently dropping its subtree.
+    *
+    * Pointer doubling: state(node) = (anc, d) where anc is the
+    * 2^i-hop ancestor clamped at the root and d the hop count to it.
+    * Each round joins the state against itself — anc := anc's anc,
+    * d := d + anc's d — so a height-h hierarchy resolves in ⌈log₂ h⌉
+    * keyed equi-joins: the job-DAG depth is LOGARITHMIC in the
+    * hierarchy height, never linear like row-at-a-time recursion, and
+    * no round depends on frontier size (the BFS alternative serializes
+    * on depth and loses root attribution). Rounds are
+    * `localCheckpoint`ed flat and the superseded round freed (the
+    * pageRank pattern); one agg job per round drives both the
+    * early-exit fixpoint (Σd stops growing ⇔ every anc is a root) and
+    * the row-conservation check. */
+  def rootAndDepth(parents: DataFrame, maxIters: Int = 20): DataFrame = {
+    var state = parents.select(col("node"),
+        coalesce(col("parent"), col("node")).as("anc"),
+        when(col("parent").isNull, 0L).otherwise(1L).as("d"))
+      .localCheckpoint(false)
+    def stats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(coalesce(sum(col("d")), lit(0L)),
+                     count(lit(1))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var (total, n0) = stats(state)
+    var done = n0 == 0L
+    var i = 0
+    while (i < maxIters && !done) {
+      val m = state.select(col("node").as("_n"), col("anc").as("_a"),
+                           col("d").as("_d"))
+      val next = state.join(m, state("anc") === m("_n"))
+        .select(state("node"), col("_a").as("anc"),
+                (state("d") + col("_d")).as("d"))
+        .localCheckpoint(false)
+      val (t, n) = stats(next)
+      require(n == n0,
+        s"rootAndDepth: dangling parent dropped ${n0 - n} nodes in round $i")
+      free(state)
+      state = next
+      done = t == total
+      total = t
+      i += 1
+    }
+    // a forest of height ≤ 2^maxIters always converges; a CYCLE never
+    // does (d grows every round) — fail loud, never return wrong roots
+    require(done,
+      s"rootAndDepth: no fixpoint after $maxIters doubling rounds — " +
+        "cycle in the parent relation?")
+    state.select(col("node"), col("anc").as("root"), col("d").as("depth"))
+  }
 }

@@ -1051,6 +1051,19 @@ class PlanShapeSpec extends SparkSpec {
       "steady state must read the persisted view:\n" + plan.take(3000))
   }
 
+  test("x110 salted join: the equi-join is keyed on (k, _salt); the dimension replicates via generate") {
+    val plan = planOf("x110_salted_join")
+    // the salt must be a REAL join key (spreading the hot key across
+    // buckets), not a post-join filter
+    assert("HashJoin \\[k#\\d+L?, _salt#\\d+".r.findFirstIn(plan).isDefined,
+      "join must be keyed on (k, _salt):\n" + plan.take(3000))
+    // the right side replicates once per salt value via explode(sequence)
+    assert(plan.contains("Generate explode"),
+      "dimension must replicate per salt:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("b07 advisor-driven join order: leaf joins are exactly the chosen pairs, pinned shuffled-hash") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LogicalPlan}
     import org.apache.spark.sql.execution.datasources.LogicalRelation

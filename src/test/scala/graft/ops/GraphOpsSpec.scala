@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Pointer-doubling hierarchy resolution: randomized equivalence against a
+  * node-at-a-time reference walk, plus the loud-failure contracts (dangling
+  * parents, cycles). */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reference(par: Map[Long, Option[Long]]): Map[Long, (Long, Long)] =
+    par.keys.map { n =>
+      var cur = n; var d = 0L
+      while (par(cur).isDefined) { cur = par(cur).get; d += 1 }
+      n -> ((cur, d))
+    }.toMap
+
+  test("rootAndDepth equals the reference walk on random forests") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 200
+      // random forest: each node's parent is a strictly smaller id (or
+      // none), so the relation is acyclic by construction; chain-heavy
+      // shape (80% pick id-1) forces real depth, not just log-star stubs
+      val par: Map[Long, Option[Long]] = (1L to n).map { i =>
+        i -> (if (i == 1 || rnd.nextInt(10) == 0) None
+              else if (rnd.nextInt(10) < 8) Some(i - 1)
+              else Some(1L + rnd.nextInt((i - 1).toInt)))
+      }.toMap
+      val df = par.toSeq.map { case (k, v) => (k, v) }
+        .toDF("node", "parent")
+      val got = GraphOps.rootAndDepth(df)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == reference(par), s"trial $trial mismatch")
+      val maxDepth = reference(par).values.map(_._2).max
+      assert(maxDepth > 8, s"trial $trial fixture too shallow: $maxDepth")
+    }
+  }
+
+  test("rootAndDepth fails loud on a dangling parent") {
+    val df = Seq((1L, None: Option[Long]), (2L, Some(99L))).toDF("node", "parent")
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.rootAndDepth(df).collect()
+    }
+    assert(e.getMessage.contains("dangling"))
+  }
+
+  test("rootAndDepth fails loud on a cycle instead of returning wrong roots") {
+    val df = Seq((1L, Some(2L)), (2L, Some(1L)), (3L, None: Option[Long]))
+      .toDF("node", "parent")
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.rootAndDepth(df, maxIters = 8).collect()
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
+}
