@@ -288,6 +288,56 @@ object BenchQueries {
                 col("sc_best").as("joined_cents"),
                 (col("n_best") === col("n_worst") &&
                  col("sc_best") === col("sc_worst")).as("orders_agree"))
+    }),
+
+    // B08 — AQP AT REST: x108's deterministic PPS sample persisted as a
+    // pay-once artifact (the b04 economics applied to approximate query
+    // processing). The sample — (id, prio, w, step, mult), refreshed by
+    // one prefix-sum pass when the data changes (the Scratch fingerprint
+    // misses) — is written ONCE; the steady-state dashboard group-by
+    // then reads |sample| rows, never the fact table. The
+    // exact-recompute audit branch rides along so the oracle pins the
+    // estimate against truth per group; in production that branch
+    // doesn't exist and the per-query cost is a ~100-row scan, whatever
+    // the fact table weighs.
+    "b08_aqp_steady" -> ((s, dir) => {
+      val n = 100
+      val path = Scratch.dir("pps", dir)
+      def orders0 = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("id"),
+                col("o_orderpriority").as("prio"),
+                cents(col("o_totalprice")).as("w"))
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        graft.ops.PrefixSumOps
+          .runningSum(orders0, Seq(), "id", "w", "cum_w", "tot_w")
+          .withColumn("step", expr(s"tot_w div $n"))
+          .withColumn("anchor", expr("step div 2"))
+          .filter(col("step") > 0)
+          .withColumn("lo", col("cum_w") - col("w"))
+          .withColumn("g_hi", expr(
+            s"CASE WHEN cum_w <= anchor THEN 0L ELSE " +
+            s"least(cast($n as bigint), (cum_w - anchor - 1) div step + 1) END"))
+          .withColumn("g_lo", expr(
+            s"CASE WHEN lo <= anchor THEN 0L ELSE " +
+            s"least(cast($n as bigint), (lo - anchor - 1) div step + 1) END"))
+          .withColumn("mult", col("g_hi") - col("g_lo"))
+          .filter(col("mult") >= 1)
+          .select(col("id"), col("prio"), col("w"), col("step"),
+                  col("mult"))
+          .coalesce(1).write.mode("overwrite").parquet(path)
+      val est = s.read.parquet(path).groupBy(col("prio"))
+        .agg(sum(col("mult")).as("n_sampled"),
+             sum(col("mult") * col("step")).as("est_cents"),
+             sum(expr("(mult * step) div w")).as("est_n"))
+      val exact = orders0.groupBy(col("prio"))
+        .agg(count(lit(1)).as("exact_n"), sum(col("w")).as("exact_cents"))
+      est.join(broadcast(exact), Seq("prio"))
+        .select(col("prio"), col("n_sampled"),
+                col("est_cents"), col("exact_cents"),
+                expr("abs(est_cents - exact_cents) * 1000 div exact_cents")
+                  .as("err_permille"),
+                col("est_n"), col("exact_n"))
+        .orderBy(col("prio"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -414,5 +464,9 @@ object BenchQueries {
             j.n AS joined_rows, j.sc AS joined_cents,
             TRUE AS orders_agree
           FROM best, worst, j"""
-    })
+    },
+
+    // the at-rest sample is the SAME deterministic PPS dataflow x108
+    // derives inline — one oracle pins both (estimate AND audit)
+    "b08_aqp_steady" -> ExtensionQueries.oracleSql("x108_aqp_sample"))
 }

@@ -523,6 +523,36 @@ object RelationalQueries {
           "doc_id", "sh", 4, 5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Q118 — relational set operations with BAG semantics: INTERSECT /
+    // EXCEPT in both DISTINCT and ALL forms over two derived order-key
+    // multisets. ALL semantics are the subtle half (INTERSECT ALL keeps
+    // min(multiplicity) per key, EXCEPT ALL subtracts multiplicities —
+    // not what a distinct-then-join reformulation gives), and Spark's
+    // intersectAll/exceptAll implement exactly the SQL bag rules the
+    // oracle runs. Each arm collapses to one summary row (row count,
+    // distinct keys, key checksum) so the hash pins multiplicities
+    // exactly without shipping the multisets. Physically every arm is
+    // one aggregate over a keyed anti/semi-style shuffle — no
+    // all-pairs anything, scales with the smaller side's key count.
+    "q118_bag_setops" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val a = o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_custkey").as("k"))
+      val b = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      def tag(df: DataFrame, op: String) = df
+        .agg(count(lit(1)).as("n_rows"),
+             count_distinct(col("k")).as("n_keys"),
+             coalesce(sum(col("k")), lit(0L)).as("sum_k"))
+        .select(lit(op).as("op"), col("n_rows"), col("n_keys"),
+                col("sum_k"))
+      tag(a.except(b), "except")
+        .unionAll(tag(a.exceptAll(b), "except_all"))
+        .unionAll(tag(a.intersect(b), "intersect"))
+        .unionAll(tag(a.intersectAll(b), "intersect_all"))
+        .orderBy(col("op"))
+    }),
+
     // X110 — SKEW-SALTED enrichment join: a fact stream whose key
     // distribution has a dominant hot key (a third of all events folded
     // onto user 1 — the bot-account / null-surrogate shape) enriched
@@ -1122,6 +1152,30 @@ object RelationalQueries {
 
     // Candidates from ANY shared shingle (no prefix filter): exact
     // semantics stated independently of the pruning under test.
+    "q118_bag_setops" ->
+      """WITH a AS (SELECT o_custkey AS k FROM orders
+                    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+          b AS (SELECT o_custkey AS k FROM orders
+                WHERE o_orderstatus = 'F'),
+          i  AS (SELECT k FROM a INTERSECT SELECT k FROM b),
+          ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+          e  AS (SELECT k FROM a EXCEPT SELECT k FROM b),
+          ea AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+         SELECT * FROM (
+           SELECT 'except' AS op, count(*)::BIGINT AS n_rows,
+             count(DISTINCT k)::BIGINT AS n_keys,
+             coalesce(sum(k), 0)::BIGINT AS sum_k FROM e
+           UNION ALL
+           SELECT 'except_all', count(*)::BIGINT,
+             count(DISTINCT k)::BIGINT, coalesce(sum(k), 0)::BIGINT FROM ea
+           UNION ALL
+           SELECT 'intersect', count(*)::BIGINT,
+             count(DISTINCT k)::BIGINT, coalesce(sum(k), 0)::BIGINT FROM i
+           UNION ALL
+           SELECT 'intersect_all', count(*)::BIGINT,
+             count(DISTINCT k)::BIGINT, coalesce(sum(k), 0)::BIGINT FROM ia)
+         ORDER BY op""",
+
     // plain join, no salt: parity proves salting never changes results
     "x110_salted_join" ->
       """WITH e AS (SELECT event_id,

@@ -1109,6 +1109,27 @@ class PlanShapeSpec extends SparkSpec {
       "the pinned joins must plan shuffled-hash")
   }
 
+  test("b08 AQP steady state: pay-once sample is idempotent; estimate reads the sample, never the facts") {
+    SparkEntry.queries("b08_aqp_steady")(spark, sfDir).collect()
+    val dirF = new java.io.File(Scratch.dir("pps", sfDir))
+    assert(dirF.isDirectory, "pay-once sample must exist")
+    val stamp = dirF.listFiles().map(_.lastModified()).max
+    val rows = SparkEntry.queries("b08_aqp_steady")(spark, sfDir).collect()
+    assert(dirF.listFiles().map(_.lastModified()).max == stamp,
+      "steady-state run must not rewrite the sample")
+    assert(rows.nonEmpty)
+    val plan = SparkEntry.queries("b08_aqp_steady")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the fact table is scanned exactly once — the exact-audit branch
+    // (absent in production); the estimate branch reads the sample only
+    val factScans = "orders\\.parquet".r.findAllIn(plan).size
+    assert(factScans == 1,
+      s"expected the audit fact scan only, got $factScans:\n"
+        + plan.take(3000))
+    assert(plan.contains("graft_pps_"),
+      "steady state must read the persisted sample:\n" + plan.take(3000))
+  }
+
   test("x39 vocab build: token_id is the range-split ordinal — no vocab-wide unpartitioned window remains") {
     import org.apache.spark.sql.execution.FilterExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
