@@ -711,6 +711,70 @@ object ExtensionQueries {
         .orderBy(col("node"))
     }),
 
+    // X111 — BUCKET-DIGEST RECONCILIATION: compare two table snapshots
+    // by 64 per-bucket digests first, row-level only where digests
+    // disagree — the anti-entropy shape for "did the replica drift?"
+    // across regions, where shipping row fingerprints (x71) is already
+    // too much. Digest = Σ of each row's 48-bit md5 fingerprint per
+    // doc_id%64 bucket: ORDER-FREE (a sum commutes, so partial aggs and
+    // any partitioning give the identical digest) and integer — both
+    // engines compute it bit-equal. Matching buckets cost 64 rows per
+    // side on the wire, period; only mismatched buckets pay a row-level
+    // full-outer diff, gated by a ≤64-row broadcast semi join. (At
+    // larger per-bucket cardinalities promote the sum to mod-2⁶⁴ or a
+    // 128-bit pair; 2⁴⁸·rows stays far under 2⁶³ here.) A digest
+    // COLLISION would mark a drifted bucket clean — astronomically
+    // unlikely at 48 bits, and the same on both engines, so parity is
+    // unaffected; the detail columns are attributed adds/removes/edits
+    // per dirty bucket. Old snapshot derived deterministically (x71's
+    // fixture) so the oracle states the expectation exactly.
+    "x111_digest_reconcile" -> ((s, dir) => {
+      val cur = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val old = cur.filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 5, substring(col("text"), 1, 40))
+            .otherwise(col("text")).as("text"))
+        .unionByName(cur.filter(col("doc_id") % 19 === 7)
+          .select((col("doc_id") + 1000000000000L).as("doc_id"),
+                  upper(substring(col("text"), 1, 20)).as("text")))
+      def fp(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        pmod(col("doc_id"), lit(64L)).as("bucket"),
+        conv(substring(md5(concat_ws(":", col("doc_id"), col("text"))
+          .cast("binary")), 1, 12), 16, 10).cast("long").as("f"))
+      val dOld = fp(old).groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_old"), sum(col("f")).as("d_old"))
+      val dCur = fp(cur).groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_cur"), sum(col("f")).as("d_cur"))
+      val dig = dOld.join(dCur, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+          (coalesce(col("d_old"), lit(0L)) <=> coalesce(col("d_cur"), lit(0L))
+            && coalesce(col("n_old"), lit(0L)) <=> coalesce(col("n_cur"), lit(0L)))
+            .as("digest_match"))
+      val bad = dig.filter(!col("digest_match")).select(col("bucket"))
+      val o2 = fp(old).join(broadcast(bad), Seq("bucket"), "left_semi")
+      val c2 = fp(cur).join(broadcast(bad), Seq("bucket"), "left_semi")
+      val diff = o2.select(col("doc_id"), col("bucket"), col("f").as("f_o"))
+        .join(c2.select(col("doc_id"), col("f").as("f_n")),
+              Seq("doc_id"), "full_outer")
+        .withColumn("bucket",
+          coalesce(col("bucket"), pmod(col("doc_id"), lit(64L))))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("f_o").isNull, 1L).otherwise(0L)).as("n_added"),
+             sum(when(col("f_n").isNull, 1L).otherwise(0L)).as("n_removed"),
+             sum(when(col("f_o").isNotNull && col("f_n").isNotNull &&
+                      col("f_o") =!= col("f_n"), 1L).otherwise(0L))
+               .as("n_changed"))
+      dig.join(diff, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_old"), col("n_cur"),
+                col("digest_match"),
+                coalesce(col("n_added"), lit(0L)).as("n_added"),
+                coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+                coalesce(col("n_changed"), lit(0L)).as("n_changed"))
+        .orderBy(col("bucket"))
+    }),
+
     // X94 — KMV (k-minimum-values) distinct-cardinality algebra: per-source
     // distinct-token estimates plus UNION and INTERSECTION estimates for
     // every source pair, all from O(k)-state sketches. The sketch is the
@@ -1328,6 +1392,59 @@ object ExtensionQueries {
          SELECT node, r.root, depth, tree_n, tree_cents, tree_depth
          FROM r JOIN t ON t.root = r.root
          ORDER BY node""",
+
+    "x111_digest_reconcile" ->
+      """WITH cur AS (SELECT doc_id, text FROM documents),
+         old AS (SELECT doc_id,
+                   CASE WHEN doc_id % 13 = 5 THEN substring(text, 1, 40)
+                        ELSE text END AS text
+                 FROM cur WHERE doc_id % 17 <> 3
+                 UNION ALL
+                 SELECT doc_id + 1000000000000,
+                   upper(substring(text, 1, 20))
+                 FROM cur WHERE doc_id % 19 = 7),
+         fo AS (SELECT doc_id, doc_id % 64 AS bucket,
+                  ('0x' || substr(md5(doc_id::VARCHAR || ':' || text),
+                    1, 12))::BIGINT AS f
+                FROM old),
+         fc AS (SELECT doc_id, doc_id % 64 AS bucket,
+                  ('0x' || substr(md5(doc_id::VARCHAR || ':' || text),
+                    1, 12))::BIGINT AS f
+                FROM cur),
+         ao AS (SELECT bucket, count(*)::BIGINT AS n_old,
+                  sum(f)::BIGINT AS d_old FROM fo GROUP BY 1),
+         ac AS (SELECT bucket, count(*)::BIGINT AS n_cur,
+                  sum(f)::BIGINT AS d_cur FROM fc GROUP BY 1),
+         dig AS (SELECT coalesce(ao.bucket, ac.bucket) AS bucket,
+                   coalesce(n_old, 0)::BIGINT AS n_old,
+                   coalesce(n_cur, 0)::BIGINT AS n_cur,
+                   (coalesce(d_old, 0) = coalesce(d_cur, 0)
+                    AND coalesce(n_old, 0) = coalesce(n_cur, 0))
+                     AS digest_match
+                 FROM ao FULL JOIN ac ON ac.bucket = ao.bucket),
+         bad AS (SELECT bucket FROM dig WHERE NOT digest_match),
+         dfo AS (SELECT * FROM fo
+                 WHERE bucket IN (SELECT bucket FROM bad)),
+         dfc AS (SELECT * FROM fc
+                 WHERE bucket IN (SELECT bucket FROM bad)),
+         dj AS (SELECT coalesce(dfo.bucket, dfc.bucket) AS bucket,
+                  dfo.f AS f_o, dfc.f AS f_n
+                FROM dfo FULL JOIN dfc ON dfc.doc_id = dfo.doc_id),
+         dd AS (SELECT bucket,
+                  sum(CASE WHEN f_o IS NULL THEN 1 ELSE 0 END)::BIGINT
+                    AS n_added,
+                  sum(CASE WHEN f_n IS NULL THEN 1 ELSE 0 END)::BIGINT
+                    AS n_removed,
+                  sum(CASE WHEN f_o IS NOT NULL AND f_n IS NOT NULL
+                           AND f_o <> f_n THEN 1 ELSE 0 END)::BIGINT
+                    AS n_changed
+                FROM dj GROUP BY 1)
+         SELECT dig.bucket, n_old, n_cur, digest_match,
+           coalesce(n_added, 0)::BIGINT AS n_added,
+           coalesce(n_removed, 0)::BIGINT AS n_removed,
+           coalesce(n_changed, 0)::BIGINT AS n_changed
+         FROM dig LEFT JOIN dd ON dd.bucket = dig.bucket
+         ORDER BY dig.bucket""",
 
     "x94_kmv_cardinality" -> {
       val est = (kmv: String) =>
