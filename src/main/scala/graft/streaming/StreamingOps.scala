@@ -397,6 +397,24 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming bucket-digest maintenance — the streaming twin of batch
+    * x111's reconciliation digests. Input: `(doc_id, text)` rows (an
+    * insert-only feed). State is 64 rows of (n, digest) — the digest is
+    * the SUM of 48-bit md5 row fingerprints per `doc_id % 64` bucket,
+    * and sums commute, so the streaming aggregation state after any
+    * prefix equals the batch digest of that prefix exactly
+    * (reconciliation-tested). This is the anti-entropy publisher: a
+    * region streams ingest while continuously maintaining the 64-row
+    * digest table another region compares against (x111's batch
+    * compare), no re-scan of history ever. State bound is structural
+    * (64 rows forever) — no watermark. */
+  def streamingBucketDigest(docs: DataFrame): DataFrame =
+    docs.select(pmod(col("doc_id"), lit(64L)).as("bucket"),
+        conv(substring(md5(concat_ws(":", col("doc_id"), col("text"))
+          .cast("binary")), 1, 12), 16, 10).cast("long").as("f"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("f")).as("digest"))
+
   /** Streaming KMV distinct-cardinality per stratum — the streaming twin
     * of batch x94 exactly as [[streamingCmsSketch]] twins x81. Input:
     * `(stratum, key)` rows. State per stratum is the k smallest distinct

@@ -356,6 +356,36 @@ class StreamingSpec extends SparkSpec {
       (2L, "added", "fpE")))
   }
 
+  test("streamingBucketDigest state reconciles with the batch x111 digests after any prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingBucketDigest(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("bdig")
+      .outputMode("complete").start()
+    val b1 = Seq((1L, "alpha"), (65L, "beta"), (2L, "gamma"))
+    val b2 = Seq((3L, "delta"), (129L, "epsilon"), (1L, "alpha"))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("select bucket, n, digest from bdig")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    q.stop()
+    val batch = StreamingOps.streamingBucketDigest(
+        (b1 ++ b2).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(streamed === batch,
+      "streamed digest state must equal the batch digests of the same rows")
+    // buckets 1 and 65 collide mod 64: their digest must be the SUM of
+    // both fingerprints (order-free merge), and state is <= 64 rows
+    assert(streamed(1L)._1 == 4L) // ids 1 (x2), 65, 129 all in bucket 1
+    assert(streamed.size <= 64)
+  }
+
   test("streamingCmsSketch state reconciles cell-by-cell with the batch x81 sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
