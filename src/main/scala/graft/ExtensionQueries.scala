@@ -745,6 +745,8 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_old"), sum(col("f")).as("d_old"))
       val dCur = fp(cur).groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_cur"), sum(col("f")).as("d_cur"))
+      // 64-row frame consumed three times (bad gate ×2, final join) —
+      // persist so the digest aggregation over the snapshots runs once
       val dig = dOld.join(dCur, Seq("bucket"), "full_outer")
         .select(col("bucket"),
           coalesce(col("n_old"), lit(0L)).as("n_old"),
@@ -752,10 +754,14 @@ object ExtensionQueries {
           (coalesce(col("d_old"), lit(0L)) <=> coalesce(col("d_cur"), lit(0L))
             && coalesce(col("n_old"), lit(0L)) <=> coalesce(col("n_cur"), lit(0L)))
             .as("digest_match"))
+        .persist()
       val bad = dig.filter(!col("digest_match")).select(col("bucket"))
       val o2 = fp(old).join(broadcast(bad), Seq("bucket"), "left_semi")
       val c2 = fp(cur).join(broadcast(bad), Seq("bucket"), "left_semi")
+      // full-outer can't broadcast; shuffle_hash keeps the (data-sized
+      // in the worst case) gated diff arm sort-free
       val diff = o2.select(col("doc_id"), col("bucket"), col("f").as("f_o"))
+        .hint("shuffle_hash")
         .join(c2.select(col("doc_id"), col("f").as("f_n")),
               Seq("doc_id"), "full_outer")
         .withColumn("bucket",
