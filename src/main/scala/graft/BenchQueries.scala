@@ -255,7 +255,9 @@ object BenchQueries {
         sk(a).withColumnRenamed("c", "ca")
           .join(sk(b).withColumnRenamed("c", "cb"), Seq("r", "b"))
           .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip"))
-          .agg(min(col("ip")).as("est"))
+          // disjoint sketches share no (r, b) cell: min over zero rows
+          // is NULL — read it as "estimated empty join", not an NPE
+          .agg(coalesce(min(col("ip")), lit(0L)).as("est"))
           .select(lit(s"$a-$b").as("pair"), col("est"))
         ).reduce(_ unionAll _)
       val ests: Seq[(String, Long)] = estFrame.collect()
@@ -439,11 +441,11 @@ object BenchQueries {
                (SELECT unnest([0, 1, 2, 3]) AS r) rs GROUP BY 1, 2)"""
       def pair(na: String, ka: String, nb: String, kb: String) =
         s"""SELECT '$na-$nb' AS pair,
-              (SELECT min(ip) FROM (
+              coalesce((SELECT min(ip) FROM (
                  SELECT sum(sa.ca * sb.cb)::BIGINT AS ip
                  FROM ${sk(na, ka, "ca")} sa
                  JOIN ${sk(nb, kb, "cb")} sb ON sb.r = sa.r AND sb.b = sa.b
-                 GROUP BY sa.r))::BIGINT AS est,
+                 GROUP BY sa.r)), 0)::BIGINT AS est,
               (SELECT count(*) FROM $na a JOIN $nb b
                  ON a.$ka = b.$kb)::BIGINT AS exact"""
       s"""WITH allp AS (
