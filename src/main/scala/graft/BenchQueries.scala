@@ -334,7 +334,7 @@ object BenchQueries {
       val est = s.read.parquet(path).groupBy(col("prio"))
         .agg(sum(col("mult")).as("n_sampled"),
              sum(col("mult") * col("step")).as("est_cents"),
-             sum(expr("(mult * step) div w")).as("est_n"))
+             sum(expr("(mult * step + w DIV 2) div w")).as("est_n"))
       val exact = orders0.groupBy(col("prio"))
         .agg(count(lit(1)).as("exact_n"), sum(col("w")).as("exact_cents"))
       est.join(broadcast(exact), Seq("prio"))

@@ -670,7 +670,7 @@ object ExtensionQueries {
       val est = sel.groupBy(col("prio"))
         .agg(sum(col("mult")).as("n_sampled"),
              sum(col("mult") * col("step")).as("est_cents"),
-             sum(expr("(mult * step) div w")).as("est_n"))
+             sum(expr("(mult * step + w DIV 2) div w")).as("est_n"))
       val exact = o.groupBy(col("prio"))
         .agg(count(lit(1)).as("exact_n"), sum(col("w")).as("exact_cents"))
       est.join(broadcast(exact), Seq("prio"))
@@ -1366,7 +1366,7 @@ object ExtensionQueries {
                FROM p),
          est AS (SELECT prio, sum(mult)::BIGINT AS n_sampled,
                    sum(mult * step)::BIGINT AS est_cents,
-                   sum((mult * step) // w)::BIGINT AS est_n
+                   sum((mult * step + w // 2) // w)::BIGINT AS est_n
                  FROM g WHERE mult >= 1 GROUP BY prio),
          ex AS (SELECT prio, count(*)::BIGINT AS exact_n,
                   sum(w)::BIGINT AS exact_cents
