@@ -106,6 +106,37 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // X112 — CUSUM drift alarms over per-user daily activity: the
+    // classic sequential change detector s_i = max(0, s_{i-1} + (c_i−k))
+    // alarming at s ≥ h — textbooks write it as an unparallelizable
+    // recurrence, but it has a closed prefix form: with P the running
+    // sum of (c−k), s_i = P_i − min(0, min_{j≤i} P_j). That turns the
+    // whole detector into TWO window functions riding ONE user-keyed
+    // exchange (running sum + running min — the same de-recurrence
+    // PrefixSumOps applies corpus-wide), so a year of history per user
+    // costs a partition-local linear pass, parallel across users.
+    // Integer throughout (counts vs an integer target rate k=2,
+    // threshold h=5); day is the epoch-microsecond ordinal DIV 86.4e9
+    // so neither engine touches a date type.
+    "x112_cusum_alarms" -> ((s, dir) => {
+      val k = 2L
+      val h = 5L
+      val daily = Tables(s, dir, "events")
+        .select(col("user_id"),
+                expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily
+        .withColumn("p", sum(col("c") - lit(k)).over(w))
+        .withColumn("cusum",
+          col("p") - least(lit(0L), min(col("p")).over(w)))
+        .withColumn("alarm", col("cusum") >= h)
+        .select(col("user_id"), col("day"), col("c"), col("cusum"),
+                col("alarm"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     // Q30 — window analytics over each customer's order history:
     // lag/lead, 3-row moving sum, running total, sequence rank
     "q30_window_analytics" -> ((s, dir) => {
@@ -934,6 +965,22 @@ object AnalyticsQueries {
             ON b.user_id = a.user_id AND a.event_id < b.event_id
            AND abs($epochB - $epochA) <= 300
           ORDER BY id_a, id_b""",
+
+    "x112_cusum_alarms" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                      count(*)::BIGINT AS c
+                    FROM events GROUP BY 1, 2),
+          p AS (SELECT user_id, day, c,
+                  sum(c - 2) OVER (PARTITION BY user_id ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS p
+                FROM d),
+          m AS (SELECT user_id, day, c, p,
+                  least(0, min(p) OVER (PARTITION BY user_id ORDER BY day
+                    ROWS UNBOUNDED PRECEDING)) AS fl
+                FROM p)
+         SELECT user_id, day, c, (p - fl)::BIGINT AS cusum,
+           (p - fl) >= 5 AS alarm
+         FROM m ORDER BY user_id, day""",
 
     "q114_moving_median" ->
       """WITH e AS (SELECT user_id, event_id, ts,

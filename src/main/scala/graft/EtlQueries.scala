@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Warehouse-maintenance operators: SCD1 upsert (MERGE), snapshot diff
@@ -226,6 +227,51 @@ object EtlQueries {
         .agg(coalesce(sum(col("cents")), lit(0L)).as("credit_cents"))
         .select(lit("direct").as("channel"), col("credit_cents"))
       credited.unionByName(direct).orderBy(col("channel"))
+    }),
+
+    // X113 — U-SHAPED (position-based) multi-touch attribution: q116
+    // splits credit 1/n; the position-based model the ad platforms
+    // default to gives 40% to the FIRST touch, 40% to the LAST, and
+    // splits 20% across the middles. Credits are integer permille with
+    // LARGEST-REMAINDER assignment over the middles (earliest middles
+    // absorb the remainder), so every conversion's credits sum to
+    // exactly 1000 — no float splits, no lost permille, bit-identical
+    // cross-engine. Same banded-cell interval join as q116 for the
+    // touch window; the rank and the touch count ride ONE cid-keyed
+    // exchange (ordered row_number + unordered count over the same
+    // partition).
+    "x113_ushape_attribution" -> ((s, dir) => {
+      val gapUs = 7L * 86400 * 1000000L
+      val ev = Tables(s, dir, "events")
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("cid"), col("user_id"),
+                unix_micros(col("ts")).as("ep"))
+      val touch = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id").as("tid"),
+                unix_micros(col("ts")).as("et"))
+        .withColumn("cell", expr(s"et DIV ${gapUs}L"))
+      val probe = conv.withColumn("cell",
+        explode(array(expr(s"ep DIV ${gapUs}L"),
+                      expr(s"ep DIV ${gapUs}L - 1"))))
+      val matched = probe.join(touch, Seq("user_id", "cell"))
+        .filter(col("et") <= col("ep") &&
+                col("et") >= col("ep") - lit(gapUs))
+        .select(col("cid"), col("user_id"), col("tid"), col("et"))
+      val wOrd = Window.partitionBy(col("cid"))
+        .orderBy(col("et"), col("tid"))
+      matched
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy(col("cid"))).cast("long"))
+        .withColumn("credit_permille",
+          when(col("n") === 1, 1000L)
+          .when(col("n") === 2, 500L)
+          .when(col("rn") === 1 || col("rn") === col("n"), 400L)
+          .otherwise(expr(
+            "200 DIV (n - 2) + IF(rn - 2 < 200 % (n - 2), 1, 0)")))
+        .select(col("cid"), col("user_id"), col("tid"), col("rn"),
+                col("n"), col("credit_permille"))
+        .orderBy(col("cid"), col("rn"))
     }),
 
     // Q99 — incremental rollup maintenance: the nightly-delta pattern.
@@ -496,6 +542,29 @@ object EtlQueries {
          SELECT channel, credit_cents FROM credited
          UNION ALL SELECT channel, credit_cents FROM direct
          ORDER BY channel""",
+
+    "x113_ushape_attribution" ->
+      """WITH conv AS (SELECT event_id AS cid, user_id,
+             epoch_us(ts) AS ep
+           FROM events WHERE event_type = 'purchase'),
+         touch AS (SELECT user_id, event_id AS tid, epoch_us(ts) AS et
+           FROM events WHERE event_type IN ('click', 'view')),
+         m AS (SELECT c.cid, c.user_id, t.tid, t.et
+               FROM conv c JOIN touch t ON t.user_id = c.user_id
+                AND t.et <= c.ep AND t.et >= c.ep - 604800000000),
+         r AS (SELECT cid, user_id, tid,
+                 row_number() OVER (PARTITION BY cid
+                   ORDER BY et, tid)::BIGINT AS rn,
+                 count(*) OVER (PARTITION BY cid)::BIGINT AS n
+               FROM m)
+         SELECT cid, user_id, tid, rn, n,
+           (CASE WHEN n = 1 THEN 1000
+                 WHEN n = 2 THEN 500
+                 WHEN rn = 1 OR rn = n THEN 400
+                 ELSE 200 // (n - 2) +
+                   (CASE WHEN rn - 2 < 200 % (n - 2) THEN 1 ELSE 0 END)
+            END)::BIGINT AS credit_permille
+         FROM r ORDER BY cid, rn""",
 
     // full recompute of the maintained join view — incremental must match
     "q115_ivm_join" ->
