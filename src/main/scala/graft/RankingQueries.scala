@@ -172,7 +172,51 @@ object RankingQueries {
                     expr("(subwords * 1000) DIV nullif(tokens, 0)"))
         .withColumn("chars_per_token_x1000",
                     expr("(chars * 1000) DIV nullif(tokens, 0)"))
-        .orderBy(col("lang"))))
+        .orderBy(col("lang"))),
+
+    // X114 — RFM customer segmentation: the standard CRM scoring —
+    // Recency (days since last order, vs the dataset's max date so both
+    // engines share the anchor), Frequency (order count), Monetary
+    // (lifetime cents) — each scored 1–5 by EXACT equi-depth quintile:
+    // score = 5 − ((rank−1)·5) div n over the (metric, custkey) total
+    // order. Ranks come from the range-split ordinal kernel, never a
+    // customer-wide single-task window (the x39 treatment, applied
+    // three times — one kernel per metric ordering); n arrives as a
+    // 1-row broadcast. Everything is integer, ties break by custkey, so
+    // the SEGMENT (r·100 + f·10 + m) is bit-stable cross-engine —
+    // which is what lets a marketing export be regression-tested at
+    // all. 555 = champions, 1xx = lapsing, x1x = one-shot, xx1 = low
+    // spend.
+    "x114_rfm_segments" -> ((s, dir) => {
+      import graft.ops.DedupOps
+      val o = Tables(s, dir, "orders")
+      val anchor = o.agg(max(unix_micros(col("o_orderdate"))).as("_mx"))
+      val base = o.groupBy(col("o_custkey"))
+        .agg(max(unix_micros(col("o_orderdate"))).as("_last"),
+             count(lit(1)).as("n_orders"),
+             sum(cents(col("o_totalprice"))).as("m_cents"))
+        .crossJoin(broadcast(anchor))
+        .withColumn("r_days", expr("(_mx - _last) div 86400000000"))
+        .drop("_mx", "_last")
+      def ranked(df: DataFrame, keys: Seq[org.apache.spark.sql.Column],
+                 out: String): DataFrame =
+        DedupOps.withIngestOrdinalFrom(df, keys)
+          .withColumnRenamed(DedupOps.OrdinalCol, out)
+      val withRanks = ranked(ranked(ranked(base,
+          Seq(col("r_days"), col("o_custkey")), "_rr"),
+          Seq(negate(col("n_orders")), col("o_custkey")), "_rf"),
+          Seq(negate(col("m_cents")), col("o_custkey")), "_rm")
+      val n = base.agg(count(lit(1)).as("_n"))
+      withRanks.crossJoin(broadcast(n))
+        .select(col("o_custkey"), col("r_days"), col("n_orders"),
+                col("m_cents"),
+                expr("5 - ((_rr - 1) * 5) DIV _n").as("r_score"),
+                expr("5 - ((_rf - 1) * 5) DIV _n").as("f_score"),
+                expr("5 - ((_rm - 1) * 5) DIV _n").as("m_score"))
+        .withColumn("segment",
+          expr("r_score * 100 + f_score * 10 + m_score"))
+        .orderBy(col("o_custkey"))
+    }))
 
   private val coPurchaseSql =
     """big AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000),
@@ -301,5 +345,31 @@ object RankingQueries {
              AS fertility_x1000,
            ((sum(chars) * 1000) // nullif(sum(tokens), 0))::BIGINT
              AS chars_per_token_x1000
-         FROM per GROUP BY lang ORDER BY lang""")
+         FROM per GROUP BY lang ORDER BY lang""",
+
+    "x114_rfm_segments" ->
+      """WITH a AS (SELECT max(epoch_us(o_orderdate)) AS mx FROM orders),
+         b AS (SELECT o_custkey,
+                 ((SELECT mx FROM a) - max(epoch_us(o_orderdate)))
+                   // 86400000000 AS r_days,
+                 count(*)::BIGINT AS n_orders,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS m_cents
+               FROM orders GROUP BY 1),
+         n AS (SELECT count(*)::BIGINT AS _n FROM b),
+         r AS (SELECT b.*,
+                 row_number() OVER (ORDER BY r_days, o_custkey) AS rr,
+                 row_number() OVER (ORDER BY n_orders DESC, o_custkey)
+                   AS rf,
+                 row_number() OVER (ORDER BY m_cents DESC, o_custkey)
+                   AS rm
+               FROM b)
+         SELECT o_custkey, r_days, n_orders, m_cents,
+           (5 - ((rr - 1) * 5) // _n)::BIGINT AS r_score,
+           (5 - ((rf - 1) * 5) // _n)::BIGINT AS f_score,
+           (5 - ((rm - 1) * 5) // _n)::BIGINT AS m_score,
+           ((5 - ((rr - 1) * 5) // _n) * 100 +
+            (5 - ((rf - 1) * 5) // _n) * 10 +
+            (5 - ((rm - 1) * 5) // _n))::BIGINT AS segment
+         FROM r, n ORDER BY o_custkey""")
 }
