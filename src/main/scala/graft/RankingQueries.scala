@@ -216,6 +216,32 @@ object RankingQueries {
         .withColumn("segment",
           expr("r_score * 100 + f_score * 10 + m_score"))
         .orderBy(col("o_custkey"))
+    }),
+
+    // X115 — integer-weighted single-source shortest paths: the
+    // weighted member of the distributed graph family (BFS counts hops
+    // q83, CC labels q/x14, PageRank q92, hierarchy x109 — this is the
+    // min-plus semiring). Deterministic fixture: every customer key
+    // u ≥ 2 has edges to u div 2 (weight u%7+1) and u div 3 (weight
+    // u%5+1), so every node reaches node 1 along strictly-decreasing
+    // chains — a DAG whose hop diameter is log₂(maxkey), which is what
+    // bounds the Bellman-Ford round count. The oracle enumerates every
+    // reduction path with a recursive CTE and takes the min — the
+    // row-at-a-time shape whose path count explodes combinatorially,
+    // versus the engine's one-relaxation-join-per-round that touches
+    // each edge once per round regardless of path multiplicity.
+    "x115_weighted_sssp" -> ((s, dir) => {
+      val nodes = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("u"))
+      val edges = nodes.filter(col("u") >= 2)
+        .select(col("u").as("src"), expr("u div 2").as("dst"),
+                (col("u") % 7 + 1).as("w"))
+        .unionAll(nodes.filter(col("u") >= 3)
+          .select(col("u").as("src"), expr("u div 3").as("dst"),
+                  (col("u") % 5 + 1).as("w")))
+      val seeds = nodes.filter(col("u") === 1).select(col("u").as("node"))
+      graft.ops.GraphOps.shortestPaths(edges, seeds)
+        .orderBy(col("node"))
     }))
 
   private val coPurchaseSql =
@@ -371,5 +397,22 @@ object RankingQueries {
            ((5 - ((rr - 1) * 5) // _n) * 100 +
             (5 - ((rf - 1) * 5) // _n) * 10 +
             (5 - ((rm - 1) * 5) // _n))::BIGINT AS segment
-         FROM r, n ORDER BY o_custkey""")
+         FROM r, n ORDER BY o_custkey""",
+
+    // path enumeration + min: correct because every edge strictly
+    // decreases the key, so the recursion is finite
+    "x115_weighted_sssp" ->
+      """WITH RECURSIVE
+         nodes AS (SELECT c_custkey AS u FROM customer),
+         e AS (SELECT u AS src, u // 2 AS dst, (u % 7 + 1)::BIGINT AS w
+               FROM nodes WHERE u >= 2
+               UNION ALL
+               SELECT u, u // 3, (u % 5 + 1)::BIGINT
+               FROM nodes WHERE u >= 3),
+         d(node, dist) AS (
+           SELECT u, 0::BIGINT FROM nodes WHERE u = 1
+           UNION ALL
+           SELECT e.src, d.dist + e.w FROM d JOIN e ON e.dst = d.node)
+         SELECT node, min(dist)::BIGINT AS dist
+         FROM d GROUP BY node ORDER BY node""")
 }

@@ -161,6 +161,58 @@ object GraphOps {
     ranks
   }
 
+  /** Single-source shortest paths with NON-NEGATIVE integer weights —
+    * the weighted upgrade of [[bfs]] (min-plus semiring instead of hop
+    * counting). Bellman-Ford rounds: each round relaxes every edge once
+    * via ONE keyed equi-join of the edge list against the current
+    * distance frame and re-minimizes per node — converging in ≤
+    * shortest-path-hop-diameter rounds, each fully parallel, with the
+    * same localCheckpoint + free lineage hygiene as [[pageRank]]. Early
+    * exit on the (reached-count, Σdist) fixpoint: both are monotone
+    * (reach grows, distances only shrink), so equality means no edge
+    * can relax further. Distances flow src ← dst: `dist(u) =
+    * min over edges (u,v,w) of w + dist(v)` — pass reversed edges for
+    * the source-outward orientation.
+    *
+    * @param edges (src, dst, w) with w >= 0 (negative weights violate
+    *              the early-exit argument and are the caller's bug)
+    * @param seeds (node) rows at distance 0
+    * @return (node, dist) for every node that reaches a seed */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame,
+                    maxIters: Int = 30): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w")).persist()
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(false)
+    def stats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var cur = stats(dist)
+    var done = cur._1 == 0L
+    var i = 0
+    while (i < maxIters && !done) {
+      val relaxed = e.join(dist, e("dst") === dist("node"))
+        .select(e("src").as("node"), (col("w") + col("dist")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false)
+      val s = stats(next)
+      free(dist)
+      dist = next
+      done = s == cur
+      cur = s
+      i += 1
+    }
+    e.unpersist()
+    // converged ⇔ one full round changed nothing; returning a partially
+    // relaxed frame would be silently wrong distances
+    require(done, s"shortestPaths: not converged after $maxIters rounds " +
+      "— raise maxIters (hop diameter exceeds it) or check edge weights")
+    dist
+  }
+
   /** Root and depth for every node of a FOREST, given exactly one
     * `(node, parent)` row per node (`parent` NULL ⇒ root). Every
     * non-null parent must itself appear as a node — a dangling parent

@@ -39,6 +39,49 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("shortestPaths equals a Dijkstra reference on random weighted graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = (1 to 150).map { _ =>
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n), 1L + rnd.nextInt(9))
+      }.distinct
+      val df = edges.toDF("src", "dst", "w")
+      val seeds = Seq(1L).toDF("node")
+      val got = GraphOps.shortestPaths(df, seeds, maxIters = 80)
+        .as[(Long, Long)].collect().toMap
+      // reference: Dijkstra toward node 1 over reversed edges
+      val adj = edges.groupBy(_._2).view
+        .mapValues(_.map(e => (e._1, e._3))).toMap
+      val dist = scala.collection.mutable.Map(1L -> 0L)
+      val pq = scala.collection.mutable.PriorityQueue((0L, 1L))(
+        Ordering.by(-_._1))
+      while (pq.nonEmpty) {
+        val (d, u) = pq.dequeue()
+        if (d == dist(u))
+          adj.getOrElse(u, Nil).foreach { case (v, w) =>
+            if (dist.get(v).forall(_ > d + w)) {
+              dist(v) = d + w; pq.enqueue((d + w, v))
+            }
+          }
+      }
+      assert(got == dist.toMap, s"trial $trial mismatch")
+      assert(got.size > 10 && got.values.max > 3,
+        s"trial $trial fixture too trivial: ${got.size} reached")
+    }
+  }
+
+  test("shortestPaths fails loud when rounds are exhausted before the fixpoint") {
+    // a 5-hop chain cannot converge in 2 rounds
+    val chain = Seq((2L, 1L, 1L), (3L, 2L, 1L), (4L, 3L, 1L),
+                    (5L, 4L, 1L), (6L, 5L, 1L)).toDF("src", "dst", "w")
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.shortestPaths(chain, Seq(1L).toDF("node"), maxIters = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
+
   test("rootAndDepth fails loud on a dangling parent") {
     val df = Seq((1L, None: Option[Long]), (2L, Some(99L))).toDF("node", "parent")
     val e = intercept[IllegalArgumentException] {
