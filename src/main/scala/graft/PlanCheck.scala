@@ -62,7 +62,10 @@ object PlanCheck {
                "x103_golden_incremental", "x104_cosine_setjoin",
                "x105_video_neardup", "b04_sketch_steady", "b05_ann_steady",
                "b06_ivm_steady", "b07_join_order", "x108_aqp_sample",
-               "x109_hierarchy_rollup", "x110_salted_join")
+               "x109_hierarchy_rollup", "x110_salted_join",
+               "x111_digest_reconcile", "x112_cusum_alarms",
+               "x113_ushape_attribution", "x114_rfm_segments",
+               "x115_weighted_sssp", "b08_aqp_steady", "q118_bag_setops")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")
