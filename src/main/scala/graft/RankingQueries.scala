@@ -198,14 +198,23 @@ object RankingQueries {
         .crossJoin(broadcast(anchor))
         .withColumn("r_days", expr("(_mx - _last) div 86400000000"))
         .drop("_mx", "_last")
-      def ranked(df: DataFrame, keys: Seq[org.apache.spark.sql.Column],
+        .persist()
+      // three FLAT rankings of the one cached base, assembled by a
+      // co-keyed join — nesting the kernels instead compounds each
+      // layer's multi-consumer re-reads into 4^depth passes of the
+      // layer below (measured ~3x slower than this shape)
+      def rankOf(keys: Seq[org.apache.spark.sql.Column],
                  out: String): DataFrame =
-        DedupOps.withIngestOrdinalFrom(df, keys)
-          .withColumnRenamed(DedupOps.OrdinalCol, out)
-      val withRanks = ranked(ranked(ranked(base,
-          Seq(col("r_days"), col("o_custkey")), "_rr"),
-          Seq(negate(col("n_orders")), col("o_custkey")), "_rf"),
-          Seq(negate(col("m_cents")), col("o_custkey")), "_rm")
+        DedupOps.withIngestOrdinalFrom(base, keys)
+          .select(col("o_custkey"),
+                  col(DedupOps.OrdinalCol).as(out))
+      val withRanks = base
+        .join(rankOf(Seq(col("r_days"), col("o_custkey")), "_rr"),
+              Seq("o_custkey"))
+        .join(rankOf(Seq(negate(col("n_orders")), col("o_custkey")), "_rf"),
+              Seq("o_custkey"))
+        .join(rankOf(Seq(negate(col("m_cents")), col("o_custkey")), "_rm"),
+              Seq("o_custkey"))
       val n = base.agg(count(lit(1)).as("_n"))
       withRanks.crossJoin(broadcast(n))
         .select(col("o_custkey"), col("r_days"), col("n_orders"),

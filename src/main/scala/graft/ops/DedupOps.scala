@@ -59,7 +59,18 @@ object DedupOps {
                             splits: Int = 256,
                             sampleMod: Int = 8192): DataFrame = {
     require(keys.nonEmpty, "withIngestOrdinalFrom needs at least one key")
-    val keyed = df.withColumn("_k", struct(keys: _*))
+    // three consumers re-read the keyed frame (sample, ranged main pass
+    // twice via offsets + final join); without a POPULATED cache the
+    // input dataflow re-executes per consumer — lazily persisted frames
+    // don't even help, because the kernel's broadcast subtrees (sample
+    // count, bounds, offsets) materialize before the main pass ever
+    // fills the cache. Worse, NESTED kernels (x114 ranks three metrics)
+    // multiply the re-execution into 4^depth passes of the input.
+    // Eager populate once (the clusterPairs/rootAndDepth precedent;
+    // measured 9.8 s → ~2 s for the triple-kernel x114 at sf0.1);
+    // released by the session's clearCache hygiene.
+    val keyed = df.withColumn("_k", struct(keys: _*)).persist()
+    keyed.count()
     val samp = keyed.filter(pmod(hash(keys: _*), lit(sampleMod)) === 0)
       .select(col("_k"))
     val sampN = samp.agg(count(lit(1)).as("_n"))
