@@ -338,6 +338,42 @@ object StreamingOps {
                            mean: Double, std: Double)
   final case class WelfordState(n: Long, mean: Double, m2: Double)
 
+  final case class CusumAlarm(userId: Long, day: Long, c: Long,
+                              cusum: Long, alarm: Boolean)
+  final case class CusumState(p: Long, minP: Long)
+
+  /** Streaming CUSUM drift detection — the streaming twin of batch x112
+    * and the complement of [[streamingAnomalies]]: Welford z-scores
+    * catch POINT outliers; CUSUM accumulates small persistent SHIFTS
+    * (s_i = max(0, s_{i-1} + (c_i − k)), alarm at s ≥ h) that never
+    * individually clear a sigma bound. State is TWO longs per key — the
+    * running prefix P and min(0, min prefix) — i.e. the batch closed
+    * form maintained incrementally, so after any stream prefix the
+    * emitted rows equal batch x112 over the same rows EXACTLY
+    * (reconciliation-tested, integer arithmetic throughout). Input
+    * `(user_id, day, c)` daily counts, per-key monotone by day across
+    * batches (the CDC-log contract; within a batch rows sort by day). */
+  def streamingCusum(daily: Dataset[(Long, Long, Long)],
+                     k: Long = 2L, h: Long = 5L): Dataset[CusumAlarm] = {
+    import daily.sparkSession.implicits._
+    daily.groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L))
+          val out = Vector.newBuilder[CusumAlarm]
+          rows.toSeq.sortBy(_._2).foreach { case (_, day, c) =>
+            val p = st.p + (c - k)
+            val minP = math.min(st.minP, p)
+            val cusum = p - minP
+            out += CusumAlarm(key, day, c, cusum, cusum >= h)
+            st = CusumState(p, minP)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming z-score anomaly detection: per key, a running Welford
     * (n, mean, M2) state — O(1) memory per key, numerically stable —
     * flags values more than `kSigma` standard deviations from the mean

@@ -356,6 +356,44 @@ class StreamingSpec extends SparkSpec {
       (2L, "added", "fpE")))
   }
 
+  test("streamingCusum alarms equal the batch x112 closed form across a mid-key batch split") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    implicit val sqlCtx = spark.sqlContext
+    // user 1 drifts (rate 3 > target 2 → cusum climbs to alarm);
+    // user 2 stays on target; the split lands mid-key for user 1
+    val rows = Seq(
+      (1L, 10L, 3L), (1L, 11L, 3L), (2L, 10L, 2L),
+      (1L, 12L, 4L), (1L, 13L, 1L), (2L, 11L, 2L), (1L, 14L, 5L))
+    val (b1, b2) = rows.splitAt(3)
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = StreamingOps.streamingCusum(mem.toDS())
+      .writeStream.format("memory").queryName("cusum_s")
+      .outputMode("append").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    val streamed = spark.sql(
+        "select userId, day, c, cusum, alarm from cusum_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    q.stop()
+    // batch closed form (x112's): cusum = P - min(0, running min P)
+    val w = W.partitionBy(col("uid")).orderBy(col("day"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val batch = rows.toDF("uid", "day", "c")
+      .withColumn("p", sum(col("c") - 2L).over(w))
+      .withColumn("cusum", col("p") - least(lit(0L), min(col("p")).over(w)))
+      .select(col("uid"), col("day"), col("c"), col("cusum"),
+              (col("cusum") >= 5L).as("alarm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(streamed == batch,
+      s"streamed CUSUM must equal the batch closed form: $streamed vs $batch")
+    assert(streamed.exists(_._5), "the drifting user must alarm")
+    assert(!streamed.filter(_._1 == 2L).exists(_._5),
+      "the on-target user must never alarm")
+  }
+
   test("streamingBucketDigest state reconciles with the batch x111 digests after any prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
