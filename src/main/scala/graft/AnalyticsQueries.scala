@@ -121,9 +121,14 @@ object AnalyticsQueries {
     "x112_cusum_alarms" -> ((s, dir) => {
       val k = 2L
       val h = 5L
+      // pre-cluster by user alone: partitioning on a SUBSET of the
+      // grouping keys still satisfies the daily agg's distribution, and
+      // the detector windows need exactly this clustering — so the agg
+      // and both windows ride ONE hash exchange instead of two
       val daily = Tables(s, dir, "events")
         .select(col("user_id"),
                 expr("unix_micros(ts) div 86400000000").as("day"))
+        .repartition(col("user_id"))
         .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("c"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, 0)

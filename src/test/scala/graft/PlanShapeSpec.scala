@@ -1064,6 +1064,17 @@ class PlanShapeSpec extends SparkSpec {
            !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("x112 CUSUM: the daily agg and both detector windows ride ONE user hash exchange") {
+    val plan = planOf("x112_cusum_alarms")
+    // partitioning on the user subset satisfies the (user, day) agg AND
+    // the running-sum/running-min windows — a second hashpartitioning
+    // means the subset-clustering trick regressed
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1,
+      s"agg + windows must share one user exchange, got $n:\n"
+        + plan.take(3000))
+  }
+
   test("b07 advisor-driven join order: leaf joins are exactly the chosen pairs, pinned shuffled-hash") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LogicalPlan}
     import org.apache.spark.sql.execution.datasources.LogicalRelation
