@@ -781,6 +781,67 @@ object ExtensionQueries {
         .orderBy(col("bucket"))
     }),
 
+    // X116 — INCREMENTAL digest maintenance: x111's per-bucket digests
+    // updated from a SIGNED CDC delta (m = +1 add / −1 remove; an edit
+    // is remove-old + add-new) instead of rescanning the snapshot —
+    // digest' = digest + Σ m·f and n' = n + Σ m, valid precisely
+    // because the sum digest is commutative AND invertible (a merge
+    // ring, not just merge-closed like the sketches). The delta here is
+    // derived from the x111 fixture's own drift rules so the oracle can
+    // RECOMPUTE the post-delta digests from the current snapshot
+    // directly: hash parity is the merge ≡ recompute proof (the
+    // x91/x103/b06 family, applied to anti-entropy state). This is how
+    // a region keeps its published 64-row digest table current from its
+    // ingest log — neither the history nor the snapshot is ever
+    // rescanned.
+    "x116_digest_incremental" -> ((s, dir) => {
+      val cur = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val old = cur.filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 5, substring(col("text"), 1, 40))
+            .otherwise(col("text")).as("text"))
+        .unionByName(cur.filter(col("doc_id") % 19 === 7)
+          .select((col("doc_id") + 1000000000000L).as("doc_id"),
+                  upper(substring(col("text"), 1, 20)).as("text")))
+      def fp(df: DataFrame): DataFrame = df.select(
+        pmod(col("doc_id"), lit(64L)).as("bucket"),
+        conv(substring(md5(concat_ws(":", col("doc_id"), col("text"))
+          .cast("binary")), 1, 12), 16, 10).cast("long").as("f"))
+      val oldDig = fp(old).groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("f")).as("d"))
+      // the signed delta, straight from the fixture's drift rules
+      val delta =
+        cur.filter(col("doc_id") % 17 === 3)
+          .withColumn("m", lit(1L)) // docs absent from old: adds
+        .unionByName(cur
+          .filter(col("doc_id") % 13 === 5 && col("doc_id") % 17 =!= 3)
+          .select(col("doc_id"),
+                  substring(col("text"), 1, 40).as("text"))
+          .withColumn("m", lit(-1L))) // edit: remove the old version
+        .unionByName(cur
+          .filter(col("doc_id") % 13 === 5 && col("doc_id") % 17 =!= 3)
+          .withColumn("m", lit(1L))) // edit: add the new version
+        .unionByName(cur.filter(col("doc_id") % 19 === 7)
+          .select((col("doc_id") + 1000000000000L).as("doc_id"),
+                  upper(substring(col("text"), 1, 20)).as("text"))
+          .withColumn("m", lit(-1L))) // phantoms left the corpus
+      val deltaDig = delta
+        .select(pmod(col("doc_id"), lit(64L)).as("bucket"), col("m"),
+          (col("m") * conv(substring(md5(concat_ws(":", col("doc_id"),
+            col("text")).cast("binary")), 1, 12), 16, 10).cast("long"))
+            .as("mf"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("m")).as("dn"), sum(col("mf")).as("dd"))
+      oldDig.join(deltaDig, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_docs"),
+          (coalesce(col("d"), lit(0L)) + coalesce(col("dd"), lit(0L)))
+            .as("digest"))
+        .filter(col("n_docs") > 0)
+        .orderBy(col("bucket"))
+    }),
+
     // X94 — KMV (k-minimum-values) distinct-cardinality algebra: per-source
     // distinct-token estimates plus UNION and INTERSECTION estimates for
     // every source pair, all from O(k)-state sketches. The sketch is the
@@ -1451,6 +1512,14 @@ object ExtensionQueries {
            coalesce(n_changed, 0)::BIGINT AS n_changed
          FROM dig LEFT JOIN dd ON dd.bucket = dig.bucket
          ORDER BY dig.bucket""",
+
+    // full recompute from the CURRENT snapshot — the incremental merge
+    // over the signed delta must reproduce it exactly
+    "x116_digest_incremental" ->
+      """SELECT doc_id % 64 AS bucket, count(*)::BIGINT AS n_docs,
+           sum(('0x' || substr(md5(doc_id::VARCHAR || ':' || text),
+             1, 12))::BIGINT)::BIGINT AS digest
+         FROM documents GROUP BY 1 ORDER BY 1""",
 
     "x94_kmv_cardinality" -> {
       val est = (kmv: String) =>
