@@ -294,8 +294,17 @@ object ExtensionQueries {
     // the corpus itself rather than assumed from the S-curve formula.
     // All counting is integer and md5-deterministic; cost comes from
     // bucket SIZES (one keyed agg per config), never from materializing
-    // candidate pairs.
+    // candidate pairs. SINGLE-PASS census: the (bands, rows_per_band)
+    // configurations are a literal exploded DIMENSION of one banded
+    // frame, not per-config query branches — the signature frame is
+    // banded once (one narrow pass, persisted), cost is ONE keyed agg
+    // over (config, band, key), and recall is ONE pair of joins keyed by
+    // (doc, config). A config with no banded docs or an empty truth set
+    // still emits its row via the left join onto the literal config
+    // frame (coalesced zero counts, NULL recall), exactly as the
+    // per-branch coalesce(sum, 0) did.
     "x79_lsh_tuning" -> ((s, dir) => {
+      import s.implicits._
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"), T.words(col("text")).as("_w"))
         .select(col("doc_id"),
@@ -305,38 +314,58 @@ object ExtensionQueries {
       val truth = graft.operators.SetSimJoin
         .join(d.select(col("doc_id"), col("sh")), "doc_id", "sh", 1, 2)
         .select(col("id_a"), col("id_b")).persist()
-      LshConfigs.map { case (nb, r) =>
-        // docs with <3 words have no shingles and an all-NULL signature;
-        // lshBands would map every one of them to the md5("") band key,
-        // so each degenerate PAIR would count as an LSH candidate a real
-        // LSH join should never emit — drop them before banding (the
-        // truth set can't contain them: an empty set joins nothing)
-        val withBands = d.filter(size(col("sh")) > 0).select(col("doc_id"),
-          T.lshBands(col("sig"), nb, r).as("bs"))
-        val cost = withBands
-          .select(posexplode(col("bs")).as(Seq("bi", "bk")))
-          .groupBy(col("bi"), col("bk"))
-          .agg(count(lit(1)).as("n"))
-          .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L))
-                 .as("cand_pairs"))
-        val found = truth
-          .join(withBands.select(col("doc_id").as("id_a"),
-                                 col("bs").as("ba")), Seq("id_a"))
-          .join(withBands.select(col("doc_id").as("id_b"),
-                                 col("bs").as("bb")), Seq("id_b"))
-          .agg(count(lit(1)).as("true_pairs"),
-               coalesce(sum(when(expr(
-                   """size(filter(zip_with(ba, bb, (x, y) -> x = y),
-                        m -> m)) > 0"""), 1L).otherwise(0L)), lit(0L))
-                 .as("found"))
-        cost.crossJoin(found)
-          .select(lit(nb.toLong).as("bands"),
-                  lit(r.toLong).as("rows_per_band"),
-                  col("cand_pairs"), col("true_pairs"), col("found"),
-                  when(col("true_pairs") > 0,
-                       expr("(1000 * found) DIV true_pairs"))
-                    .as("recall_x1000"))
-      }.reduce(_ unionAll _).orderBy(col("bands").desc)
+      // docs with <3 words have no shingles and an all-NULL signature;
+      // banding would map every one of them to the md5("") band key, so
+      // each degenerate PAIR would count as an LSH candidate a real LSH
+      // join should never emit — drop them before banding (the truth
+      // set can't contain them: an empty set joins nothing)
+      val cfgs = array(LshConfigs.map { case (nb, r) =>
+        struct(lit(nb.toLong).as("bands"), lit(r.toLong).as("rows_per_band"))
+      }: _*)
+      // column-parameterized twin of T.lshBands (same key: md5 of the
+      // '|'-joined r-slice; sig elements are never null past the filter,
+      // so array_join ≡ concat_ws)
+      val withBands = d.filter(size(col("sh")) > 0)
+        .select(col("doc_id"), explode(cfgs).as("c"), col("sig"))
+        .select(col("doc_id"), col("c.bands").as("bands"),
+                col("c.rows_per_band").as("rows_per_band"),
+                expr("""transform(sequence(0, cast(bands as int) - 1), b ->
+                          md5(cast(array_join(
+                                slice(sig, b * cast(rows_per_band as int) + 1,
+                                      cast(rows_per_band as int)),
+                                '|') as binary)))""").as("bs"))
+        .persist()
+      val cost = withBands
+        .select(col("bands"), col("rows_per_band"),
+                posexplode(col("bs")).as(Seq("bi", "bk")))
+        .groupBy(col("bands"), col("rows_per_band"), col("bi"), col("bk"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("bands"), col("rows_per_band"))
+        .agg(sum(expr("n * (n - 1) DIV 2")).as("cand_pairs"))
+      val found = truth
+        .join(withBands.select(col("doc_id").as("id_a"), col("bands"),
+                               col("rows_per_band"), col("bs").as("ba")),
+              Seq("id_a"))
+        .join(withBands.select(col("doc_id").as("id_b"), col("bands"),
+                               col("rows_per_band"), col("bs").as("bb")),
+              Seq("id_b", "bands", "rows_per_band"))
+        .groupBy(col("bands"), col("rows_per_band"))
+        .agg(count(lit(1)).as("true_pairs"),
+             sum(when(expr(
+                 """size(filter(zip_with(ba, bb, (x, y) -> x = y),
+                      m -> m)) > 0"""), 1L).otherwise(0L)).as("found"))
+      LshConfigs.map { case (nb, r) => (nb.toLong, r.toLong) }
+        .toDF("bands", "rows_per_band")
+        .join(cost, Seq("bands", "rows_per_band"), "left")
+        .join(found, Seq("bands", "rows_per_band"), "left")
+        .select(col("bands"), col("rows_per_band"),
+                coalesce(col("cand_pairs"), lit(0L)).as("cand_pairs"),
+                coalesce(col("true_pairs"), lit(0L)).as("true_pairs"),
+                coalesce(col("found"), lit(0L)).as("found"),
+                when(coalesce(col("true_pairs"), lit(0L)) > 0,
+                     expr("(1000 * found) DIV true_pairs"))
+                  .as("recall_x1000"))
+        .orderBy(col("bands").desc)
     }),
 
     // X81 — Count-Min sketch AS A TABLE: the frequency sketch that backs
