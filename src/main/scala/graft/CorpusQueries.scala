@@ -193,7 +193,8 @@ object CorpusQueries {
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= 5)
       graft.ops.DedupOps
-        .withIngestOrdinalFrom(counts, Seq(negate(col("n")), col("token")))
+        .withIngestOrdinalFrom(counts, Seq(negate(col("n")), col("token")),
+          eager = false)
         .withColumn("token_id", col(graft.ops.DedupOps.OrdinalCol))
         .select(col("token_id"), col("token"), col("n"))
         .orderBy(col("token_id"))
@@ -590,6 +591,11 @@ object CorpusQueries {
     "x66_bpe_pairs" -> ((s, dir) =>
       bpePairs(Tables(s, dir, "documents"), topK = 20)),
 
+    // X117 — BPE tokenizer TRAINING (the iterated form of x66's single
+    // merge round); see [[bpeTrain]] for the loop/scale design.
+    "x117_bpe_train" -> ((s, dir) =>
+      bpeTrain(Tables(s, dir, "documents"), steps = 8)),
+
     // X80 — PMI collocation mining: the top multi-word expressions of
     // the corpus by pointwise mutual information — the statistic a
     // tokenizer/phrase-vocabulary build consults ("new york" is a unit;
@@ -914,7 +920,8 @@ object CorpusQueries {
     val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
     val vocab = graft.ops.DedupOps
-      .withIngestOrdinalFrom(counts, Seq(negate(col("n")), col("token")))
+      .withIngestOrdinalFrom(counts, Seq(negate(col("n")), col("token")),
+          eager = false)
       .withColumn("token_id", col(graft.ops.DedupOps.OrdinalCol))
       .select(col("token"), col("token_id"))
     tok.join(broadcast(vocab), Seq("token"), "left")
@@ -1057,6 +1064,78 @@ object CorpusQueries {
       .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(topK)
+  }
+
+  /** X117 core — BPE TRAINER: `steps` greedy merge rounds over the word
+    * frequency dictionary — x66 computes round ONE; this is the loop that
+    * turns the kernel into tokenizer TRAINING. Round r: adjacent-pair
+    * counts over the CURRENT symbolization, weighted by word-TYPE
+    * frequency (pair fan-out stays bounded by Σ|type|, never token
+    * occurrences — the x66 scale move holds every round); argmax by
+    * (n desc, lhs, rhs) — a certified-1-row collect, the b05/b07
+    * driver-decision contract; then the winning pair merged into every
+    * word by a left fold (leftmost-non-overlapping greedy, the BPE
+    * convention — `try_element_at` keeps the empty-accumulator probe
+    * NULL-safe under ANSI). Each round `localCheckpoint`s the
+    * re-symbolized dictionary: bounded lineage (the clusterPairs /
+    * pageRank loop pattern), so round r+1's pair agg reads materialized
+    * blocks, not a plan that has grown r folds deep. Output is the merge
+    * table (step, lhs, rhs, n) — what a trained tokenizer actually
+    * ships; the oracle recomputes every round in DuckDB over
+    * MATERIALIZED CTEs (inlined CTEs would re-expand the round chain
+    * exponentially) using the spaced-string replace form of the same
+    * greedy merge (equivalence fuzz-checked against the fold). Stops
+    * early only if the dictionary runs out of pairs (degenerate corpus;
+    * the oracle assumes `steps` full rounds, as the testdata satisfies). */
+  def bpeTrain(docs: DataFrame, steps: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var dict = docs
+      .select(explode(T.words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // code-point char split (substring parity with DuckDB's RE2 '.')
+      .select(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"), col("cnt"))
+      .localCheckpoint()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val top = dict
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+            """transform(sequence(1, size(syms) - 1),
+                 i -> struct(element_at(syms, i) AS lhs,
+                             element_at(syms, i + 1) AS rhs))""")).as("p"),
+          col("cnt"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = top(0)
+        merges += ((step.toLong, l, r, n))
+        val lL = lit(l)
+        val rL = lit(r)
+        dict = dict.select(
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, s) =>
+                when(try_element_at(acc, lit(-1)) === lL && s === rL,
+                  concat(slice(acc, lit(1), size(acc) - 1),
+                         array(concat(lL, rL))))
+                .otherwise(concat(acc, array(s)))).as("syms"),
+            col("cnt"))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "lhs", "rhs", "n")
   }
 
   /** X67 core — per-doc duplicated-span profile: sample `window`-char
@@ -1580,6 +1659,44 @@ object CorpusQueries {
            FROM wf)
          SELECT pair, sum(cnt)::BIGINT AS n
          FROM pe GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+
+    // full K-round recompute; MATERIALIZED CTEs are load-bearing —
+    // DuckDB inlines plain CTEs, and the round chain re-expands
+    // exponentially without them. The merge is the spaced-string
+    // replace form of the engine's greedy fold: symbols joined by
+    // double spaces, pattern ' L  R ' → ' LR ' (single-space flanks
+    // consume one boundary space each, so consecutive matches chain
+    // exactly like the fold; fuzz-checked equivalent).
+    "x117_bpe_train" -> {
+      val k = 8
+      val rounds = (1 to k).map { r =>
+        s"""a$r AS MATERIALIZED (SELECT pr.l AS lhs, pr.r AS rhs,
+               sum(cnt)::BIGINT AS n FROM (
+             SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+               i -> struct_pack(l := syms[i], r := syms[i+1]))) AS pr, cnt
+             FROM (SELECT list_filter(string_split(s, '  '), x -> x <> '')
+                     AS syms, cnt FROM d${r - 1}) y) t GROUP BY 1, 2),
+           b$r AS MATERIALIZED (SELECT lhs, rhs, n FROM a$r
+             ORDER BY n DESC, lhs, rhs LIMIT 1),
+           d$r AS MATERIALIZED (SELECT replace(s,
+             ' ' || (SELECT lhs FROM b$r) || '  '
+                 || (SELECT rhs FROM b$r) || ' ',
+             ' ' || (SELECT lhs FROM b$r)
+                 || (SELECT rhs FROM b$r) || ' ') AS s, cnt
+             FROM d${r - 1})"""
+      }.mkString(",\n")
+      val sel = (1 to k).map(r =>
+        s"SELECT $r::BIGINT AS step, lhs, rhs, n FROM b$r")
+        .mkString(" UNION ALL ")
+      s"""WITH wf AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cnt
+            FROM (SELECT unnest($wordsSql) AS w FROM documents) t
+            WHERE length(w) >= 2 GROUP BY w),
+          d0 AS MATERIALIZED (
+            SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s, cnt
+            FROM wf),
+          $rounds
+          SELECT * FROM ($sel) ORDER BY step"""
+    },
 
     "x80_pmi_collocations" ->
       s"""WITH w AS (SELECT $wordsSql AS w FROM documents),

@@ -749,9 +749,11 @@ object ExtensionQueries {
     // any partitioning give the identical digest) and integer — both
     // engines compute it bit-equal. Matching buckets cost 64 rows per
     // side on the wire, period; only mismatched buckets pay a row-level
-    // full-outer diff, gated by a ≤64-row broadcast semi join. (At
-    // larger per-bucket cardinalities promote the sum to mod-2⁶⁴ or a
-    // 128-bit pair; 2⁴⁸·rows stays far under 2⁶³ here.) A digest
+    // full-outer diff, gated by a ≤64-row broadcast semi join. The sum
+    // is the WRAPPED mod-2⁶⁴ digest (DigestFunctions.digestSum, decimal
+    // accumulation + two's-complement wrap, same formula in the
+    // oracle) — well-defined at any per-bucket cardinality, where a
+    // plain long sum would hit ANSI overflow at ~2¹⁵ rows. A digest
     // COLLISION would mark a drifted bucket clean — astronomically
     // unlikely at 48 bits, and the same on both engines, so parity is
     // unaffected; the detail columns are attributed adds/removes/edits
@@ -771,9 +773,11 @@ object ExtensionQueries {
         conv(substring(md5(concat_ws(":", col("doc_id"), col("text"))
           .cast("binary")), 1, 12), 16, 10).cast("long").as("f"))
       val dOld = fp(old).groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_old"), sum(col("f")).as("d_old"))
+        .agg(count(lit(1)).as("n_old"),
+             graft.functions.DigestFunctions.digestSum(col("f")).as("d_old"))
       val dCur = fp(cur).groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_cur"), sum(col("f")).as("d_cur"))
+        .agg(count(lit(1)).as("n_cur"),
+             graft.functions.DigestFunctions.digestSum(col("f")).as("d_cur"))
       // 64-row frame consumed three times (bad gate ×2, final join) —
       // persist so the digest aggregation over the snapshots runs once
       val dig = dOld.join(dCur, Seq("bucket"), "full_outer")
@@ -836,8 +840,14 @@ object ExtensionQueries {
         pmod(col("doc_id"), lit(64L)).as("bucket"),
         conv(substring(md5(concat_ws(":", col("doc_id"), col("text"))
           .cast("binary")), 1, 12), 16, 10).cast("long").as("f"))
+      // published state is the WRAPPED 64-bit digest (what a region
+      // actually stores); the wrap is a ring homomorphism, so merging
+      // wrapped state with a wrapped delta and re-wrapping equals the
+      // wrapped digest of the merged multiset — overflow-proof at any
+      // cardinality (DigestFunctions)
       val oldDig = fp(old).groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"), sum(col("f")).as("d"))
+        .agg(count(lit(1)).as("n"),
+             graft.functions.DigestFunctions.digestSum(col("f")).as("d"))
       // the signed delta, straight from the fixture's drift rules
       val delta =
         cur.filter(col("doc_id") % 17 === 3)
@@ -860,12 +870,15 @@ object ExtensionQueries {
             col("text")).cast("binary")), 1, 12), 16, 10).cast("long"))
             .as("mf"))
         .groupBy(col("bucket"))
-        .agg(sum(col("m")).as("dn"), sum(col("mf")).as("dd"))
+        .agg(sum(col("m")).as("dn"),
+             graft.functions.DigestFunctions.digestSum(col("mf")).as("dd"))
       oldDig.join(deltaDig, Seq("bucket"), "full_outer")
         .select(col("bucket"),
           (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
             .as("n_docs"),
-          (coalesce(col("d"), lit(0L)) + coalesce(col("dd"), lit(0L)))
+          graft.functions.DigestFunctions.wrap64(
+            coalesce(col("d"), lit(0L)).cast("decimal(38,0)")
+              + coalesce(col("dd"), lit(0L)).cast("decimal(38,0)"))
             .as("digest"))
         .filter(col("n_docs") > 0)
         .orderBy(col("bucket"))
@@ -1490,7 +1503,7 @@ object ExtensionQueries {
          ORDER BY node""",
 
     "x111_digest_reconcile" ->
-      """WITH cur AS (SELECT doc_id, text FROM documents),
+      s"""WITH cur AS (SELECT doc_id, text FROM documents),
          old AS (SELECT doc_id,
                    CASE WHEN doc_id % 13 = 5 THEN substring(text, 1, 40)
                         ELSE text END AS text
@@ -1508,9 +1521,11 @@ object ExtensionQueries {
                     1, 12))::BIGINT AS f
                 FROM cur),
          ao AS (SELECT bucket, count(*)::BIGINT AS n_old,
-                  sum(f)::BIGINT AS d_old FROM fo GROUP BY 1),
+                  ${graft.functions.DigestFunctions.wrap64Sql("sum(f)")}
+                    AS d_old FROM fo GROUP BY 1),
          ac AS (SELECT bucket, count(*)::BIGINT AS n_cur,
-                  sum(f)::BIGINT AS d_cur FROM fc GROUP BY 1),
+                  ${graft.functions.DigestFunctions.wrap64Sql("sum(f)")}
+                    AS d_cur FROM fc GROUP BY 1),
          dig AS (SELECT coalesce(ao.bucket, ac.bucket) AS bucket,
                    coalesce(n_old, 0)::BIGINT AS n_old,
                    coalesce(n_cur, 0)::BIGINT AS n_cur,
@@ -1543,11 +1558,14 @@ object ExtensionQueries {
          ORDER BY dig.bucket""",
 
     // full recompute from the CURRENT snapshot — the incremental merge
-    // over the signed delta must reproduce it exactly
+    // over the signed delta must reproduce it exactly; digest wrapped
+    // mod 2^64 exactly as the engine's (DigestFunctions.wrap64Sql, the
+    // same formula string the Spark side documents)
     "x116_digest_incremental" ->
-      """SELECT doc_id % 64 AS bucket, count(*)::BIGINT AS n_docs,
-           sum(('0x' || substr(md5(doc_id::VARCHAR || ':' || text),
-             1, 12))::BIGINT)::BIGINT AS digest
+      s"""SELECT doc_id % 64 AS bucket, count(*)::BIGINT AS n_docs,
+           ${graft.functions.DigestFunctions.wrap64Sql(
+             "sum(('0x' || substr(md5(doc_id::VARCHAR || ':' || text), " +
+               "1, 12))::BIGINT)")} AS digest
          FROM documents GROUP BY 1 ORDER BY 1""",
 
     "x94_kmv_cardinality" -> {

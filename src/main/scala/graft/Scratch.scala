@@ -15,12 +15,32 @@ package graft
   */
 object Scratch {
 
-  /** /tmp/graft_<kind>_<sfTag>_<fp12> for dataset `sfDir`. */
+  /** /tmp/graft_<kind>_<sfTag>_<fp12> for dataset `sfDir`. Obsolete
+    * siblings — same kind+tag, DIFFERENT fingerprint, i.e. artifacts of
+    * a dataset that no longer exists in that shape — are pruned here, so
+    * repeated regenerations don't accumulate dead pay-once layouts in
+    * /tmp (ADVICE r9). Only the exact `graft_<kind>_<tag>_<hex12>`
+    * pattern is touched; the current fingerprint's dir is never pruned. */
   def dir(kind: String, sfDir: String): String = {
     val root = new java.io.File(sfDir)
     val tag = root.getName.replaceAll("[^A-Za-z0-9]", "_")
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_${kind}_${tag}_${fingerprint(root)}").getPath
+    val fp = fingerprint(root)
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val prefix = s"graft_${kind}_${tag}_"
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        f.isDirectory && f.getName.startsWith(prefix) &&
+          f.getName.stripPrefix(prefix).matches("[0-9a-f]{12}") &&
+          f.getName != prefix + fp
+      }
+      .foreach(delete)
+    new java.io.File(tmp, prefix + fp).getPath
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(delete)
+    f.delete(): Unit
   }
 
   /** md5(name:length:mtime of every *.parquet entry, one level of

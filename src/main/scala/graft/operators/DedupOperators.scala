@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.ops.CacheScope
 
 /** Whole-dataset deduplication operators for training-data pipelines.
   *
@@ -23,7 +24,11 @@ object DedupOperators {
     * and this is a no-op. */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // toRdd: plan-only partition count — skips building the extra
+    // row-deserializer RDD that `.rdd` would chain on every call
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 
   /** Exact dedup by normalized-content fingerprint: one hash-groupBy
@@ -64,14 +69,15 @@ object DedupOperators {
   def incrementalCandidates(corpusIndex: DataFrame, newDocs: DataFrame,
                             idCol: String, textCol: String,
                             shingleN: Int = 3, k: Int = 8,
-                            bands: Int = 4): DataFrame = {
+                            bands: Int = 4)
+                           (implicit scope: CacheScope): DataFrame = {
     // The batch index is joined twice below, so cache it. It stays cached
-    // after return because the result depends on it lazily — callers doing
-    // many batches in one session should `.count()` the result and then
-    // `spark.catalog.clearCache()` (or unpersist via the storage tab);
-    // blocks are also LRU-evicted under memory pressure.
-    val newIdx = signatureIndex(newDocs, idCol, textCol, shingleN, k, bands)
-      .persist()
+    // after return because the result depends on it lazily — the implicit
+    // [[CacheScope]] owns the lifetime: callers doing many batches in one
+    // session wrap each batch in `CacheScope.using`, materialize, and the
+    // index frees on scope close (else session clearCache / LRU).
+    val newIdx = scope.persist(
+      signatureIndex(newDocs, idCol, textCol, shingleN, k, bands))
     // two separate joins — NOT a union-then-self-join, which would destroy
     // the corpus index's storage partitioning: when the corpus side is a
     // table bucketed by band_key, this join reads its buckets in place and
@@ -100,12 +106,15 @@ object DedupOperators {
     * shuffles on the band hash — uniform by construction (md5). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 8,
-                        bands: Int = 4): DataFrame = {
+                        bands: Int = 4)
+                       (implicit scope: CacheScope): DataFrame = {
     // persist the band index before the self-join: the two join sides carry
     // different aliases, so Catalyst cannot reuse one exchange for both and
-    // would otherwise run the whole shingle+hash pipeline twice
-    val banded = signatureIndex(df, idCol, textCol, shingleN, k, bands)
-      .toDF("_id", "_band_idx", "_band_key").persist()
+    // would otherwise run the whole shingle+hash pipeline twice; lifetime
+    // owned by the implicit [[CacheScope]]
+    val banded = scope.persist(
+      signatureIndex(df, idCol, textCol, shingleN, k, bands)
+        .toDF("_id", "_band_idx", "_band_key"))
     val a = banded.select(col("_band_idx"), col("_band_key"), col("_id").as("id_a"))
     val b = banded.select(col("_band_idx").as("_bi2"), col("_band_key").as("_bk2"),
                           col("_id").as("id_b"))

@@ -50,7 +50,12 @@ object SetSimJoin {
     *             and are the caller's bug)
     * @param tauNum/tauDen  the threshold as an exact rational, e.g. 1/2.
     * @return (id_a, id_b, inter, uni, jac) for every pair with
-    *         inter*tauDen >= uni*tauNum and id_a < id_b.
+    *         inter*tauDen >= uni*tauNum and id_a < id_b — where `<` is
+    *         the ORDER OF THE ID'S OWN TYPE: numeric for bigint ids,
+    *         lexicographic (binary collation) for string/uuid ids.
+    *         Which side of a pair lands in id_a therefore depends on
+    *         the id type; don't assume the numeric bigint contract when
+    *         feeding string-keyed sets (round-9 change, ADVICE r9).
     *
     * Cache lifetime: the dataflow persists two intermediates (the
     * tokenized sets and the ranked prefix) because each is consumed by

@@ -54,10 +54,21 @@ object DedupOps {
     * `keys` must form a total order for the ordinal to be deterministic.
     * Ordinals start at 1 (row_number parity). A frame smaller than
     * `sampleMod` may yield no boundaries and degrades to one sorted task —
-    * correct, and fine at that size. */
+    * correct, and fine at that size.
+    *
+    * `eager = true` (default) pre-populates the internal cache with one
+    * extra job — right when `df`'s dataflow is expensive or the kernel is
+    * stacked (x114). Pass `eager = false` for a KNOWN-SMALL input (a
+    * post-threshold vocab, a config frame): the keyed frame is persisted
+    * lazily, consumers may recompute it a couple of times, and the extra
+    * job is skipped — cheaper below roughly 10^5 cheap-to-produce rows.
+    * Either way the persist's lifetime is owned by the implicit
+    * [[CacheScope]] (session-scoped unless the caller opens one). */
   def withIngestOrdinalFrom(df: DataFrame, keys: Seq[Column],
                             splits: Int = 256,
-                            sampleMod: Int = 8192): DataFrame = {
+                            sampleMod: Int = 8192,
+                            eager: Boolean = true)
+                           (implicit scope: CacheScope): DataFrame = {
     require(keys.nonEmpty, "withIngestOrdinalFrom needs at least one key")
     // three consumers re-read the keyed frame (sample, ranged main pass
     // twice via offsets + final join); without a POPULATED cache the
@@ -68,9 +79,10 @@ object DedupOps {
     // multiply the re-execution into 4^depth passes of the input.
     // Eager populate once (the clusterPairs/rootAndDepth precedent;
     // measured 9.8 s → ~2 s for the triple-kernel x114 at sf0.1);
-    // released by the session's clearCache hygiene.
-    val keyed = df.withColumn("_k", struct(keys: _*)).persist()
-    keyed.count()
+    // released by the CacheScope in effect (session clearCache hygiene
+    // by default).
+    val keyed = scope.persist(df.withColumn("_k", struct(keys: _*)))
+    if (eager) keyed.count()
     val samp = keyed.filter(pmod(hash(keys: _*), lit(sampleMod)) === 0)
       .select(col("_k"))
     val sampN = samp.agg(count(lit(1)).as("_n"))

@@ -443,13 +443,18 @@ object StreamingOps {
     * region streams ingest while continuously maintaining the 64-row
     * digest table another region compares against (x111's batch
     * compare), no re-scan of history ever. State bound is structural
-    * (64 rows forever) — no watermark. */
+    * (64 rows forever) — no watermark. The digest is the wrapped
+    * mod-2⁶⁴ fingerprint sum ([[graft.functions.DigestFunctions]]), so
+    * it stays well-defined (and engine-portable) at any bucket
+    * cardinality — a plain long sum would hit ANSI overflow at ~2¹⁵
+    * rows per bucket. */
   def streamingBucketDigest(docs: DataFrame): DataFrame =
     docs.select(pmod(col("doc_id"), lit(64L)).as("bucket"),
         conv(substring(md5(concat_ws(":", col("doc_id"), col("text"))
           .cast("binary")), 1, 12), 16, 10).cast("long").as("f"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), sum(col("f")).as("digest"))
+      .agg(count(lit(1)).as("n"),
+           graft.functions.DigestFunctions.digestSum(col("f")).as("digest"))
 
   /** Streaming KMV distinct-cardinality per stratum — the streaming twin
     * of batch x94 exactly as [[streamingCmsSketch]] twins x81. Input:

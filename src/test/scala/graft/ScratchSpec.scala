@@ -22,6 +22,29 @@ class ScratchSpec extends AnyFunSuite {
     assert(p1 != p2, "changed data must miss the pay-once cache")
   }
 
+  test("obsolete-fingerprint siblings are pruned; the live dir survives") {
+    val d = Files.createTempDirectory("graft-scr3").toFile
+    val f = new File(d, "t.parquet")
+    Files.write(f.toPath, "aa".getBytes)
+    val p1 = new File(Scratch.dir("prune", d.getPath))
+    p1.mkdirs()
+    Files.write(new File(p1, "_SUCCESS").toPath, Array.empty[Byte])
+    // regenerate the dataset → new fingerprint; asking for the new dir
+    // must remove the stale artifact
+    Files.write(f.toPath, "aaab".getBytes)
+    val p2 = new File(Scratch.dir("prune", d.getPath))
+    assert(p1.getPath != p2.getPath)
+    assert(!p1.exists(), "stale pay-once artifact must be pruned")
+    // the live dir is never pruned by a repeat call
+    p2.mkdirs()
+    Files.write(new File(p2, "_SUCCESS").toPath, Array.empty[Byte])
+    assert(new File(Scratch.dir("prune", d.getPath), "_SUCCESS").exists())
+    // a different kind's artifact is untouched
+    val other = new File(Scratch.dir("prune2", d.getPath)); other.mkdirs()
+    Scratch.dir("prune", d.getPath)
+    assert(other.exists())
+  }
+
   test("directory-shaped tables fingerprint their children") {
     val d = Files.createTempDirectory("graft-scr2").toFile
     val t = new File(d, "t.parquet"); t.mkdir()
