@@ -226,17 +226,7 @@ object BenchQueries {
     // between a |events ⋈ orders| fan-out intermediate and the
     // dimension-sized one.
     "b07_join_order" -> ((s, dir) => {
-      val w = 512
-      def bucket(r: Int, k: Column): Column =
-        conv(substring(md5(concat_ws(":", lit(r), k)), 1, 8), 16, 10)
-          .cast("long") % w
-      def probes(k: Column): Column =
-        explode(array((0 until 4).map(r =>
-          struct(lit(r.toLong).as("r"), bucket(r, k).as("b"))): _*))
-      def sketch(keys: DataFrame, cnt: String): DataFrame = keys
-        .select(probes(col("k")).as("p"))
-        .groupBy(col("p.r").as("r"), col("p.b").as("b"))
-        .agg(count(lit(1)).as(cnt))
+      import graft.ops.JoinAdvisorOps
       val rels: Map[String, DataFrame] = Map(
         "events" -> Tables(s, dir, "events")
           .select(col("user_id").cast("string").as("k")),
@@ -247,48 +237,37 @@ object BenchQueries {
           .select(col("c_custkey").cast("string").as("k")))
       val names = rels.keys.toSeq.sorted
       // each relation is sketched ONCE (persisted 2048-cell frame, the
-      // at-rest stats-table shape) and consulted by every pair; the three
-      // 1-row estimates ride ONE union → one collect job, not three
+      // at-rest stats-table shape) and consulted by every pair; since
+      // round 10 the sketch/estimate/greedy-order machinery is the
+      // reusable [[graft.ops.JoinAdvisorOps]] API — this query is its
+      // executing consumer (same estimates, same decision, same hash)
       val sk: Map[String, DataFrame] = names.map(n =>
-        n -> sketch(rels(n).select("k"), "c").persist()).toMap
-      val estFrame = (for { a <- names; b <- names if a < b } yield
-        sk(a).withColumnRenamed("c", "ca")
-          .join(sk(b).withColumnRenamed("c", "cb"), Seq("r", "b"))
-          .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip"))
-          // disjoint sketches share no (r, b) cell: min over zero rows
-          // is NULL — read it as "estimated empty join", not an NPE
-          .agg(coalesce(min(col("ip")), lit(0L)).as("est"))
-          .select(lit(s"$a-$b").as("pair"), col("est"))
-        ).reduce(_ unionAll _)
-      val ests: Seq[(String, Long)] = estFrame.collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSeq // 3 rows
-      val sorted = ests.sortBy { case (p, e) => (e, p) }
-      val (bestPair, estBest) = sorted.head
-      val (worstPair, estWorst) = sorted.last
-      def order(first: String): Seq[String] = {
-        val Array(a, b) = first.split("-")
-        Seq(a, b, (names.toSet -- Set(a, b)).head)
-      }
+        n -> JoinAdvisorOps.sketch(rels(n).select("k"), "k").persist()).toMap
+      val advice = JoinAdvisorOps.advise(sk)
+      val best = advice.bestPair
+      val worst = advice.worstPair
+      def order(p: JoinAdvisorOps.PairEstimate): Seq[String] =
+        Seq(p.a, p.b, (names.toSet -- Set(p.a, p.b)).head)
       def threeWay(ord: Seq[String]): DataFrame =
         ord.map(rels).reduce((l, r) =>
           l.hint("shuffle_hash").join(r, Seq("k")))
       def resOf(ord: Seq[String]): DataFrame = threeWay(ord)
         .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
-      def exactOf(p: String): DataFrame = {
-        val Array(a, b) = p.split("-")
-        rels(a).select("k").hint("shuffle_hash")
-          .join(rels(b).select("k"), Seq("k"))
+      def exactOf(p: JoinAdvisorOps.PairEstimate): DataFrame =
+        rels(p.a).select("k").hint("shuffle_hash")
+          .join(rels(p.b).select("k"), Seq("k"))
           .agg(count(lit(1)).as("x"))
-      }
-      resOf(order(bestPair))
+      assert(order(best) == advice.greedyOrder(names),
+        "the executed best order must BE the advisor's greedy order")
+      resOf(order(best))
         .select(col("n").as("n_best"), col("sc").as("sc_best"))
-        .crossJoin(resOf(order(worstPair))
+        .crossJoin(resOf(order(worst))
           .select(col("n").as("n_worst"), col("sc").as("sc_worst")))
-        .crossJoin(exactOf(bestPair).select(col("x").as("exact_best")))
-        .crossJoin(exactOf(worstPair).select(col("x").as("exact_worst")))
-        .select(lit(bestPair).as("best_pair"),
-                lit(worstPair).as("worst_pair"),
-                lit(estBest).as("est_best"), lit(estWorst).as("est_worst"),
+        .crossJoin(exactOf(best).select(col("x").as("exact_best")))
+        .crossJoin(exactOf(worst).select(col("x").as("exact_worst")))
+        .select(lit(best.label).as("best_pair"),
+                lit(worst.label).as("worst_pair"),
+                lit(best.est).as("est_best"), lit(worst.est).as("est_worst"),
                 col("exact_best"), col("exact_worst"),
                 col("n_best").as("joined_rows"),
                 col("sc_best").as("joined_cents"),

@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** The extracted advisor (VERDICT r9 #8): estimates rank pairs the way
+  * the true join sizes do on a planted-overlap fixture, and the greedy
+  * order is deterministic and opens with the cheapest pair. */
+class JoinAdvisorSpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted key overlaps: |a⋈b| is tiny, |a⋈c| medium, |b⋈c| huge
+  private def rel(keys: Seq[Int]): DataFrame =
+    keys.map(_.toString).toDF("k")
+
+  private def fixture: Map[String, DataFrame] = Map(
+    "a" -> rel(1 to 50),
+    "b" -> rel(45 to 400),           // a∩b = 6 keys
+    "c" -> rel((1 to 40) ++ (45 to 400) ++ (45 to 400)) // heavy b overlap
+  )
+
+  test("pairwise estimates rank like the exact join sizes") {
+    val sk = fixture.map { case (n, df) =>
+      n -> JoinAdvisorOps.sketch(df, "k").persist()
+    }
+    val advice = JoinAdvisorOps.advise(sk)
+    assert(advice.pairs.map(_.label) === Seq("a-b", "a-c", "b-c"),
+      s"estimate ranking off: ${advice.pairs}")
+    // CMS estimates are upper bounds of the true sizes
+    val exact = Map("a-b" -> 6L, "a-c" -> 46L, "b-c" -> 712L)
+    advice.pairs.foreach(p =>
+      assert(p.est >= exact(p.label),
+        s"${p.label}: est ${p.est} below exact ${exact(p.label)}"))
+    spark.catalog.clearCache()
+  }
+
+  test("greedy order opens with the cheapest pair and extends by cheapest link") {
+    val pairs = Seq(
+      JoinAdvisorOps.PairEstimate("a", "b", 10L),
+      JoinAdvisorOps.PairEstimate("a", "c", 50L),
+      JoinAdvisorOps.PairEstimate("b", "c", 700L),
+      JoinAdvisorOps.PairEstimate("a", "d", 40L),
+      JoinAdvisorOps.PairEstimate("b", "d", 900L),
+      JoinAdvisorOps.PairEstimate("c", "d", 5000L))
+    val advice = JoinAdvisorOps.JoinAdvice(pairs.sortBy(p => (p.est, p.a)))
+    assert(advice.bestPair.label === "a-b")
+    assert(advice.worstPair.label === "c-d")
+    // after (a,b): d links at 40 (a-d) < c at 50 (a-c) → a,b,d,c
+    assert(advice.greedyOrder(Seq("a", "b", "c", "d"))
+      === Seq("a", "b", "d", "c"))
+  }
+}
