@@ -596,6 +596,21 @@ object CorpusQueries {
     "x117_bpe_train" -> ((s, dir) =>
       bpeTrain(Tables(s, dir, "documents"), steps = 8)),
 
+    // X118 — trained-tokenizer vocabulary: train K merges (x117), then
+    // APPLY them as a tokenizer and emit the top-25 subword vocabulary
+    // by corpus frequency — the train→apply composition a real pipeline
+    // ships. The merge table crosses the stages as a K-row collected
+    // artifact (merges.txt), not a join.
+    "x118_bpe_vocab" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val merges = bpeTrain(docs, steps = 8)
+        .select(col("step"), col("lhs"), col("rhs"))
+        .as[(Long, String, String)].collect().sortBy(_._1)
+        .map(m => (m._2, m._3)).toSeq
+      bpeApply(docs, merges, topK = 25)
+    }),
+
     // X80 — PMI collocation mining: the top multi-word expressions of
     // the corpus by pointwise mutual information — the statistic a
     // tokenizer/phrase-vocabulary build consults ("new york" is a unit;
@@ -1138,6 +1153,46 @@ object CorpusQueries {
     merges.toSeq.toDF("step", "lhs", "rhs", "n")
   }
 
+  /** X118 core — BPE APPLICATION: tokenize with a TRAINED merge table.
+    * Generic over any corpus: initial char symbolization, then each
+    * merge applied in priority (training) order by the same greedy left
+    * fold the trainer used — on the training corpus this provably
+    * reproduces the trainer's final symbolization (training IS
+    * sequential application, which is what makes the oracle a plain
+    * continuation of x117's round chain). The merge list is a trained
+    * artifact (K rows — ships as a broadcastable literal, the way a real
+    * tokenizer's merges.txt does); the fold chain is K nested
+    * expressions over the word-TYPE dictionary, evaluated in ONE
+    * projection pass — no shuffle until the final symbol-frequency agg.
+    * Output: the top-`topK` subword vocabulary by corpus frequency. */
+  def bpeApply(docs: DataFrame, merges: Seq[(String, String)],
+               topK: Int): DataFrame = {
+    val base = docs
+      .select(explode(T.words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"), col("cnt"))
+    val applied = merges.foldLeft(base) { case (d, (l, r)) =>
+      val lL = lit(l)
+      val rL = lit(r)
+      d.select(
+        aggregate(col("syms"), array().cast("array<string>"),
+          (acc, s) =>
+            when(try_element_at(acc, lit(-1)) === lL && s === rL,
+              concat(slice(acc, lit(1), size(acc) - 1),
+                     array(concat(lL, rL))))
+            .otherwise(concat(acc, array(s)))).as("syms"),
+        col("cnt"))
+    }
+    applied
+      .select(explode(col("syms")).as("sym"), col("cnt"))
+      .groupBy(col("sym")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("sym"))
+      .limit(topK)
+  }
+
   /** X67 core — per-doc duplicated-span profile: sample `window`-char
     * substrings at `stride`, count how many of each doc's DISTINCT spans
     * occur in other docs too (within-doc repeats don't count — the
@@ -1233,6 +1288,37 @@ object CorpusQueries {
   }
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** DuckDB fragment shared by x117/x118: the K-round BPE chain as
+    * MATERIALIZED CTEs (wf word counts, d0 spaced char symbolization,
+    * then aR pair counts / bR argmax / dR merged dictionary per round).
+    * See the x117 oracle comment for why MATERIALIZED and the
+    * spaced-replace merge form are load-bearing. */
+  private def bpeChainSql(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""a$r AS MATERIALIZED (SELECT pr.l AS lhs, pr.r AS rhs,
+             sum(cnt)::BIGINT AS n FROM (
+           SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+             i -> struct_pack(l := syms[i], r := syms[i+1]))) AS pr, cnt
+           FROM (SELECT list_filter(string_split(s, '  '), x -> x <> '')
+                   AS syms, cnt FROM d${r - 1}) y) t GROUP BY 1, 2),
+         b$r AS MATERIALIZED (SELECT lhs, rhs, n FROM a$r
+           ORDER BY n DESC, lhs, rhs LIMIT 1),
+         d$r AS MATERIALIZED (SELECT replace(s,
+           ' ' || (SELECT lhs FROM b$r) || '  '
+               || (SELECT rhs FROM b$r) || ' ',
+           ' ' || (SELECT lhs FROM b$r)
+               || (SELECT rhs FROM b$r) || ' ') AS s, cnt
+           FROM d${r - 1})"""
+    }.mkString(",\n")
+    s"""wf AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cnt
+          FROM (SELECT unnest($wordsSql) AS w FROM documents) t
+          WHERE length(w) >= 2 GROUP BY w),
+        d0 AS MATERIALIZED (
+          SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s, cnt
+          FROM wf),
+        $rounds"""
+  }
 
   /** DuckDB fragment: word 5-gram shingles. */
   private val shingles5Sql =
@@ -1669,33 +1755,23 @@ object CorpusQueries {
     // exactly like the fold; fuzz-checked equivalent).
     "x117_bpe_train" -> {
       val k = 8
-      val rounds = (1 to k).map { r =>
-        s"""a$r AS MATERIALIZED (SELECT pr.l AS lhs, pr.r AS rhs,
-               sum(cnt)::BIGINT AS n FROM (
-             SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
-               i -> struct_pack(l := syms[i], r := syms[i+1]))) AS pr, cnt
-             FROM (SELECT list_filter(string_split(s, '  '), x -> x <> '')
-                     AS syms, cnt FROM d${r - 1}) y) t GROUP BY 1, 2),
-           b$r AS MATERIALIZED (SELECT lhs, rhs, n FROM a$r
-             ORDER BY n DESC, lhs, rhs LIMIT 1),
-           d$r AS MATERIALIZED (SELECT replace(s,
-             ' ' || (SELECT lhs FROM b$r) || '  '
-                 || (SELECT rhs FROM b$r) || ' ',
-             ' ' || (SELECT lhs FROM b$r)
-                 || (SELECT rhs FROM b$r) || ' ') AS s, cnt
-             FROM d${r - 1})"""
-      }.mkString(",\n")
       val sel = (1 to k).map(r =>
         s"SELECT $r::BIGINT AS step, lhs, rhs, n FROM b$r")
         .mkString(" UNION ALL ")
-      s"""WITH wf AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cnt
-            FROM (SELECT unnest($wordsSql) AS w FROM documents) t
-            WHERE length(w) >= 2 GROUP BY w),
-          d0 AS MATERIALIZED (
-            SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s, cnt
-            FROM wf),
-          $rounds
+      s"""WITH ${bpeChainSql(k)}
           SELECT * FROM ($sel) ORDER BY step"""
+    },
+
+    // application = the same trained chain's FINAL symbolization (d8):
+    // training is sequential merge application, so the tokenizer's
+    // output on the training corpus is the chain's last dictionary
+    "x118_bpe_vocab" -> {
+      s"""WITH ${bpeChainSql(8)}
+          SELECT sym, sum(cnt)::BIGINT AS n FROM (
+            SELECT unnest(list_filter(string_split(s, '  '),
+                     x -> x <> '')) AS sym, cnt
+            FROM d8) t
+          GROUP BY sym ORDER BY n DESC, sym LIMIT 25"""
     },
 
     "x80_pmi_collocations" ->
