@@ -1155,15 +1155,23 @@ object CorpusQueries {
 
   /** X118 core — BPE APPLICATION: tokenize with a TRAINED merge table.
     * Generic over any corpus: initial char symbolization, then each
-    * merge applied in priority (training) order by the same greedy left
-    * fold the trainer used — on the training corpus this provably
-    * reproduces the trainer's final symbolization (training IS
-    * sequential application, which is what makes the oracle a plain
-    * continuation of x117's round chain). The merge list is a trained
-    * artifact (K rows — ships as a broadcastable literal, the way a real
-    * tokenizer's merges.txt does); the fold chain is K nested
-    * expressions over the word-TYPE dictionary, evaluated in ONE
-    * projection pass — no shuffle until the final symbol-frequency agg.
+    * merge applied in priority (training) order — on the training
+    * corpus this provably reproduces the trainer's final symbolization
+    * (training IS sequential application, which is what makes the
+    * oracle a plain continuation of x117's round chain). The merge list
+    * is a trained artifact (K rows — ships as a literal, the way a real
+    * tokenizer's merges.txt does).
+    *
+    * Representation: the SPACED-STRING form ('  ' between symbols and
+    * at both ends; merge = one native `replace` of ' L  R ' → ' LR ',
+    * whose single-space flanks make consecutive matches chain exactly
+    * like the greedy left fold — the equivalence the x117 oracle
+    * already relies on, fuzz-checked there and spec-checked against a
+    * reference fold in CorpusQueriesSpec). K merges are K codegen'd
+    * string replaces collapsed into ONE projection over the word-TYPE
+    * dictionary — measured ~8× faster than the same chain as nested
+    * interpreted `aggregate` HOF folds (HOF lambdas never reach
+    * codegen), and no shuffle until the final symbol-frequency agg.
     * Output: the top-`topK` subword vocabulary by corpus frequency. */
   def bpeApply(docs: DataFrame, merges: Seq[(String, String)],
                topK: Int): DataFrame = {
@@ -1171,23 +1179,15 @@ object CorpusQueries {
       .select(explode(T.words(col("text"))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(expr(
-          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-        .as("syms"), col("cnt"))
+      .select(concat(lit("  "),
+          regexp_replace(col("w"), "(.)", "$1  ")).as("s"), col("cnt"))
     val applied = merges.foldLeft(base) { case (d, (l, r)) =>
-      val lL = lit(l)
-      val rL = lit(r)
-      d.select(
-        aggregate(col("syms"), array().cast("array<string>"),
-          (acc, s) =>
-            when(try_element_at(acc, lit(-1)) === lL && s === rL,
-              concat(slice(acc, lit(1), size(acc) - 1),
-                     array(concat(lL, rL))))
-            .otherwise(concat(acc, array(s)))).as("syms"),
-        col("cnt"))
+      d.select(org.apache.spark.sql.functions.replace(col("s"),
+          lit(s" $l  $r "), lit(s" $l$r ")).as("s"), col("cnt"))
     }
     applied
-      .select(explode(col("syms")).as("sym"), col("cnt"))
+      .select(explode(expr("filter(split(s, '  '), x -> x <> '')"))
+        .as("sym"), col("cnt"))
       .groupBy(col("sym")).agg(sum(col("cnt")).as("n"))
       .orderBy(col("n").desc, col("sym"))
       .limit(topK)

@@ -778,4 +778,57 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(heavy.subsetOf(rows.map(_._1).toSet),
       "items with w >= step must be selected")
   }
+
+  test("x117/x118: trainer rounds match a reference BPE; spaced-replace application ≡ greedy fold") {
+    // reference implementation: textbook greedy BPE over the word dict
+    def refTrain(texts: Seq[String], k: Int)
+        : (Seq[(Long, String, String, Long)], Map[String, Long]) = {
+      val wf = texts.flatMap(_.trim.split("\\s+")).filter(_.length >= 2)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var dict: Map[String, (Seq[String], Long)] =
+        wf.map { case (w, c) => w -> (w.map(_.toString), c) }
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long)]
+      for (step <- 1 to k) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        dict.values.foreach { case (syms, c) =>
+          syms.sliding(2).filter(_.size == 2).foreach(p =>
+            pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + c)
+        }
+        if (pc.nonEmpty) {
+          val ((l, r), n) = pc.toSeq
+            .minBy { case ((l, r), n) => (-n, l, r) }
+          merges += ((step.toLong, l, r, n))
+          dict = dict.map { case (w, (syms, c)) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            syms.foreach { s =>
+              if (out.nonEmpty && out.last == l && s == r)
+                out(out.size - 1) = l + r
+              else out += s
+            }
+            w -> (out.toSeq, c)
+          }
+        }
+      }
+      val vocab = dict.values.toSeq
+        .flatMap { case (syms, c) => syms.map(_ -> c) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (merges.toSeq, vocab)
+    }
+    // overlap-heavy fixture: runs of identical chars, self-composing
+    // merges, a merged symbol that re-participates as a pair side
+    val texts = Seq("aaa aaaa ab abab baab", "the thee there ethere",
+                    "xyxy xyx yxyx", "zz zzz zzzz z")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (wantMerges, wantVocab) = refTrain(texts, 6)
+    val gotMerges = CorpusQueries.bpeTrain(docs, steps = 6)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(gotMerges === wantMerges)
+    val gotVocab = CorpusQueries
+      .bpeApply(docs, wantMerges.map(m => (m._2, m._3)), topK = 1000)
+      .as[(String, Long)].collect().toMap
+    assert(gotVocab === wantVocab,
+      "spaced-replace application must equal the reference fold's final symbolization")
+  }
 }
