@@ -1174,4 +1174,38 @@ class PlanShapeSpec extends SparkSpec {
             + w.toString.take(2000))
       }
   }
+
+  test("x79 band census is single-pass: config count never multiplies scans or agg branches") {
+    // the r9 shape unioned one (cost agg + 2 recall joins) BRANCH PER
+    // CONFIG — 3 configs = 9 passes over the signature cache. The r10
+    // shape explodes a literal config dimension: exactly ONE
+    // posexplode-fed bucket agg and ONE recall join pair regardless of
+    // config count. Generate+PosExplode appears once; a per-config
+    // union would print it once per branch.
+    val plan = planOf("x79_lsh_tuning")
+    val posexplodes = "posexplode".r.findAllIn(plan).size
+    assert(posexplodes == 1,
+      s"expected ONE posexplode (single cost pass), got $posexplodes:\n"
+        + plan.take(3000))
+    // the r9 shape assembled per-config branches with a Union; the r10
+    // shape assembles results by joining the two aggs onto the literal
+    // config frame — no Union anywhere
+    assert(!plan.contains("Union"),
+      "per-config union branches are back:\n" + plan.take(3000))
+  }
+
+  test("x118 BPE application is one codegen'd projection — no interpreted HOF fold chain") {
+    // the merge chain lives in aggregate-result/projection expressions,
+    // which the physical plan string elides — pin on the optimized
+    // logical plan, where they print in full
+    val plan = SparkEntry.queries("x118_bpe_vocab")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    // K merges must collapse into native string replaces inside one
+    // projection (codegen'd), not nested aggregate() lambda folds
+    // (never codegen'd — measured 4.5× slower end-to-end)
+    assert(plan.contains("replace("),
+      "apply chain should be native string replaces:\n" + plan.take(3000))
+    assert(!plan.contains("aggregate(lambdafunction"),
+      "apply chain regressed to interpreted HOF folds:\n" + plan.take(3000))
+  }
 }
