@@ -46,16 +46,16 @@ object ContainmentJoin {
     * @return (id_a, id_b, n_a, n_b) for every probe a and corpus doc b
     *         with set_a ⊆ set_b and |set_a| > 0. */
   def join(probes: DataFrame, corpus: DataFrame,
-           idCol: String, setCol: String): DataFrame = {
+           idCol: String, setCol: String)
+          (implicit scope: graft.ops.CacheScope): DataFrame = {
     val ea = probes
       .select(col(idCol).as("id_a"), explode(col(setCol)).as("g"))
     // the postings feed THREE consumers (df count, candidate join,
     // verify join) — persist the exploded form once instead of paying
     // the array explode per branch (the same economics as SetSimJoin's
     // persisted element stream)
-    val eb = corpus
-      .select(col(idCol).as("id_b"), explode(col(setCol)).as("g"))
-      .persist()
+    val eb = scope.persist(corpus
+      .select(col(idCol).as("id_b"), explode(col(setCol)).as("g")))
     val dfb = eb.groupBy(col("g")).agg(count(lit(1)).as("df"))
     // rarest element per probe under the CORPUS order — absent elements
     // coalesce to df 0, sort first, and kill the probe at the join
@@ -99,14 +99,14 @@ object ContainmentJoin {
     * @return (id_a, id_b, inter, n_a, n_b) for every qualifying pair. */
   def joinPartial(probes: DataFrame, corpus: DataFrame,
                   idCol: String, setCol: String,
-                  tauNum: Int, tauDen: Int): DataFrame = {
+                  tauNum: Int, tauDen: Int)
+                 (implicit scope: graft.ops.CacheScope): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen,
       s"tau must be in (0, 1], got $tauNum/$tauDen")
     val ea = probes
       .select(col(idCol).as("id_a"), explode(col(setCol)).as("g"))
-    val eb = corpus
-      .select(col(idCol).as("id_b"), explode(col(setCol)).as("g"))
-      .persist()
+    val eb = scope.persist(corpus
+      .select(col(idCol).as("id_b"), explode(col(setCol)).as("g")))
     val dfb = eb.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val na = probes
       .select(col(idCol).as("id_a"), size(col(setCol)).cast("long").as("n_a"))

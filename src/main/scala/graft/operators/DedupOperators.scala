@@ -157,7 +157,8 @@ object DedupOperators {
   /** MinHash near-dup pairs, verified by true n-gram Jaccard ≥ threshold. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, shingleN: Int = 3, k: Int = 8,
-                      bands: Int = 4): DataFrame = {
+                      bands: Int = 4)
+                     (implicit scope: CacheScope): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleN, k, bands)
     val txt = df.select(col(idCol), col(textCol))
     val withA = cands.join(txt.withColumnRenamed(idCol, "id_a")
@@ -310,14 +311,15 @@ object DedupOperators {
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
                   jaccardThreshold: Double = 0.7,
                   shingleN: Int = 3, k: Int = 8, bands: Int = 4,
-                  clusterIters: Int = 10): DataFrame = {
+                  clusterIters: Int = 10)
+                 (implicit scope: CacheScope): DataFrame = {
     // exactDedup's result feeds FOUR consumers (candidate generation, the
     // two text joins of the Jaccard verify, and the final anti-join) —
     // without a persist its scan+agg+semi-join lineage re-executes per
     // consumer. Freed lazily by LRU / session end; the survivors result is
     // typically written immediately, after which the cache is dead weight
     // the evictor reclaims.
-    val exact = exactDedup(df, idCol, textCol).persist()
+    val exact = scope.persist(exactDedup(df, idCol, textCol))
     val nearPairs = minhashNearDups(exact, idCol, textCol,
       jaccardThreshold, shingleN, k, bands)
     val labels = clusterPairs(nearPairs, clusterIters)

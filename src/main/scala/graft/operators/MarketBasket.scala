@@ -27,12 +27,13 @@ object MarketBasket {
     * @param minSup minimum pair support (baskets containing both items)
     * @return (ante, cons, sup_ab, conf_x1000, lift_x1000), both rule
     *         directions, confidence/lift in integer thousandths */
-  def rules(items: DataFrame, minSup: Int = 2): DataFrame = {
+  def rules(items: DataFrame, minSup: Int = 2)
+           (implicit scope: graft.ops.CacheScope): DataFrame = {
     // distinct (basket, item) pairs are the shared basis: item supports,
     // the basket count, and the pruned basket build all read it —
     // in-basket repeats collapse here ONCE instead of inside a
     // collect_set per consumer
-    val d = items.select(col("ok"), col("p")).distinct().persist()
+    val d = scope.persist(items.select(col("ok"), col("p")).distinct())
     val nOrders = d.agg(count_distinct(col("ok")).as("n_orders"))
     val supItem = d.groupBy(col("p")).agg(count(lit(1)).as("sup_i"))
     // a-priori prune: restrict the item stream to minSup-frequent items

@@ -59,23 +59,26 @@ object SetSimJoin {
     *
     * Cache lifetime: the dataflow persists two intermediates (the
     * tokenized sets and the ranked prefix) because each is consumed by
-    * more than one join; they are registered in the session cache and
-    * are CALLER-MANAGED — a lazy operator cannot unpersist what its
-    * result still reads. Long-lived sessions should
-    * `spark.catalog.clearCache()` after consuming the result (Verify
-    * and Bench both do, per query). */
+    * more than one join; a lazy operator cannot unpersist what its
+    * result still reads, so their lifetime is owned by the implicit
+    * [[graft.ops.CacheScope]] — session-scoped (clearCache hygiene, the
+    * Verify/Bench default) unless the caller opens `CacheScope.using`
+    * and materializes inside it. */
   def join(docs: DataFrame, idCol: String, setCol: String,
-           tauNum: Int, tauDen: Int): DataFrame =
+           tauNum: Int, tauDen: Int)
+          (implicit scope: graft.ops.CacheScope): DataFrame =
     joinImpl(docs, idCol, setCol, tauNum, tauDen)._2
 
   /** Dev/probe hook: run only candidate generation, return its count. */
   private[graft] def joinCandidatesForProbe(
       docs: DataFrame, idCol: String, setCol: String,
-      tauNum: Int, tauDen: Int): Long =
+      tauNum: Int, tauDen: Int)
+     (implicit scope: graft.ops.CacheScope): Long =
     joinImpl(docs, idCol, setCol, tauNum, tauDen)._1.count()
 
   private def joinImpl(docs: DataFrame, idCol: String, setCol: String,
                        tauNum: Int, tauDen: Int)
+                      (implicit scope: graft.ops.CacheScope)
       : (DataFrame, DataFrame) = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"setSimJoin: tau must be in (0,1], got $tauNum/$tauDen")
@@ -83,8 +86,8 @@ object SetSimJoin {
     // joins re-read the sets; persist so tokenization upstream runs once.
     // The id keeps its ORIGINAL type — a cast("long") here would turn a
     // string/uuid id into NULL and silently collapse every pair onto it
-    val sets = docs.select(col(idCol).as("_id"),
-                           col(setCol).as("_set")).persist()
+    val sets = scope.persist(docs.select(col(idCol).as("_id"),
+                           col(setCol).as("_set")))
     val elems = sets.select(col("_id"),
       size(col("_set")).cast("long").as("_len"),
       explode(col("_set")).as("_e"))
@@ -107,13 +110,12 @@ object SetSimJoin {
     // post-aggregate size estimate is exactly the kind Catalyst gets
     // wrong on a stats-less input — pin this join too so the whole
     // dataflow has one deterministic shape at every SF
-    val prefix = elems.join(dfreq.hint("shuffle_hash"), Seq("_e"))
+    val prefix = scope.persist(elems.join(dfreq.hint("shuffle_hash"), Seq("_e"))
       .withColumn("_rn", row_number().over(wDoc).cast("long"))
       .filter(col("_rn") <=
         col("_len") -
         expr(s"(_len * $tauNum + ${tauDen - 1}) DIV $tauDen") + lit(1L))
-      .select(col("_id"), col("_len"), col("_e"))
-      .persist()
+      .select(col("_id"), col("_len"), col("_e")))
     val a = prefix.select(col("_id").as("id_a"), col("_len").as("_la"),
                           col("_e").as("_ea"))
     val b = prefix.select(col("_id").as("id_b"), col("_len").as("_lb"),
@@ -169,13 +171,14 @@ object SetSimJoin {
     * caller-managed (`spark.catalog.clearCache()` after consuming).
     */
   def cosineJoin(docs: DataFrame, idCol: String, setCol: String,
-                 tauNum: Int, tauDen: Int): DataFrame = {
+                 tauNum: Int, tauDen: Int)
+                (implicit scope: graft.ops.CacheScope): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"cosineJoin: tau must be in (0,1], got $tauNum/$tauDen")
     val n2 = tauNum.toLong * tauNum
     val d2 = tauDen.toLong * tauDen
-    val sets = docs.select(col(idCol).as("_id"),
-                           col(setCol).as("_set")).persist()
+    val sets = scope.persist(docs.select(col(idCol).as("_id"),
+                           col(setCol).as("_set")))
     val elems = sets.select(col("_id"),
       size(col("_set")).cast("long").as("_len"),
       explode(col("_set")).as("_e"))
@@ -184,12 +187,11 @@ object SetSimJoin {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_id")).orderBy(col("_df"), col("_e"))
     // prefix p = len - ceil(tau² * len) + 1
-    val prefix = elems.join(dfreq.hint("shuffle_hash"), Seq("_e"))
+    val prefix = scope.persist(elems.join(dfreq.hint("shuffle_hash"), Seq("_e"))
       .withColumn("_rn", row_number().over(wDoc).cast("long"))
       .filter(col("_rn") <=
         col("_len") - expr(s"(_len * $n2 + ${d2 - 1}) DIV $d2") + lit(1L))
-      .select(col("_id"), col("_len"), col("_e"))
-      .persist()
+      .select(col("_id"), col("_len"), col("_e")))
     val a = prefix.select(col("_id").as("id_a"), col("_len").as("_la"),
                           col("_e").as("_ea"))
     val b = prefix.select(col("_id").as("id_b"), col("_len").as("_lb"),

@@ -7,12 +7,18 @@ import scala.collection.mutable
 /** Explicit ownership for operator-INTERNAL caches.
   *
   * Several operators persist an intermediate frame that their lazily
-  * returned result reads from ([[DedupOps.withIngestOrdinalFrom]]'s keyed
-  * frame, [[graft.operators.DedupOperators.minhashCandidates]]'s band
-  * index, [[graft.operators.DedupOperators.incrementalCandidates]]'s batch
-  * index). The operator cannot unpersist before returning — the cache must
-  * outlive the caller's first materialization of the result — so the
-  * persist is registered with the implicit [[CacheScope]] in effect:
+  * returned result reads from: [[DedupOps.withIngestOrdinalFrom]]'s keyed
+  * frame, [[graft.operators.DedupOperators]]' band/batch indexes and
+  * dedupCorpus exact frame, [[graft.operators.SetSimJoin]]'s set/prefix
+  * streams, [[graft.operators.ContainmentJoin]]'s postings,
+  * [[graft.operators.MarketBasket]]'s basket basis, and [[PrefixSumOps]]'
+  * input/ranged frames. The operator cannot unpersist before returning —
+  * the cache must outlive the caller's first materialization of the
+  * result — so each such persist is registered with the implicit
+  * [[CacheScope]] in effect. (Iterative operators that materialize
+  * per-round and free their own frames — GraphOps, clusterPairs — keep
+  * their explicit internal unpersists; nothing of theirs outlives the
+  * returned result's materialization.)
   *
   *   - the default [[CacheScope.session]] scope tracks nothing: internal
   *     caches live until `spark.catalog.clearCache()` (the Verify/Bench

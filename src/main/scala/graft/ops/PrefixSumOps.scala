@@ -50,14 +50,15 @@ object PrefixSumOps {
     */
   def runningSum(df: DataFrame, group: Seq[String], order: String,
                  value: String, outCum: String, outTot: String,
-                 splits: Int = 256): DataFrame = {
+                 splits: Int = 256)
+                (implicit scope: CacheScope): DataFrame = {
     require(splits >= 2, "runningSum needs at least 2 splits")
     val gCols = group.map(col)
     // three consumers read the input (sketch, partials, final join) — the
     // caller usually hands in a freshly-aggregated domain, so persist it
     // rather than re-running that aggregation per pass (released by the
     // session's clearCache hygiene, the repo-wide multi-consumer pattern)
-    val in = df.persist()
+    val in = scope.persist(df)
     // Phase 0 — deterministic range cuts per group from a quantile sketch.
     // Accuracy only balances tasks (a cut off by 1/accuracy of the domain
     // shifts that many rows between neighboring ranges); 2000 keeps the
@@ -84,10 +85,9 @@ object PrefixSumOps {
         aggregate(col("_bs"), lit(0),
           (acc, b) => acc + when(col(order) > b, 1).otherwise(0))
     }
-    val ranged = bounded
+    val ranged = scope.persist(bounded
       .withColumn("_rb", rbExpr)
-      .drop("_bs")
-      .persist()
+      .drop("_bs"))
     // Phase 1 — per-range partials; |groups|·splits rows, so the
     // group-partitioned window over THEM is bounded by splits, not data.
     val rbCols = gCols :+ col("_rb")
@@ -126,11 +126,12 @@ object PrefixSumOps {
     * exactly as under a plain window). */
   def runningCount(df: DataFrame, group: Seq[String], cutKey: String,
                    orderCols: Seq[Column], outPos: String,
-                   splits: Int = 256): DataFrame = {
+                   splits: Int = 256)
+                  (implicit scope: CacheScope): DataFrame = {
     require(splits >= 2, "runningCount needs at least 2 splits")
     require(orderCols.nonEmpty, "runningCount needs at least one order col")
     val gCols = group.map(col)
-    val in = df.persist()
+    val in = scope.persist(df)
     val qs = (1 until splits).map(_.toDouble / splits)
     val bounds = in.groupBy(gCols: _*)
       .agg(percentile_approx(col(cutKey), lit(qs.toArray), lit(2000))
@@ -146,7 +147,7 @@ object PrefixSumOps {
         aggregate(col("_bs"), lit(0),
           (acc, b) => acc + when(col(cutKey) > b, 1).otherwise(0))
     }
-    val ranged = bounded.withColumn("_rb", rbExpr).drop("_bs").persist()
+    val ranged = scope.persist(bounded.withColumn("_rb", rbExpr).drop("_bs"))
     val rbCols = gCols :+ col("_rb")
     val wOff = Window.partitionBy(gCols: _*).orderBy(col("_rb"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -194,10 +195,11 @@ object PrefixSumOps {
     */
   def selectRanks(df: DataFrame, group: Seq[String], order: String,
                   value: String, ranks: Column,
-                  splits: Int = 256): DataFrame = {
+                  splits: Int = 256)
+                 (implicit scope: CacheScope): DataFrame = {
     require(splits >= 2, "selectRanks needs at least 2 splits")
     val gCols = group.map(col)
-    val in = df.persist()
+    val in = scope.persist(df)
     // Phase 0 — one agg carries BOTH the range cuts and the group total
     // (runningSum recomputes the total in phase 1; here the total must
     // exist before ranks can be evaluated, so it rides the sketch pass).
@@ -230,7 +232,7 @@ object PrefixSumOps {
     // join — persist it so the broadcast join + binary search run once,
     // not twice (runningSum already does this; measured ~15% off a
     // median selection at bench SF)
-    val ranged = withRanges(in).persist()
+    val ranged = scope.persist(withRanges(in))
     val targets = ranged
       .groupBy((gCols :+ col("_rb")): _*)
       .agg(sum(col(value)).as("_pc"), first(col("_tot")).as("_tot"))

@@ -831,4 +831,14 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(gotVocab === wantVocab,
       "spaced-replace application must equal the reference fold's final symbolization")
   }
+
+  test("x117 trainer stops early on a pairless corpus (documented degenerate case)") {
+    // single-char words only: the length-≥2 filter leaves an empty
+    // dictionary, round 1 finds no pair, and the trainer returns an
+    // empty — correctly typed — merge table instead of looping
+    val docs = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    val m = CorpusQueries.bpeTrain(docs, steps = 5)
+    assert(m.columns.toSeq === Seq("step", "lhs", "rhs", "n"))
+    assert(m.count() === 0L)
+  }
 }
