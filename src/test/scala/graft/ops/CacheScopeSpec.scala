@@ -42,6 +42,24 @@ class CacheScopeSpec extends SparkSpec {
     assert(cachedRddCount === base)
   }
 
+  test("sweep coverage: SetSimJoin and PrefixSumOps internal persists free with the scope") {
+    spark.catalog.clearCache()
+    val base = cachedRddCount
+    val sets = Seq(
+      (1L, Seq("a", "b", "c")), (2L, Seq("a", "b", "d")),
+      (3L, Seq("x", "y", "z"))).toDF("id", "s")
+    val vals = (1 to 50).map(i => (i % 5, i.toLong, 1L))
+      .toDF("g", "o", "v")
+    CacheScope.using { implicit scope =>
+      graft.operators.SetSimJoin.join(sets, "id", "s", 1, 2).count()
+      PrefixSumOps.runningSum(vals, Seq("g"), "o", "v", "cum", "tot")
+        .count()
+    }
+    assert(cachedRddCount === base,
+      "SetSimJoin set/prefix frames and PrefixSumOps input/ranged frames " +
+        "must free on scope close")
+  }
+
   test("ordinal kernel: eager and lazy modes number identically; scope frees both") {
     spark.catalog.clearCache()
     val base = cachedRddCount
