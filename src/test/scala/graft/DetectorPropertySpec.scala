@@ -95,4 +95,59 @@ class DetectorPropertySpec extends SparkSpec {
         s"trial $trial: incremental digest must equal recompute")
     }
   }
+
+  test("wrap64 equals the BigInt two's-complement reference on random signed sums") {
+    import graft.functions.DigestFunctions
+    val rnd = new scala.util.Random(31)
+    val W = BigInt(1) << 64
+    def ref(vals: Seq[Long]): Long = {
+      val m = (vals.map(BigInt(_)).sum.mod(W) + W).mod(W)
+      (if (m >= (BigInt(1) << 63)) m - W else m).toLong
+    }
+    for (trial <- 1 to 5) {
+      // mix magnitudes so some trials wrap multiple times and some not
+      // at all, with both signs
+      val vals = (1 to 30).map { _ =>
+        val mag = rnd.nextInt(3) match {
+          case 0 => rnd.nextLong() >>> 16 // ~2^48, the fingerprint regime
+          case 1 => rnd.nextLong() >>> 2  // ~2^62, forces wraps
+          case _ => rnd.nextInt(1000).toLong
+        }
+        if (rnd.nextBoolean()) mag else -mag
+      }
+      val got = vals.toDF("f")
+        .agg(DigestFunctions.digestSum(col("f")).as("d"))
+        .as[Long].head()
+      assert(got === ref(vals), s"trial $trial: $vals")
+    }
+  }
+
+  test("JoinAdvisor estimates dominate exact pairwise join sizes on random relations") {
+    import graft.ops.JoinAdvisorOps
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 3) {
+      val rels: Map[String, Seq[Int]] = Map(
+        "r1" -> (1 to 200).filter(_ => rnd.nextBoolean()),
+        "r2" -> (1 to 200).filter(_ => rnd.nextInt(3) == 0)
+          .flatMap(k => Seq.fill(1 + rnd.nextInt(3))(k)), // dup keys
+        "r3" -> (100 to 300).filter(_ => rnd.nextBoolean()))
+      val frames = rels.map { case (n, ks) =>
+        n -> ks.map(_.toString).toDF("k")
+      }
+      val sk = frames.map { case (n, df) =>
+        n -> JoinAdvisorOps.sketch(df, "k").persist()
+      }
+      val advice = JoinAdvisorOps.advise(sk)
+      // exact pairwise inner-join sizes (with multiplicity)
+      def exact(a: String, b: String): Long = {
+        val cb = rels(b).groupBy(identity).view.mapValues(_.size).toMap
+        rels(a).map(k => cb.getOrElse(k, 0).toLong).sum
+      }
+      advice.pairs.foreach { p =>
+        assert(p.est >= exact(p.a, p.b),
+          s"trial $trial ${p.label}: est ${p.est} < exact ${exact(p.a, p.b)}")
+      }
+      spark.catalog.clearCache()
+    }
+  }
 }
