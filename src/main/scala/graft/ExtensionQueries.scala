@@ -368,6 +368,52 @@ object ExtensionQueries {
         .orderBy(col("bands").desc)
     }),
 
+    // X119 — TIME-WINDOWED near-dup (dedup HORIZON): near-dup pairs are
+    // only sought within a ±3-day ingest window — the bounded-state form
+    // of corpus dedup (what a production pipeline actually runs once the
+    // corpus outgrows all-history comparison; the batch twin of a
+    // watermarked streaming dedup). Candidates ride the banded equi-join
+    // with a coarse time-cell key (q29's range-cell device fused into the
+    // LSH join — [[graft.operators.DedupOperators.windowedMinhashCandidates]]);
+    // verification is the exact ≥½ Jaccard on candidate pairs only. The
+    // ingest day is derived deterministically (doc_id div 50 — the x71
+    // fixture device) so the oracle can restate the window exactly; the
+    // oracle regenerates candidates from the SAME md5 bands (banded LSH
+    // is deterministic, so candidate parity is part of the check) plus
+    // the |Δday| gate, re-proving the cell join neither missed nor
+    // fabricated a pair.
+    "x119_windowed_neardup" -> ((s, dir) => {
+      val w = 3L
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), expr("doc_id div 50").as("day"), col("text"))
+      val cands = graft.operators.DedupOperators
+        .windowedMinhashCandidates(d, "doc_id", "text", "day", w)
+      // STAGED projections (the x79/x86 device): naming _w in its own
+      // select keeps the tokenize subtree single-evaluated — composing
+      // shinglesFromWords(T.words(…)) inline re-runs the split per
+      // lambda reference (measured 7 s → ~1 s for this frame at sf0.1)
+      val sh = d
+        .select(col("doc_id"), col("day"), T.words(col("text")).as("_w"))
+        .filter(size(col("_w")) >= 3)
+        .select(col("doc_id"), col("day"),
+          array_distinct(T.shinglesFromWords(col("_w"), 3)).as("sh"))
+        .persist()
+      cands
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+                        col("day").as("day_a")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+                        col("day").as("day_b")), Seq("id_b"))
+        .withColumn("inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("uni",
+          size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
+        .filter(col("inter") * 2 >= col("uni"))
+        .select(col("id_a"), col("id_b"),
+                expr("(1000 * inter) DIV uni").as("jac_x1000"),
+                abs(col("day_a") - col("day_b")).as("day_gap"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // X81 — Count-Min sketch AS A TABLE: the frequency sketch that backs
     // per-token frequency estimation at corpus scale without ever keying
     // an exchange by token. Every occurrence updates d=4 md5-derived
@@ -1271,6 +1317,45 @@ object ExtensionQueries {
             CASE WHEN true_pairs = 0 THEN NULL
                  ELSE (1000 * found) // true_pairs END AS recall_x1000
           FROM u ORDER BY bands DESC"""
+    },
+
+    // candidates restated from the SAME md5 bands (equi-join on
+    // (band idx, key) like the engine) plus the |Δday| gate — banded
+    // LSH is deterministic, so candidate parity is checkable, and the
+    // oracle proves the engine's 3-cell gate neither missed nor
+    // fabricated an in-window pair
+    "x119_windowed_neardup" -> {
+      val bandArr = (0 until 4).map { b =>
+        s"md5(sg[${2 * b + 1}] || '|' || sg[${2 * b + 2}])"
+      }.mkString("[", ", ", "]")
+      s"""WITH s AS (SELECT doc_id, doc_id // 50 AS day,
+                       $shinglesSql AS sh,
+                       list_distinct($shinglesSql) AS dsh
+                     FROM documents),
+          sig AS (SELECT doc_id, day,
+            [${(0 until 8).map(minhashSql).mkString(",\n             ")}] AS sg,
+            dsh FROM s),
+          bn AS (SELECT doc_id, day, $bandArr AS bs
+                 FROM sig WHERE len(dsh) > 0),
+          bx AS (SELECT doc_id, day, unnest(range(1, 5)) AS bi,
+                        unnest(bs) AS bk FROM bn),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.day AS day_a, b.day AS day_b
+                   FROM bx a JOIN bx b
+                     ON b.bi = a.bi AND b.bk = a.bk
+                    AND b.doc_id > a.doc_id
+                    AND abs(a.day - b.day) <= 3),
+          j AS (SELECT id_a, id_b, day_a, day_b,
+                  len(list_filter(sa.dsh,
+                    x -> list_contains(sb.dsh, x)))::BIGINT AS inter,
+                  (len(sa.dsh) + len(sb.dsh))::BIGINT AS tot
+                FROM cand JOIN s sa ON sa.doc_id = cand.id_a
+                          JOIN s sb ON sb.doc_id = cand.id_b)
+          SELECT id_a, id_b,
+            ((1000 * inter) // (tot - inter))::BIGINT AS jac_x1000,
+            abs(day_a - day_b)::BIGINT AS day_gap
+          FROM j WHERE inter * 2 >= tot - inter
+          ORDER BY id_a, id_b"""
     },
 
     "x81_cms_freq" -> {

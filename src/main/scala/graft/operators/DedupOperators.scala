@@ -123,6 +123,55 @@ object DedupOperators {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Time-WINDOWED near-dup candidates — the dedup-HORIZON form: only
+    * pairs whose `timeCol` values differ by at most `window` are
+    * candidates, so the comparison state a production dedup holds is
+    * the horizon, never all history (the batch shape of a streaming
+    * dedup with a watermark; at 100 TB the horizon is what makes the
+    * problem bounded as the corpus grows unboundedly).
+    *
+    * The gate rides the SAME banded equi-join as [[minhashCandidates]]:
+    * the join key gains a coarse time CELL of width max(window, 1).
+    * The left side posts its own cell; the right side posts
+    * {c−1, c, c+1} (the q29 range-cell device), so a pair within
+    * `window` shares EXACTLY one (band, cell) key — no pair inside the
+    * window can be missed, nothing beyond 3 cells is ever probed, and
+    * per band no duplicate candidate is generated (the id order makes
+    * the roles asymmetric). The exact |Δt| ≤ window predicate applies
+    * inside the join (cells only gate generation); `distinct` collapses
+    * multi-band hits. `timeCol` must be a non-negative integral column
+    * (a day number, an epoch bucket). */
+  def windowedMinhashCandidates(df: DataFrame, idCol: String,
+                                textCol: String, timeCol: String,
+                                window: Long, shingleN: Int = 3,
+                                k: Int = 8, bands: Int = 4)
+                               (implicit scope: CacheScope): DataFrame = {
+    require(window >= 0, s"window must be >= 0, got $window")
+    val rows = k / bands
+    val cellW = math.max(window, 1L)
+    val idx = scope.persist(
+      spread(df)
+        .select(col(idCol).as("id"), col(timeCol).cast("long").as("_t"),
+                T.words(col(textCol)).as("_w"))
+        .select(col("id"), col("_t"),
+          graft.functions.expr.MinHashSigMd5(col("_w"), shingleN, k)
+            .as("_sig"))
+        .select(col("id"), col("_t"),
+                posexplode(T.lshBands(col("_sig"), bands, rows)))
+        .toDF("id", "_t", "band_idx", "band_key")
+        .withColumn("_c", expr(s"_t div $cellW")))
+    val a = idx.select(col("band_idx"), col("band_key"), col("_c"),
+                       col("id").as("id_a"), col("_t").as("_ta"))
+    val b = idx.select(col("band_idx").as("_bi"), col("band_key").as("_bk"),
+        explode(array(col("_c") - 1, col("_c"), col("_c") + 1)).as("_cb"),
+        col("id").as("id_b"), col("_t").as("_tb"))
+    a.join(b, col("band_idx") === col("_bi") &&
+              col("band_key") === col("_bk") && col("_c") === col("_cb") &&
+              col("id_a") < col("id_b") &&
+              abs(col("_ta") - col("_tb")) <= window)
+      .select("id_a", "id_b").distinct()
+  }
+
   /** Production-scale MinHash candidates using the native one-pass
     * [[graft.functions.expr.MinHashSig]] expression (XXH64, k mins in one
     * traversal) instead of the k-pass md5 composition — same banding join.
