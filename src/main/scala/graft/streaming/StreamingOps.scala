@@ -70,6 +70,44 @@ object StreamingOps {
       .select(col("new_id"), col("corpus_id"))
   }
 
+  /** Streaming twin of batch x119
+    * ([[graft.operators.DedupOperators.windowedMinhashCandidates]]):
+    * near-dup candidate pairs within a time horizon over ONE stream —
+    * the banded self-join as a watermarked STREAM-STREAM join keyed on
+    * (band_idx, band_key) with |Δts| ≤ `withinSec` bounding event time
+    * in BOTH directions, so per-band join state is GC'd by the
+    * watermark. The horizon that makes batch x119's comparison state
+    * bounded is exactly what makes this join runnable forever; without
+    * it a streaming self near-dup would hold all history. Pairs are
+    * emitted once per matching band (a streaming distinct would need
+    * unbounded state — the [[streamingNearDupCandidates]] contract);
+    * downstream verification is idempotent. Reconciliation: the
+    * DISTINCT emitted pairs after any prefix equal the batch operator's
+    * candidates over the same rows (StreamingSpec). */
+  def streamingWindowedNearDup(docs: DataFrame, idCol: String,
+                               textCol: String, tsCol: String,
+                               withinSec: Long,
+                               lateness: String = "10 minutes",
+                               shingleN: Int = 3, k: Int = 8,
+                               bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    def banded(side: String) = docs
+      .select(col(idCol).as(s"${side}_id"), col(tsCol).as(s"${side}_ts"),
+        graft.functions.TextFunctions.words(col(textCol)).as("_w"))
+      .select(col(s"${side}_id"), col(s"${side}_ts"),
+        graft.functions.expr.MinHashSigMd5(col("_w"), shingleN, k)
+          .as("_sig"))
+      .select(col(s"${side}_id"), col(s"${side}_ts"), posexplode(
+        graft.functions.TextFunctions.lshBands(col("_sig"), bands, rows)))
+      .toDF(s"${side}_id", s"${side}_ts", s"${side}_bi", s"${side}_bk")
+      .withWatermark(s"${side}_ts", lateness)
+    banded("a").join(banded("b"), expr(
+      s"""a_bi = b_bi AND a_bk = b_bk AND a_id < b_id AND
+          b_ts >= a_ts - interval $withinSec seconds AND
+          b_ts <= a_ts + interval $withinSec seconds"""))
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
+  }
+
   /** Watermarked STREAM-STREAM interval join: right rows within
     * `[leftTs, leftTs + withinSec]` of a left row with the same `key`.
     * Both sides carry watermarks and the join condition bounds event time

@@ -636,4 +636,45 @@ class StreamingSpec extends SparkSpec {
       ("next", ts("2024-01-01 04:00:00"), ts("2024-01-01 04:00:00"), 2L)),
       s"got $rows")
   }
+
+  test("streamingWindowedNearDup: distinct streamed pairs equal batch x119 horizon candidates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // keep event times well above epoch 0: the initial watermark is 0,
+    // and a row AT the watermark is treated as late by the join state
+    def at(s: Long) = new Timestamp((1700000000L + s) * 1000L)
+    val docs = Seq(
+      (1L, at(0), "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, at(30), "the quick brown fox jumps over the lazy cat tonight"),
+      // same text as doc 1, but 200 s away — OUTSIDE the 60 s horizon
+      (3L, at(200), "the quick brown fox jumps over the lazy dog tonight"),
+      (4L, at(230), "the quick brown fox jumps over the lazy dog tonight"),
+      (5L, at(100), "completely different words with no shingle overlap"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingOps.streamingWindowedNearDup(
+        mem.toDF().toDF("doc_id", "ts", "text"),
+        "doc_id", "text", "ts", withinSec = 60)
+      .writeStream.format("memory").queryName("wnd")
+      .outputMode("append").start()
+    mem.addData(docs.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(3): _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("select distinct id_a, id_b from wnd")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    val batch = graft.operators.DedupOperators
+      .windowedMinhashCandidates(
+        docs.toDF("doc_id", "ts", "text")
+          .withColumn("sec", col("ts").cast("long")),
+        "doc_id", "text", "sec", window = 60L)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch,
+      s"streamed $streamed must equal batch horizon candidates $batch")
+    // the horizon is live: the duplicate 200 s apart is excluded, the
+    // 30 s twins are found
+    assert(batch.contains((3L, 4L)))
+    assert(!batch.contains((1L, 3L)))
+    assert(batch.exists { case (a, _) => a == 1L })
+  }
 }
