@@ -1194,6 +1194,19 @@ class PlanShapeSpec extends SparkSpec {
       "per-config union branches are back:\n" + plan.take(3000))
   }
 
+  test("x119 windowed near-dup: candidates come from an equi-join carrying the time cell — never a data-sized nested loop") {
+    val plan = planOf("x119_windowed_neardup")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the candidate join's equi keys must include the band pair AND the
+    // coarse time cell (_c = _cb) — the |Δt| predicate is the residual
+    // condition, not the join driver
+    assert(plan.contains("_c#") && plan.contains("_cb#"),
+      "time-cell key missing from the candidate join:\n" + plan.take(3000))
+    assert("abs\\(\\(_ta#\\d+L? - _tb#\\d+L?\\)\\)".r.findFirstIn(plan).isDefined,
+      "the exact horizon predicate must ride the join:\n" + plan.take(3000))
+  }
+
   test("x118 BPE application is one codegen'd projection — no interpreted HOF fold chain") {
     // the merge chain lives in aggregate-result/projection expressions,
     // which the physical plan string elides — pin on the optimized
