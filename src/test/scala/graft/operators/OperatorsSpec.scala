@@ -317,4 +317,29 @@ class OperatorsSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L)), s"got $got")
   }
+
+  test("windowed minhash candidates: horizon gates pairs; a wide window equals the unwindowed join") {
+    import spark.implicits._
+    val timed = Seq(
+      (0L, 0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, 2L, "the quick brown fox jumps over the lazy dog"),  // Δt=2
+      (2L, 50L, "the quick brown fox jumps over the lazy dog"), // far away
+      (3L, 51L, "entirely different words appear here instead today"))
+      .toDF("doc_id", "t", "text")
+    def cands(w: Long): Set[(Long, Long)] =
+      DedupOperators.windowedMinhashCandidates(
+          timed, "doc_id", "text", "t", window = w, bands = 8)
+        .as[(Long, Long)].collect().toSet
+    // w=3: only the close twins pair; the identical doc 50 ticks away
+    // is outside the horizon
+    assert(cands(3L) === Set((0L, 1L)))
+    // w=0: only exact-same-tick pairs — none here
+    assert(cands(0L) === Set.empty)
+    // w large: identical to the unwindowed candidate join
+    val unwindowed = DedupOperators.minhashCandidates(
+        timed, "doc_id", "text", bands = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(cands(1000L) === unwindowed)
+    spark.catalog.clearCache()
+  }
 }
