@@ -34,6 +34,24 @@ class JoinAdvisorSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("sketches survive the at-rest round trip: advise from re-read parquet equals advise from live frames") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-adv").toString
+    val live = fixture.map { case (n, df) =>
+      n -> JoinAdvisorOps.sketch(df, "k")
+    }
+    live.foreach { case (n, sk) =>
+      sk.write.mode("overwrite").parquet(s"$dir/$n.sketch.parquet")
+    }
+    val atRest = fixture.keys.map(n =>
+      n -> spark.read.parquet(s"$dir/$n.sketch.parquet")).toMap
+    val a = JoinAdvisorOps.advise(live.map { case (n, df) =>
+      n -> df.persist() })
+    val b = JoinAdvisorOps.advise(atRest)
+    assert(a.pairs === b.pairs,
+      "the persisted stats table must advise identically")
+    spark.catalog.clearCache()
+  }
+
   test("greedy order opens with the cheapest pair and extends by cheapest link") {
     val pairs = Seq(
       JoinAdvisorOps.PairEstimate("a", "b", 10L),
