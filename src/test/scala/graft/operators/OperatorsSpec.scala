@@ -342,4 +342,48 @@ class OperatorsSpec extends SparkSpec {
     assert(cands(1000L) === unwindowed)
     spark.catalog.clearCache()
   }
+
+  test("windowed candidates equal an independent brute-force reference on random corpora") {
+    import spark.implicits._
+    // pure-Scala reimplementation of the banded-MinHash contract:
+    // sig[j] = min md5hex("j:" + 3-word shingle); band b = md5hex of
+    // UTF-8("sig[2b]|sig[2b+1]") with concat_ws null-skipping
+    def md5hex(bs: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(bs)
+        .map("%02x".format(_)).mkString
+    def bandsOf(text: String): Seq[String] = {
+      val w = text.trim.split("\\s+").toSeq
+      val sh = if (w.size < 3) Seq.empty
+               else w.sliding(3).map(_.mkString(" ")).toSeq
+      val sig = (0 until 8).map { j =>
+        if (sh.isEmpty) null
+        else sh.map(s => md5hex(s"$j:$s".getBytes("UTF-8"))).min
+      }
+      (0 until 4).map { b =>
+        val parts = Seq(sig(2 * b), sig(2 * b + 1)).filter(_ != null)
+        md5hex(parts.mkString("|").getBytes("UTF-8"))
+      }
+    }
+    val rnd = new scala.util.Random(59)
+    val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    for (trial <- 1 to 3) {
+      val docs = (0L until 24L).map { i =>
+        val n = 2 + rnd.nextInt(5) // some degenerate (<3 words) docs too
+        (i, rnd.nextInt(40).toLong,
+         Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString(" "))
+      }
+      val want = (for {
+        (ia, ta, xa) <- docs; (ib, tb, xb) <- docs
+        if ia < ib && math.abs(ta - tb) <= 5
+        if bandsOf(xa).zip(bandsOf(xb)).exists { case (a, b) => a == b }
+      } yield (ia, ib)).toSet
+      val got = DedupOperators.windowedMinhashCandidates(
+          docs.toDF("doc_id", "t", "text"), "doc_id", "text", "t",
+          window = 5L)
+        .as[(Long, Long)].collect().toSet
+      assert(got === want, s"trial $trial")
+      assert(want.nonEmpty, s"trial $trial fixture vacuous")
+      spark.catalog.clearCache()
+    }
+  }
 }
