@@ -786,6 +786,31 @@ object ExtensionQueries {
         .orderBy(col("node"))
     }),
 
+    // X120 — K-CORE community mining over the CO-PURCHASE graph: parts
+    // co-ordered in ≥2 distinct orders form edges; the 2-core strips
+    // every pendant chain and tree, leaving the cyclic/dense product
+    // communities — the degeneracy peel a web-graph curation pipeline
+    // runs to separate structure from noise. Resolution is
+    // [[graft.ops.GraphOps.kCore]]: one job per peel round, edge frame
+    // monotonically shrinking, loud on a blown round bound. The oracle
+    // unrolls 16 MATERIALIZED peel rounds (observed fixpoint ≤ 6 across
+    // sf0.001–0.1; extra rounds are idempotent no-ops, so the unroll
+    // equals the engine's fixpoint), so merge ≡ recompute of the whole
+    // iterative computation is what hash parity proves.
+    "x120_kcore" -> ((s, dir) => {
+      val lp = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = lp.select(col("ok"), col("p").as("src"))
+        .join(lp.select(col("ok"), col("p").as("dst")), Seq("ok"))
+        .filter(col("src") < col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 2)
+        .select(col("src"), col("dst"))
+      graft.ops.GraphOps.kCore(edges, k = 2)
+        .orderBy(col("node"))
+    }),
+
     // X111 — BUCKET-DIGEST RECONCILIATION: compare two table snapshots
     // by 64 per-bucket digests first, row-level only where digests
     // disagree — the anti-entropy shape for "did the replica drift?"
@@ -1586,6 +1611,34 @@ object ExtensionQueries {
          SELECT node, r.root, depth, tree_n, tree_cents, tree_depth
          FROM r JOIN t ON t.root = r.root
          ORDER BY node""",
+
+    // 16 unrolled MATERIALIZED peel rounds (see the query comment for
+    // why 16 and why idempotent); plain CTEs would re-expand the round
+    // chain exponentially, exactly like the x117 trainer chain
+    "x120_kcore" -> {
+      val rounds = (1 to 16).map { r =>
+        s"""e$r AS MATERIALIZED (
+             SELECT e.src, e.dst FROM e${r - 1} e
+             JOIN (SELECT src FROM (SELECT src, count(*) AS n
+                     FROM e${r - 1} GROUP BY 1) WHERE n >= 2) a
+               ON a.src = e.src
+             JOIN (SELECT src FROM (SELECT src, count(*) AS n
+                     FROM e${r - 1} GROUP BY 1) WHERE n >= 2) b
+               ON b.src = e.dst)"""
+      }.mkString(",\n")
+      s"""WITH lp AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+          pr AS MATERIALIZED (
+            SELECT a.p AS src, b.p AS dst
+            FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+          e0 AS MATERIALIZED (
+            SELECT src, dst FROM pr
+            UNION ALL SELECT dst, src FROM pr),
+          $rounds
+          SELECT src AS node, count(*)::BIGINT AS degree
+          FROM e16 GROUP BY 1 ORDER BY 1"""
+    },
 
     "x111_digest_reconcile" ->
       s"""WITH cur AS (SELECT doc_id, text FROM documents),

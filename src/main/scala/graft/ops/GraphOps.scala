@@ -267,4 +267,55 @@ object GraphOps {
         "cycle in the parent relation?")
     state.select(col("node"), col("anc").as("root"), col("d").as("depth"))
   }
+
+  /** K-CORE of an undirected graph: the maximal subgraph in which every
+    * node keeps degree ≥ k — the degeneracy peel that separates dense
+    * community structure from pendant trees and chains (web-graph spam
+    * filtering, co-purchase community mining). Iterative peeling: each
+    * round recomputes degrees over the REMAINING edges (one keyed agg)
+    * and drops every node below k via two semi joins; the edge frame
+    * shrinks monotonically, each round is ONE Spark job (lazy
+    * localCheckpoint materialized by the fixpoint count — the
+    * [[shortestPaths]]/clusterPairs loop hygiene, previous round's
+    * blocks freed eagerly), and the fixpoint test is "edge count
+    * unchanged" — monotone, so equality proves no node can fall below k
+    * anymore. Converges in ≤ peel-depth rounds (how many onion layers
+    * the graph has), NOT diameter; fails loud if `maxRounds` is
+    * exhausted rather than returning a half-peeled subgraph.
+    *
+    * @param edges (src, dst) undirected pairs, either orientation, dups
+    *              tolerated (symmetrized + distinct internally)
+    * @return (node, degree) for every k-core member, degree counted
+    *         within the core */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 32): DataFrame = {
+    require(k >= 1, s"kCore needs k >= 1, got $k")
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var cur = sym.localCheckpoint(false)
+    var n = cur.count()
+    var rounds = 0
+    var done = n == 0L
+    while (!done && rounds < maxRounds) {
+      val deg = cur.groupBy(col("src")).agg(count(lit(1)).as("_n"))
+      val keep = deg.filter(col("_n") >= k).select(col("src"))
+      // both endpoints must survive; keep is node-sized (data-sized at
+      // scale) — pinned shuffle_hash like the other stats-less loop
+      // joins so the strategy never flips round-to-round
+      val next = cur
+        .join(keep.hint("shuffle_hash"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst").hint("shuffle_hash"),
+              Seq("dst"), "left_semi")
+        .localCheckpoint(false)
+      val m = next.count()
+      free(cur)
+      cur = next
+      done = m == n || m == 0L
+      n = m
+      rounds += 1
+    }
+    require(done, s"kCore: no fixpoint within $maxRounds rounds — the " +
+      "peel depth exceeds the bound; raise maxRounds")
+    cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
 }

@@ -98,4 +98,37 @@ class GraphOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("cycle"))
   }
+
+  test("kCore equals reference peeling on random sparse graphs; paths dissolve, cycles survive") {
+    def refKCore(edges: Set[(Long, Long)], k: Int): Map[Long, Int] = {
+      var adj = edges.flatMap(e => Seq(e, e.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var changed = true
+      while (changed) {
+        val drop = adj.collect { case (n, nb) if nb.size < k => n }.toSet
+        changed = drop.nonEmpty
+        adj = (adj -- drop).view
+          .mapValues(_.filterNot(drop)).filter(_._2.nonEmpty).toMap
+      }
+      adj.view.mapValues(_.size).toMap
+    }
+    def run(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+      GraphOps.kCore(edges.toDF("src", "dst"), k)
+        .as[(Long, Long)].collect().toMap
+    // a pure path has no 2-core; a cycle is its own 2-core
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 2) === Map.empty)
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 1L)), 2)
+      === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    val rnd = new scala.util.Random(67)
+    for (trial <- 1 to 3; k <- Seq(2, 3)) {
+      val n = 40
+      val edges = (0 until 70).map { _ =>
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val want = refKCore(edges.toSet, k).map { case (x, d) => x -> d.toLong }
+      assert(run(edges, k) === want, s"trial $trial k=$k")
+    }
+  }
 }
