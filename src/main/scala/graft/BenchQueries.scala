@@ -275,6 +275,50 @@ object BenchQueries {
                  col("sc_best") === col("sc_worst")).as("orders_agree"))
     }),
 
+    // B09 — GREEDY JOIN CHAIN over FOUR relations: b07 proves the
+    // advisor's first-join pick; this executes the FULL
+    // [[graft.ops.JoinAdvisorOps.JoinAdvice.greedyOrder]] decision —
+    // cheapest estimated pair opens, then cheapest-link extension —
+    // against the shared-key quad (customer, events, orders, supplier).
+    // The oracle re-derives the SAME greedy order from its own SQL
+    // sketch estimates (best pair via min est, third via min link), so
+    // hash parity proves the engine's ORDER, not just its result; the
+    // anti-advisor execution (greedy reversed) rides along and the
+    // orders_agree audit pins "order changes cost, never results". All
+    // four chains are pinned shuffle_hash; the only driver values are
+    // the 6 pair estimates (one certified-small collect).
+    "b09_join_chain" -> ((s, dir) => {
+      import graft.ops.JoinAdvisorOps
+      val rels: Map[String, DataFrame] = Map(
+        "customer" -> Tables(s, dir, "customer")
+          .select(col("c_custkey").cast("string").as("k")),
+        "events" -> Tables(s, dir, "events")
+          .select(col("user_id").cast("string").as("k")),
+        "orders" -> Tables(s, dir, "orders")
+          .select(col("o_custkey").cast("string").as("k"),
+                  cents(col("o_totalprice")).as("c")),
+        "supplier" -> Tables(s, dir, "supplier")
+          .select(col("s_suppkey").cast("string").as("k")))
+      val names = rels.keys.toSeq.sorted
+      val sk: Map[String, DataFrame] = names.map(n =>
+        n -> JoinAdvisorOps.sketch(rels(n).select("k"), "k").persist()).toMap
+      val advice = JoinAdvisorOps.advise(sk)
+      val order = advice.greedyOrder(names)
+      val anti = order.reverse
+      def agg(ord: Seq[String]): DataFrame =
+        ord.map(rels).reduce((l, r) =>
+            l.hint("shuffle_hash").join(r, Seq("k")))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+      agg(order).select(col("n").as("n_rows"), col("sc").as("cents"))
+        .crossJoin(agg(anti)
+          .select(col("n").as("_na"), col("sc").as("_sa")))
+        .select(lit(order.mkString("-")).as("greedy_order"),
+                lit(advice.bestPair.est).as("est_first"),
+                col("n_rows"), col("cents"),
+                (col("n_rows") === col("_na") &&
+                 col("cents") <=> col("_sa")).as("orders_agree"))
+    }),
+
     // B08 — AQP AT REST: x108's deterministic PPS sample persisted as a
     // pay-once artifact (the b04 economics applied to approximate query
     // processing). The sample — (id, prio, w, step, mult), refreshed by
@@ -449,6 +493,63 @@ object BenchQueries {
             j.n AS joined_rows, j.sc AS joined_cents,
             TRUE AS orders_agree
           FROM best, worst, j"""
+    },
+
+    // the greedy order is RE-DERIVED in SQL from the oracle's own
+    // sketch estimates (min-est opening pair, min-link extension, same
+    // tie-breaks), so hash parity proves the engine's decision
+    "b09_join_chain" -> {
+      def sk(rel: String, key: String, cnt: String) =
+        s"""(SELECT rs.r AS r,
+               ('0x' || substr(md5(rs.r::VARCHAR || ':' || $key::VARCHAR),
+                 1, 8))::BIGINT % 512 AS b, count(*)::BIGINT AS $cnt
+             FROM $rel CROSS JOIN
+               (SELECT unnest([0, 1, 2, 3]) AS r) rs GROUP BY 1, 2)"""
+      def pair(na: String, ka: String, nb: String, kb: String) =
+        s"""SELECT '$na' AS a, '$nb' AS b,
+              coalesce((SELECT min(ip) FROM (
+                 SELECT sum(sa.ca * sb.cb)::BIGINT AS ip
+                 FROM ${sk(na, ka, "ca")} sa
+                 JOIN ${sk(nb, kb, "cb")} sb ON sb.r = sa.r AND sb.b = sa.b
+                 GROUP BY sa.r)), 0)::BIGINT AS est"""
+      s"""WITH allp AS MATERIALIZED (
+            ${pair("customer", "c_custkey", "events", "user_id")}
+            UNION ALL
+            ${pair("customer", "c_custkey", "orders", "o_custkey")}
+            UNION ALL
+            ${pair("customer", "c_custkey", "supplier", "s_suppkey")}
+            UNION ALL
+            ${pair("events", "user_id", "orders", "o_custkey")}
+            UNION ALL
+            ${pair("events", "user_id", "supplier", "s_suppkey")}
+            UNION ALL
+            ${pair("orders", "o_custkey", "supplier", "s_suppkey")}),
+          best AS (SELECT a, b, est FROM allp ORDER BY est, a, b LIMIT 1),
+          opened AS (SELECT a AS n FROM best UNION SELECT b FROM best),
+          rest AS (SELECT n FROM (VALUES ('customer'), ('events'),
+                     ('orders'), ('supplier')) t(n)
+                   WHERE n NOT IN (SELECT n FROM opened)),
+          link AS (SELECT r.n AS n, min(p.est) AS le
+                   FROM rest r JOIN allp p
+                     ON (p.a = r.n AND p.b IN (SELECT n FROM opened))
+                     OR (p.b = r.n AND p.a IN (SELECT n FROM opened))
+                   GROUP BY 1),
+          third AS (SELECT n FROM link ORDER BY le, n LIMIT 1),
+          fourth AS (SELECT n FROM rest
+                     WHERE n NOT IN (SELECT n FROM third)),
+          j AS (SELECT count(*)::BIGINT AS n,
+                  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS sc
+                FROM events e
+                JOIN orders o ON o.o_custkey = e.user_id
+                JOIN customer c ON c.c_custkey = e.user_id
+                JOIN supplier s ON s.s_suppkey = e.user_id)
+          SELECT (SELECT a FROM best) || '-' || (SELECT b FROM best)
+                 || '-' || (SELECT n FROM third)
+                 || '-' || (SELECT n FROM fourth) AS greedy_order,
+            (SELECT est FROM best) AS est_first,
+            j.n AS n_rows, j.sc AS cents, TRUE AS orders_agree
+          FROM j"""
     },
 
     // the at-rest sample is the SAME deterministic PPS dataflow x108
