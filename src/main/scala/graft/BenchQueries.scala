@@ -464,11 +464,12 @@ object BenchQueries {
                (SELECT unnest([0, 1, 2, 3]) AS r) rs GROUP BY 1, 2)"""
       def pair(na: String, ka: String, nb: String, kb: String) =
         s"""SELECT '$na-$nb' AS pair,
-              coalesce((SELECT min(ip) FROM (
+              (SELECT CASE WHEN count(*) < 4 THEN 0 ELSE min(ip) END
+                 FROM (
                  SELECT sum(sa.ca * sb.cb)::BIGINT AS ip
                  FROM ${sk(na, ka, "ca")} sa
                  JOIN ${sk(nb, kb, "cb")} sb ON sb.r = sa.r AND sb.b = sa.b
-                 GROUP BY sa.r)), 0)::BIGINT AS est,
+                 GROUP BY sa.r))::BIGINT AS est,
               (SELECT count(*) FROM $na a JOIN $nb b
                  ON a.$ka = b.$kb)::BIGINT AS exact"""
       s"""WITH allp AS (
@@ -507,11 +508,12 @@ object BenchQueries {
                (SELECT unnest([0, 1, 2, 3]) AS r) rs GROUP BY 1, 2)"""
       def pair(na: String, ka: String, nb: String, kb: String) =
         s"""SELECT '$na' AS a, '$nb' AS b,
-              coalesce((SELECT min(ip) FROM (
+              (SELECT CASE WHEN count(*) < 4 THEN 0 ELSE min(ip) END
+                 FROM (
                  SELECT sum(sa.ca * sb.cb)::BIGINT AS ip
                  FROM ${sk(na, ka, "ca")} sa
                  JOIN ${sk(nb, kb, "cb")} sb ON sb.r = sa.r AND sb.b = sa.b
-                 GROUP BY sa.r)), 0)::BIGINT AS est"""
+                 GROUP BY sa.r))::BIGINT AS est"""
       s"""WITH allp AS MATERIALIZED (
             ${pair("customer", "c_custkey", "events", "user_id")}
             UNION ALL

@@ -55,7 +55,15 @@ object DedupOperators {
     // oracles check, with the hot loop in shared precompiled bytecode —
     // the composed HOF form is interpreted, duplicates its subtree per
     // consumer, and re-pays janino/JIT warm-up per plan shape.
+    // degenerate docs (< shingleN words → zero shingles) are EXCLUDED from
+    // the index: their all-NULL signatures would collapse onto the single
+    // md5("") band key, making every pair of short docs a candidate — a
+    // quadratic blowup on exactly the rows that carry no shingle evidence
+    // (ADVICE r10). A doc with no shingles has Jaccard 0 against
+    // everything, so dropping it from CANDIDATE GENERATION loses no true
+    // near-dup under the verify threshold.
     spread(df).select(col(idCol).as("id"), T.words(col(textCol)).as("_w"))
+      .filter(size(col("_w")) >= shingleN)
       .select(col("id"),
         graft.functions.expr.MinHashSigMd5(col("_w"), shingleN, k).as("_sig"))
       .select(col("id"), posexplode(T.lshBands(col("_sig"), bands, rows)))
@@ -153,6 +161,9 @@ object DedupOperators {
       spread(df)
         .select(col(idCol).as("id"), col(timeCol).cast("long").as("_t"),
                 T.words(col(textCol)).as("_w"))
+        // same degenerate-doc exclusion as [[signatureIndex]] — without it
+        // every short-doc pair inside the horizon shares the md5("") band
+        .filter(size(col("_w")) >= shingleN)
         .select(col("id"), col("_t"),
           graft.functions.expr.MinHashSigMd5(col("_w"), shingleN, k)
             .as("_sig"))
@@ -184,6 +195,8 @@ object DedupOperators {
     // row, band keys over the materialized array
     val withSig = spread(df)
       .select(col(idCol).as("_id"), T.words(col(textCol)).as("_w"))
+      // degenerate-doc exclusion, as in [[signatureIndex]]
+      .filter(size(col("_w")) >= shingleN)
       .select(col("_id"),
         T.shinglesFromWords(col("_w"), shingleN).as("_shg"))
       .select(col("_id"),

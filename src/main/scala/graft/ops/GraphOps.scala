@@ -289,8 +289,12 @@ object GraphOps {
     *         within the core */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 32): DataFrame = {
     require(k >= 1, s"kCore needs k >= 1, got $k")
+    // self-loops are dropped: a (v,v) edge survives symmetrize+distinct as
+    // ONE row, silently adding 1 to v's degree — enough to keep a node in
+    // the core on the strength of a loop (ADVICE r10)
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
       .distinct()
     var cur = sym.localCheckpoint(false)
     var n = cur.count()

@@ -35,17 +35,23 @@ object JoinAdvisorOps {
     def touches(n: String): Boolean = n == a || n == b
   }
 
-  /** All pairwise estimates, ascending by (est, a, b). */
+  /** All pairwise estimates. Order of construction does not matter: the
+    * (est, a, b) ascending invariant bestPair/greedyOrder depend on is
+    * enforced HERE, not assumed of the caller (ADVICE r10 — a directly
+    * constructed advice with unsorted pairs silently picked a wrong
+    * opening pair). */
   final case class JoinAdvice(pairs: Seq[PairEstimate]) {
-    def bestPair: PairEstimate = pairs.head
-    def worstPair: PairEstimate = pairs.last
+    private val ordered: Seq[PairEstimate] =
+      pairs.sortBy(p => (p.est, p.a, p.b))
+    def bestPair: PairEstimate = ordered.head
+    def worstPair: PairEstimate = ordered.last
 
     /** Greedy join order over `names`: the cheapest pair opens, then the
       * relation with the cheapest pairwise estimate against ANY joined
       * relation is appended (ties by name — fully deterministic). */
     def greedyOrder(names: Seq[String]): Seq[String] = {
       require(names.toSet.size == names.size, "duplicate relation names")
-      val first = pairs.filter(p => names.contains(p.a) && names.contains(p.b))
+      val first = ordered.filter(p => names.contains(p.a) && names.contains(p.b))
       require(first.nonEmpty, "no estimate covers the requested relations")
       val order = scala.collection.mutable.ArrayBuffer(first.head.a,
                                                        first.head.b)
@@ -93,9 +99,14 @@ object JoinAdvisorOps {
       sketches(a).withColumnRenamed("c", "ca")
         .join(sketches(b).withColumnRenamed("c", "cb"), Seq("r", "b"))
         .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip"))
-        // disjoint sketches share no (r, b) cell: min over zero rows is
-        // NULL — read it as "estimated empty join", not an NPE
-        .agg(coalesce(min(col("ip")), lit(0L)).as("est"))
+        // a depth row whose buckets are fully disjoint contributes inner
+        // product 0 — but the inner join on (r, b) simply DROPS it. Reading
+        // the min over the surviving rows alone would overstate a provably
+        // empty join (ADVICE r10): any missing r means some row proved 0,
+        // so the true CMS min is 0. count < Depth also covers the
+        // all-rows-missing case (count 0 < Depth).
+        .agg(when(count(lit(1)) < Depth, lit(0L))
+               .otherwise(min(col("ip"))).as("est"))
         .select(lit(a).as("a"), lit(b).as("b"), col("est"))
       ).reduce(_ unionAll _)
     val pairs = estFrame.collect()

@@ -58,6 +58,9 @@ object StreamingOps {
     val banded = docs
       .select(col(idCol).as("new_id"),
         graft.functions.TextFunctions.words(col(textCol)).as("_w"))
+      // degenerate docs (< shingleN words) carry no shingle evidence and
+      // are excluded from banding, mirroring the batch signatureIndex
+      .filter(size(col("_w")) >= shingleN)
       .select(col("new_id"),
         graft.functions.expr.MinHashSigMd5(col("_w"), shingleN, k).as("_sig"))
       .select(col("new_id"), posexplode(
@@ -94,6 +97,9 @@ object StreamingOps {
     def banded(side: String) = docs
       .select(col(idCol).as(s"${side}_id"), col(tsCol).as(s"${side}_ts"),
         graft.functions.TextFunctions.words(col(textCol)).as("_w"))
+      // same degenerate-doc exclusion as the batch twin, so the
+      // reconciliation property stays exact on corpora with short docs
+      .filter(size(col("_w")) >= shingleN)
       .select(col(s"${side}_id"), col(s"${side}_ts"),
         graft.functions.expr.MinHashSigMd5(col("_w"), shingleN, k)
           .as("_sig"))

@@ -45,6 +45,50 @@ class ScratchSpec extends AnyFunSuite {
     assert(other.exists())
   }
 
+  test("prune skips symlinks and dirs without the ownership marker") {
+    val d = Files.createTempDirectory("graft-scr4").toFile
+    val f = new File(d, "t.parquet")
+    Files.write(f.toPath, "aa".getBytes)
+    val live = new File(Scratch.dir("guard", d.getPath))
+    val tmp = live.getParentFile
+    val prefix = live.getName.dropRight(12)
+    // an unowned name-shaped sibling (no marker — this code never made it)
+    val foreign = new File(tmp, prefix + "feedfeedfeed")
+    foreign.mkdirs()
+    Files.write(new File(foreign, "data").toPath, "x".getBytes)
+    // a symlinked name-shaped sibling pointing OUTSIDE the scratch area,
+    // with a forged marker — the worst case /tmp allows
+    val victim = Files.createTempDirectory("graft-victim").toFile
+    Files.write(new File(victim, "precious").toPath, "keep".getBytes)
+    val link = new File(tmp, prefix + "abcdefabcdef")
+    try {
+      Files.createSymbolicLink(link.toPath, victim.toPath)
+      Files.write(new File(tmp, link.getName + ".graft_owned").toPath,
+        Array.empty[Byte])
+    } catch { case _: UnsupportedOperationException => }
+    Scratch.dir("guard", d.getPath) // triggers a prune pass
+    assert(foreign.exists(), "unowned sibling must not be pruned")
+    assert(new File(victim, "precious").exists(),
+      "a symlink must never let the prune escape the scratch area")
+    foreign.delete(); link.delete()
+  }
+
+  test("same basename, different path: artifacts never collide") {
+    val a = Files.createTempDirectory("graft-twina").toFile
+    val b = Files.createTempDirectory("graft-twinb").toFile
+    val da = new File(a, "sf"); da.mkdir()
+    val db = new File(b, "sf"); db.mkdir()
+    Files.write(new File(da, "t.parquet").toPath, "aa".getBytes)
+    Files.write(new File(db, "t.parquet").toPath, "aa".getBytes)
+    val pa = new File(Scratch.dir("twin", da.getPath)); pa.mkdirs()
+    Files.write(new File(pa, "_SUCCESS").toPath, Array.empty[Byte])
+    // the other dataset shares the basename "sf" — its dir() call must
+    // neither return pa's path nor prune pa
+    val pb = Scratch.dir("twin", db.getPath)
+    assert(pb != pa.getPath, "distinct datasets must get distinct dirs")
+    assert(pa.exists(), "sibling dataset must not prune the other's artifact")
+  }
+
   test("directory-shaped tables fingerprint their children") {
     val d = Files.createTempDirectory("graft-scr2").toFile
     val t = new File(d, "t.parquet"); t.mkdir()

@@ -347,31 +347,48 @@ class OperatorsSpec extends SparkSpec {
     import spark.implicits._
     // pure-Scala reimplementation of the banded-MinHash contract:
     // sig[j] = min md5hex("j:" + 3-word shingle); band b = md5hex of
-    // UTF-8("sig[2b]|sig[2b+1]") with concat_ws null-skipping
+    // UTF-8("sig[2b]|sig[2b+1]"). Degenerate docs (< 3 words → zero
+    // shingles) are EXCLUDED from the index (ADVICE r10): they carry no
+    // shingle evidence and would otherwise all collide on the md5("")
+    // band — so the reference gives them no bands at all.
     def md5hex(bs: Array[Byte]): String =
       java.security.MessageDigest.getInstance("MD5").digest(bs)
         .map("%02x".format(_)).mkString
     def bandsOf(text: String): Seq[String] = {
       val w = text.trim.split("\\s+").toSeq
-      val sh = if (w.size < 3) Seq.empty
-               else w.sliding(3).map(_.mkString(" ")).toSeq
-      val sig = (0 until 8).map { j =>
-        if (sh.isEmpty) null
-        else sh.map(s => md5hex(s"$j:$s".getBytes("UTF-8"))).min
-      }
-      (0 until 4).map { b =>
-        val parts = Seq(sig(2 * b), sig(2 * b + 1)).filter(_ != null)
-        md5hex(parts.mkString("|").getBytes("UTF-8"))
+      if (w.size < 3) Seq.empty
+      else {
+        val sh = w.sliding(3).map(_.mkString(" ")).toSeq
+        val sig = (0 until 8).map { j =>
+          sh.map(s => md5hex(s"$j:$s".getBytes("UTF-8"))).min
+        }
+        (0 until 4).map { b =>
+          md5hex(s"${sig(2 * b)}|${sig(2 * b + 1)}".getBytes("UTF-8"))
+        }
       }
     }
     val rnd = new scala.util.Random(59)
     val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
     for (trial <- 1 to 3) {
-      val docs = (0L until 24L).map { i =>
-        val n = 2 + rnd.nextInt(5) // some degenerate (<3 words) docs too
-        (i, rnd.nextInt(40).toLong,
-         Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString(" "))
+      // random docs, some degenerate (<3 words), and ~1/3 verbatim copies
+      // of an earlier doc so indexable near-dup pairs exist (degenerate
+      // docs no longer pair trivially via the md5("") band — they are
+      // excluded from the index, which this fixture also asserts below)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+      (0L until 24L).foreach { i =>
+        if (i > 0 && rnd.nextInt(3) == 0) {
+          // verbatim copy of an earlier doc, stamped INSIDE its horizon —
+          // guarantees indexable pairs whenever the source is non-degenerate
+          val (_, t0, text) = buf(rnd.nextInt(i.toInt))
+          buf += ((i, t0 + rnd.nextInt(6), text))
+        } else {
+          // doc 0 is always long so at least one copyable source exists
+          val n = (if (i == 0) 3 else 2) + rnd.nextInt(5)
+          buf += ((i, rnd.nextInt(40).toLong,
+            Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString(" ")))
+        }
       }
+      val docs = buf.toSeq
       val want = (for {
         (ia, ta, xa) <- docs; (ib, tb, xb) <- docs
         if ia < ib && math.abs(ta - tb) <= 5
@@ -383,6 +400,12 @@ class OperatorsSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet
       assert(got === want, s"trial $trial")
       assert(want.nonEmpty, s"trial $trial fixture vacuous")
+      val shortIds = docs.collect {
+        case (i, _, x) if x.trim.split("\\s+").length < 3 => i }.toSet
+      assert(shortIds.nonEmpty, s"trial $trial has no degenerate docs")
+      assert(!got.exists { case (a, b) =>
+        shortIds(a) || shortIds(b) },
+        s"trial $trial: degenerate docs must never appear as candidates")
       spark.catalog.clearCache()
     }
   }
