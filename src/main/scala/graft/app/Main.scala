@@ -78,22 +78,30 @@ object Main {
 
     val written = scala.collection.mutable.ArrayBuffer.empty[String]
 
-    for (p <- pua; o <- tsOrg; d <- tsDept; ot <- overtime; te <- teM) {
-      val out = PuaPipeline.run(PuaPipeline.Inputs(p, o, d, ot, te))
-      written += TableIo.writeCsv(out, storage, outFolder,
-        DateOps.stampedName("PUA", ".csv", clock))
-      written += TableIo.writeXlsx(out, storage, outFolder,
-        DateOps.stampedName("PUA", ".xlsx", clock))
-    }
+    // each pipeline's build→materialize→write unit runs under a tracking
+    // CacheScope: any operator-internal persist made while the pipeline
+    // builds is freed when its writes complete — the bounded-lifetime
+    // contract on the PRODUCTION path, not just in tests. Pinned executor
+    // memory across pipeline units is the long-lived-session failure mode
+    // this closes (the sinks inside the scope are the materialization).
+    for (p <- pua; o <- tsOrg; d <- tsDept; ot <- overtime; te <- teM)
+      graft.ops.CacheScope.using { implicit scope =>
+        val out = PuaPipeline.run(PuaPipeline.Inputs(p, o, d, ot, te))
+        written += TableIo.writeCsv(out, storage, outFolder,
+          DateOps.stampedName("PUA", ".csv", clock))
+        written += TableIo.writeXlsx(out, storage, outFolder,
+          DateOps.stampedName("PUA", ".xlsx", clock))
+      }
     for (bw <- certBw; mn <- certMn; o <- tsOrg; d <- tsDept;
-         ot <- overtime; te <- teM) {
-      val out = CpaPipeline.run(
-        CpaPipeline.Inputs(bw, mn, o, d, ot, te), clock)
-      written += TableIo.writeCsv(out, storage, outFolder,
-        DateOps.stampedName("CPA", ".csv", clock))
-      written += TableIo.writeXlsx(out, storage, outFolder,
-        DateOps.stampedName("CPA", ".xlsx", clock))
-    }
+         ot <- overtime; te <- teM)
+      graft.ops.CacheScope.using { implicit scope =>
+        val out = CpaPipeline.run(
+          CpaPipeline.Inputs(bw, mn, o, d, ot, te), clock)
+        written += TableIo.writeCsv(out, storage, outFolder,
+          DateOps.stampedName("CPA", ".csv", clock))
+        written += TableIo.writeXlsx(out, storage, outFolder,
+          DateOps.stampedName("CPA", ".xlsx", clock))
+      }
 
     summaries.foreach(s =>
       println(s"[graft] load ${s.name}: found=${s.found} rows=${s.rows}"))

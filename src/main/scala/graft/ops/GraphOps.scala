@@ -301,16 +301,7 @@ object GraphOps {
     var rounds = 0
     var done = n == 0L
     while (!done && rounds < maxRounds) {
-      val deg = cur.groupBy(col("src")).agg(count(lit(1)).as("_n"))
-      val keep = deg.filter(col("_n") >= k).select(col("src"))
-      // both endpoints must survive; keep is node-sized (data-sized at
-      // scale) — pinned shuffle_hash like the other stats-less loop
-      // joins so the strategy never flips round-to-round
-      val next = cur
-        .join(keep.hint("shuffle_hash"), Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("src", "dst").hint("shuffle_hash"),
-              Seq("dst"), "left_semi")
-        .localCheckpoint(false)
+      val next = kCoreRound(cur, k).localCheckpoint(false)
       val m = next.count()
       free(cur)
       cur = next
@@ -321,5 +312,20 @@ object GraphOps {
     require(done, s"kCore: no fixpoint within $maxRounds rounds — the " +
       "peel depth exceeds the bound; raise maxRounds")
     cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** One [[kCore]] peel round over the surviving edge frame: keyed degree
+    * agg, then both endpoints must survive via two semi joins. `keep` is
+    * node-sized (data-sized at scale) — pinned shuffle_hash like the other
+    * stats-less loop joins so the strategy never flips round-to-round.
+    * `private[graft]` so PlanShapeSpec pins exactly the plan the loop
+    * executes. */
+  private[graft] def kCoreRound(cur: DataFrame, k: Int): DataFrame = {
+    val deg = cur.groupBy(col("src")).agg(count(lit(1)).as("_n"))
+    val keep = deg.filter(col("_n") >= k).select(col("src"))
+    cur
+      .join(keep.hint("shuffle_hash"), Seq("src"), "left_semi")
+      .join(keep.withColumnRenamed("src", "dst").hint("shuffle_hash"),
+            Seq("dst"), "left_semi")
   }
 }

@@ -47,7 +47,9 @@ object CpaPipeline {
     "TS-Org Title", "TS-Org Dept Code", "TS-Org Dept Title", "E-Class Code",
     "E-Class", "TE M", "Time Entry", "Overtime")
 
-  def run(in: Inputs, clock: Clock): DataFrame = {
+  /** The implicit [[CacheScope]] owns any operator-internal persist made
+    * while the pipeline builds — see [[PuaPipeline.run]]. */
+  def run(in: Inputs, clock: Clock)(implicit scope: CacheScope): DataFrame = {
     import ColumnOps._
     val ord = DedupOps.OrdinalCol
 

@@ -60,7 +60,11 @@ object PuaPipeline {
     "ADJ Reason Code", "ADJ Reason DESC", "Calc Date", "Pay Event",
     "POSN", "SUFF")
 
-  def run(in: Inputs): DataFrame = {
+  /** The implicit [[CacheScope]] owns any operator-internal persist made
+    * while the pipeline builds (none today, but the contract is part of
+    * the production path: Main wraps each build-materialize-write unit in
+    * `CacheScope.using`, so added scoped ops free with the unit). */
+  def run(in: Inputs)(implicit scope: CacheScope): DataFrame = {
     import ColumnOps._
     val ord = DedupOps.OrdinalCol
 

@@ -1207,6 +1207,67 @@ class PlanShapeSpec extends SparkSpec {
       "the exact horizon predicate must ride the join:\n" + plan.take(3000))
   }
 
+  test("x120 k-core peel round: two pinned shuffle_hash semi joins + keyed agg — no broadcast flip, no cartesian") {
+    import graft.ops.GraphOps
+    val edges = spark.range(200).selectExpr(
+      "id % 50 as src", "(id * 7 + 1) % 50 as dst")
+    val plan = GraphOps.kCoreRound(edges.toDF(), 3)
+      .queryExecution.sparkPlan.toString
+    val shj = "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(shj == 2,
+      s"peel round must be exactly two shuffle_hash semi joins, got $shj:\n"
+        + plan.take(3000))
+    assert("LeftSemi".r.findAllIn(plan).size == 2, plan.take(3000))
+    // stats-less loop frames must never flip to broadcast (a per-round
+    // re-plan hazard) or degrade to a nested loop
+    assert(!plan.contains("BroadcastHashJoin") &&
+           !plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("HashAggregate"),
+      "degree count must be a keyed hash aggregate:\n" + plan.take(3000))
+  }
+
+  test("b09 executed chain: advised order is the physical join order; all chain joins pinned shuffle_hash") {
+    val df = SparkEntry.queries("b09_join_chain")(spark, sfDir)
+    // strategy on sparkPlan (AQE hides joins behind QueryStageExec in
+    // executedPlan), order on optimizedPlan (leaf print order = left-deep
+    // join order)
+    val phys = df.queryExecution.sparkPlan.toString
+    val shj = "ShuffledHashJoin".r.findAllIn(phys).size
+    assert(shj == 6,
+      s"two 4-relation chains = 6 pinned SHJ joins, got $shj:\n" + phys.take(3000))
+    assert(!phys.contains("CartesianProduct"), phys.take(3000))
+    // the only non-equi join allowed is the 1-row × 1-row combine of the
+    // greedy and anti-greedy aggregates
+    assert("BroadcastNestedLoopJoin".r.findAllIn(phys).size <= 1,
+      phys.take(3000))
+    // re-derive the advice the query computed and check the FIRST chain's
+    // leaf order in the optimized plan matches it (left-deep reduce ⇒
+    // leaves print in join order)
+    import graft.ops.JoinAdvisorOps
+    val rels = Map(
+      "customer" -> ("customer", "c_custkey"),
+      "events" -> ("events", "user_id"),
+      "orders" -> ("orders", "o_custkey"),
+      "supplier" -> ("supplier", "s_suppkey"))
+    val sk = rels.map { case (n, (t, k)) =>
+      n -> JoinAdvisorOps.sketch(
+        Tables(spark, sfDir, t).select(col(k).cast("string").as("k")), "k") }
+    val order = JoinAdvisorOps.advise(sk).greedyOrder(rels.keys.toSeq.sorted)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // each relation is identified by its distinctive key column (the plan
+    // string elides file paths); first occurrence = its scan in chain 1
+    val firstPos = order.map { n =>
+      val p = opt.indexOf(rels(n)._2)
+      assert(p >= 0, s"scan of $n not found in plan:\n" + opt.take(3000))
+      p
+    }
+    assert(firstPos == firstPos.sorted,
+      s"physical leaf order must follow the advised order $order:\n" +
+        opt.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("x118 BPE application is one codegen'd projection — no interpreted HOF fold chain") {
     // the merge chain lives in aggregate-result/projection expressions,
     // which the physical plan string elides — pin on the optimized

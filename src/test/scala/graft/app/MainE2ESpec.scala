@@ -42,8 +42,15 @@ class MainE2ESpec extends SparkSpec {
     Files.write(lkDir.resolve("Cert MN extract.csv"),
       csvBytes(CertColumns, CertMnRows))
 
+    spark.catalog.clearCache() // known-clean baseline for the scope check
     val written = Main.run(spark, storage, inDir.toString, lkDir.toString,
       outDir.toString, FixedClock)
+
+    // Main wraps each pipeline unit in CacheScope.using: every
+    // operator-internal persist must be freed by the time run returns —
+    // a long-lived session must not accumulate pinned executor memory
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pipeline-internal caches survived Main.run")
 
     assert(written.size == 4, s"expected 4 outputs, got $written")
     // stamped names from the pinned clock: MMddyyyy_HHmm of 2025-03-15T12:00Z
