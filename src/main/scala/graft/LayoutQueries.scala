@@ -266,16 +266,32 @@ object LayoutQueries {
       import graft.operators.DedupOperators
       val recs = goldenRecords(Tables(s, dir, "customer")).persist()
       val isBatch = expr("rid div 10 % 10 = 3")
-      val hist = recs.filter(!isBatch)
       val batch = recs.filter(isBatch)
-      val labelsOld = DedupOperators.clusterPairs(
-        linkPairs(hist, hist), maxIters = 30).persist()
-      // singletons (no edge ever) label themselves — x102's left join
-      val oldPart = survivorPartials(
-        hist.join(labelsOld, hist("rid") === labelsOld("id"), "left")
-          .withColumn("label", coalesce(col("label"), col("rid"))))
-      val starEdges = labelsOld.filter(col("id") =!= col("label"))
-        .select(col("id").as("id_a"), col("label").as("id_b"))
+      // Yesterday's consolidated state is a PAY-ONCE artifact (the
+      // b04/b08 steady-state economics): the old labels collapsed to
+      // star edges and the merge-closed survivorship partials, written
+      // once per dataset fingerprint. "Maintain WITHOUT re-scanning
+      // history" has to include not re-CLUSTERING history — the r10
+      // profile showed the recomputed labelsOld loop was half of x103's
+      // 52 jobs/run. Steady state pays only batch×all linkage + ONE
+      // pointer-jumping propagation over |V_old| star edges + |ΔE|.
+      val path = Scratch.dir("gold", dir)
+      if (!new java.io.File(s"$path/hist_partials", "_SUCCESS").exists()) {
+        val hist = recs.filter(!isBatch)
+        val labelsOld = DedupOperators.clusterPairs(
+          linkPairs(hist, hist), maxIters = 30).persist()
+        labelsOld.filter(col("id") =!= col("label"))
+          .select(col("id").as("id_a"), col("label").as("id_b"))
+          .write.mode("overwrite").parquet(s"$path/star_edges")
+        // singletons (no edge ever) label themselves — x102's left join
+        survivorPartials(
+          hist.join(labelsOld, hist("rid") === labelsOld("id"), "left")
+            .withColumn("label", coalesce(col("label"), col("rid"))))
+          .write.mode("overwrite").parquet(s"$path/hist_partials")
+        labelsOld.unpersist()
+      }
+      val starEdges = s.read.parquet(s"$path/star_edges")
+      val oldPart = s.read.parquet(s"$path/hist_partials")
       val labelsNew = DedupOperators.clusterPairs(
         starEdges.unionByName(linkPairs(batch, recs)), maxIters = 30)
         .persist()

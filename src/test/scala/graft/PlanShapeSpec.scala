@@ -1268,6 +1268,37 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x103 steady state stays inside its Spark-jobs budget") {
+    // x103's wall clock at local[32] is structural JOB COUNT (pointer-
+    // jumping rounds × one lazy-checkpoint job each), not data volume —
+    // this pins the count so silent growth is caught. First run builds
+    // the pay-once history artifact (labels + partials); the budgeted
+    // run is the steady state: batch linkage + ONE propagation.
+    SparkEntry.queries("x103_golden_incremental")(spark, sfDir).count()
+    spark.catalog.clearCache()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      SparkEntry.queries("x103_golden_incremental")(spark, sfDir).count()
+      // the listener bus is async; drain before reading the counter
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(l)
+    // steady state measured at 2026-08: ~20 jobs (star+batch propagation
+    // converges in ≤4 pointer-jumping rounds on this fixture). Budget 30
+    // leaves room for one extra round, not for a second full propagation
+    // (the r10 shape was 52).
+    assert(jobs.get() <= 30,
+      s"x103 steady state took ${jobs.get()} Spark jobs — structural " +
+        "round count grew; re-profile the propagation loops")
+    spark.catalog.clearCache()
+  }
+
   test("x118 BPE application is one codegen'd projection — no interpreted HOF fold chain") {
     // the merge chain lives in aggregate-result/projection expressions,
     // which the physical plan string elides — pin on the optimized
