@@ -637,6 +637,16 @@ object CorpusQueries {
       repeatedSpans(Tables(s, dir, "documents"), window = 24, stride = 8)
         .orderBy(col("doc_id"))),
 
+    // X121 — content-anchored repeated spans: x67's dup profile with the
+    // alignment gap closed. Span starts are x62's content-defined chunk
+    // anchors instead of a fixed stride, so a long copied region selects
+    // the SAME spans in both documents wherever it lands — the
+    // suffix-window complement for unaligned long duplicates
+    // (fixed-stride x67 only sees copies whose offsets agree mod 8).
+    "x121_anchored_spans" -> ((s, dir) =>
+      anchoredRepeatedSpans(Tables(s, dir, "documents"), window = 24)
+        .orderBy(col("doc_id"))),
+
     // X68 — incremental vocabulary maintenance: merge a new batch's token
     // counts into the persisted corpus statistics WITHOUT re-scanning the
     // corpus — the aggregate twin of x16's incremental dedup index. Here
@@ -1205,6 +1215,43 @@ object CorpusQueries {
         explode(transform(
           sequence(lit(1), length(col("text")) - (window - 1), lit(stride)),
           p => col("text").substr(p, lit(window)))).as("span"))
+      .distinct()
+    val docsPerSpan = spans.groupBy(col("span")).agg(count(lit(1)).as("_nd"))
+    spans.join(docsPerSpan, Seq("span"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ppm", expr("(n_dup * 1000000) DIV n_spans"))
+  }
+
+  /** X121 core — [[repeatedSpans]] with CONTENT-ANCHORED span starts,
+    * closing x67's alignment recall gap. Fixed-stride sampling misses a
+    * copied region whose offsets in the two docs differ mod `stride`
+    * (the sampled windows are shifted, never string-equal); here span
+    * starts are the x62 CDC anchors (rolling 8-char window hash ≡ 0
+    * mod 32 — [[graft.functions.expr.CdcBounds]], one precompiled pass
+    * per row), which are a pure function of the surrounding CONTENT, so
+    * a duplicated region longer than window + expected-gap selects the
+    * same anchors in both docs at ANY alignment. Same per-doc dup
+    * profile as x67 downstream: per-doc distinct spans, cross-doc
+    * occurrence count, dup fraction. Expected anchor gap = `modulus`
+    * chars, so cost matches x67 at stride ≈ modulus; all exchanges are
+    * keyed (span, then doc_id) with partial combine — corpus-scale safe
+    * for the same reason. Docs shorter than `window` have no sample and
+    * are absent (x67's rule). */
+  def anchoredRepeatedSpans(docs: DataFrame, window: Int,
+                            hashWin: Int = 8, modulus: Int = 32): DataFrame = {
+    val spans = docs
+      .filter(length(col("text")) >= window)
+      .select(col("doc_id"), col("text"), length(col("text")).as("_n"))
+      .withColumn("_bounds",
+        graft.functions.expr.CdcBounds(col("text"), hashWin, modulus))
+      // the trailing _n+1 sentinel (and any anchor too close to the end
+      // to carry a full window) drops out of the start filter; the
+      // leading anchor at 1 stays — both engines state the same rule
+      .select(col("doc_id"), explode(expr(
+        s"""transform(filter(_bounds, p -> p + ${window - 1} <= _n),
+            p -> substring(text, cast(p as int), $window))""")).as("span"))
       .distinct()
     val docsPerSpan = spans.groupBy(col("span")).agg(count(lit(1)).as("_nd"))
     spans.join(docsPerSpan, Seq("span"))
@@ -1800,6 +1847,35 @@ object CorpusQueries {
              unnest(list_transform(generate_series(1, length(text) - 23, 8),
                p -> substr(text, p, 24))) AS span
            FROM documents WHERE length(text) >= 24),
+         sp AS (SELECT DISTINCT doc_id, span FROM raw),
+         nd AS (SELECT span, count(*)::BIGINT AS nd FROM sp GROUP BY span)
+         SELECT sp.doc_id,
+           count(*)::BIGINT AS n_spans,
+           sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+           (sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END)::BIGINT * 1000000)
+             // count(*) AS dup_ppm
+         FROM sp JOIN nd USING (span)
+         GROUP BY sp.doc_id ORDER BY sp.doc_id""",
+
+    // same dup profile over the x62 CDC anchor positions (the boundary
+    // formula is restated verbatim from the x62 oracle, so anchor parity
+    // is part of the check)
+    "x121_anchored_spans" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n
+           FROM documents WHERE length(text) >= 24),
+         b AS (SELECT doc_id, text, n,
+             list_concat([1],
+               CASE WHEN n >= 9 THEN
+                 list_filter(range(2, n - 6),
+                   p -> ('0x' || substr(md5(substr(text, p::INT, 8)),
+                                        1, 6))::BIGINT % 32 = 0)
+               ELSE []::BIGINT[] END) AS bs
+           FROM d),
+         raw AS (SELECT doc_id,
+             unnest(list_transform(
+               list_filter(bs, p -> p + 23 <= n),
+               p -> substr(text, p::INT, 24))) AS span
+           FROM b),
          sp AS (SELECT DISTINCT doc_id, span FROM raw),
          nd AS (SELECT span, count(*)::BIGINT AS nd FROM sp GROUP BY span)
          SELECT sp.doc_id,

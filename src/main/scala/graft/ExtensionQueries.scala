@@ -706,6 +706,48 @@ object ExtensionQueries {
         .orderBy(col("rank"))
     }),
 
+    // X122 — ADVISOR-ORDERED join GRAPH: b02's revenue chain (lineitem →
+    // orders → customer → nation, a DIFFERENT key per edge) planned by
+    // [[graft.ops.JoinAdvisorOps.adviseGraph]] and executed by
+    // [[graft.ops.JoinAdvisorOps.executeChain]] — the heterogeneous-key
+    // consumer b07/b09's shared-key clique could not express, and the
+    // first user-facing pipeline shape (a star-schema rollup) that
+    // consults the advisor. Each edge is estimated from two 2048-cell
+    // CMS sketches on that edge's own key; the greedy order (min-est
+    // edge opens, min-link extension, ties by name) is re-derived by the
+    // oracle from the same formulas, so hash parity proves the DECISION;
+    // the revenue rows equal b02's exactly — order changes cost, never
+    // results. Only driver values: |edges| = 3 pair estimates (one
+    // certified-small collect).
+    "x122_advised_revenue" -> ((s, dir) => {
+      import graft.ops.JoinAdvisorOps
+      import graft.ops.JoinAdvisorOps.JoinEdge
+      def cents(c: Column) = round(c * 100).cast("long")
+      val rels: Map[String, DataFrame] = Map(
+        "lineitem" -> Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), cents(col("l_extendedprice")).as("_ep"),
+                  cents(col("l_discount")).as("_dc")),
+        "orders" -> Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        "customer" -> Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+        "nation" -> Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name")))
+      val edges = Seq(
+        JoinEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        JoinEdge("orders", "o_custkey", "customer", "c_custkey"),
+        JoinEdge("customer", "c_nationkey", "nation", "n_nationkey"))
+      val advice = JoinAdvisorOps.adviseGraph(rels, edges)
+      val order = advice.greedyOrder(rels.keys.toSeq.sorted)
+      JoinAdvisorOps.executeChain(rels, edges, order)
+        .groupBy(col("n_name"))
+        .agg(sum(col("_ep") * (lit(100L) - col("_dc")))
+               .as("revenue_cents_x100"),
+             count(lit(1)).as("n_items"))
+        .withColumn("greedy_order", lit(order.mkString("-")))
+        .orderBy(col("n_name"))
+    }),
+
     // X108 — DETERMINISTIC APPROXIMATE QUERY PROCESSING: a group-by
     // answered from the x97 systematic-PPS sample instead of the fact
     // table. Orders are sampled probability-proportional-to-price (the
@@ -1555,6 +1597,61 @@ object ExtensionQueries {
           SELECT rank::BIGINT AS rank, pair, est_join, exact_join,
                  est_join - exact_join AS over_n
           FROM rk ORDER BY rank"""
+    },
+
+    // the oracle re-derives the greedy order from the SAME per-edge CMS
+    // formulas (each edge sketched on its own key), then computes b02's
+    // aggregate once — join order cannot change SQL results, so parity
+    // proves the heterogeneous-graph DECISION
+    "x122_advised_revenue" -> {
+      def sk(rel: String, key: String, cnt: String) =
+        s"""(SELECT rs.r AS r,
+               ('0x' || substr(md5(rs.r::VARCHAR || ':' || $key::VARCHAR),
+                 1, 8))::BIGINT % 512 AS b, count(*)::BIGINT AS $cnt
+             FROM $rel CROSS JOIN
+               (SELECT unnest([0, 1, 2, 3]) AS r) rs GROUP BY 1, 2)"""
+      def pair(na: String, ka: String, nb: String, kb: String) =
+        s"""SELECT '$na' AS a, '$nb' AS b,
+              (SELECT CASE WHEN count(*) < 4 THEN 0 ELSE min(ip) END
+                 FROM (
+                 SELECT sum(sa.ca * sb.cb)::BIGINT AS ip
+                 FROM ${sk(na, ka, "ca")} sa
+                 JOIN ${sk(nb, kb, "cb")} sb ON sb.r = sa.r AND sb.b = sa.b
+                 GROUP BY sa.r))::BIGINT AS est"""
+      s"""WITH allp AS MATERIALIZED (
+            ${pair("lineitem", "l_orderkey", "orders", "o_orderkey")}
+            UNION ALL
+            ${pair("orders", "o_custkey", "customer", "c_custkey")}
+            UNION ALL
+            ${pair("customer", "c_nationkey", "nation", "n_nationkey")}),
+          best AS (SELECT a, b, est FROM allp ORDER BY est, a, b LIMIT 1),
+          opened AS (SELECT a AS n FROM best UNION SELECT b FROM best),
+          rest AS (SELECT n FROM (VALUES ('customer'), ('lineitem'),
+                     ('nation'), ('orders')) t(n)
+                   WHERE n NOT IN (SELECT n FROM opened)),
+          link AS (SELECT r.n AS n, min(p.est) AS le
+                   FROM rest r JOIN allp p
+                     ON (p.a = r.n AND p.b IN (SELECT n FROM opened))
+                     OR (p.b = r.n AND p.a IN (SELECT n FROM opened))
+                   GROUP BY 1),
+          third AS (SELECT n FROM link ORDER BY le, n LIMIT 1),
+          fourth AS (SELECT n FROM rest
+                     WHERE n NOT IN (SELECT n FROM third)),
+          j AS (SELECT n_name,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_cents_x100,
+                  count(*) AS n_items
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY n_name)
+          SELECT j.n_name, j.revenue_cents_x100, j.n_items,
+            (SELECT a FROM best) || '-' || (SELECT b FROM best)
+              || '-' || (SELECT n FROM third)
+              || '-' || (SELECT n FROM fourth) AS greedy_order
+          FROM j ORDER BY j.n_name"""
     },
 
     "x108_aqp_sample" ->

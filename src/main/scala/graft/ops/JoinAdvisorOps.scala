@@ -90,6 +90,71 @@ object JoinAdvisorOps {
       .groupBy(col("p.r").as("r"), col("p.b").as("b"))
       .agg(count(lit(1)).as("c"))
 
+  /** One edge of a join GRAPH: relations `a` and `b` joined on
+    * `a.keyA = b.keyB`. The keys may differ per edge — the heterogeneous
+    * chain [[advise]]'s shared-key clique cannot express. */
+  final case class JoinEdge(a: String, keyA: String, b: String, keyB: String) {
+    def touches(n: String): Boolean = n == a || n == b
+    def other(n: String): String = if (n == a) b else a
+  }
+
+  /** [[advise]] generalized to an arbitrary-key join graph: each EDGE is
+    * estimated from sketches of its two endpoints on that edge's own key
+    * (a relation joined on two attributes is sketched once per
+    * attribute). Non-edges get no estimate, which [[JoinAdvice
+    * .greedyOrder]] treats as an infinite link — on a connected graph the
+    * greedy extension therefore always appends a relation that HAS an
+    * edge into the joined set, so the advised order is executable as a
+    * left-deep chain ([[executeChain]]). Same certified-small contract
+    * as [[advise]]: one union of |edges| single-row aggregates, one
+    * collect. */
+  def adviseGraph(rels: Map[String, DataFrame],
+                  edges: Seq[JoinEdge]): JoinAdvice = {
+    require(edges.nonEmpty, "adviseGraph needs at least one edge")
+    val need = edges.flatMap(e => Seq(e.a -> e.keyA, e.b -> e.keyB)).distinct
+    val sk: Map[(String, String), DataFrame] = need.map { case (n, k) =>
+      (n, k) -> sketch(rels(n), k)
+    }.toMap
+    val estFrame = edges.map { e =>
+      sk((e.a, e.keyA)).withColumnRenamed("c", "ca")
+        .join(sk((e.b, e.keyB)).withColumnRenamed("c", "cb"), Seq("r", "b"))
+        .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip"))
+        .agg(when(count(lit(1)) < Depth, lit(0L))
+               .otherwise(min(col("ip"))).as("est"))
+        .select(lit(e.a).as("a"), lit(e.b).as("b"), col("est"))
+    }.reduce(_ unionAll _)
+    val pairs = estFrame.collect()
+      .map(r => PairEstimate(r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq.sortBy(p => (p.est, p.a, p.b))
+    JoinAdvice(pairs)
+  }
+
+  /** Execute a left-deep inner-join chain in `order`, joining each
+    * appended relation on its graph edge into the already-joined set.
+    * Column names must be globally unique across `rels` (the TPC-H
+    * prefix convention). Joins are pinned shuffle_hash so the physical
+    * chain shape never flips with stats — the b09 loop-join discipline;
+    * callers wanting broadcast dims keep their hand-built join. Fails
+    * loud if `order` asks for a relation with no edge into the joined
+    * prefix (a disconnected graph — [[JoinAdvice.greedyOrder]] never
+    * produces this on a connected one). */
+  def executeChain(rels: Map[String, DataFrame], edges: Seq[JoinEdge],
+                   order: Seq[String]): DataFrame = {
+    require(order.nonEmpty && order.forall(rels.contains),
+      s"order $order must name relations")
+    var df = rels(order.head)
+    val joined = scala.collection.mutable.Set(order.head)
+    order.tail.foreach { n =>
+      val e = edges.find(e => e.touches(n) && joined(e.other(n)))
+        .getOrElse(sys.error(
+          s"no edge connects '$n' to the joined prefix $joined"))
+      val (kIn, kNew) = if (n == e.b) (e.keyA, e.keyB) else (e.keyB, e.keyA)
+      df = df.hint("shuffle_hash").join(rels(n), col(kIn) === rels(n)(kNew))
+      joined += n
+    }
+    df
+  }
+
   /** Estimate every pairwise inner-join size from per-relation sketches.
     * One union of N(N−1)/2 single-row aggregates, one collect. */
   def advise(sketches: Map[String, DataFrame]): JoinAdvice = {

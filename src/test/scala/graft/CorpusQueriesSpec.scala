@@ -378,6 +378,28 @@ class CorpusQueriesSpec extends SparkSpec {
                        (3L, 1L, 0L, 0L)))
   }
 
+  test("x121 anchored spans catch an UNALIGNED long copy that fixed-stride x67 misses") {
+    // a ~240-char pseudo-random region copied into two docs at offsets
+    // that differ by 3 (≢ 0 mod 8): every stride-8 window of one doc is
+    // shifted relative to the other's, so x67 sees zero shared spans —
+    // while the CDC anchors are functions of the region's CONTENT and
+    // select identical spans in both docs
+    val rnd = new scala.util.Random(17)
+    val region = Seq.fill(240)(('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq(
+      (1L, ("q" * 8) + region),
+      (2L, ("z" * 11) + region))
+      .toDF("doc_id", "text")
+    val strided = CorpusQueries.repeatedSpans(docs, window = 24, stride = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(strided.forall(_._3 == 0L),
+      s"fixture broken: stride sampling should miss the shifted copy, got $strided")
+    val anchored = CorpusQueries.anchoredRepeatedSpans(docs, window = 24)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(anchored.size == 2 && anchored.forall(_._3 > 0L),
+      s"anchored spans must flag both docs of the unaligned copy, got $anchored")
+  }
+
   test("x68 incremental vocab: threshold applies AFTER the merge; one-sided tokens survive") {
     val docs = Seq(
       (1L, "aa aa aa bb"),  // base: aa 3, bb 1

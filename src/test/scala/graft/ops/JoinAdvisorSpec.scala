@@ -67,4 +67,43 @@ class JoinAdvisorSpec extends SparkSpec {
     assert(advice.greedyOrder(Seq("a", "b", "c", "d"))
       === Seq("a", "b", "d", "c"))
   }
+
+  test("unsorted direct construction still opens with the cheapest pair (r10 advice)") {
+    val advice = JoinAdvisorOps.JoinAdvice(Seq(
+      JoinAdvisorOps.PairEstimate("b", "c", 700L),
+      JoinAdvisorOps.PairEstimate("a", "b", 10L),
+      JoinAdvisorOps.PairEstimate("a", "c", 50L)))
+    assert(advice.bestPair.label === "a-b")
+    assert(advice.greedyOrder(Seq("a", "b", "c")) === Seq("a", "b", "c"))
+  }
+
+  test("adviseGraph orders a heterogeneous-key chain; executeChain follows it physically") {
+    import org.apache.spark.sql.functions._
+    import JoinAdvisorOps.JoinEdge
+    // a path graph: fact —fk→ mid —gk→ dim, with the dim edge far
+    // cheaper than the fact edge
+    val fact = (1 to 2000).map(i => (i % 200, i)).toDF("fk", "payload")
+    val mid = (0 until 200).map(i => (i, i % 10)).toDF("mk", "gk")
+    val dim = (0 until 10).map(i => (i, s"g$i")).toDF("dk", "grp")
+    val rels = Map("fact" -> fact, "mid" -> mid, "dim" -> dim)
+    val edges = Seq(JoinEdge("fact", "fk", "mid", "mk"),
+                    JoinEdge("mid", "gk", "dim", "dk"))
+    val advice = JoinAdvisorOps.adviseGraph(rels, edges)
+    val order = advice.greedyOrder(Seq("dim", "fact", "mid"))
+    // the mid⋈dim edge (≤200 rows) must open; fact extends via its mid
+    // edge — and fact can NEVER be appended before mid (no edge to dim)
+    assert(order === Seq("mid", "dim", "fact"), s"got $order")
+    val chain = JoinAdvisorOps.executeChain(rels, edges, order)
+    assert(chain.count() === 2000L)
+    // physical leaf order follows the advised order (left-deep reduce)
+    val opt = chain.queryExecution.optimizedPlan.toString
+    val pos = Seq("mk", "dk", "payload").map(opt.indexOf)
+    assert(pos.forall(_ >= 0) && pos == pos.sorted,
+      s"leaf order must be mid,dim,fact:\n" + opt.take(2000))
+    // a disconnected order fails loud instead of cross-joining
+    val err = intercept[RuntimeException] {
+      JoinAdvisorOps.executeChain(rels, edges, Seq("dim", "fact", "mid"))
+    }
+    assert(err.getMessage.contains("no edge connects"))
+  }
 }
