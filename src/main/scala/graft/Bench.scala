@@ -111,12 +111,17 @@ object Bench {
         (name, med, times, pr)
       }
     }
-    // noise adjudication: baseline machine speed = the run's median probe
+    // noise adjudication: baseline machine speed = the run's median probe.
+    // The spread verdict EXCLUDES pass 0 — a first-pass-only outlier is
+    // structural (residual JIT, a pay-once Scratch artifact rebuilt on
+    // pass 0) and the median is already robust to it; only a spike among
+    // the steady passes, or an inflated probe, marks the entry noisy.
     val probeBase = median(results.map(_._4))
     val noisyIdx = results.zipWithIndex.collect {
       case ((_, med, times, pr), i)
         if med >= 0 &&
-           (pr > 1.5 * probeBase || spreadOf(times) > spreadLimit) => i
+           (pr > 1.5 * probeBase ||
+            (times.length > 2 && spreadOf(times.drop(1)) > spreadLimit)) => i
     }
     if (noisyIdx.nonEmpty)
       System.err.println(s"[bench] ${noisyIdx.length} noisy entries " +

@@ -316,6 +316,46 @@ object LayoutQueries {
         .orderBy(col("label"))
     }),
 
+    // X123 — BLOCK-PURGED linkage: candidate-generation GOVERNANCE as a
+    // first-class, audited operator. The r11 sf1 probe measured x102 at
+    // exponent 1.65: its 6-char blocking key has only 1000 values on
+    // key-derived names, so Σ|block|² — the TRUE candidate count, which
+    // no result-preserving join scheme can beat — grows quadratically.
+    // The ER-literature defense is block purging: blocks larger than
+    // `cap` are excluded from linkage entirely (their records
+    // consolidate as singletons), bounding candidate cost at cap·N
+    // whatever the key distribution does — and the purge is AUDITED per
+    // output row (`purged` = this cluster's records all sit in over-cap
+    // blocks), never silent. cap = 8 is calibrated to the fixture: no
+    // purge at sf0.001 (the result equals x102's consolidation),
+    // PARTIAL purge at sf0.01 (two-customer suffix blocks purge,
+    // one-customer blocks link — the oracle gate exercises both paths),
+    // full purge on the saturated sf0.1/sf1 key space (bounded cost is
+    // the demonstration — see SCALING.md round 11).
+    "x123_purged_linkage" -> ((s, dir) => {
+      val cap = 4L
+      val recs = goldenRecords(Tables(s, dir, "customer")).persist()
+      val bs = recs.groupBy(col("bk")).agg(count(lit(1)).as("_bn"))
+      val withSize = recs.join(bs, Seq("bk"))
+      val kept = withSize.filter(col("_bn") <= cap)
+      val labels = graft.operators.DedupOperators
+        .clusterPairs(linkPairs(kept, kept))
+      val labeled = withSize
+        .join(labels, withSize("rid") === labels("id"), "left")
+        .withColumn("label", coalesce(col("label"), col("rid")))
+      labeled.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_records"),
+             max(struct(length(col("nm")).as("l"), col("nm").as("nm")))
+               .as("m"),
+             max(col("bal")).as("bal_cents"),
+             min(col("seg")).as("segment"),
+             min(when(col("_bn") > cap, 1L).otherwise(0L)).as("_allover"))
+        .select(col("label"), col("n_records"), col("m.nm").as("name"),
+                col("bal_cents"), col("segment"),
+                (col("_allover") === 1L).as("purged"))
+        .orderBy(col("label"))
+    }),
+
     // X100 — RECIPROCAL best match (mutual nearest neighbor): the
     // high-confidence tier of entity resolution — keep a (dirty, clean)
     // pair only when each side is the other's argmax. One-directional
@@ -803,6 +843,58 @@ object LayoutQueries {
                    FROM j)
           SELECT g.label, g.n_records, best.nm AS name,
                  g.bal_cents, g.segment
+          FROM g JOIN best ON best.label = g.label AND best.rn = 1
+          ORDER BY g.label""",
+
+    // x102's closure restricted to blocks of size ≤ cap; purged blocks'
+    // records consolidate as singletons and the purged flag is part of
+    // the hash — governance is audited, never silent
+    "x123_purged_linkage" ->
+      s"""WITH RECURSIVE
+          recs AS (
+            SELECT c_custkey * 10 AS rid, c_name AS nm,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+                   c_mktsegment AS seg
+            FROM customer
+            UNION ALL
+            SELECT c_custkey * 10 + 1, $dirtySql, NULL, c_mktsegment
+            FROM customer
+            UNION ALL
+            SELECT c_custkey * 10 + 2, c_name,
+                   CAST(round(c_acctbal * 100) AS BIGINT) + c_custkey % 7,
+                   NULL
+            FROM customer),
+          bkd AS (SELECT rid, nm, ${blockKey("nm")} AS bk FROM recs),
+          bsz AS (SELECT bk, count(*)::BIGINT AS bn FROM bkd GROUP BY bk),
+          kept AS (SELECT bkd.rid, bkd.nm, bkd.bk
+                   FROM bkd JOIN bsz USING (bk) WHERE bn <= 4),
+          pairs AS (SELECT a.rid AS src, b.rid AS dst
+                    FROM kept a JOIN kept b
+                      ON a.bk = b.bk AND a.rid < b.rid
+                     AND levenshtein(a.nm, b.nm) <= 2),
+          edges AS (SELECT src, dst FROM pairs
+                    UNION SELECT dst, src FROM pairs),
+          comp(id, lbl) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id),
+          lab AS (SELECT id, min(lbl) AS label FROM comp GROUP BY id),
+          j AS (SELECT coalesce(lab.label, r.rid) AS label,
+                       r.nm, r.bal, r.seg, bsz.bn
+                FROM recs r
+                JOIN bkd ON bkd.rid = r.rid
+                JOIN bsz ON bsz.bk = bkd.bk
+                LEFT JOIN lab ON lab.id = r.rid),
+          g AS (SELECT label, count(*)::BIGINT AS n_records,
+                  max(bal)::BIGINT AS bal_cents, min(seg) AS segment,
+                  min(CASE WHEN bn > 4 THEN 1 ELSE 0 END) AS allover
+                FROM j GROUP BY label),
+          best AS (SELECT label, nm,
+                     row_number() OVER (PARTITION BY label
+                       ORDER BY length(nm) DESC, nm DESC) AS rn
+                   FROM j)
+          SELECT g.label, g.n_records, best.nm AS name,
+                 g.bal_cents, g.segment, (g.allover = 1) AS purged
           FROM g JOIN best ON best.label = g.label AND best.rn = 1
           ORDER BY g.label""",
 

@@ -427,6 +427,32 @@ class LayoutQueriesSpec extends SparkSpec {
     assert(batchCust > 0)
   }
 
+  test("x123 block purging: over-cap blocks consolidate as audited singletons, under-cap blocks link like x102") {
+    import spark.implicits._
+    // two customers collide on the last-3 block suffix '001' (their 6
+    // records exceed cap=4 → the block purges, every record a flagged
+    // singleton); customer 7 owns its '007' block alone (3 records ≤
+    // cap → links into one consolidated cluster, exactly like x102)
+    val dir = java.nio.file.Files.createTempDirectory("graft-purge").toString
+    Seq((1L, "Customer#000000001", 100.0, "AUTO"),
+        (1000000001L, "Customer#1000000001", 150.0, "AUTO"),
+        (7L, "Customer#000000007", 200.0, "AUTO"))
+      .toDF("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("x123_purged_linkage")(spark, dir)
+      .select("label", "n_records", "purged")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    // nothing lost: 3 customers × 3 variants
+    assert(out.map(_._2).sum == 9L, s"records lost: ${out.toSeq}")
+    // the colliding block (6 records, suffix '001') purges → 6 audited
+    // singletons; customer 7's block (3 records) links into one cluster
+    val purged = out.filter(_._3)
+    assert(purged.length == 6 && purged.forall(_._2 == 1L),
+      s"over-cap block must yield audited singletons: ${out.toSeq}")
+    assert(out.exists(r => !r._3 && r._2 == 3L),
+      s"under-cap block must consolidate: ${out.toSeq}")
+  }
+
   test("x102/x103: a record with no linkage edge survives as its own one-record cluster") {
     import spark.implicits._
     // Customer 1's name is short enough that the dirty deletion (drop
