@@ -507,6 +507,28 @@ object RelationalQueries {
           "doc_id", "sh", 1, 2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // X124 — df-CAPPED set-similarity join: q111's exact join under
+    // candidate GOVERNANCE. The r11 sf1 probe measured q111 at ~29× for
+    // 10× data on the closed-vocabulary corpus (every shingle's df grows
+    // linearly; the prefix filter stops pruning — SCALING.md r11). The
+    // capped form returns EXACTLY the pairs with jac ≥ ½ whose shared
+    // evidence includes at least one element with df ≤ 8 — pairs whose
+    // every shared shingle is saturated-common are excluded BY
+    // DEFINITION, and the capped rarest-first prefix is provably
+    // zero-miss for that semantic ([[SetSimJoin.joinCapped]]). Candidate
+    // fan-out is bounded by cap·Σdf — linear in the corpus whatever the
+    // df distribution does. The oracle generates candidates from ANY
+    // shared low-df element (no prefix), so parity re-proves the capped
+    // pruning complete.
+    "x124_capped_setsim" -> ((s, dir) =>
+      SetSimJoin.joinCapped(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), T.words(col("text")).as("_w"))
+            .select(col("doc_id"), array_distinct(
+              T.shinglesFromWords(col("_w"), 3)).as("sh")),
+          "doc_id", "sh", 1, 2, dfCap = 8L)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // X104 — exact binary-COSINE threshold join (cos >= 0.8 over the
     // distinct 3-gram shingle sets): the fourth exact-join family member. Same zero-miss
     // prefix architecture as q111 with the cosine bounds (overlap >=
@@ -1192,6 +1214,30 @@ object RelationalQueries {
          e AS (SELECT doc_id, unnest(sh) AS g FROM s),
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                   FROM e a JOIN e b ON b.g = a.g AND b.doc_id > a.doc_id),
+         v AS (SELECT id_a, id_b,
+                 len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::BIGINT
+                   AS inter,
+                 (len(sa.sh) + len(sb.sh))::BIGINT AS tot
+               FROM cand
+               JOIN s sa ON sa.doc_id = cand.id_a
+               JOIN s sb ON sb.doc_id = cand.id_b)
+         SELECT id_a, id_b, inter, tot - inter AS uni,
+                round(inter::DOUBLE / (tot - inter), 4) AS jac
+         FROM v WHERE inter * 2 >= (tot - inter) * 1
+         ORDER BY id_a, id_b""",
+
+    // candidates from ANY shared LOW-DF token (no prefix) — parity
+    // re-proves the capped rarest-first prefix is zero-miss for the
+    // "jac ≥ τ and min shared df ≤ cap" semantic
+    "x124_capped_setsim" ->
+      s"""WITH s AS (SELECT doc_id, list_distinct($shinglesSql) AS sh
+                     FROM documents),
+         e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         dfq AS (SELECT g, count(*)::BIGINT AS df FROM e GROUP BY g),
+         le AS (SELECT e.doc_id, e.g FROM e JOIN dfq USING (g)
+                WHERE df <= 8),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM le a JOIN le b ON b.g = a.g AND b.doc_id > a.doc_id),
          v AS (SELECT id_a, id_b,
                  len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::BIGINT
                    AS inter,

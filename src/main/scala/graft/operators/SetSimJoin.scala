@@ -69,6 +69,29 @@ object SetSimJoin {
           (implicit scope: graft.ops.CacheScope): DataFrame =
     joinImpl(docs, idCol, setCol, tauNum, tauDen)._2
 
+  /** Document-frequency-CAPPED set-similarity join — candidate
+    * GOVERNANCE for token spaces that saturate (the r11 sf1 probe
+    * measured [[join]] at ~29× for 10× data on a closed vocabulary,
+    * where every element's df grows linearly and the prefix filter
+    * stops pruning). Returns EXACTLY the pairs with
+    * `jac >= tau AND min df over shared elements <= dfCap` — the pairs
+    * whose similarity rests on at least one element that is still
+    * informative. Pairs whose every shared element is saturated-common
+    * are dropped BY DEFINITION, not missed: the capped prefix filter is
+    * zero-miss for this semantic because prefixes are rarest-FIRST —
+    * for a qualifying pair sharing a low-df element e, either e sits in
+    * both prefixes, or the prefix elements of the side excluding e are
+    * all rarer than e (≤ dfCap), and the uncapped theorem already
+    * guarantees a shared prefix element. Candidate fan-out is bounded by
+    * dfCap · Σdf = dfCap · |element instances| — LINEAR in the corpus
+    * whatever the df distribution does (measured: see SCALING.md r11). */
+  def joinCapped(docs: DataFrame, idCol: String, setCol: String,
+                 tauNum: Int, tauDen: Int, dfCap: Long)
+                (implicit scope: graft.ops.CacheScope): DataFrame = {
+    require(dfCap >= 1, s"joinCapped: dfCap must be >= 1, got $dfCap")
+    joinImpl(docs, idCol, setCol, tauNum, tauDen, Some(dfCap))._2
+  }
+
   /** Dev/probe hook: run only candidate generation, return its count. */
   private[graft] def joinCandidatesForProbe(
       docs: DataFrame, idCol: String, setCol: String,
@@ -77,7 +100,8 @@ object SetSimJoin {
     joinImpl(docs, idCol, setCol, tauNum, tauDen)._1.count()
 
   private def joinImpl(docs: DataFrame, idCol: String, setCol: String,
-                       tauNum: Int, tauDen: Int)
+                       tauNum: Int, tauDen: Int,
+                       dfCap: Option[Long] = None)
                       (implicit scope: graft.ops.CacheScope)
       : (DataFrame, DataFrame) = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
@@ -110,12 +134,18 @@ object SetSimJoin {
     // post-aggregate size estimate is exactly the kind Catalyst gets
     // wrong on a stats-less input — pin this join too so the whole
     // dataflow has one deterministic shape at every SF
-    val prefix = scope.persist(elems.join(dfreq.hint("shuffle_hash"), Seq("_e"))
+    // the df cap (joinCapped) applies AFTER prefix ranking: prefix
+    // membership keeps the uncapped global order (the zero-miss proof
+    // needs the true rarest-first prefixes), then saturated elements
+    // are dropped from candidate generation only
+    val ranked = elems.join(dfreq.hint("shuffle_hash"), Seq("_e"))
       .withColumn("_rn", row_number().over(wDoc).cast("long"))
       .filter(col("_rn") <=
         col("_len") -
         expr(s"(_len * $tauNum + ${tauDen - 1}) DIV $tauDen") + lit(1L))
-      .select(col("_id"), col("_len"), col("_e")))
+    val prefix = scope.persist(
+      dfCap.fold(ranked)(c => ranked.filter(col("_df") <= c))
+        .select(col("_id"), col("_len"), col("_e")))
     val a = prefix.select(col("_id").as("id_a"), col("_len").as("_la"),
                           col("_e").as("_ea"))
     val b = prefix.select(col("_id").as("id_b"), col("_len").as("_lb"),

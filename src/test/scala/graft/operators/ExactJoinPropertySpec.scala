@@ -66,6 +66,49 @@ class ExactJoinPropertySpec extends SparkSpec {
     }
   }
 
+  test("SetSimJoin.joinCapped equals the brute-force capped semantic on random skewed corpora") {
+    // capped semantic: jac >= tau AND at least one SHARED element has
+    // df <= cap — the brute force computes df over the whole corpus and
+    // applies the definition directly, no prefix anywhere
+    def bruteCapped(c: Seq[(Long, Seq[String])], num: Int, den: Int,
+                    cap: Long) = {
+      val df = c.flatMap(_._2.distinct).groupBy(identity)
+        .map { case (e, xs) => e -> xs.size.toLong }
+      (for {
+        (ia, sa0) <- c; (ib, sb0) <- c if ia < ib
+        sa = sa0.toSet; sb = sb0.toSet
+        shared = sa & sb
+        inter = shared.size.toLong
+        uni = sa.size.toLong + sb.size - inter
+        if inter * den >= uni * num
+        if shared.exists(df(_) <= cap)
+      } yield (ia, ib, inter, uni)).toSet
+    }
+    for ((seed, cap) <- Seq((11L, 2L), (12L, 3L), (13L, 4L))) {
+      // the corpus already plants a wide clone pair whose every shared
+      // element has df >= 3 (base + two clones) — excluded at cap=2; add
+      // a pair sharing only UNIQUE elements (df = 2) so the capped
+      // result is non-vacuous at every cap >= 2
+      val c = corpus(seed, n = 60, maxLen = 12) ++ Seq(
+        (200L, Seq("rp_a", "rp_b", "rp_c")),
+        (201L, Seq("rp_a", "rp_b", "rp_d")))
+      val got = SetSimJoin.joinCapped(c.toDF("doc_id", "sh"), "doc_id", "sh",
+          1, 2, dfCap = cap)
+        .select("id_a", "id_b", "inter", "uni")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = bruteCapped(c, 1, 2, cap)
+      assert(got == want,
+        s"seed=$seed cap=$cap: missed ${want -- got}, extra ${got -- want}")
+      val uncapped = bruteJaccard(c, 1, 2)
+      assert(want.contains((200L, 201L, 2L, 4L)),
+        s"seed=$seed cap=$cap: rare-evidence pair must survive")
+      assert((uncapped -- want).nonEmpty || cap >= 3,
+        s"seed=$seed cap=$cap: the cap never excluded a pair — fixture " +
+          "does not exercise governance")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("SetSimJoin.cosineJoin equals brute force on random skewed corpora at several thresholds") {
     for ((seed, num, den) <- Seq((4L, 4, 5), (5L, 1, 2), (6L, 19, 20))) {
       val c = corpus(seed, n = 60, maxLen = 12)
