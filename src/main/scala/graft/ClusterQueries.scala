@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => V}
+import graft.operators.KMeansDet
+
+/** Round-11 clustering suite: deterministic k-means as an oracle-checkable
+  * building block, and the two workloads it unlocks for a training-data
+  * engine — SemDeDup-style semantic deduplication (cluster = candidate
+  * block, cosine verify within the block) and an HONEST IVF recall audit
+  * (nprobe < nlist, measured against the exact top-k, not the x73 device
+  * of probing every cell).
+  *
+  * Why not MLlib KMeans here: its reductions are thread-order-dependent
+  * and its init engine-private, so no independent engine can replicate the
+  * assignment — fine for x73 (whose oracle only needs full-probe ≡ exact),
+  * fatal for a dedup operator whose DROP DECISIONS must be auditable.
+  * [[graft.operators.KMeansDet]] pins init (k smallest ids), tie-breaks
+  * (min cell id), and update arithmetic (6-dp-rounded means), and the
+  * oracles below restate the identical iteration in SQL — the cluster
+  * assignment itself is part of every hash.
+  *
+  * Scale shape: one broadcast argmin pass + one map-side-combinable mean
+  * update per iteration; within-cell pair generation is the x22 blocked
+  * O(Σ|cell|²) join, never N²; the recall audit's exact arm broadcasts the
+  * fixed 20-query probe set (O(Q·N) with tiny Q — the ground-truth cost
+  * every published recall number pays).
+  */
+object ClusterQueries {
+
+  private val K = 8
+  private val ITERS = 2
+  private val DIMS = 64
+  private val TAU = 0.4
+
+  private def centroidFrame(s: SparkSession, m: KMeansDet.Model): DataFrame = {
+    import s.implicits._
+    m.centroids.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toSeq.toDF("cell", "c")
+  }
+
+  /** cos(qv, v) with the zero-norm → null guard, shared by x126/x127. */
+  private def cosOf(qv: String, qn: String, v: String, n: String) =
+    when(col(qn) === 0.0 || col(n) === 0.0, lit(null).cast("double"))
+      .otherwise(V.dot(col(qv), col(v)) / (col(qn) * col(n)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X125 — deterministic k-means assignment over the embedding corpus:
+    // k=8 cells, 2 Lloyd iterations from the id-rank init. The output is
+    // the per-vector cell label — the strongest possible parity check
+    // (every assignment decision is in the hash).
+    "x125_kmeans_embed" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val m = KMeansDet.fit(e, K, ITERS)
+      KMeansDet.assign(e, m).orderBy(col("vec_id"))
+    }),
+
+    // X126 — semantic dedup (SemDeDup): k-means cells are the candidate
+    // blocks; within each cell, a vector is dropped when an earlier-id
+    // cell-mate sits at cosine ≥ τ. Chains collapse to min-id evidence
+    // (the x05 survivor convention); the drop decision — cluster label,
+    // kept id, and the similarity that justified it — is the output, so
+    // the recall trade of blocking by cluster is audited, never silent.
+    "x126_semantic_dedup" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val m = KMeansDet.fit(e, K, ITERS)
+      val sn = KMeansDet.assignWithVec(e, m)
+      val a = sn.select(col("cell"), col("vec_id").as("id_a"),
+                        col("v").as("va"), col("nrm").as("na"))
+      val b = sn.select(col("cell"), col("vec_id").as("id_b"),
+                        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+        .withColumn("cos", cosOf("va", "na", "vb", "nb"))
+        .filter(col("cos") >= TAU)
+        .groupBy(col("id_b"), col("cell"))
+        .agg(min(col("id_a")).as("kept_id"),
+             round(max(col("cos")), 4).as("max_cos"))
+        .select(col("id_b").as("vec_id"), col("cell"), col("kept_id"),
+                col("max_cos"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // X127 — IVF recall audit at nprobe=2 of nlist=8: per query, how many
+    // of the exact cosine top-3 does cell-pruned search actually find?
+    // x73 sidesteps this (nprobe = nlist ⇒ exact); this is the number a
+    // 100 TB deployment consults before committing to a partition-pruned
+    // serving path. Integer output (qid, hits) — no FP in the hash.
+    "x127_ivf_recall" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val m = KMeansDet.fit(e, K, ITERS)
+      val sn = KMeansDet.assignWithVec(e, m)
+      val q = sn.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                col("nrm").as("qn"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc_nulls_last, col("nid").asc)
+      val exact = broadcast(q).join(sn, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qv"), col("qn"), col("vec_id").as("nid"),
+                col("v"), col("nrm"))
+        .withColumn("cos", cosOf("qv", "qn", "v", "nrm"))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 3)
+        .select(col("qid"), col("nid"))
+      val probed = broadcast(q).crossJoin(broadcast(centroidFrame(s, m)))
+        .withColumn("d",
+          V.dot(col("qv"), col("qv")) - lit(2.0) * V.dot(col("qv"), col("c"))
+            + V.dot(col("c"), col("c")))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("d").asc, col("cell").asc)))
+        .filter(col("rn") <= 2).select(col("qid"), col("cell"))
+      val qp = q.join(probed, Seq("qid")).withColumnRenamed("cell", "pcell")
+      val approx = broadcast(qp)
+        .join(sn, col("cell") === col("pcell") &&
+                  col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qv"), col("qn"), col("vec_id").as("nid"),
+                col("v"), col("nrm"))
+        .withColumn("cos", cosOf("qv", "qn", "v", "nrm"))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 3)
+        .select(col("qid").as("aqid"), col("nid").as("anid"))
+      exact.join(approx,
+          col("qid") === col("aqid") && col("nid") === col("anid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("anid")).as("hits"))
+        .orderBy(col("qid"))
+    })
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  private def distSql(v: String, c: String): String =
+    s"list_dot_product($v, $v) - 2 * list_dot_product($v, $c)" +
+      s" + list_dot_product($c, $c)"
+
+  /** The k-means iteration restated as DuckDB CTEs; ends with `af`
+    * (vec_id, v, cell) — the final assignment — and `c$ITERS` (the final
+    * centroids). Must stay arithmetically identical to [[KMeansDet]]:
+    * same init, same distance expression, same tie-break, same 6-dp mean
+    * rounding, same empty-cell carry-over. */
+  private def kmeansCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cell, v AS c
+             FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $K)),"""
+    for (i <- 1 to ITERS) {
+      val prev = s"c${i - 1}"
+      sb ++= s"""
+      a$i AS (SELECT vec_id, v, cell FROM (
+          SELECT e.vec_id, e.v, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${distSql("e.v", "c.c")} ASC, c.cell ASC) AS rn
+          FROM e CROSS JOIN $prev c) WHERE rn = 1),
+      m$i AS (SELECT cell, i, round(avg(v[i]), 6) AS mv
+              FROM a$i CROSS JOIN generate_series(1, $DIMS) AS g(i)
+              GROUP BY cell, i),
+      c$i AS (SELECT p.cell, coalesce(mm.c, p.c) AS c
+              FROM $prev p LEFT JOIN (SELECT cell, list(mv ORDER BY i) AS c
+                                      FROM m$i GROUP BY cell) mm
+                USING (cell)),"""
+    }
+    sb ++= s"""
+      af AS (SELECT vec_id, v, cell FROM (
+          SELECT e.vec_id, e.v, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${distSql("e.v", "c.c")} ASC, c.cell ASC) AS rn
+          FROM e CROSS JOIN c$ITERS c) WHERE rn = 1)"""
+    sb.toString
+  }
+
+  private val cosSql =
+    """CASE WHEN a.n = 0 OR b.n = 0 THEN NULL
+            ELSE list_dot_product(a.v, b.v) / (a.n * b.n) END"""
+
+  val oracleSql: Map[String, String] = Map(
+
+    "x125_kmeans_embed" ->
+      s"""WITH $kmeansCtes
+          SELECT vec_id, cell FROM af ORDER BY vec_id""",
+
+    "x126_semantic_dedup" ->
+      s"""WITH $kmeansCtes,
+          sn AS (SELECT vec_id, cell, v,
+                   sqrt(list_dot_product(v, v)) AS n FROM af),
+          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, b.cell AS cell,
+                  $cosSql AS cos
+                FROM sn a JOIN sn b
+                  ON b.cell = a.cell AND b.vec_id > a.vec_id)
+          SELECT id_b AS vec_id, cell, min(id_a) AS kept_id,
+                 round(max(cos), 4) AS max_cos
+          FROM p WHERE cos >= $TAU
+          GROUP BY id_b, cell ORDER BY vec_id""",
+
+    "x127_ivf_recall" ->
+      s"""WITH $kmeansCtes,
+          sn AS (SELECT vec_id, cell, v,
+                   sqrt(list_dot_product(v, v)) AS n FROM af),
+          qs AS (SELECT vec_id AS qid, v AS qv,
+                   sqrt(list_dot_product(v, v)) AS qn
+                 FROM e WHERE vec_id < 20),
+          ex AS (SELECT qid, nid FROM (
+              SELECT qs.qid, s.vec_id AS nid,
+                row_number() OVER (PARTITION BY qs.qid
+                  ORDER BY CASE WHEN qs.qn = 0 OR s.n = 0 THEN NULL
+                    ELSE list_dot_product(qs.qv, s.v) / (qs.qn * s.n) END
+                    DESC NULLS LAST, s.vec_id ASC) AS rn
+              FROM qs JOIN sn s ON s.vec_id <> qs.qid) WHERE rn <= 3),
+          pr AS (SELECT qid, cell FROM (
+              SELECT qs.qid, c.cell,
+                row_number() OVER (PARTITION BY qs.qid
+                  ORDER BY ${distSql("qs.qv", "c.c")} ASC, c.cell ASC) AS rn
+              FROM qs CROSS JOIN c$ITERS c) WHERE rn <= 2),
+          ap AS (SELECT qid, nid FROM (
+              SELECT qs.qid, s.vec_id AS nid,
+                row_number() OVER (PARTITION BY qs.qid
+                  ORDER BY CASE WHEN qs.qn = 0 OR s.n = 0 THEN NULL
+                    ELSE list_dot_product(qs.qv, s.v) / (qs.qn * s.n) END
+                    DESC NULLS LAST, s.vec_id ASC) AS rn
+              FROM qs JOIN pr ON pr.qid = qs.qid
+              JOIN sn s ON s.cell = pr.cell AND s.vec_id <> qs.qid)
+            WHERE rn <= 3)
+          SELECT ex.qid AS qid, count(ap.nid) AS hits
+          FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.nid = ex.nid
+          GROUP BY ex.qid ORDER BY ex.qid"""
+  )
+}

@@ -12,7 +12,7 @@ object SparkEntry {
       FunctionQueries.queries ++ BenchQueries.queries ++
       CorpusQueries.queries ++ EtlQueries.queries ++
       RelationalQueries.queries ++ RankingQueries.queries ++
-      LayoutQueries.queries
+      LayoutQueries.queries ++ ClusterQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -21,5 +21,5 @@ object SparkEntry {
       FunctionQueries.oracleSql ++ BenchQueries.oracleSql ++
       CorpusQueries.oracleSql ++ EtlQueries.oracleSql ++
       RelationalQueries.oracleSql ++ RankingQueries.oracleSql ++
-      LayoutQueries.oracleSql
+      LayoutQueries.oracleSql ++ ClusterQueries.oracleSql
 }
