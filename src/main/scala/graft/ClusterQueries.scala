@@ -46,6 +46,30 @@ object ClusterQueries {
     when(col(qn) === 0.0 || col(n) === 0.0, lit(null).cast("double"))
       .otherwise(V.dot(col(qv), col(v)) / (col(qn) * col(n)))
 
+  /** The x126 dataflow, parameterized. Cost is O(Σ|cell|²) dot products —
+    * at a FIXED k that grows quadratically with the corpus, so production
+    * scales k with N (cells of bounded target size), which keeps the pair
+    * count linear. The x126 oracle pins k=[[K]] for parity; the sf1 probe
+    * (SCALING.md) measures the k ∝ N governance path through this entry. */
+  def semanticDedup(s: SparkSession, dir: String, k: Int, iters: Int,
+                    tau: Double): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val m = KMeansDet.fit(e, k, iters)
+    val sn = KMeansDet.assignWithVec(e, m)
+    val a = sn.select(col("cell"), col("vec_id").as("id_a"),
+                      col("v").as("va"), col("nrm").as("na"))
+    val b = sn.select(col("cell"), col("vec_id").as("id_b"),
+                      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosOf("va", "na", "vb", "nb"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("id_b"), col("cell"))
+      .agg(min(col("id_a")).as("kept_id"),
+           round(max(col("cos")), 4).as("max_cos"))
+      .select(col("id_b").as("vec_id"), col("cell"), col("kept_id"),
+              col("max_cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // X125 — deterministic k-means assignment over the embedding corpus:
@@ -64,24 +88,8 @@ object ClusterQueries {
     // (the x05 survivor convention); the drop decision — cluster label,
     // kept id, and the similarity that justified it — is the output, so
     // the recall trade of blocking by cluster is audited, never silent.
-    "x126_semantic_dedup" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-      val m = KMeansDet.fit(e, K, ITERS)
-      val sn = KMeansDet.assignWithVec(e, m)
-      val a = sn.select(col("cell"), col("vec_id").as("id_a"),
-                        col("v").as("va"), col("nrm").as("na"))
-      val b = sn.select(col("cell"), col("vec_id").as("id_b"),
-                        col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
-        .withColumn("cos", cosOf("va", "na", "vb", "nb"))
-        .filter(col("cos") >= TAU)
-        .groupBy(col("id_b"), col("cell"))
-        .agg(min(col("id_a")).as("kept_id"),
-             round(max(col("cos")), 4).as("max_cos"))
-        .select(col("id_b").as("vec_id"), col("cell"), col("kept_id"),
-                col("max_cos"))
-        .orderBy(col("vec_id"))
-    }),
+    "x126_semantic_dedup" -> ((s, dir) =>
+      semanticDedup(s, dir, K, ITERS, TAU).orderBy(col("vec_id"))),
 
     // X127 — IVF recall audit at nprobe=2 of nlist=8: per query, how many
     // of the exact cosine top-3 does cell-pruned search actually find?
