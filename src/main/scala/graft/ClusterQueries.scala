@@ -132,6 +132,37 @@ object ClusterQueries {
         .groupBy(col("qid"))
         .agg(count(col("anid")).as("hits"))
         .orderBy(col("qid"))
+    }),
+
+    // X128 — INCREMENTAL semantic dedup: today's batch (vec_id % 10 ∈
+    // {8,9}, the x16 split convention) is screened against the persisted
+    // corpus WITHOUT re-clustering it — centroids are frozen from the
+    // corpus fit, the batch gets one assignment pass, and candidates are
+    // batch-vs-corpus cell-mates only (corpus-internal pairs were
+    // adjudicated when the corpus was ingested; x126 is that pass). This
+    // is the ingest shape at 100 TB: per day, cost is O(|batch|·k) dots +
+    // O(|batch|·|cell|) verifies — history is never re-scanned, the same
+    // economics as x16/x116/x103.
+    "x128_semantic_incremental" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") % 10 < 8)
+      val batch = e.filter(col("vec_id") % 10 >= 8)
+      val m = KMeansDet.fit(corpus, K, ITERS)
+      val snc = KMeansDet.assignWithVec(corpus, m)
+        .select(col("cell"), col("vec_id").as("id_a"),
+                col("v").as("va"), col("nrm").as("na"))
+      val snb = KMeansDet.assignWithVec(batch, m)
+        .select(col("cell"), col("vec_id").as("id_b"),
+                col("v").as("vb"), col("nrm").as("nb"))
+      snb.join(snc, Seq("cell"))
+        .withColumn("cos", cosOf("va", "na", "vb", "nb"))
+        .filter(col("cos") >= TAU)
+        .groupBy(col("id_b"), col("cell"))
+        .agg(min(col("id_a")).as("kept_id"),
+             round(max(col("cos")), 4).as("max_cos"))
+        .select(col("id_b").as("vec_id"), col("cell"), col("kept_id"),
+                col("max_cos"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -145,10 +176,12 @@ object ClusterQueries {
     * (vec_id, v, cell) — the final assignment — and `c$ITERS` (the final
     * centroids). Must stay arithmetically identical to [[KMeansDet]]:
     * same init, same distance expression, same tie-break, same 6-dp mean
-    * rounding, same empty-cell carry-over. */
-  private def kmeansCtes: String = {
+    * rounding, same empty-cell carry-over. `eWhere` restricts the FIT
+    * corpus (x128 trains on yesterday's corpus only). */
+  private def kmeansCtes(eWhere: String = "TRUE"): String = {
     val sb = new StringBuilder
-    sb ++= s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sb ++= s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                     FROM embeddings WHERE $eWhere),
       c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cell, v AS c
              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $K)),"""
     for (i <- 1 to ITERS) {
@@ -183,11 +216,11 @@ object ClusterQueries {
   val oracleSql: Map[String, String] = Map(
 
     "x125_kmeans_embed" ->
-      s"""WITH $kmeansCtes
+      s"""WITH ${kmeansCtes()}
           SELECT vec_id, cell FROM af ORDER BY vec_id""",
 
     "x126_semantic_dedup" ->
-      s"""WITH $kmeansCtes,
+      s"""WITH ${kmeansCtes()},
           sn AS (SELECT vec_id, cell, v,
                    sqrt(list_dot_product(v, v)) AS n FROM af),
           p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, b.cell AS cell,
@@ -200,7 +233,7 @@ object ClusterQueries {
           GROUP BY id_b, cell ORDER BY vec_id""",
 
     "x127_ivf_recall" ->
-      s"""WITH $kmeansCtes,
+      s"""WITH ${kmeansCtes()},
           sn AS (SELECT vec_id, cell, v,
                    sqrt(list_dot_product(v, v)) AS n FROM af),
           qs AS (SELECT vec_id AS qid, v AS qv,
@@ -229,6 +262,27 @@ object ClusterQueries {
             WHERE rn <= 3)
           SELECT ex.qid AS qid, count(ap.nid) AS hits
           FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.nid = ex.nid
-          GROUP BY ex.qid ORDER BY ex.qid"""
+          GROUP BY ex.qid ORDER BY ex.qid""",
+
+    "x128_semantic_incremental" ->
+      s"""WITH ${kmeansCtes("vec_id % 10 < 8")},
+          eb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings WHERE vec_id % 10 >= 8),
+          ab AS (SELECT vec_id, v, cell FROM (
+              SELECT eb.vec_id, eb.v, c.cell,
+                row_number() OVER (PARTITION BY eb.vec_id
+                  ORDER BY ${distSql("eb.v", "c.c")} ASC, c.cell ASC) AS rn
+              FROM eb CROSS JOIN c$ITERS c) WHERE rn = 1),
+          snc AS (SELECT vec_id, cell, v,
+                    sqrt(list_dot_product(v, v)) AS n FROM af),
+          snb AS (SELECT vec_id, cell, v,
+                    sqrt(list_dot_product(v, v)) AS n FROM ab),
+          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, b.cell AS cell,
+                  $cosSql AS cos
+                FROM snc a JOIN snb b ON b.cell = a.cell)
+          SELECT id_b AS vec_id, cell, min(id_a) AS kept_id,
+                 round(max(cos), 4) AS max_cos
+          FROM p WHERE cos >= $TAU
+          GROUP BY id_b, cell ORDER BY vec_id"""
   )
 }

@@ -43,28 +43,62 @@ object KMeansDet {
     def k: Int = centroids.length
   }
 
-  private def centroidFrame(df: DataFrame, m: Model): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    m.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-      .toSeq.toDF("_cell", "_c")
+  /** Above this k the argmin falls back to the broadcast-join form: the
+    * literal projection generates k inlined dist branches, and past a few
+    * dozen the generated method outgrows what Janino will compile — the
+    * whole projection then evaluates INTERPRETED, measured ~7× slower at
+    * k=80 than the join form it was supposed to beat. */
+  private val LiteralFormMaxK = 16
+
+  /** One argmin-assignment pass: (id, v, cell), form picked by k.
+    *
+    * Small k (≤ [[LiteralFormMaxK]]): centroids are driver-side constants
+    * (k·d doubles), so the whole argmin compiles to ONE codegen'd
+    * projection — `array_min` over k (dist, cell) structs whose centroid
+    * halves are literals. No join, no shuffle, no sort: the pass is
+    * embarrassingly parallel, one corpus scan per iteration.
+    *
+    * Large k: broadcast the k-row centroid frame, expand k candidates per
+    * row, re-aggregate with the map-side-combinable `min(struct)` — k
+    * stays data, not code, so codegen never blows up.
+    *
+    * Both forms share the distance expression the oracle restates —
+    * dot(v,v) − 2·dot(v,c) + dot(c,c), left-to-right (the literal form
+    * pre-folds dot(c,c) on the driver IN THE SAME sequential order) — and
+    * the same (dist, cell) lexicographic tie-break, so they are
+    * value-identical ([[KMeansDetSpec]] proves it on both sides of the
+    * threshold). */
+  private def assignPass(e: DataFrame, m: Model): DataFrame =
+    if (m.k <= LiteralFormMaxK) assignPassLiteral(e, m)
+    else assignPassJoin(e, m)
+
+  private[operators] def assignPassLiteral(e: DataFrame, m: Model): DataFrame = {
+    val cands = m.centroids.zipWithIndex.map { case (c, i) =>
+      val cc = c.foldLeft(0.0)((acc, x) => acc + x * x) // seq fold = oracle
+      struct(
+        (col("_vv") - lit(2.0) * V.dot(col("_v"), typedlit(c.toSeq))
+          + lit(cc)).as("_d"),
+        lit(i).as("_cell"))
+    }
+    e.withColumn("_vv", V.dot(col("_v"), col("_v")))
+      .withColumn("_m", array_min(array(cands.toIndexedSeq: _*)))
+      .select(col("_id"), col("_v"), col("_m._cell").as("_cell"))
   }
 
-  /** Squared L2 in the exact operator order the oracle restates:
-    * dot(v,v) − 2·dot(v,c) + dot(c,c), left-to-right. */
-  private def sqDist(v: Column, c: Column): Column =
-    V.dot(v, v) - lit(2.0) * V.dot(v, c) + V.dot(c, c)
-
-  /** One argmin-assignment pass: (id, v, cell). Broadcast centroids →
-    * map-side-only candidate expansion (k rows per input row) →
-    * map-side-combinable `min(struct(dist, cell))`. */
-  private def assignPass(e: DataFrame, m: Model): DataFrame =
-    e.crossJoin(broadcast(centroidFrame(e, m)))
-      .withColumn("_d", sqDist(col("_v"), col("_c")))
+  private[operators] def assignPassJoin(e: DataFrame, m: Model): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val cents = m.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("_kcell", "_c")
+    e.crossJoin(broadcast(cents))
+      .withColumn("_d",
+        V.dot(col("_v"), col("_v")) - lit(2.0) * V.dot(col("_v"), col("_c"))
+          + V.dot(col("_c"), col("_c")))
       .groupBy(col("_id"))
-      .agg(min(struct(col("_d"), col("_cell"))).as("_m"),
+      .agg(min(struct(col("_d"), col("_kcell"))).as("_m"),
            first(col("_v")).as("_v")) // _v is constant per _id
-      .select(col("_id"), col("_v"), col("_m._cell").as("_cell"))
+      .select(col("_id"), col("_v"), col("_m._kcell").as("_cell"))
+  }
 
   /** Fit `iters` Lloyd iterations from the deterministic id-rank init.
     * Each iteration runs one assignment pass and one rounded-mean update;
@@ -103,11 +137,26 @@ object KMeansDet {
       .select(col("_id").as(idCol), col("_cell").cast("long").as("cell"))
 
   /** [[assign]] keeping the double vector and its norm — the shape the
-    * within-cell similarity passes (x126/x127) consume. */
+    * within-cell similarity passes (x126/x127/x128) consume. The result is
+    * PERSISTED under the implicit [[graft.ops.CacheScope]]: every consumer
+    * reads it more than once (both sides of a self-join, or the exact and
+    * probed arms of a recall audit), and without the barrier the widened
+    * vectors and the k-way argmin are re-derived per probe inside the
+    * downstream join — measured 4× slower at the sf1 probe scale. The
+    * persist is EAGER (one count populates the cache before the join
+    * stages race each other to fill it — measured 2× again over a lazy
+    * persist, the x114 eager-kernel finding repeating here). In a
+    * production pipeline this frame is the cluster index, written
+    * partitioned by cell; the cache is the in-session stand-in. */
   def assignWithVec(corpus: DataFrame, m: Model, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame =
-    assignPass(corpus.select(col(idCol).as("_id"),
-                             V.toDouble(col(vecCol)).as("_v")), m)
-      .select(col("_id").as(idCol), col("_cell").cast("long").as("cell"),
-              col("_v").as("v"), V.norm(col("_v")).as("nrm"))
+                    vecCol: String = "embedding")
+                   (implicit scope: graft.ops.CacheScope): DataFrame = {
+    val out = scope.persist(
+      assignPass(corpus.select(col(idCol).as("_id"),
+                               V.toDouble(col(vecCol)).as("_v")), m)
+        .select(col("_id").as(idCol), col("_cell").cast("long").as("cell"),
+                col("_v").as("v"), V.norm(col("_v")).as("nrm")))
+    out.count() // eager: populate once, before consumers fan out
+    out
+  }
 }

@@ -44,6 +44,19 @@ class ClusterQueriesSpec extends SparkSpec {
     }
   }
 
+  test("x128: only batch ids are screened, against frozen corpus cells") {
+    // split: corpus = vec_id % 10 < 8 → {0..7, 10, 11}; batch = {8, 9}.
+    // ids 10/11 are near-dups INSIDE the corpus — they must not appear in
+    // the output (corpus-internal pairs were adjudicated at ingest).
+    val rows = ClusterQueries.queries("x128_semantic_incremental")(spark, dir)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(8L, 9L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("kept_id") == r.getLong(0) - 8)
+      assert(r.getAs[Double]("max_cos") == 1.0)
+    }
+  }
+
   test("x127: one recall row per query, hits within [0, 3]") {
     val rows = ClusterQueries.queries("x127_ivf_recall")(spark, dir)
       .collect()

@@ -1313,4 +1313,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("aggregate(lambdafunction"),
       "apply chain regressed to interpreted HOF folds:\n" + plan.take(3000))
   }
+
+  test("x125 k-means assignment is a single projection — no join, no aggregate, no shuffle but the output sort") {
+    // centroids are driver-side literals, so the k-way argmin must compile
+    // to one array_min projection (the r11 rewrite: the broadcast-join +
+    // min(struct) re-aggregation form cost a SortAggregate and an exchange
+    // per assignment pass)
+    val plan = planOf("x125_kmeans_embed")
+    assert(plan.contains("array_min"), plan.take(3000))
+    assert(!plan.contains("Join"), "assignment must not join:\n" + plan.take(3000))
+    assert(!plan.contains("Aggregate"),
+      "assignment must not re-aggregate:\n" + plan.take(3000))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"only the orderBy range exchange is allowed, got $exchanges:\n" +
+        plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("x126/x128 pair joins are cell-keyed equi joins over the cached cluster index") {
+    for (name <- Seq("x126_semantic_dedup", "x128_semantic_incremental")) {
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"), s"$name:\n" + plan.take(3000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name candidate join degraded to a nested loop:\n" + plan.take(3000))
+      // the join must drive on the cell key (equi), with the cosine
+      // threshold as residual — and both sides must read the eagerly
+      // cached assignment, not re-derive the argmin per probe (measured
+      // 4x at the sf1 probe)
+      assert("Join \\[cell#".r.findFirstIn(plan).isDefined ||
+             "Join LeftKeys \\[cell".r.findFirstIn(plan).isDefined ||
+             plan.contains("[cell#"), s"$name cell key missing:\n" + plan.take(3000))
+      assert(plan.contains("InMemoryTableScan"),
+        s"$name must consume the cached cluster index:\n" + plan.take(3000))
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("x127 recall audit: only the tiny probe-set arms may nested-loop; never the corpus against itself") {
+    val plan = planOf("x127_ivf_recall")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // exact arm (20-query broadcast x corpus) and the probe-cell crossJoin
+    // are the two legitimate broadcast nested loops; anything more means
+    // a data-sized side slipped into a non-equi join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 2,
+      s"expected <= 2 probe-set nested loops, got $bnlj:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
 }

@@ -64,6 +64,29 @@ class KMeansDetSpec extends SparkSpec {
     assert(a1.map(_.toSeq).toSeq == a2.map(_.toSeq).toSeq)
   }
 
+  test("literal and join argmin forms are value-identical across the k threshold") {
+    // the k<=16 literal projection and the large-k broadcast-join form
+    // must agree on every assignment, including ties — same distance
+    // expression, same (dist, cell) tie-break
+    import org.apache.spark.sql.functions.col
+    val pts = (0L until 60L)
+      .map(i => i -> Seq((i % 5).toFloat, (i % 9).toFloat, (i % 2).toFloat))
+    val e = pts.toDF("vec_id", "embedding")
+      .select(col("vec_id").as("_id"),
+              graft.functions.VectorFunctions.toDouble(col("embedding")).as("_v"))
+    // duplicate points guarantee exact distance ties hit the tie-break
+    val m = KMeansDet.Model(
+      (0 until 20).map(i => Array((i % 5).toDouble, (i % 9).toDouble,
+                                  (i % 2).toDouble)).toArray)
+    val lit = KMeansDet.assignPassLiteral(e, m)
+      .select("_id", "_cell").collect().map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy(_._1).toSeq
+    val join = KMeansDet.assignPassJoin(e, m)
+      .select("_id", "_cell").collect().map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy(_._1).toSeq
+    assert(lit == join)
+  }
+
   test("fit fails loud when the corpus has fewer rows than k") {
     val e = df(0L -> Seq(0f), 1L -> Seq(1f))
     val err = intercept[IllegalArgumentException] {
