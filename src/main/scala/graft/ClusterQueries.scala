@@ -34,6 +34,8 @@ object ClusterQueries {
   private val ITERS = 2
   private val DIMS = 64
   private val TAU = 0.4
+  private val PQ_M = 4             // PQ subspaces
+  private val PQ_SD = DIMS / PQ_M  // dims per subspace
 
   private def centroidFrame(s: SparkSession, m: KMeansDet.Model): DataFrame = {
     import s.implicits._
@@ -163,6 +165,51 @@ object ClusterQueries {
         .select(col("id_b").as("vec_id"), col("cell"), col("kept_id"),
                 col("max_cos"))
         .orderBy(col("vec_id"))
+    }),
+
+    // X129 — product-quantization encode: every vector compressed to 4
+    // codebook codes (4 × 16-dim KMeansDet sub-fits). The codes ARE the
+    // output — full encode parity, the strongest oracle for a compressor.
+    // Encoding is one codegen'd projection over the corpus: the artifact
+    // a 100 TB deployment writes next to (or instead of) raw vectors.
+    "x129_pq_encode" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val m = graft.operators.ProductQuantizer.fit(e, PQ_M, K, ITERS, DIMS)
+      graft.operators.ProductQuantizer.encode(e, m).orderBy(col("vec_id"))
+    }),
+
+    // X130 — PQ recall audit: exact L2 top-3 vs ADC top-3 over the codes
+    // — the quantization recall loss, measured, per query. The ADC arm
+    // scans only (id, 4 codes) + a literal LUT; the exact arm is the
+    // Q·N ground truth every published PQ recall number pays. Integer
+    // (qid, hits) output.
+    "x130_pq_recall" -> ((s, dir) => {
+      import graft.operators.ProductQuantizer
+      val e = Tables(s, dir, "embeddings")
+      val m = ProductQuantizer.fit(e, PQ_M, K, ITERS, DIMS)
+      val ef = e.select(col("vec_id"), V.toDouble(col("embedding")).as("v"))
+      val q = ef.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("d").asc, col("nid").asc)
+      val exact = broadcast(q).join(ef, col("vec_id") =!= col("qid"))
+        .withColumn("d",
+          V.dot(col("qv"), col("qv")) - lit(2.0) * V.dot(col("qv"), col("v"))
+            + V.dot(col("v"), col("v")))
+        .withColumn("nid", col("vec_id"))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 3)
+        .select(col("qid"), col("nid"))
+      val codes = ProductQuantizer.encode(e, m)
+      val approx = broadcast(q).join(codes, col("vec_id") =!= col("qid"))
+        .withColumn("d", ProductQuantizer.adcDist(m, col("qv")))
+        .withColumn("nid", col("vec_id"))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 3)
+        .select(col("qid").as("aqid"), col("nid").as("anid"))
+      exact.join(approx,
+          col("qid") === col("aqid") && col("nid") === col("anid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("anid")).as("hits"))
+        .orderBy(col("qid"))
     })
   )
 
@@ -172,42 +219,57 @@ object ClusterQueries {
     s"list_dot_product($v, $v) - 2 * list_dot_product($v, $c)" +
       s" + list_dot_product($c, $c)"
 
-  /** The k-means iteration restated as DuckDB CTEs; ends with `af`
-    * (vec_id, v, cell) — the final assignment — and `c$ITERS` (the final
-    * centroids). Must stay arithmetically identical to [[KMeansDet]]:
-    * same init, same distance expression, same tie-break, same 6-dp mean
-    * rounding, same empty-cell carry-over. `eWhere` restricts the FIT
-    * corpus (x128 trains on yesterday's corpus only). */
-  private def kmeansCtes(eWhere: String = "TRUE"): String = {
+  /** One k-means iteration chain restated as DuckDB CTEs, names prefixed
+    * with `p`: ends with `${p}af` (vec_id, v, cell) — the final
+    * assignment — and `${p}c$ITERS` (the final centroids). Must stay
+    * arithmetically identical to [[KMeansDet]]: same init, same distance
+    * expression, same tie-break, same 6-dp mean rounding, same empty-cell
+    * carry-over. `vexpr` is the vector expression over `embeddings`
+    * (x129/x130 fit one chain per subspace SLICE); `eWhere` restricts the
+    * FIT corpus (x128 trains on yesterday's corpus only). */
+  private def kmeansChain(p: String, vexpr: String, dims: Int,
+                          eWhere: String): String = {
     val sb = new StringBuilder
-    sb ++= s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+    sb ++= s"""${p}e AS (SELECT vec_id, $vexpr AS v
                      FROM embeddings WHERE $eWhere),
-      c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cell, v AS c
-             FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $K)),"""
+      ${p}c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cell,
+                        v AS c
+             FROM (SELECT vec_id, v FROM ${p}e ORDER BY vec_id LIMIT $K)),"""
     for (i <- 1 to ITERS) {
-      val prev = s"c${i - 1}"
+      val prev = s"${p}c${i - 1}"
       sb ++= s"""
-      a$i AS (SELECT vec_id, v, cell FROM (
+      ${p}a$i AS (SELECT vec_id, v, cell FROM (
           SELECT e.vec_id, e.v, c.cell,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${distSql("e.v", "c.c")} ASC, c.cell ASC) AS rn
-          FROM e CROSS JOIN $prev c) WHERE rn = 1),
-      m$i AS (SELECT cell, i, round(avg(v[i]), 6) AS mv
-              FROM a$i CROSS JOIN generate_series(1, $DIMS) AS g(i)
+          FROM ${p}e e CROSS JOIN $prev c) WHERE rn = 1),
+      ${p}m$i AS (SELECT cell, i, round(avg(v[i]), 6) AS mv
+              FROM ${p}a$i CROSS JOIN generate_series(1, $dims) AS g(i)
               GROUP BY cell, i),
-      c$i AS (SELECT p.cell, coalesce(mm.c, p.c) AS c
+      ${p}c$i AS (SELECT p.cell, coalesce(mm.c, p.c) AS c
               FROM $prev p LEFT JOIN (SELECT cell, list(mv ORDER BY i) AS c
-                                      FROM m$i GROUP BY cell) mm
+                                      FROM ${p}m$i GROUP BY cell) mm
                 USING (cell)),"""
     }
     sb ++= s"""
-      af AS (SELECT vec_id, v, cell FROM (
+      ${p}af AS (SELECT vec_id, v, cell FROM (
           SELECT e.vec_id, e.v, c.cell,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${distSql("e.v", "c.c")} ASC, c.cell ASC) AS rn
-          FROM e CROSS JOIN c$ITERS c) WHERE rn = 1)"""
+          FROM ${p}e e CROSS JOIN ${p}c$ITERS c) WHERE rn = 1)"""
     sb.toString
   }
+
+  private def kmeansCtes(eWhere: String = "TRUE"): String =
+    kmeansChain("", "embedding::DOUBLE[]", DIMS, eWhere)
+
+  /** The four per-subspace PQ chains (p0..p3 over 16-dim slices). */
+  private def pqChains: String =
+    (0 until PQ_M).map { j =>
+      kmeansChain(s"p$j",
+        s"(embedding::DOUBLE[])[${j * PQ_SD + 1}:${(j + 1) * PQ_SD}]",
+        PQ_SD, "TRUE")
+    }.mkString(",\n      ")
 
   private val cosSql =
     """CASE WHEN a.n = 0 OR b.n = 0 THEN NULL
@@ -283,6 +345,45 @@ object ClusterQueries {
           SELECT id_b AS vec_id, cell, min(id_a) AS kept_id,
                  round(max(cos), 4) AS max_cos
           FROM p WHERE cos >= $TAU
-          GROUP BY id_b, cell ORDER BY vec_id"""
+          GROUP BY id_b, cell ORDER BY vec_id""",
+
+    "x129_pq_encode" ->
+      s"""WITH $pqChains
+          SELECT p0af.vec_id AS vec_id, p0af.cell AS c0, p1af.cell AS c1,
+                 p2af.cell AS c2, p3af.cell AS c3
+          FROM p0af JOIN p1af USING (vec_id) JOIN p2af USING (vec_id)
+               JOIN p3af USING (vec_id)
+          ORDER BY vec_id""",
+
+    "x130_pq_recall" -> {
+      val adc = (0 until PQ_M).map { j =>
+        distSql(s"(qs.qv)[${j * PQ_SD + 1}:${(j + 1) * PQ_SD}]", s"k$j.c")
+      }.map(t => s"($t)").mkString(" + ")
+      val lutJoins = (0 until PQ_M)
+        .map(j => s"JOIN p${j}c$ITERS k$j ON k$j.cell = cd.c$j")
+        .mkString("\n       ")
+      s"""WITH $pqChains,
+          ef AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          qs AS (SELECT vec_id AS qid, v AS qv FROM ef WHERE vec_id < 10),
+          cds AS (SELECT p0af.vec_id AS vec_id, p0af.cell AS c0,
+                         p1af.cell AS c1, p2af.cell AS c2, p3af.cell AS c3
+                  FROM p0af JOIN p1af USING (vec_id)
+                       JOIN p2af USING (vec_id) JOIN p3af USING (vec_id)),
+          ex AS (SELECT qid, nid FROM (
+              SELECT qs.qid, x.vec_id AS nid,
+                row_number() OVER (PARTITION BY qs.qid
+                  ORDER BY ${distSql("qs.qv", "x.v")} ASC, x.vec_id ASC)
+                  AS rn
+              FROM qs JOIN ef x ON x.vec_id <> qs.qid) WHERE rn <= 3),
+          ap AS (SELECT qid, nid FROM (
+              SELECT qs.qid, cd.vec_id AS nid,
+                row_number() OVER (PARTITION BY qs.qid
+                  ORDER BY ($adc) ASC, cd.vec_id ASC) AS rn
+              FROM qs JOIN cds cd ON cd.vec_id <> qs.qid
+              $lutJoins) WHERE rn <= 3)
+          SELECT ex.qid AS qid, count(ap.nid) AS hits
+          FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.nid = ex.nid
+          GROUP BY ex.qid ORDER BY ex.qid"""
+    }
   )
 }

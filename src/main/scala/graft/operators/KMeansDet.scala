@@ -72,18 +72,26 @@ object KMeansDet {
     if (m.k <= LiteralFormMaxK) assignPassLiteral(e, m)
     else assignPassJoin(e, m)
 
-  private[operators] def assignPassLiteral(e: DataFrame, m: Model): DataFrame = {
+  /** The k-way argmin over `m`'s centroids as ONE expression on vector
+    * column `v` (with `vv` = dot(v,v) provided by the caller, usually a
+    * prior withColumn so codegen computes it once): array_min over
+    * (dist, cell) structs with literal centroid halves. Shared by the
+    * small-k assignment pass and [[ProductQuantizer]]'s per-subspace
+    * encoder. Only for small k — see [[LiteralFormMaxK]]. */
+  private[operators] def argminCell(m: Model, v: Column, vv: Column): Column = {
     val cands = m.centroids.zipWithIndex.map { case (c, i) =>
       val cc = c.foldLeft(0.0)((acc, x) => acc + x * x) // seq fold = oracle
       struct(
-        (col("_vv") - lit(2.0) * V.dot(col("_v"), typedlit(c.toSeq))
-          + lit(cc)).as("_d"),
+        (vv - lit(2.0) * V.dot(v, typedlit(c.toSeq)) + lit(cc)).as("_d"),
         lit(i).as("_cell"))
     }
-    e.withColumn("_vv", V.dot(col("_v"), col("_v")))
-      .withColumn("_m", array_min(array(cands.toIndexedSeq: _*)))
-      .select(col("_id"), col("_v"), col("_m._cell").as("_cell"))
+    array_min(array(cands.toIndexedSeq: _*)).getField("_cell")
   }
+
+  private[operators] def assignPassLiteral(e: DataFrame, m: Model): DataFrame =
+    e.withColumn("_vv", V.dot(col("_v"), col("_v")))
+      .withColumn("_cell", argminCell(m, col("_v"), col("_vv")))
+      .select(col("_id"), col("_v"), col("_cell"))
 
   private[operators] def assignPassJoin(e: DataFrame, m: Model): DataFrame = {
     val spark = e.sparkSession

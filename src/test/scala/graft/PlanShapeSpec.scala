@@ -1350,6 +1350,29 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x129 PQ encode is a single projection — no join, no aggregate, no shuffle but the output sort") {
+    val plan = planOf("x129_pq_encode")
+    assert("array_min".r.findAllIn(plan).size >= 4,
+      "expected one literal argmin per subspace:\n" + plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("Aggregate"), plan.take(3000))
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("x130 PQ recall: the ADC arm scans codes with a literal LUT; only the probe-set arms nested-loop") {
+    val plan = planOf("x130_pq_recall")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 2,
+      s"expected <= 2 probe-set nested loops, got $bnlj:\n" + plan.take(3000))
+    // the ADC distance must be an element_at LUT lookup, not a join
+    // against a centroid table
+    assert(plan.contains("element_at"),
+      "ADC LUT lookup missing:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("x127 recall audit: only the tiny probe-set arms may nested-loop; never the corpus against itself") {
     val plan = planOf("x127_ivf_recall")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
