@@ -144,6 +144,19 @@ object KMeansDet {
                              V.toDouble(col(vecCol)).as("_v")), m)
       .select(col("_id").as(idCol), col("_cell").cast("long").as("cell"))
 
+  /** [[assign]] keeping the double vector and its norm, as a PURE
+    * projection — no persist, no shuffle (for k ≤ [[LiteralFormMaxK]] no
+    * join either), so it is legal on a STREAMING frame: the shape
+    * [[graft.streaming.StreamingOps.streamingSemanticScreen]] maps over
+    * arriving vectors. Batch consumers that read the frame more than once
+    * want [[assignWithVec]] instead. */
+  def labeled(corpus: DataFrame, m: Model, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame =
+    assignPass(corpus.select(col(idCol).as("_id"),
+                             V.toDouble(col(vecCol)).as("_v")), m)
+      .select(col("_id").as(idCol), col("_cell").cast("long").as("cell"),
+              col("_v").as("v"), V.norm(col("_v")).as("nrm"))
+
   /** [[assign]] keeping the double vector and its norm — the shape the
     * within-cell similarity passes (x126/x127/x128) consume. The result is
     * PERSISTED under the implicit [[graft.ops.CacheScope]]: every consumer
@@ -159,11 +172,7 @@ object KMeansDet {
   def assignWithVec(corpus: DataFrame, m: Model, idCol: String = "vec_id",
                     vecCol: String = "embedding")
                    (implicit scope: graft.ops.CacheScope): DataFrame = {
-    val out = scope.persist(
-      assignPass(corpus.select(col(idCol).as("_id"),
-                               V.toDouble(col(vecCol)).as("_v")), m)
-        .select(col("_id").as(idCol), col("_cell").cast("long").as("cell"),
-                col("_v").as("v"), V.norm(col("_v")).as("nrm")))
+    val out = scope.persist(labeled(corpus, m, idCol, vecCol))
     out.count() // eager: populate once, before consumers fan out
     out
   }

@@ -622,6 +622,40 @@ object StreamingOps {
                       col("jw").as("jw"))).as("m"))
       .select(col("d_id"), col("m.cid").as("matched"), col("m.jw").as("jw"))
 
+  /** Streaming twin of batch x128 (incremental semantic dedup): each
+    * arriving embedding is labeled with its FROZEN-centroid cell by
+    * [[graft.operators.KMeansDet.labeled]] — a stateless codegen'd
+    * projection, legal on a stream because for the k ≤ 16 literal form it
+    * is just a map — then stream-static joined to the persisted cluster
+    * index on the cell key and screened at cos ≥ `tau`. Emits one row per
+    * (new vector, corpus match) — per-match like
+    * [[streamingNearDupCandidates]], since a per-new-id min/max
+    * aggregation would need stateful output; downstream keep/drop is
+    * idempotent on the evidence. State: NONE (stream-static inner joins
+    * are stateless; the static side re-reads per micro-batch, so a
+    * refreshed index picks up without restarting). Reconciliation: the
+    * distinct emitted rows after any prefix equal batch x128's pair frame
+    * over the same rows (StreamingSpec). */
+  def streamingSemanticScreen(stream: DataFrame, corpusIndex: DataFrame,
+                              m: graft.operators.KMeansDet.Model,
+                              tau: Double, idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    val a = graft.operators.KMeansDet.labeled(stream, m, idCol, vecCol)
+      .select(col(idCol).as("new_id"), col("cell"),
+              col("v").as("vb"), col("nrm").as("nb"))
+    val c = corpusIndex.select(col("cell"), col(idCol).as("corpus_id"),
+                               col("v").as("va"), col("nrm").as("na"))
+    a.join(c, Seq("cell"))
+      .withColumn("cos",
+        when(col("na") === 0.0 || col("nb") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(graft.functions.VectorFunctions.dot(col("va"), col("vb"))
+            / (col("na") * col("nb"))))
+      .filter(col("cos") >= tau)
+      .select(col("new_id"), col("cell"), col("corpus_id"),
+              round(col("cos"), 4).as("cos"))
+  }
+
   def streamingKmvDistinct(keys: DataFrame, k: Int = 64): DataFrame = {
     val bk = udaf(new graft.functions.BottomKDistinctLongAggregator(k),
                   org.apache.spark.sql.Encoders.scalaLong)

@@ -677,4 +677,39 @@ class StreamingSpec extends SparkSpec {
     assert(!batch.contains((1L, 3L)))
     assert(batch.exists { case (a, _) => a == 1L })
   }
+
+  test("streamingSemanticScreen: streamed vectors reconcile with batch x128's pair frame") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus: 8 orthogonal axes (the ClusterQueriesSpec geometry) -> a
+    // deterministic one-axis-per-cell index; batch: a scaled copy of axis
+    // 2 (cos = 1 with corpus id 2) and an all-new direction
+    val axes = (0 until 8).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => if (j == i) 1f else 0f))
+    }
+    val corpus = axes.toDF("vec_id", "embedding")
+    val m = graft.operators.KMeansDet.fit(corpus, k = 8, iters = 2)
+    val index = graft.operators.KMeansDet.assignWithVec(corpus, m)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val q = StreamingOps.streamingSemanticScreen(stream, index, m, 0.4)
+      .writeStream.format("memory").queryName("sem").outputMode("append")
+      .start()
+    val fresh = Seq.tabulate(8)(j => if (j < 4) 0.5f else -0.5f)
+    mem.addData((20L, Seq.tabulate(8)(j => if (j == 2) 1.01f else 0f)),
+                (21L, fresh))
+    q.processAllAvailable()
+    val got = spark.sql("select distinct new_id, corpus_id, cos from sem")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    // batch x128's pair frame over the same rows: only the copy matches
+    assert(got == Set((20L, 2L, 1.0)))
+    // and the streamed evidence equals the batch screen of the same batch
+    val batchPairs = StreamingOps.streamingSemanticScreen(
+      Seq((20L, Seq.tabulate(8)(j => if (j == 2) 1.01f else 0f)),
+          (21L, fresh)).toDF("vec_id", "embedding"), index, m, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(batchPairs.map(t => (t._1, t._2, t._3)) == got)
+    spark.catalog.clearCache()
+  }
 }
