@@ -210,6 +210,44 @@ object ClusterQueries {
         .groupBy(col("qid"))
         .agg(count(col("anid")).as("hits"))
         .orderBy(col("qid"))
+    }),
+
+    // X131 — IVF-ADC serving (the classic IVFADC composition): the coarse
+    // quantizer prunes to nprobe=2 of 8 cells, then candidates are ranked
+    // by ADC over their 4 PQ codes — the serving path scans nprobe/nlist
+    // of a 4-codes-per-vector index, never a raw vector. The output IS
+    // the served answer (qid, rank, nid, adc), all of it in the hash:
+    // coarse assignment, codes, LUT arithmetic, and tie-breaks.
+    "x131_ivfadc_search" -> ((s, dir) => {
+      import graft.operators.{KMeansDet, ProductQuantizer}
+      val e = Tables(s, dir, "embeddings")
+      val coarse = KMeansDet.fit(e, K, ITERS)
+      val pq = ProductQuantizer.fit(e, PQ_M, K, ITERS, DIMS)
+      // the serving index: (vec_id, cell, c0..c3) — cells for pruning,
+      // codes for ranking; at scale this is written PARTITIONED BY cell
+      val idx = KMeansDet.assign(e, coarse)
+        .join(ProductQuantizer.encode(e, pq), Seq("vec_id"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+                V.toDouble(col("embedding")).as("qv"))
+      val probed = broadcast(q).crossJoin(broadcast(centroidFrame(s, coarse)))
+        .withColumn("d",
+          V.dot(col("qv"), col("qv")) - lit(2.0) * V.dot(col("qv"), col("c"))
+            + V.dot(col("c"), col("c")))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("d").asc, col("cell").asc)))
+        .filter(col("rn") <= 2)
+        .select(col("qid"), col("cell").as("pcell"))
+      val qp = broadcast(q.join(probed, Seq("qid")))
+      qp.join(idx, col("cell") === col("pcell") &&
+                   col("vec_id") =!= col("qid"))
+        .withColumn("adc", ProductQuantizer.adcDist(pq, col("qv")))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("adc").asc, col("vec_id").asc)))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vec_id").as("nid"),
+                round(col("adc"), 4).as("adc"))
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -384,6 +422,39 @@ object ClusterQueries {
           SELECT ex.qid AS qid, count(ap.nid) AS hits
           FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.nid = ex.nid
           GROUP BY ex.qid ORDER BY ex.qid"""
+    },
+
+    "x131_ivfadc_search" -> {
+      val adc = (0 until PQ_M).map { j =>
+        distSql(s"(qs.qv)[${j * PQ_SD + 1}:${(j + 1) * PQ_SD}]", s"k$j.c")
+      }.map(t => s"($t)").mkString(" + ")
+      val lutJoins = (0 until PQ_M)
+        .map(j => s"JOIN p${j}c$ITERS k$j ON k$j.cell = cd.c$j")
+        .mkString("\n       ")
+      s"""WITH ${kmeansChain("g", "embedding::DOUBLE[]", DIMS, "TRUE")},
+          $pqChains,
+          qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 10),
+          cds AS (SELECT p0af.vec_id AS vec_id, gaf.cell AS cell,
+                         p0af.cell AS c0, p1af.cell AS c1,
+                         p2af.cell AS c2, p3af.cell AS c3
+                  FROM p0af JOIN p1af USING (vec_id)
+                       JOIN p2af USING (vec_id) JOIN p3af USING (vec_id)
+                       JOIN gaf USING (vec_id)),
+          pr AS (SELECT qid, cell FROM (
+              SELECT qs.qid, c.cell,
+                row_number() OVER (PARTITION BY qs.qid
+                  ORDER BY ${distSql("qs.qv", "c.c")} ASC, c.cell ASC) AS rn
+              FROM qs CROSS JOIN gc$ITERS c) WHERE rn <= 2)
+          SELECT qid, rank, nid, adc FROM (
+              SELECT qs.qid, cd.vec_id AS nid,
+                round(($adc), 4) AS adc,
+                row_number() OVER (PARTITION BY qs.qid
+                  ORDER BY ($adc) ASC, cd.vec_id ASC) AS rank
+              FROM qs JOIN pr ON pr.qid = qs.qid
+              JOIN cds cd ON cd.cell = pr.cell AND cd.vec_id <> qs.qid
+              $lutJoins)
+          WHERE rank <= 3 ORDER BY qid, rank"""
     }
   )
 }

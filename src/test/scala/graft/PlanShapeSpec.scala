@@ -1373,6 +1373,19 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x131 IVF-ADC serving: cell-pruned equi join over the code index, ADC via literal LUT") {
+    val plan = planOf("x131_ivfadc_search")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the only nested loop is the 10-query × 8-centroid probe cross join;
+    // the candidate scan must drive on the cell equi key
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1,
+      s"expected <= 1 probe nested loop, got $bnlj:\n" + plan.take(3000))
+    assert(plan.contains("element_at"),
+      "ADC LUT lookup missing:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("x127 recall audit: only the tiny probe-set arms may nested-loop; never the corpus against itself") {
     val plan = planOf("x127_ivf_recall")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
