@@ -224,9 +224,9 @@ object ClusterQueries {
       val coarse = KMeansDet.fit(e, K, ITERS)
       val pq = ProductQuantizer.fit(e, PQ_M, K, ITERS, DIMS)
       // the serving index: (vec_id, cell, c0..c3) — cells for pruning,
-      // codes for ranking; at scale this is written PARTITIONED BY cell
-      val idx = KMeansDet.assign(e, coarse)
-        .join(ProductQuantizer.encode(e, pq), Seq("vec_id"))
+      // codes for ranking, built in ONE projection (no vec_id self-join);
+      // at scale this is written PARTITIONED BY cell
+      val idx = ProductQuantizer.encodeWithCell(e, pq, coarse)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"),
                 V.toDouble(col("embedding")).as("qv"))

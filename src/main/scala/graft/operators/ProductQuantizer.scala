@@ -56,6 +56,23 @@ object ProductQuantizer {
     corpus.select(col(idCol) +: codes.toIndexedSeq: _*)
   }
 
+  /** [[encode]] plus a coarse-quantizer cell label, still ONE projection
+    * — the (vec_id, cell, c0..c{m-1}) serving index of x131, built
+    * without the vec_id self-join of two separate labeling passes. At
+    * scale this single pass is what gets written PARTITIONED BY cell. */
+  def encodeWithCell(corpus: DataFrame, model: Model,
+                     coarse: KMeansDet.Model, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val v = V.toDouble(col(vecCol))
+    val cell = KMeansDet.argminCell(coarse, v, V.dot(v, v))
+      .cast("long").as("cell")
+    val codes = model.sub.zipWithIndex.map { case (km, j) =>
+      val s = slice(v, j * model.subDim + 1, model.subDim)
+      KMeansDet.argminCell(km, s, V.dot(s, s)).cast("long").as(s"c$j")
+    }
+    corpus.select(col(idCol) +: cell +: codes.toIndexedSeq: _*)
+  }
+
   /** Asymmetric (ADC) squared-L2 distance from widened query vector `qv`
     * to the encoded point whose code columns c0..c{m-1} are in scope:
     * Σ_j [dot(q_j,q_j) − 2·dot(q_j,c) + dot(c,c)] with c looked up from
