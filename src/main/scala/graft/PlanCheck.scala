@@ -65,7 +65,10 @@ object PlanCheck {
                "x109_hierarchy_rollup", "x110_salted_join",
                "x111_digest_reconcile", "x112_cusum_alarms",
                "x113_ushape_attribution", "x114_rfm_segments",
-               "x115_weighted_sssp", "b08_aqp_steady", "q118_bag_setops")
+               "x115_weighted_sssp", "b08_aqp_steady", "q118_bag_setops",
+               "x125_kmeans_embed", "x126_semantic_dedup",
+               "x127_ivf_recall", "x128_semantic_incremental",
+               "x129_pq_encode", "x130_pq_recall", "x131_ivfadc_search")
     val spark = Sessions.local("8")
     names.foreach { n =>
       println(s"\n========== $n ==========")
