@@ -997,6 +997,35 @@ object ExtensionQueries {
         .orderBy(col("bucket"))
     }),
 
+    // X132 — mergeable quantile sketch (HdrHistogram's decimal device):
+    // values collapse to 3-significant-digit buckets b = digits·1000 +
+    // leading-three-digits — PURE INTEGER math, so the sketch is
+    // cross-engine exact, mergeable by count addition (a groupBy — the
+    // missing member of the CMS/KMV/HLL/SpaceSaving sketch family), and
+    // bounded at ~9·900 buckets whatever N does. p50/p90/p99 come from
+    // `PrefixSumOps.selectRanks` over the TINY bucket domain; the
+    // estimate is the bucket's upper bound in cents, relative error
+    // ≤ 1/m ≤ 1% by construction (QuantileSketchSpec audits it against
+    // exact). The exact-quantile twin is q106: one sort-free census per
+    // query; THIS is the shape that serves dashboards from pre-merged
+    // per-partition counts without touching the fact table again.
+    "x132_quantile_sketch" -> ((s, dir) => {
+      import graft.ops.QuantileSketchOps
+      val vc = Tables(s, dir, "lineitem")
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("_c"))
+        .select(QuantileSketchOps.bucketOf(col("_c")).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).cast("long").as("cnt"))
+      graft.ops.PrefixSumOps.selectRanks(vc, Nil, "b", "cnt",
+          array(expr("(_tot * 50 + 99) DIV 100"),
+                expr("(_tot * 90 + 99) DIV 100"),
+                expr("(_tot * 99 + 99) DIV 100")))
+        .select(element_at(typedLit(Seq(50L, 90L, 99L)),
+                  col("_ri").cast("int") + 1).as("p"),
+                col("b"),
+                QuantileSketchOps.upperBound(col("b")).as("est_cents"))
+        .orderBy(col("p"))
+    }),
+
     // X94 — KMV (k-minimum-values) distinct-cardinality algebra: per-source
     // distinct-token estimates plus UNION and INTERSECTION estimates for
     // every source pair, all from O(k)-state sketches. The sketch is the
@@ -1802,6 +1831,31 @@ object ExtensionQueries {
              "sum(('0x' || substr(md5(doc_id::VARCHAR || ':' || text), " +
                "1, 12))::BIGINT)")} AS digest
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "x132_quantile_sketch" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                    FROM lineitem),
+          bk AS (SELECT CASE WHEN c <= 0 THEN 0
+                   WHEN length(CAST(c AS VARCHAR)) <= 3
+                     THEN length(CAST(c AS VARCHAR)) * 1000 + c
+                   ELSE length(CAST(c AS VARCHAR)) * 1000
+                     + c // CAST(pow(10, length(CAST(c AS VARCHAR)) - 3)
+                             AS BIGINT)
+                 END AS b FROM c),
+          vc AS (SELECT b, count(*)::BIGINT AS cnt FROM bk GROUP BY b),
+          cum AS (SELECT b, sum(cnt) OVER (ORDER BY b) AS cum,
+                         (SELECT sum(cnt) FROM vc) AS tot
+                  FROM vc),
+          ps AS (SELECT unnest([50, 90, 99]) AS p),
+          sel AS (SELECT p, min(b) AS b
+                  FROM ps JOIN cum ON cum.cum >= (tot * p + 99) // 100
+                  GROUP BY p)
+          SELECT CAST(p AS BIGINT) AS p, b,
+                 CASE WHEN b // 1000 <= 3 THEN b % 1000
+                      ELSE (b % 1000 + 1)
+                        * CAST(pow(10, b // 1000 - 3) AS BIGINT) - 1
+                 END AS est_cents
+          FROM sel ORDER BY p""",
 
     "x94_kmv_cardinality" -> {
       val est = (kmv: String) =>

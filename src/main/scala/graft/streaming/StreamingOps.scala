@@ -656,6 +656,19 @@ object StreamingOps {
               round(col("cos"), 4).as("cos"))
   }
 
+  /** Streaming twin of batch x132's quantile sketch: per-bucket counts
+    * maintained as a streaming aggregation — state is the ~9·900-bucket
+    * count table (bounded whatever the stream does), and merging is count
+    * addition, so the streamed sketch after any prefix EQUALS the batch
+    * sketch over the same rows (StreamingSpec). Quantile READS happen
+    * batch-side on the materialized counts ([[graft.ops.QuantileSketchOps
+    * .upperBound]] + a rank scan) — the sketch is the streaming state,
+    * the estimate is a query over it. */
+  def streamingQuantileSketch(cents: DataFrame,
+                              centsCol: String = "c"): DataFrame =
+    cents.select(graft.ops.QuantileSketchOps.bucketOf(col(centsCol)).as("b"))
+      .groupBy(col("b")).count()
+
   def streamingKmvDistinct(keys: DataFrame, k: Int = 64): DataFrame = {
     val bk = udaf(new graft.functions.BottomKDistinctLongAggregator(k),
                   org.apache.spark.sql.Encoders.scalaLong)

@@ -712,4 +712,29 @@ class StreamingSpec extends SparkSpec {
     assert(batchPairs.map(t => (t._1, t._2, t._3)) == got)
     spark.catalog.clearCache()
   }
+
+  test("streamingQuantileSketch: streamed bucket counts equal the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cents = Seq(420L, 999L, 1000L, 5292311L, 5299999L, 5300000L,
+                    7L, 0L, 123456L, 123999L)
+    val mem = MemoryStream[Long]
+    val q = StreamingOps.streamingQuantileSketch(mem.toDF().toDF("c"))
+      .writeStream.format("memory").queryName("qs").outputMode("complete")
+      .start()
+    mem.addData(cents.take(4): _*)
+    q.processAllAvailable()
+    mem.addData(cents.drop(4): _*) // second batch merges into the state
+    q.processAllAvailable()
+    val streamed = spark.sql("select b, count from qs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    val batch = cents.toDF("c")
+      .select(graft.ops.QuantileSketchOps.bucketOf(col("c")).as("b"))
+      .groupBy("b").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    // boundary sanity: 5299999 and 5300000 land in adjacent buckets
+    assert(batch.contains(7529L) && batch.contains(7530L))
+  }
 }
