@@ -48,7 +48,7 @@ object KMeansDet {
     * dozen the generated method outgrows what Janino will compile — the
     * whole projection then evaluates INTERPRETED, measured ~7× slower at
     * k=80 than the join form it was supposed to beat. */
-  private val LiteralFormMaxK = 16
+  private[graft] val LiteralFormMaxK = 16
 
   /** One argmin-assignment pass: (id, v, cell), form picked by k.
     *
@@ -111,7 +111,12 @@ object KMeansDet {
   /** Fit `iters` Lloyd iterations from the deterministic id-rank init.
     * Each iteration runs one assignment pass and one rounded-mean update;
     * the k-row centroid collect per iteration is the certified-small
-    * driver materialization documented above. */
+    * driver materialization documented above.
+    *
+    * Caller contract: `idCol` values are UNIQUE — the id-rank init (and
+    * its oracle restatement, `ORDER BY id LIMIT k`) is only deterministic
+    * when the k smallest ids name k specific vectors; duplicate ids make
+    * the tie between their rows engine-private. */
   def fit(corpus: DataFrame, k: Int, iters: Int, idCol: String = "vec_id",
           vecCol: String = "embedding"): Model = {
     val e = corpus.select(col(idCol).as("_id"),

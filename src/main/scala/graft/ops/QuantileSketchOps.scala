@@ -10,7 +10,12 @@ import org.apache.spark.sql.functions._
   * (cross-engine exact — the leading digits come from a SUBSTRING of the
   * decimal rendering, no FP division anywhere), mergeable by count
   * addition, bounded at ~9·900 buckets, and its bucket-upper-bound
-  * estimate carries relative error ≤ 1/m ≤ 1%. */
+  * estimate carries relative error ≤ 1/m ≤ 1%.
+  *
+  * Signed values: all non-positive cents collapse into bucket 0 with
+  * estimate 0 — still an upper bound, but with NO precision. Callers
+  * sketching signed quantities split by sign (sketch the negated
+  * negatives separately) rather than feeding them through. */
 object QuantileSketchOps {
 
   /** Bucket id for a BIGINT cents column (the oracle's

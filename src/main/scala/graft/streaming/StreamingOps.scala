@@ -640,6 +640,12 @@ object StreamingOps {
                               m: graft.operators.KMeansDet.Model,
                               tau: Double, idCol: String = "vec_id",
                               vecCol: String = "embedding"): DataFrame = {
+    // beyond the literal-form threshold, labeling needs the broadcast-join
+    // + re-aggregation form — a stateful shape that is not legal on a
+    // stream; fail loud here instead of deep inside the stream planner
+    require(m.k <= graft.operators.KMeansDet.LiteralFormMaxK,
+      s"streaming screen needs the stateless literal argmin (k <= " +
+        s"${graft.operators.KMeansDet.LiteralFormMaxK}), got k=${m.k}")
     val a = graft.operators.KMeansDet.labeled(stream, m, idCol, vecCol)
       .select(col(idCol).as("new_id"), col("cell"),
               col("v").as("vb"), col("nrm").as("nb"))
