@@ -167,6 +167,36 @@ object ClusterQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // X133 — SemDeDup with k AS A SCALE FUNCTION: k = max(8, ⌈√N/3⌉) —
+    // √N keeps the two cost terms (assignment c₁·N·k, pairs c₂·N²/k)
+    // balanced at N^1.5, and the ÷3 is the MEASURED √(c₂/c₁) of this
+    // engine (the join-form assignment constant is ~10× the pair-dot
+    // constant). This is the governance the sf3 probe proved x126's
+    // fixed k=8 needs (6.4× for 3× data at 60k vectors). N is one
+    // certified-small count; the oracle re-derives the same k from its
+    // own count(*), so the SCALE DECISION is part of the hash, like
+    // x123's purge flag.
+    "x133_semantic_scaled" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val n = e.count() // certified small: one scalar
+      val k = math.max(K, math.ceil(math.sqrt(n.toDouble) / 3).toInt)
+      val m = KMeansDet.fit(e, k, ITERS)
+      val sn = KMeansDet.assignWithVec(e, m)
+      val a = sn.select(col("cell"), col("vec_id").as("id_a"),
+                        col("v").as("va"), col("nrm").as("na"))
+      val b = sn.select(col("cell"), col("vec_id").as("id_b"),
+                        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+        .withColumn("cos", cosOf("va", "na", "vb", "nb"))
+        .filter(col("cos") >= TAU)
+        .groupBy(col("id_b"), col("cell"))
+        .agg(min(col("id_a")).as("kept_id"),
+             round(max(col("cos")), 4).as("max_cos"))
+        .select(col("id_b").as("vec_id"), col("cell"), col("kept_id"),
+                col("max_cos"))
+        .orderBy(col("vec_id"))
+    }),
+
     // X129 — product-quantization encode: every vector compressed to 4
     // codebook codes (4 × 16-dim KMeansDet sub-fits). The codes ARE the
     // output — full encode parity, the strongest oracle for a compressor.
@@ -266,13 +296,13 @@ object ClusterQueries {
     * (x129/x130 fit one chain per subspace SLICE); `eWhere` restricts the
     * FIT corpus (x128 trains on yesterday's corpus only). */
   private def kmeansChain(p: String, vexpr: String, dims: Int,
-                          eWhere: String): String = {
+                          eWhere: String, kSql: String = K.toString): String = {
     val sb = new StringBuilder
     sb ++= s"""${p}e AS (SELECT vec_id, $vexpr AS v
                      FROM embeddings WHERE $eWhere),
-      ${p}c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cell,
-                        v AS c
-             FROM (SELECT vec_id, v FROM ${p}e ORDER BY vec_id LIMIT $K)),"""
+      ${p}c0 AS (SELECT rn - 1 AS cell, v AS c FROM (
+               SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+               FROM ${p}e) WHERE rn <= ($kSql)),"""
     for (i <- 1 to ITERS) {
       val prev = s"${p}c${i - 1}"
       sb ++= s"""
@@ -384,6 +414,22 @@ object ClusterQueries {
                  round(max(cos), 4) AS max_cos
           FROM p WHERE cos >= $TAU
           GROUP BY id_b, cell ORDER BY vec_id""",
+
+    "x133_semantic_scaled" -> {
+      val kSql = s"SELECT greatest($K, CAST(ceil(sqrt(count(*)) / 3) " +
+        "AS BIGINT)) FROM e"
+      s"""WITH ${kmeansChain("", "embedding::DOUBLE[]", DIMS, "TRUE", kSql)},
+          sn AS (SELECT vec_id, cell, v,
+                   sqrt(list_dot_product(v, v)) AS n FROM af),
+          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, b.cell AS cell,
+                  $cosSql AS cos
+                FROM sn a JOIN sn b
+                  ON b.cell = a.cell AND b.vec_id > a.vec_id)
+          SELECT id_b AS vec_id, cell, min(id_a) AS kept_id,
+                 round(max(cos), 4) AS max_cos
+          FROM p WHERE cos >= $TAU
+          GROUP BY id_b, cell ORDER BY vec_id"""
+    },
 
     "x129_pq_encode" ->
       s"""WITH $pqChains

@@ -43,11 +43,14 @@ object KMeansDet {
     def k: Int = centroids.length
   }
 
-  /** Above this k the argmin falls back to the broadcast-join form: the
-    * literal projection generates k inlined dist branches, and past a few
-    * dozen the generated method outgrows what Janino will compile — the
-    * whole projection then evaluates INTERPRETED, measured ~7× slower at
-    * k=80 than the join form it was supposed to beat. */
+  /** Above this k the argmin falls back to the broadcast-join form. Two
+    * measured failure modes rule out stretching the literal projection:
+    * a FLAT k-branch array outgrows what Janino compiles past a few dozen
+    * branches (interpreted fallback, ~7× slower at k=80), and a chunked
+    * two-level `array_min` DOES compile but pays multi-second CODEGEN
+    * time per plan for the k·d embedded literals (k=142: 48 s/run, vs
+    * 9.5 s join-form, vs 2 s execution-only). k as data — the broadcast
+    * join — is the only shape whose cost is flat in code size. */
   private[graft] val LiteralFormMaxK = 16
 
   /** One argmin-assignment pass: (id, v, cell), form picked by k.
