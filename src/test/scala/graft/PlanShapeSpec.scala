@@ -1332,7 +1332,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("x126/x128 pair joins are cell-keyed equi joins over the cached cluster index") {
-    for (name <- Seq("x126_semantic_dedup", "x128_semantic_incremental")) {
+    for (name <- Seq("x126_semantic_dedup", "x128_semantic_incremental",
+                     "x133_semantic_scaled")) {
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct"), s"$name:\n" + plan.take(3000))
       assert(!plan.contains("BroadcastNestedLoopJoin"),
