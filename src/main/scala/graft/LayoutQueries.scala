@@ -49,6 +49,12 @@ object LayoutQueries {
   private def blockKey(nm: String): String =
     s"concat(substring($nm, 1, 3), substring($nm, -3, 3))"
 
+  /** x123's block-size purge cap — shared by the Spark query and its
+    * oracle SQL (interpolated) so the two sides cannot drift. Calibrated
+    * so the oracle gates exercise all three regimes: no purge at
+    * sf0.001, partial purge at sf0.01, full purge at sf0.1. */
+  private val X123Cap = 4L
+
   /** x62: boundary positions = p ≥ 2 where md5 of the 8-char window at p
     * hits 0 mod 32 (expected chunk length ≈ 32 chars). This composed
     * form is the REFERENCE the native one-pass
@@ -326,14 +332,16 @@ object LayoutQueries {
     // consolidate as singletons), bounding candidate cost at cap·N
     // whatever the key distribution does — and the purge is AUDITED per
     // output row (`purged` = this cluster's records all sit in over-cap
-    // blocks), never silent. cap = 8 is calibrated to the fixture: no
-    // purge at sf0.001 (the result equals x102's consolidation),
-    // PARTIAL purge at sf0.01 (two-customer suffix blocks purge,
-    // one-customer blocks link — the oracle gate exercises both paths),
-    // full purge on the saturated sf0.1/sf1 key space (bounded cost is
-    // the demonstration — see SCALING.md round 11).
+    // blocks), never silent. cap = X123Cap (one shared constant — the
+    // oracle SQL interpolates the same value, so the two sides cannot
+    // drift), calibrated to the fixture: no purge at sf0.001 (the result
+    // equals x102's consolidation), PARTIAL purge at sf0.01
+    // (two-customer suffix blocks purge, one-customer blocks link — the
+    // oracle gate exercises both paths), full purge on the saturated
+    // sf0.1/sf1 key space (bounded cost is the demonstration — see
+    // SCALING.md round 11).
     "x123_purged_linkage" -> ((s, dir) => {
-      val cap = 4L
+      val cap = X123Cap
       val recs = goldenRecords(Tables(s, dir, "customer")).persist()
       val bs = recs.groupBy(col("bk")).agg(count(lit(1)).as("_bn"))
       val withSize = recs.join(bs, Seq("bk"))
@@ -867,7 +875,7 @@ object LayoutQueries {
           bkd AS (SELECT rid, nm, ${blockKey("nm")} AS bk FROM recs),
           bsz AS (SELECT bk, count(*)::BIGINT AS bn FROM bkd GROUP BY bk),
           kept AS (SELECT bkd.rid, bkd.nm, bkd.bk
-                   FROM bkd JOIN bsz USING (bk) WHERE bn <= 4),
+                   FROM bkd JOIN bsz USING (bk) WHERE bn <= $X123Cap),
           pairs AS (SELECT a.rid AS src, b.rid AS dst
                     FROM kept a JOIN kept b
                       ON a.bk = b.bk AND a.rid < b.rid
@@ -887,7 +895,7 @@ object LayoutQueries {
                 LEFT JOIN lab ON lab.id = r.rid),
           g AS (SELECT label, count(*)::BIGINT AS n_records,
                   max(bal)::BIGINT AS bal_cents, min(seg) AS segment,
-                  min(CASE WHEN bn > 4 THEN 1 ELSE 0 END) AS allover
+                  min(CASE WHEN bn > $X123Cap THEN 1 ELSE 0 END) AS allover
                 FROM j GROUP BY label),
           best AS (SELECT label, nm,
                      row_number() OVER (PARTITION BY label

@@ -20,8 +20,13 @@ import graft.functions.{VectorFunctions => V}
   *     with ties broken by smallest cell id (`min(struct(dist, cell))`);
   *   - update: element-wise mean, each component rounded to 6 decimals —
   *     the rounding absorbs partition-order float-sum noise (~1e-13
-  *     relative) so the next iteration's distances are computed from
-  *     bit-identical centroids on ANY partitioning or engine;
+  *     relative), so the next iteration's distances are in practice
+  *     computed from bit-identical centroids on any partitioning or
+  *     engine. This absorption is PROBABILISTIC, not absolute: a mean
+  *     landing within the noise of a 0.5e-6 rounding boundary can still
+  *     round differently (residual risk ~1e-7 per cell-dim-iteration;
+  *     see the note at the update step for the canonical-order-summation
+  *     alternative a hard guarantee would require);
   *   - an emptied cell keeps its previous centroid (never NaN, never a
   *     re-seed).
   *
@@ -133,6 +138,17 @@ object KMeansDet {
       val means = assignPass(e, m)
         .select(col("_cell"), posexplode(col("_v")).as(Seq("_p", "_x")))
         .groupBy(col("_cell"), col("_p"))
+        // round(avg, 6) absorbs the ~1e-13 partition-order float-sum
+        // noise in avg — PROBABILISTICALLY, not as a hard guarantee: a
+        // cell mean landing within that noise of a 0.5e-6 rounding
+        // boundary could still round differently across partitionings
+        // or engines and flip downstream assignments. The specs'
+        // dyadic-grid fixtures make the sum order provably irrelevant;
+        // on arbitrary data the residual boundary risk is ~(noise /
+        // rounding step) ≈ 1e-7 per cell-dim per iteration. A hard
+        // guarantee would need canonical-order summation (sort-then-fold
+        // of collected per-cell partials) — not paid here because every
+        // oracle gate since x125 has held across 32-partition shuffles.
         .agg(round(avg(col("_x")), 6).as("_mv"))
         .groupBy(col("_cell"))
         .agg(transform(array_sort(collect_list(struct(col("_p"), col("_mv")))),

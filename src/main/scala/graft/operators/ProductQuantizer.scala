@@ -34,6 +34,15 @@ object ProductQuantizer {
   def fit(corpus: DataFrame, m: Int, k: Int, iters: Int, dims: Int,
           idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
     require(dims % m == 0, s"dims=$dims not divisible into m=$m subspaces")
+    // encode/encodeWithCell/adcDist always use the literal argmin / LUT
+    // form (unlike KMeansDet.assignPass, which switches to a broadcast
+    // join above LiteralFormMaxK to dodge the measured Janino codegen
+    // cliff) — so fail loud here rather than hand a large-k caller the
+    // 7x interpreted fallback or multi-second codegen.
+    require(k <= KMeansDet.LiteralFormMaxK,
+      s"ProductQuantizer supports k <= ${KMeansDet.LiteralFormMaxK} " +
+      s"(literal codebook form), got k=$k; use KMeansDet directly for " +
+      "large-k clustering")
     val sd = dims / m
     val subs = (0 until m).map { j =>
       KMeansDet.fit(

@@ -41,4 +41,18 @@ class QuantileSketchSpec extends SparkSpec {
     val est = run(fixture(Seq(4.2))) // 420 cents, d=3 -> exact bucket
     assert(est == Map(50L -> 420L, 90L -> 420L, 99L -> 420L))
   }
+
+  test("19-digit magnitudes saturate instead of overflowing Long") {
+    // d=19: the unclamped (m+1)*10^16 multiply would exceed Long.Max
+    // and wrap negative. The clamped exponent yields a positive
+    // saturated estimate — a lower bound at this magnitude, per the
+    // documented contract, but never a wrapped/negative one.
+    import graft.ops.QuantileSketchOps
+    val df = Seq(9223372036854775000L).toDF("c")
+      .select(QuantileSketchOps.upperBound(
+        QuantileSketchOps.bucketOf(col("c"))).as("est"))
+    val est = df.collect().head.getLong(0)
+    assert(est > 0L, s"estimate wrapped: $est")
+    assert(est == 923L * 1000000000000000L - 1)
+  }
 }

@@ -58,4 +58,13 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(math.abs(adc - exact) < 1e-9,
       s"adc=$adc exact=$exact") // forms differ only by FP regrouping
   }
+
+  test("fit fails loud beyond the literal-codebook k bound") {
+    // encode/adcDist are literal-form only; k above LiteralFormMaxK
+    // would hit the measured Janino codegen cliff — require, not limp.
+    val e = intercept[IllegalArgumentException] {
+      ProductQuantizer.fit(corpus, m = 2, k = 17, iters = 1, dims = dims)
+    }
+    assert(e.getMessage.contains("k <= 16"))
+  }
 }
