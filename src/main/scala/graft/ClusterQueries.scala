@@ -278,8 +278,74 @@ object ClusterQueries {
         .select(col("qid"), col("rank"), col("vec_id").as("nid"),
                 round(col("adc"), 4).as("adc"))
         .orderBy(col("qid"), col("rank"))
-    })
+    }),
+
+    // X134 — grid-blocked DBSCAN: the density-based complement to the
+    // k-means family (discovers the cluster COUNT, isolates noise —
+    // k-means can do neither). Points are derived from customer in three
+    // deterministic density regimes (tight blobs → core, a sparser halo
+    // strip → border/core mix, uniform scatter → noise), so every role
+    // appears; eps-neighborhoods come from the 9-offset grid-cell
+    // equi-join (the q29 gap-cell device in 2-D — provably complete, 3x3
+    // probed, all-integer distance math), components from the x14
+    // pointer-jumping device over core-core edges. Role AND label of
+    // every point are in the hash.
+    "x134_dbscan_grid" -> ((s, dir) =>
+      graft.operators.DbscanGrid
+        .cluster(dbscanPoints(s, dir), DB_EPS, DB_MINPTS)
+        .orderBy(col("id")))
   )
+
+  private val DB_EPS = 60L
+  private val DB_MINPTS = 5L
+
+  /** Keys above this never join a blob/halo — the planted dense regions
+    * have FIXED population (bounded cliques: the recursive-CTE closure
+    * oracle is cubic-ish in clique size, and an UNBOUNDED dense region is
+    * exactly what production DBSCAN governs with occupancy caps anyway),
+    * while the scatter grows with SF, keeping the operator's measured
+    * scaling regime (linear in N at constant density) intact. */
+  private val DB_DENSE_MAX = 1500L
+
+  /** x134's deterministic 2-D integer point derivation from customer:
+    * of the first [[DB_DENSE_MAX]] keys, 30% collapse into 5 tight blobs
+    * (spread 37x41 < eps — all mutually within eps, core once a blob
+    * holds minPts) and 10% form a sparser halo strip just right of each
+    * blob (within eps of the blob edge — the border/low-density regime);
+    * everything else scatters uniformly over a 20000x20000 window
+    * (density far below minPts at every SF — noise). All arithmetic is
+    * integer and restated verbatim in the oracle. */
+  private def dbscanPoints(s: SparkSession, dir: String): DataFrame = {
+    val ck = col("c_custkey")
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    val g = (expr("c_custkey div 10") % 5).cast("long")
+    val kind = when(ck <= DB_DENSE_MAX, ck % 10).otherwise(lit(9L))
+    Tables(s, dir, "customer").select(
+      ck.as("id"),
+      when(kind < 3, g * 4000 + ck % 37)
+        .when(kind === 3, g * 4000 + 70 + ck % 80)
+        .otherwise(((cents % 20000) + 20000) % 20000).as("x"),
+      when(kind < 3, g * 4000 + ck % 41)
+        .when(kind === 3, g * 4000 + ck % 61)
+        .otherwise((ck * 7919) % 20000).as("y"))
+  }
+
+  /** The same derivation as DuckDB SQL (`//` = floor div on BIGINTs,
+    * same as `div` on Spark longs for these non-negative operands). */
+  private val dbscanPtsSql =
+    s"""pts AS (SELECT c_custkey AS id,
+         CASE WHEN c_custkey <= $DB_DENSE_MAX AND c_custkey % 10 < 3
+                THEN ((c_custkey // 10) % 5) * 4000 + c_custkey % 37
+              WHEN c_custkey <= $DB_DENSE_MAX AND c_custkey % 10 = 3
+                THEN ((c_custkey // 10) % 5) * 4000 + 70 + c_custkey % 80
+              ELSE ((CAST(round(c_acctbal * 100) AS BIGINT) % 20000)
+                    + 20000) % 20000 END AS x,
+         CASE WHEN c_custkey <= $DB_DENSE_MAX AND c_custkey % 10 < 3
+                THEN ((c_custkey // 10) % 5) * 4000 + c_custkey % 41
+              WHEN c_custkey <= $DB_DENSE_MAX AND c_custkey % 10 = 3
+                THEN ((c_custkey // 10) % 5) * 4000 + c_custkey % 61
+              ELSE (c_custkey * 7919) % 20000 END AS y
+       FROM customer)"""
 
   // ---------------------------------------------------------------- oracle
 
@@ -501,6 +567,52 @@ object ClusterQueries {
               JOIN cds cd ON cd.cell = pr.cell AND cd.vec_id <> qs.qid
               $lutJoins)
           WHERE rank <= 3 ORDER BY qid, rank"""
-    }
+    },
+
+    // the identical DBSCAN dataflow: 9-offset cell join, integer squared
+    // distance, recursive-CTE closure over core-core edges (the x14/x123
+    // component device), min-label border attachment
+    "x134_dbscan_grid" ->
+      s"""WITH RECURSIVE
+          $dbscanPtsSql,
+          cells AS (SELECT id, x, y,
+              CAST(floor(x / $DB_EPS.0) AS BIGINT) AS cx,
+              CAST(floor(y / $DB_EPS.0) AS BIGINT) AS cy FROM pts),
+          offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                  (0,1),(1,-1),(1,0),(1,1)),
+          prs AS (SELECT a.id AS ia, b.id AS ib
+                  FROM cells a CROSS JOIN offs o
+                  JOIN cells b ON b.cx = a.cx + o.dx
+                              AND b.cy = a.cy + o.dy
+                  WHERE (a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)
+                     <= ${DB_EPS * DB_EPS}),
+          neigh AS (SELECT ia AS id, count(*)::BIGINT AS n_eps
+                    FROM prs GROUP BY ia),
+          core AS (SELECT id FROM neigh WHERE n_eps >= $DB_MINPTS),
+          edges AS (SELECT p.ia AS src, p.ib AS dst FROM prs p
+                    JOIN core ca ON ca.id = p.ia
+                    JOIN core cb ON cb.id = p.ib
+                    WHERE p.ia <> p.ib),
+          comp(id, lbl) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, c.lbl FROM comp c JOIN edges e ON e.src = c.id),
+          lab AS (SELECT id, min(lbl) AS label FROM comp GROUP BY id),
+          corelab AS (SELECT c.id, coalesce(l.label, c.id) AS label
+                      FROM core c LEFT JOIN lab l ON l.id = c.id),
+          borderlab AS (SELECT p.ia AS id, min(cl.label) AS label
+                        FROM prs p JOIN corelab cl ON cl.id = p.ib
+                        WHERE p.ia NOT IN (SELECT id FROM core)
+                        GROUP BY p.ia)
+          SELECT p.id, p.x, p.y, n.n_eps,
+                 CASE WHEN cl.id IS NOT NULL THEN 'core'
+                      WHEN bl.id IS NOT NULL THEN 'border'
+                      ELSE 'noise' END AS role,
+                 coalesce(cl.label, bl.label) AS label
+          FROM pts p JOIN neigh n ON n.id = p.id
+          LEFT JOIN corelab cl ON cl.id = p.id
+          LEFT JOIN borderlab bl ON bl.id = p.id
+          ORDER BY p.id"""
   )
 }

@@ -1398,4 +1398,14 @@ class PlanShapeSpec extends SparkSpec {
       s"expected <= 2 probe-set nested loops, got $bnlj:\n" + plan.take(3000))
     spark.catalog.clearCache()
   }
+
+  test("x134 DBSCAN: eps-pairs come from the 9-offset cell equi-join — no data-sized nested loop anywhere") {
+    val plan = planOf("x134_dbscan_grid")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // candidate generation must drive on the (cx, cy) grid-cell keys
+    assert(plan.contains("cx") && plan.contains("cy"),
+      "grid-cell join keys missing:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
 }
