@@ -1089,6 +1089,28 @@ object ExtensionQueries {
                   - coalesce(col("exact_inter"), lit(0L))).as("exact_union"),
                 coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
         .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // X135 — k-anonymity by generalization-ladder suppression (global
+    // recoding over residuals — every published group except the fully
+    // suppressed residual has >= k RELEASED members; the local-recoding
+    // shortcut of testing against full-population counts silently voids
+    // that once a level's satisfied members are removed). Ladder:
+    // (nation, segment, 1000-dollar balance band) -> drop band -> drop
+    // segment -> '*'. Level, generalized value, and the published group
+    // size are all in the hash — suppression is audited, never silent.
+    "x135_k_anonymize" -> ((s, dir) => {
+      val base = Tables(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        col("c_nationkey").cast("long").as("n"),
+        col("c_mktsegment").as("seg"),
+        // shift before the floor-div so the band arithmetic never sees a
+        // negative operand (Spark div truncates, DuckDB // floors)
+        expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) " +
+             "div 100000").as("band"))
+      graft.ops.PrivacyOps.kAnonymize(base, "id", Seq("n", "seg", "band"),
+                                      k = 5L)
+        .orderBy(col("id"))
     }))
 
   /** x79: the (bands, rowsPerBand) splits of the 8-component signature. */
@@ -1899,5 +1921,44 @@ object ExtensionQueries {
           JOIN sizes sb ON sb.source = m.src_b
           LEFT JOIN ix ON ix.src_a = m.src_a AND ix.src_b = m.src_b
           ORDER BY m.src_a, m.src_b"""
-    })
+    },
+
+    // the identical residual cascade: count at a level over records NOT
+    // yet published at a finer one
+    "x135_k_anonymize" ->
+      """WITH base AS (SELECT c_custkey AS id,
+               CAST(c_nationkey AS BIGINT) AS n, c_mktsegment AS seg,
+               (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+                 AS band
+             FROM customer),
+          c0 AS (SELECT n, seg, band, count(*)::BIGINT AS cnt
+                 FROM base GROUP BY n, seg, band),
+          k0 AS (SELECT base.id, base.n, base.seg, base.band, c0.cnt
+                 FROM base JOIN c0 USING (n, seg, band) WHERE c0.cnt >= 5),
+          r1 AS (SELECT base.id, base.n, base.seg, base.band
+                 FROM base JOIN c0 USING (n, seg, band) WHERE c0.cnt < 5),
+          c1 AS (SELECT n, seg, count(*)::BIGINT AS cnt
+                 FROM r1 GROUP BY n, seg),
+          k1 AS (SELECT r1.id, r1.n, r1.seg, c1.cnt
+                 FROM r1 JOIN c1 USING (n, seg) WHERE c1.cnt >= 5),
+          r2 AS (SELECT r1.id, r1.n, r1.seg
+                 FROM r1 JOIN c1 USING (n, seg) WHERE c1.cnt < 5),
+          c2 AS (SELECT n, count(*)::BIGINT AS cnt FROM r2 GROUP BY n),
+          k2 AS (SELECT r2.id, r2.n, c2.cnt
+                 FROM r2 JOIN c2 USING (n) WHERE c2.cnt >= 5),
+          r3 AS (SELECT r2.id FROM r2 JOIN c2 USING (n) WHERE c2.cnt < 5)
+          SELECT id, level, gen, grp_n FROM (
+            SELECT id, 0 AS level,
+                   CAST(n AS VARCHAR) || '|' || seg || '|'
+                     || CAST(band AS VARCHAR) AS gen, cnt AS grp_n
+            FROM k0
+            UNION ALL
+            SELECT id, 1, CAST(n AS VARCHAR) || '|' || seg || '|*', cnt
+            FROM k1
+            UNION ALL
+            SELECT id, 2, CAST(n AS VARCHAR) || '|*|*', cnt FROM k2
+            UNION ALL
+            SELECT id, 3, '*|*|*',
+                   (SELECT count(*) FROM r3)::BIGINT FROM r3)
+          ORDER BY id""")
 }

@@ -1399,6 +1399,17 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x135 k-anonymize: each ladder level is a broadcast of dimension-sized counts; only the 1-row total may nested-loop") {
+    val plan = planOf("x135_k_anonymize")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1,
+      s"expected <= 1 total-count nested loop, got $bnlj:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "level counts must broadcast:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("x134 DBSCAN: eps-pairs come from the 9-offset cell equi-join — no data-sized nested loop anywhere") {
     val plan = planOf("x134_dbscan_grid")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
