@@ -1111,7 +1111,21 @@ object ExtensionQueries {
       graft.ops.PrivacyOps.kAnonymize(base, "id", Seq("n", "seg", "band"),
                                       k = 5L)
         .orderBy(col("id"))
-    }))
+    }),
+
+    // X136 — Gopher-style INTRA-document repetition metrics (Rae et al.
+    // 2021 §A1.1): duplicate-word count, most-frequent-bigram
+    // multiplicity, duplicate-trigram count, and the repetitive flag
+    // (top bigram > 9% of bigram instances — stated as an integer
+    // cross-multiplication so the rule is FP-free). x42's segment dedup
+    // is CROSS-document; this is the within-document quality rule family
+    // that catches boilerplate loops and degenerate generations. One
+    // codegen'd projection per doc — no explode, no shuffle (the
+    // bigram-multiplicity fold is sort + longest-equal-run per row);
+    // stateless, so the streaming twin is the same projection verbatim.
+    "x136_doc_repetition" -> ((s, dir) =>
+      T.docRepetition(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))))
 
   /** x79: the (bands, rowsPerBand) splits of the 8-component signature. */
   private val LshConfigs = Seq((8, 1), (4, 2), (2, 4))
@@ -1960,5 +1974,31 @@ object ExtensionQueries {
             UNION ALL
             SELECT id, 3, '*|*|*',
                    (SELECT count(*) FROM r3)::BIGINT FROM r3)
-          ORDER BY id""")
+          ORDER BY id""",
+
+    // the relational restatement of the per-row fold: bigram multiplicity
+    // = max group count (DuckDB generate_series is empty when stop <
+    // start, matching the Spark side's short-doc guard)
+    "x136_doc_repetition" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+          g AS (SELECT doc_id, ws,
+                  list_transform(generate_series(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i+1]) AS bs,
+                  list_transform(generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS ts
+                FROM w),
+          ex AS (SELECT doc_id, unnest(bs) AS b FROM g),
+          tp AS (SELECT doc_id, max(cnt) AS tb FROM (
+                   SELECT doc_id, b, count(*)::BIGINT AS cnt
+                   FROM ex GROUP BY doc_id, b) GROUP BY doc_id)
+          SELECT g.doc_id,
+                 len(ws)::BIGINT AS n_words,
+                 (len(ws) - len(list_distinct(ws)))::BIGINT AS dup_word_n,
+                 coalesce(tp.tb, 0)::BIGINT AS top_bigram_n,
+                 (len(ts) - len(list_distinct(ts)))::BIGINT
+                   AS dup_trigram_n,
+                 coalesce(tp.tb, 0) * 100 > (len(ws) - 1) * 9
+                   AS repetitive
+          FROM g LEFT JOIN tp USING (doc_id)
+          ORDER BY g.doc_id""")
 }

@@ -35,6 +35,60 @@ object TextFunctions {
     aggregate(split(text, ""), lit(0L),
       (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
 
+  /** Word n-grams of `text` as space-joined strings; empty array when the
+    * document has fewer than `n` words (guarded: Spark's `sequence`
+    * DESCENDS when stop < start, unlike DuckDB's generate_series, which
+    * returns empty — the guard keeps the two engines agreeing). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 2, s"wordNgrams needs n >= 2, got $n")
+    val w = words(text)
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+  }
+
+  /** Maximum multiplicity of any element in a string array — sort, then
+    * the longest equal run via one codegen'd fold (no explode, no
+    * shuffle; the per-row twin of a group-count-max, which is what the
+    * oracle restates relationally). The `prev = ""` seed cannot
+    * miscount a leading empty-string element: the running count starts
+    * at 0, so the first element always lands on run = 1 either way. */
+  def maxMultiplicity(arr: Column): Column =
+    when(size(arr) === 0, lit(0L)).otherwise(
+      aggregate(array_sort(arr),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+                         acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+                 greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best")))
+
+  /** Count of duplicate instances in a string array:
+    * |arr| − |distinct(arr)|. */
+  def dupCount(arr: Column): Column =
+    (size(arr) - size(array_distinct(arr))).cast("long")
+
+  /** The x136 Gopher-style intra-document repetition projection over
+    * (`idCol`, `textCol`): duplicate-word count, most-frequent-bigram
+    * multiplicity, duplicate-trigram count, and the integer-arithmetic
+    * repetitive flag (top bigram > 9% of bigram instances). One
+    * codegen'd projection — no explode, no shuffle, no state — so the
+    * streaming twin runs it verbatim on the ingest stream
+    * ([[graft.streaming.StreamingOps.streamingRepetitionScreen]]). */
+  def docRepetition(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(
+        col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_words"),
+        dupCount(words(col(textCol))).as("dup_word_n"),
+        maxMultiplicity(wordNgrams(col(textCol), 2)).as("top_bigram_n"),
+        dupCount(wordNgrams(col(textCol), 3)).as("dup_trigram_n"))
+      .withColumn("repetitive",
+        col("top_bigram_n") * 100 > (col("n_words") - 1L) * 9L)
+
   /** Ratio of punctuation chars to total length. */
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") /

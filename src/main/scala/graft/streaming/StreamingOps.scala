@@ -675,6 +675,19 @@ object StreamingOps {
     cents.select(graft.ops.QuantileSketchOps.bucketOf(col(centsCol)).as("b"))
       .groupBy(col("b")).count()
 
+  /** Streaming twin of batch x136's intra-document repetition metrics:
+    * the projection is per-row and stateless (the bigram-multiplicity
+    * fold runs inside the row — no explode, no aggregation), so the
+    * SAME expression tree runs verbatim on the ingest stream in append
+    * mode with zero state. A micro-batch's output EQUALS the batch
+    * metrics over the same rows by construction (StreamingSpec
+    * reconciles both arms). This is the shape to prefer whenever a
+    * quality rule can be stated per-document: it screens at ingest with
+    * no reprocessing and no watermark concerns. */
+  def streamingRepetitionScreen(docs: DataFrame, idCol: String = "doc_id",
+                                textCol: String = "text"): DataFrame =
+    graft.functions.TextFunctions.docRepetition(docs, idCol, textCol)
+
   def streamingKmvDistinct(keys: DataFrame, k: Int = 64): DataFrame = {
     val bk = udaf(new graft.functions.BottomKDistinctLongAggregator(k),
                   org.apache.spark.sql.Encoders.scalaLong)

@@ -1399,6 +1399,18 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x136 repetition metrics are one projection — no explode, no join, no shuffle but the output sort") {
+    val plan = planOf("x136_doc_repetition")
+    assert(!plan.contains("Generate"), // explode would be a row blow-up
+      "per-row fold must not explode:\n" + plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, // the ORDER BY doc_id range exchange
+      s"expected only the output-sort exchange, got $exchanges:\n" +
+        plan.take(2000))
+    spark.catalog.clearCache()
+  }
+
   test("x135 k-anonymize: each ladder level is a broadcast of dimension-sized counts; only the 1-row total may nested-loop") {
     val plan = planOf("x135_k_anonymize")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))

@@ -737,4 +737,34 @@ class StreamingSpec extends SparkSpec {
     // boundary sanity: 5299999 and 5300000 land in adjacent buckets
     assert(batch.contains(7529L) && batch.contains(7530L))
   }
+
+  test("streamingRepetitionScreen: streamed metrics equal batch x136 over the same docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "spam spam spam spam ham"),           // repetitive
+      (2L, "a quick brown fox jumps the fence"), // clean
+      (3L, "one two one two three one two"),     // bigram 'one two' x3
+      (4L, "solo"))                              // 1 word: no bigrams
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps
+      .streamingRepetitionScreen(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("rep").outputMode("append")
+      .start()
+    mem.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("select * from rep")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    q.stop()
+    val batch = graft.functions.TextFunctions
+      .docRepetition(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(streamed == batch)
+    // spot-check the semantics the parity gate also covers
+    assert(batch(1L) == Seq(5L, 3L, 3L, 1L, true))  // 'spam spam' x3
+    assert(batch(3L) == Seq(7L, 4L, 3L, 0L, true))  // 'one two' x3
+    assert(batch(4L) == Seq(1L, 0L, 0L, 0L, false)) // no bigrams, no flag
+  }
 }
