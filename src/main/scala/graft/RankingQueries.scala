@@ -30,6 +30,14 @@ object RankingQueries {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
+  // x137 fusion parameters — interpolated into the oracle SQL so the two
+  // sides cannot drift: Q probe queries, top-ARM per arm, the classic
+  // RRF smoothing constant 60, top-TOP published.
+  private val RRF_Q = 5
+  private val RRF_K = 60
+  private val RRF_ARM = 10
+  private val RRF_TOP = 5
+
   /** The q91 co-purchase graph: parts linked when they share a
     * high-value order, symmetrized so every node has out-degree ≥ 1. */
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
@@ -251,6 +259,67 @@ object RankingQueries {
       val seeds = nodes.filter(col("u") === 1).select(col("u").as("node"))
       graft.ops.GraphOps.shortestPaths(edges, seeds)
         .orderBy(col("node"))
+    }),
+
+    // X137 — reciprocal-rank-fusion hybrid retrieval (Cormack et al.
+    // 2009; the Elastic/Vespa hybrid-search primitive): a lexical arm
+    // (distinct-word overlap, ranked ov DESC then id) and a semantic arm
+    // (cosine over embeddings, the x127 ranking discipline) each produce
+    // a per-query top-10; fused score = sum over arms of 1/(60 + rank),
+    // missing arm contributes 0, top-5 published. The SERVED list (qid,
+    // rank, doc_id, fused score) is the hash. Scale shape: the lexical
+    // arm is an inverted-index join against the broadcast query postings
+    // (never doc x doc); the semantic arm broadcasts the fixed probe set
+    // (the O(Q·N) every exact arm pays); fusion is a tiny outer join of
+    // two Q x 10 lists.
+    "x137_rrf_fusion" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => V}
+      val Q = RRF_Q
+      val docs = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), V.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(V.dot(col("v"), col("v"))))
+      // lexical arm: distinct-word postings joined to the query postings
+      val dw = docs.select(col("doc_id"),
+        explode(array_distinct(T.words(col("text")))).as("w"))
+      val qw = docs.filter(col("doc_id") < Q)
+        .select(col("doc_id").as("qid"),
+                explode(array_distinct(T.words(col("text")))).as("w"))
+      val wL = Window.partitionBy(col("qid"))
+        .orderBy(col("ov").desc, col("doc_id").asc)
+      val lex = dw.join(broadcast(qw), Seq("w"))
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("ov"))
+        .withColumn("lr", row_number().over(wL))
+        .filter(col("lr") <= RRF_ARM)
+        .select(col("qid"), col("doc_id"), col("lr"))
+      // semantic arm: cosine to the same ids' embeddings
+      val qv = emb.filter(col("vec_id") < Q)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                col("nrm").as("qn"))
+      val wS = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val sem = broadcast(qv).join(emb, col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          when(col("qn") === 0.0 || col("nrm") === 0.0,
+               lit(null).cast("double"))
+            .otherwise(V.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))))
+        .filter(col("cos").isNotNull)
+        .withColumn("sr", row_number().over(wS))
+        .filter(col("sr") <= RRF_ARM)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("sr"))
+      val wF = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+      lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (col("lr") + RRF_K), lit(0.0)) +
+          coalesce(lit(1.0) / (col("sr") + RRF_K), lit(0.0)))
+        .withColumn("rank", row_number().over(wF))
+        .filter(col("rank") <= RRF_TOP)
+        .select(col("qid"), col("rank"), col("doc_id"),
+                round(col("rrf"), 6).as("rrf"))
+        .orderBy(col("qid"), col("rank"))
     }))
 
   private val coPurchaseSql =
@@ -423,5 +492,49 @@ object RankingQueries {
            UNION ALL
            SELECT e.src, d.dist + e.w FROM d JOIN e ON e.dst = d.node)
          SELECT node, min(dist)::BIGINT AS dist
-         FROM d GROUP BY node ORDER BY node""")
+         FROM d GROUP BY node ORDER BY node""",
+
+    // the identical two-arm fusion: null-cos rows drop BEFORE the
+    // semantic ranking (as on the Spark side), 1::DOUBLE keeps the RRF
+    // term double (a DuckDB 1.0 literal is DECIMAL)
+    "x137_rrf_fusion" ->
+      s"""WITH dw AS (SELECT doc_id,
+               unnest(list_distinct(
+                 regexp_split_to_array(trim(text), '\\s+'))) AS w
+             FROM documents),
+          qw AS (SELECT doc_id AS qid, w FROM dw WHERE doc_id < $RRF_Q),
+          lex0 AS (SELECT qw.qid, dw.doc_id, count(*)::BIGINT AS ov
+                   FROM dw JOIN qw USING (w) WHERE dw.doc_id <> qw.qid
+                   GROUP BY qw.qid, dw.doc_id),
+          lex AS (SELECT qid, doc_id, lr FROM (
+                    SELECT qid, doc_id, row_number() OVER (
+                        PARTITION BY qid ORDER BY ov DESC, doc_id ASC)
+                      AS lr
+                    FROM lex0) WHERE lr <= $RRF_ARM),
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) AS nrm
+                FROM embeddings),
+          qv AS (SELECT vec_id AS qid, v AS qv, nrm AS qn
+                 FROM e WHERE vec_id < $RRF_Q),
+          sem0 AS (SELECT qv.qid, e.vec_id AS doc_id,
+                     list_dot_product(qv.qv, e.v) / (qv.qn * e.nrm) AS cos
+                   FROM qv JOIN e ON e.vec_id <> qv.qid
+                   WHERE qv.qn <> 0 AND e.nrm <> 0),
+          sem AS (SELECT qid, doc_id, sr FROM (
+                    SELECT qid, doc_id, row_number() OVER (
+                        PARTITION BY qid ORDER BY cos DESC, doc_id ASC)
+                      AS sr
+                    FROM sem0) WHERE sr <= $RRF_ARM),
+          f AS (SELECT coalesce(lex.qid, sem.qid) AS qid,
+                       coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+                       coalesce(1::DOUBLE / (lex.lr + $RRF_K), 0)
+                     + coalesce(1::DOUBLE / (sem.sr + $RRF_K), 0) AS rrf
+                FROM lex FULL OUTER JOIN sem
+                  ON lex.qid = sem.qid AND lex.doc_id = sem.doc_id)
+          SELECT qid, rank, doc_id, round(rrf, 6) AS rrf FROM (
+            SELECT qid, doc_id, rrf, row_number() OVER (
+                PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) AS rank
+            FROM f)
+          WHERE rank <= $RRF_TOP ORDER BY qid, rank""")
 }

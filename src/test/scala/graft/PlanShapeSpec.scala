@@ -1399,6 +1399,15 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x137 RRF fusion: lexical arm drives on the word postings equi-join; only the probe-set semantic arm may nested-loop") {
+    val plan = planOf("x137_rrf_fusion")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1,
+      s"expected <= 1 probe-set nested loop, got $bnlj:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("x136 repetition metrics are one projection — no explode, no join, no shuffle but the output sort") {
     val plan = planOf("x136_doc_repetition")
     assert(!plan.contains("Generate"), // explode would be a row blow-up
