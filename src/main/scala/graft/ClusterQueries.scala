@@ -36,6 +36,9 @@ object ClusterQueries {
   private val TAU = 0.4
   private val PQ_M = 4             // PQ subspaces
   private val PQ_SD = DIMS / PQ_M  // dims per subspace
+  private val KG = 4               // x138: k-NN graph degree
+  private val GR = 2               // x138: NN-Descent rounds
+  private val MIXB = 16            // x138: cross-cell mixing ring buckets
 
   private def centroidFrame(s: SparkSession, m: KMeansDet.Model): DataFrame = {
     import s.implicits._
@@ -278,6 +281,31 @@ object ClusterQueries {
         .select(col("qid"), col("rank"), col("vec_id").as("nid"),
                 round(col("adc"), 4).as("adc"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // X138 — k-NN graph by NN-Descent (Dong et al., WWW 2011): the
+    // graph-based member of the ANN family (brute → LSH → IVF → PQ →
+    // IVF-ADC → THIS). Init = ring-successors within each KMeansDet cell
+    // (warm start: cell-mates are likely neighbors) UNION a hash-bucket
+    // ring (vec_id % 16 — the cross-cell mixing random init provides in
+    // the paper; candidates only propagate along existing edges, so a
+    // cell-only init would freeze each cell into a closed component).
+    // Both rings are lead() windows — linear, no join. Each round
+    // replaces every node's neighbor list with the top-KG of {current ∪
+    // reversed ∪ neighbors-of-neighbors} by cosine — the "a neighbor of
+    // my neighbor is probably my neighbor" fixpoint. Candidates per round
+    // are O(N·KG²) from keyed equi-joins (never N²), the property making
+    // graph construction feasible at 100 TB where exact kNN is N².
+    // Every edge decision (rank, neighbor, similarity) is in the hash.
+    "x138_knn_graph" -> ((s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
+      val e = Tables(s, dir, "embeddings")
+      val m = KMeansDet.fit(e, K, ITERS)
+      val sn = KMeansDet.assignWithVec(e, m)
+      graft.operators.NnDescent.build(sn, KG, GR, mixBuckets = MIXB)
+        .select(col("u").as("vec_id"), col("rn").as("rank"),
+                col("w").as("nbr"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("vec_id"), col("rank"))
     }),
 
     // X134 — grid-blocked DBSCAN: the density-based complement to the
@@ -567,6 +595,48 @@ object ClusterQueries {
               JOIN cds cd ON cd.cell = pr.cell AND cd.vec_id <> qs.qid
               $lutJoins)
           WHERE rank <= 3 ORDER BY qid, rank"""
+    },
+
+    // the identical NN-Descent iteration: cell-ring lead() init, then per
+    // round candidates = current ∪ reversed ∪ neighbors-of-neighbors
+    // (UNION = set semantics, matching the Spark distinct()), top-KG per
+    // node by (cos DESC NULLS LAST, id ASC)
+    "x138_knn_graph" -> {
+      def leadCols(grp: String) = (1 to KG).map(i =>
+        s"lead(vec_id, $i) OVER (PARTITION BY $grp ORDER BY vec_id) " +
+          s"AS w$i").mkString(", ")
+      val wList = (1 to KG).map(i => s"w$i").mkString(", ")
+      val cosRaw = """CASE WHEN a.n = 0 OR b.n = 0 THEN NULL
+                ELSE list_dot_product(a.v, b.v) / (a.n * b.n) END"""
+      def roundCte(i: Int): String = {
+        val prev = s"g${i - 1}"
+        s"""und$i AS (SELECT u, w FROM $prev
+                   UNION SELECT w AS u, u AS w FROM $prev),
+          cd$i AS (SELECT a.u AS u, b.w AS w
+                   FROM und$i a JOIN und$i b ON b.u = a.w WHERE b.w <> a.u
+                   UNION SELECT u, w FROM und$i),
+          g$i AS (SELECT u, w, cos, rn FROM (
+              SELECT c.u, c.w, $cosRaw AS cos,
+                row_number() OVER (PARTITION BY c.u ORDER BY
+                  ($cosRaw) DESC NULLS LAST, c.w ASC) AS rn
+              FROM cd$i c JOIN sn a ON a.vec_id = c.u
+                   JOIN sn b ON b.vec_id = c.w)
+            WHERE rn <= $KG)"""
+      }
+      s"""WITH ${kmeansCtes()},
+          sn AS (SELECT vec_id, cell, v,
+                   sqrt(list_dot_product(v, v)) AS n FROM af),
+          ld AS (SELECT vec_id AS u, ${leadCols("cell")} FROM sn),
+          lm AS (SELECT vec_id AS u, ${leadCols(s"vec_id % $MIXB")} FROM sn),
+          g0 AS (SELECT u, w FROM (
+                   SELECT u, unnest([$wList]) AS w FROM ld) WHERE w IS NOT NULL
+                 UNION
+                 SELECT u, w FROM (
+                   SELECT u, unnest([$wList]) AS w FROM lm)
+                 WHERE w IS NOT NULL),
+          ${(1 to GR).map(roundCte).mkString(",\n          ")}
+          SELECT u AS vec_id, rn AS rank, w AS nbr, round(cos, 4) AS cos
+          FROM g$GR ORDER BY vec_id, rank"""
     },
 
     // the identical DBSCAN dataflow: 9-offset cell join, integer squared

@@ -1125,7 +1125,87 @@ object ExtensionQueries {
     // stateless, so the streaming twin is the same projection verbatim.
     "x136_doc_repetition" -> ((s, dir) =>
       T.docRepetition(Tables(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // X139 — distinct l-diversity on the x135 ladder (Machanavajjhala et
+    // al. 2007): a group can be k-anonymous and still disclose its
+    // sensitive attribute when all k members share one value (the
+    // homogeneity attack). Here a residual group publishes only when it
+    // has >= k released members AND >= l distinct sensitive values; the
+    // market segment moves from quasi-identifier (x135) to SENSITIVE,
+    // published per-record but protected by the diversity floor. Group
+    // size AND diversity are in the hash — both guarantees audited.
+    "x139_l_diversity" -> ((s, dir) => {
+      val base = Tables(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        col("c_nationkey").cast("long").as("n"),
+        expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) " +
+             "div 100000").as("band"),
+        col("c_mktsegment").as("seg"))
+      graft.ops.PrivacyOps.lDiversify(base, "id", Seq("n", "band"), "seg",
+                                      k = 5L, l = 3L)
+        .orderBy(col("id"))
+    }),
+
+    // X140 — differentially private release counts via the geometric
+    // mechanism (Ghosh et al. 2009; ε = ln 2): the third privacy regime —
+    // x135/x139 bound re-identification of RECORDS, this bounds what the
+    // released AGGREGATE reveals about any one record. The two-sided
+    // geometric draw is derived from md5 trailing-zero algebra (pure
+    // integer, P(tz=j) = 2^-(j+1) exactly), so the noise itself is
+    // hash-checkable across engines — the property that lets the
+    // mechanism be oracle-audited at all. true_n rides along as the
+    // calibration audit view; the release view drops it.
+    "x140_dp_counts" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("n"),
+                col("c_mktsegment").as("seg"))
+        .groupBy(col("n"), col("seg"))
+        .agg(count(lit(1)).as("true_n"))
+        .withColumn("noise", graft.ops.PrivacyOps.geometricNoise(
+          concat_ws(":", col("n"), col("seg")), "dpa:", "dpb:"))
+        .withColumn("noisy_n", col("true_n") + col("noise"))
+        .orderBy(col("n"), col("seg"))),
+
+    // X141 — right-to-be-forgotten cascade (GDPR art. 17): a deletion
+    // request set propagates customer → orders → lineitem, and the audit
+    // that proves the erasure is the output — per-table purged/kept
+    // counts plus a mod-2⁶⁴ digest of the purged keys (the x111 ring),
+    // so a regulator can verify WHAT was erased without the engine
+    // retaining the rows. Scale shape: the request set is
+    // certified-small (broadcast); each fact table pays one keyed semi
+    // join — no full-table rewrite logic on the read path.
+    "x141_rtbf_cascade" -> ((s, dir) => {
+      import graft.functions.DigestFunctions.digestSum
+      val scope = graft.ops.CacheScope.session
+      val cust = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      val del = cust.filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("k"))
+      val po = scope.persist(
+        orders.join(broadcast(del), col("o_custkey") === col("k"),
+                    "left_semi")
+          .select(col("o_orderkey")))
+      po.count() // eager: read by the lineitem semi join AND its own audit
+      val pl = li.join(po, li("l_orderkey") === po("o_orderkey"),
+                       "left_semi")
+        .select((col("l_orderkey") * 8 + col("l_linenumber"))
+                  .cast("long").as("k"))
+      def auditRow(tbl: String, purged: DataFrame, keyCol: Column,
+                   total: DataFrame): DataFrame =
+        purged.agg(count(lit(1)).as("purged_n"),
+                   coalesce(digestSum(keyCol), lit(0L)).as("purged_digest"))
+          .crossJoin(broadcast(total.agg(count(lit(1)).as("_t"))))
+          .select(lit(tbl).as("tbl"), col("purged_n"),
+                  (col("_t") - col("purged_n")).as("kept_n"),
+                  col("purged_digest"))
+      auditRow("customer", del, col("k"), cust)
+        .union(auditRow("orders", po.select(col("o_orderkey").as("k")),
+                        col("k"), orders))
+        .union(auditRow("lineitem", pl, col("k"), li))
+        .orderBy(col("tbl"))
+    }))
 
   /** x79: the (bands, rowsPerBand) splits of the 8-component signature. */
   private val LshConfigs = Seq((8, 1), (4, 2), (2, 4))
@@ -2000,5 +2080,91 @@ object ExtensionQueries {
                  coalesce(tp.tb, 0) * 100 > (len(ws) - 1) * 9
                    AS repetitive
           FROM g LEFT JOIN tp USING (doc_id)
-          ORDER BY g.doc_id""")
+          ORDER BY g.doc_id""",
+
+    // the identical residual cascade with the added diversity floor:
+    // a level publishes only groups with >= k members AND >= l distinct
+    // sensitive values, counted over records not yet published
+    "x139_l_diversity" ->
+      """WITH base AS (SELECT c_custkey AS id,
+               CAST(c_nationkey AS BIGINT) AS n,
+               (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+                 AS band,
+               c_mktsegment AS seg
+             FROM customer),
+          c0 AS (SELECT n, band, count(*)::BIGINT AS cnt,
+                   count(DISTINCT seg)::BIGINT AS ndv
+                 FROM base GROUP BY n, band),
+          k0 AS (SELECT base.id, base.n, base.band, c0.cnt, c0.ndv
+                 FROM base JOIN c0 USING (n, band)
+                 WHERE c0.cnt >= 5 AND c0.ndv >= 3),
+          r1 AS (SELECT base.id, base.n, base.band, base.seg
+                 FROM base JOIN c0 USING (n, band)
+                 WHERE NOT (c0.cnt >= 5 AND c0.ndv >= 3)),
+          c1 AS (SELECT n, count(*)::BIGINT AS cnt,
+                   count(DISTINCT seg)::BIGINT AS ndv
+                 FROM r1 GROUP BY n),
+          k1 AS (SELECT r1.id, r1.n, c1.cnt, c1.ndv
+                 FROM r1 JOIN c1 USING (n)
+                 WHERE c1.cnt >= 5 AND c1.ndv >= 3),
+          r2 AS (SELECT r1.id, r1.seg FROM r1 JOIN c1 USING (n)
+                 WHERE NOT (c1.cnt >= 5 AND c1.ndv >= 3))
+          SELECT id, level, gen, grp_n, div_n FROM (
+            SELECT id, 0 AS level,
+                   CAST(n AS VARCHAR) || '|' || CAST(band AS VARCHAR)
+                     AS gen, cnt AS grp_n, ndv AS div_n
+            FROM k0
+            UNION ALL
+            SELECT id, 1, CAST(n AS VARCHAR) || '|*', cnt, ndv FROM k1
+            UNION ALL
+            SELECT id, 2, '*|*', (SELECT count(*) FROM r2)::BIGINT,
+                   (SELECT count(DISTINCT seg) FROM r2)::BIGINT
+            FROM r2)
+          ORDER BY id""",
+
+    // the identical trailing-zero geometric draws, derived from the same
+    // md5 hex digits (tzSql is kept beside the Spark formula in
+    // PrivacyOps so the two can only drift loudly)
+    "x140_dp_counts" -> {
+      val key = "CAST(n AS VARCHAR) || ':' || seg"
+      val noise = s"(${graft.ops.PrivacyOps.tzSql(key, "dpa:")} - " +
+        s"${graft.ops.PrivacyOps.tzSql(key, "dpb:")})"
+      s"""WITH g AS (SELECT CAST(c_nationkey AS BIGINT) AS n,
+                 c_mktsegment AS seg, count(*)::BIGINT AS true_n
+               FROM customer GROUP BY 1, 2)
+          SELECT n, seg, true_n, $noise AS noise,
+                 true_n + $noise AS noisy_n
+          FROM g ORDER BY n, seg"""
+    },
+
+    // the identical cascade: IN-subquery semi joins, count audits, and
+    // the wrap64 ring digest of each purged key set
+    "x141_rtbf_cascade" -> {
+      import graft.functions.DigestFunctions.wrap64Sql
+      def dg(src: String) =
+        s"coalesce(${wrap64Sql(s"(SELECT sum(k::HUGEINT) FROM $src)")}, 0)"
+      s"""WITH del AS (SELECT c_custkey AS k FROM customer
+                       WHERE c_custkey % 97 = 0),
+          po AS (SELECT o_orderkey AS k FROM orders
+                 WHERE o_custkey IN (SELECT k FROM del)),
+          pl AS (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem
+                 WHERE l_orderkey IN (SELECT k FROM po))
+          SELECT tbl, purged_n, kept_n, purged_digest FROM (
+            SELECT 'customer' AS tbl,
+              (SELECT count(*) FROM del)::BIGINT AS purged_n,
+              ((SELECT count(*) FROM customer)
+                 - (SELECT count(*) FROM del))::BIGINT AS kept_n,
+              ${dg("del")} AS purged_digest
+            UNION ALL
+            SELECT 'orders', (SELECT count(*) FROM po)::BIGINT,
+              ((SELECT count(*) FROM orders)
+                 - (SELECT count(*) FROM po))::BIGINT,
+              ${dg("po")}
+            UNION ALL
+            SELECT 'lineitem', (SELECT count(*) FROM pl)::BIGINT,
+              ((SELECT count(*) FROM lineitem)
+                 - (SELECT count(*) FROM pl))::BIGINT,
+              ${dg("pl")})
+          ORDER BY tbl"""
+    })
 }

@@ -670,6 +670,24 @@ object StreamingOps {
     * batch-side on the materialized counts ([[graft.ops.QuantileSketchOps
     * .upperBound]] + a rank scan) — the sketch is the streaming state,
     * the estimate is a query over it. */
+  /** x141's streaming twin: tombstone enforcement at INGEST. Once a
+    * right-to-be-forgotten cascade has produced a purged-key table, new
+    * arrivals that reference a purged key must never re-enter the corpus —
+    * the erasure guarantee is only as good as the front door. Arriving
+    * rows are screened with a stream-static LEFT ANTI join against the
+    * tombstone table: state NONE (the static side re-reads per
+    * micro-batch, so a grown tombstone set is picked up without a
+    * restart), output = the admissible rows plus a `screened_at_ingest`
+    * audit column the sink can count. Reconciliation: rows emitted across
+    * any batch split equal the batch anti join over the same rows
+    * (StreamingSpec). */
+  def streamingTombstoneScreen(stream: DataFrame, tombstones: DataFrame,
+                               keyCol: String,
+                               tombKeyCol: String = "k"): DataFrame =
+    stream.join(tombstones.select(col(tombKeyCol).as("__tomb_k")),
+                col(keyCol) === col("__tomb_k"), "left_anti")
+      .withColumn("screened_at_ingest", lit(true))
+
   def streamingQuantileSketch(cents: DataFrame,
                               centsCol: String = "c"): DataFrame =
     cents.select(graft.ops.QuantileSketchOps.bucketOf(col(centsCol)).as("b"))

@@ -1440,4 +1440,42 @@ class PlanShapeSpec extends SparkSpec {
       "grid-cell join keys missing:\n" + plan.take(3000))
     spark.catalog.clearCache()
   }
+
+  test("x138 NN-Descent: every candidate sweep is a keyed equi-join — no cartesian, no data-sized nested loop") {
+    val plan = planOf("x138_knn_graph")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the neighbors-of-neighbors sweep drives on the shared middle vertex
+    assert(plan.contains("mid"),
+      "mid-vertex join key missing:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("x139 l-diversity: level stats broadcast like x135; only the 1-row total may nested-loop") {
+    val plan = planOf("x139_l_diversity")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1,
+      s"expected <= 1 total-count nested loop, got $bnlj:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "level stats must broadcast:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("x140 DP counts: one keyed aggregate, noise is a projection — no join at all") {
+    val plan = planOf("x140_dp_counts")
+    assert(!plan.contains("Join"), "noise must not join:\n" + plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("x141 RTBF cascade: the deletion set broadcasts into LeftSemi probes; audits are 1-row combines") {
+    val plan = planOf("x141_rtbf_cascade")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("LeftSemi"),
+      "purge probes must be semi joins:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the request set must broadcast:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
 }

@@ -767,4 +767,33 @@ class StreamingSpec extends SparkSpec {
     assert(batch(3L) == Seq(7L, 4L, 3L, 0L, true))  // 'one two' x3
     assert(batch(4L) == Seq(1L, 0L, 0L, 0L, false)) // no bigrams, no flag
   }
+
+  test("streamingTombstoneScreen: purged keys never re-enter; admitted rows equal the batch anti join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tombs = Seq(97L, 194L).toDF("k")
+    val rows = Seq((1L, 10L, "a"), (2L, 97L, "b"), (3L, 11L, "c"),
+                   (4L, 194L, "d"), (5L, 97L, "e"), (6L, 12L, "f"))
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = StreamingOps.streamingTombstoneScreen(
+        mem.toDF().toDF("row_id", "cust_id", "payload"), tombs, "cust_id")
+      .writeStream.format("memory").queryName("tomb").outputMode("append")
+      .start()
+    mem.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("select row_id, cust_id from tomb")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    val batch = rows.toDF("row_id", "cust_id", "payload")
+      .join(tombs, col("cust_id") === col("k"), "left_anti")
+      .select("row_id", "cust_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, 10L), (3L, 11L), (6L, 12L)))
+    // the audit column is present on every admitted row
+    val flags = spark.sql("select screened_at_ingest from tomb")
+      .collect().map(_.getBoolean(0))
+    assert(flags.nonEmpty && flags.forall(identity))
+  }
 }
