@@ -81,9 +81,14 @@ object NnDescent {
     val vb = sn.select(col("vec_id").as("w"), col("v").as("vb"),
                        col("nrm").as("nb"))
     for (_ <- 1 to rounds) {
+      // symmetrize in ONE pass over g (explode both directions) — a
+      // union of g with its own swap would evaluate g's scoring join +
+      // window twice per round
       val und = scope.persist(
-        g.select(col("u"), col("w"))
-          .union(g.select(col("w").as("u"), col("u").as("w")))
+        g.select(explode(array(
+            struct(col("u").as("a"), col("w").as("b")),
+            struct(col("w").as("a"), col("u").as("b")))).as("e"))
+          .select(col("e.a").as("u"), col("e.b").as("w"))
           .distinct())
       und.count() // eager: read three times below (the x114 lesson)
       val nn = und.toDF("u", "mid").join(und.toDF("mid", "w"), "mid")
