@@ -308,6 +308,48 @@ object ClusterQueries {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // X142 — NN-Descent recall audit: per query, how many of the exact
+    // cosine top-KG does the 2-round descended graph actually hold? The
+    // x127/x130 honesty device applied to the graph — the number a
+    // deployment consults before serving from it (x138's edge parity
+    // proves the algorithm; THIS measures whether the algorithm's answer
+    // is any good). Integer (qid, hits) output. On THIS corpus the
+    // honest answer is low (~5% at sf0.1): the driver embeddings are
+    // near-isotropic — measured, a point's exact top-4 share its label
+    // at chance rate (9.4% vs 10%) and top-1 cosine is 0.41 against a
+    // 0.125-std noise floor — so neighbor-of-neighbor locality barely
+    // exists, and a degree-4 graph's ~K² candidate budget per node
+    // cannot beat it (x127 scores 2.3/3 here only by exactly scoring
+    // nprobe/nlist = 25% of the corpus per query — a 30× larger
+    // budget). Low recall on diffuse data at a tiny budget is the
+    // truthful reading, and surfacing it before anyone serves from the
+    // graph is the audit's entire job; NnDescentSpec proves the same
+    // operator reaches exact kNN on clustered geometry.
+    "x142_knn_recall" -> ((s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
+      val e = Tables(s, dir, "embeddings")
+      val m = KMeansDet.fit(e, K, ITERS)
+      val sn = KMeansDet.assignWithVec(e, m)
+      val g = graft.operators.NnDescent.build(sn, KG, GR, mixBuckets = MIXB)
+        .filter(col("u") < 20)
+        .select(col("u").as("gqid"), col("w").as("gnid"))
+      val q = sn.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                col("nrm").as("qn"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc_nulls_last, col("nid").asc)
+      val exact = broadcast(q).join(sn, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qv"), col("qn"), col("vec_id").as("nid"),
+                col("v"), col("nrm"))
+        .withColumn("cos", cosOf("qv", "qn", "v", "nrm"))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= KG)
+        .select(col("qid"), col("nid"))
+      exact.join(g, col("qid") === col("gqid") &&
+                    col("nid") === col("gnid"), "left")
+        .groupBy(col("qid")).agg(count(col("gnid")).as("hits"))
+        .orderBy(col("qid"))
+    }),
+
     // X134 — grid-blocked DBSCAN: the density-based complement to the
     // k-means family (discovers the cluster COUNT, isolates noise —
     // k-means can do neither). Points are derived from customer in three
@@ -424,6 +466,46 @@ object ClusterQueries {
 
   private def kmeansCtes(eWhere: String = "TRUE"): String =
     kmeansChain("", "embedding::DOUBLE[]", DIMS, eWhere)
+
+  /** The x138 NN-Descent CTE chain (expects [[kmeansCtes]] in the same
+    * WITH — reads `af`): sn with norms → cell ring `ld` + mixing ring
+    * `lm` → `g0` → per-round und/cd/g; ends at `g$GR`. Shared by the
+    * x138 edge-parity oracle and the x142 recall audit. Must stay
+    * arithmetically identical to [[graft.operators.NnDescent.build]]. */
+  private def nndCtes: String = {
+    def leadCols(grp: String) = (1 to KG).map(i =>
+      s"lead(vec_id, $i) OVER (PARTITION BY $grp ORDER BY vec_id) " +
+        s"AS w$i").mkString(", ")
+    val wList = (1 to KG).map(i => s"w$i").mkString(", ")
+    val cosRaw = """CASE WHEN a.n = 0 OR b.n = 0 THEN NULL
+              ELSE list_dot_product(a.v, b.v) / (a.n * b.n) END"""
+    def roundCte(i: Int): String = {
+      val prev = s"g${i - 1}"
+      s"""und$i AS (SELECT u, w FROM $prev
+                 UNION SELECT w AS u, u AS w FROM $prev),
+        cd$i AS (SELECT a.u AS u, b.w AS w
+                 FROM und$i a JOIN und$i b ON b.u = a.w WHERE b.w <> a.u
+                 UNION SELECT u, w FROM und$i),
+        g$i AS (SELECT u, w, cos, rn FROM (
+            SELECT c.u, c.w, $cosRaw AS cos,
+              row_number() OVER (PARTITION BY c.u ORDER BY
+                ($cosRaw) DESC NULLS LAST, c.w ASC) AS rn
+            FROM cd$i c JOIN sn a ON a.vec_id = c.u
+                 JOIN sn b ON b.vec_id = c.w)
+          WHERE rn <= $KG)"""
+    }
+    s"""sn AS (SELECT vec_id, cell, v,
+                 sqrt(list_dot_product(v, v)) AS n FROM af),
+        ld AS (SELECT vec_id AS u, ${leadCols("cell")} FROM sn),
+        lm AS (SELECT vec_id AS u, ${leadCols(s"vec_id % $MIXB")} FROM sn),
+        g0 AS (SELECT u, w FROM (
+                 SELECT u, unnest([$wList]) AS w FROM ld) WHERE w IS NOT NULL
+               UNION
+               SELECT u, w FROM (
+                 SELECT u, unnest([$wList]) AS w FROM lm)
+               WHERE w IS NOT NULL),
+        ${(1 to GR).map(roundCte).mkString(",\n        ")}"""
+  }
 
   /** The four per-subspace PQ chains (p0..p3 over 16-dim slices). */
   private def pqChains: String =
@@ -597,47 +679,34 @@ object ClusterQueries {
           WHERE rank <= 3 ORDER BY qid, rank"""
     },
 
-    // the identical NN-Descent iteration: cell-ring lead() init, then per
-    // round candidates = current ∪ reversed ∪ neighbors-of-neighbors
-    // (UNION = set semantics, matching the Spark distinct()), top-KG per
-    // node by (cos DESC NULLS LAST, id ASC)
-    "x138_knn_graph" -> {
-      def leadCols(grp: String) = (1 to KG).map(i =>
-        s"lead(vec_id, $i) OVER (PARTITION BY $grp ORDER BY vec_id) " +
-          s"AS w$i").mkString(", ")
-      val wList = (1 to KG).map(i => s"w$i").mkString(", ")
-      val cosRaw = """CASE WHEN a.n = 0 OR b.n = 0 THEN NULL
-                ELSE list_dot_product(a.v, b.v) / (a.n * b.n) END"""
-      def roundCte(i: Int): String = {
-        val prev = s"g${i - 1}"
-        s"""und$i AS (SELECT u, w FROM $prev
-                   UNION SELECT w AS u, u AS w FROM $prev),
-          cd$i AS (SELECT a.u AS u, b.w AS w
-                   FROM und$i a JOIN und$i b ON b.u = a.w WHERE b.w <> a.u
-                   UNION SELECT u, w FROM und$i),
-          g$i AS (SELECT u, w, cos, rn FROM (
-              SELECT c.u, c.w, $cosRaw AS cos,
-                row_number() OVER (PARTITION BY c.u ORDER BY
-                  ($cosRaw) DESC NULLS LAST, c.w ASC) AS rn
-              FROM cd$i c JOIN sn a ON a.vec_id = c.u
-                   JOIN sn b ON b.vec_id = c.w)
-            WHERE rn <= $KG)"""
-      }
+    // the identical NN-Descent iteration: cell-ring + mixing-ring lead()
+    // init, then per round candidates = current ∪ reversed ∪
+    // neighbors-of-neighbors (UNION = set semantics, matching the Spark
+    // distinct()), top-KG per node by (cos DESC NULLS LAST, id ASC)
+    "x138_knn_graph" ->
       s"""WITH ${kmeansCtes()},
-          sn AS (SELECT vec_id, cell, v,
-                   sqrt(list_dot_product(v, v)) AS n FROM af),
-          ld AS (SELECT vec_id AS u, ${leadCols("cell")} FROM sn),
-          lm AS (SELECT vec_id AS u, ${leadCols(s"vec_id % $MIXB")} FROM sn),
-          g0 AS (SELECT u, w FROM (
-                   SELECT u, unnest([$wList]) AS w FROM ld) WHERE w IS NOT NULL
-                 UNION
-                 SELECT u, w FROM (
-                   SELECT u, unnest([$wList]) AS w FROM lm)
-                 WHERE w IS NOT NULL),
-          ${(1 to GR).map(roundCte).mkString(",\n          ")}
+          $nndCtes
           SELECT u AS vec_id, rn AS rank, w AS nbr, round(cos, 4) AS cos
-          FROM g$GR ORDER BY vec_id, rank"""
-    },
+          FROM g$GR ORDER BY vec_id, rank""",
+
+    // x138's chain + the x127 exact arm: per query, how many of the true
+    // top-KG neighbors does the descended graph hold?
+    "x142_knn_recall" ->
+      s"""WITH ${kmeansCtes()},
+          $nndCtes,
+          qs AS (SELECT vec_id AS qid, v AS qv, n AS qn
+                 FROM sn WHERE vec_id < 20),
+          ex AS (SELECT qid, nid FROM (
+              SELECT qs.qid, s.vec_id AS nid,
+                row_number() OVER (PARTITION BY qs.qid
+                  ORDER BY CASE WHEN qs.qn = 0 OR s.n = 0 THEN NULL
+                    ELSE list_dot_product(qs.qv, s.v) / (qs.qn * s.n) END
+                    DESC NULLS LAST, s.vec_id ASC) AS rn
+              FROM qs JOIN sn s ON s.vec_id <> qs.qid) WHERE rn <= $KG),
+          gg AS (SELECT u, w FROM g$GR WHERE u < 20)
+          SELECT ex.qid AS qid, count(gg.w) AS hits
+          FROM ex LEFT JOIN gg ON gg.u = ex.qid AND gg.w = ex.nid
+          GROUP BY ex.qid ORDER BY ex.qid""",
 
     // the identical DBSCAN dataflow: 9-offset cell join, integer squared
     // distance, recursive-CTE closure over core-core edges (the x14/x123

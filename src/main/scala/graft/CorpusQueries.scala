@@ -706,6 +706,24 @@ object CorpusQueries {
       importanceWeights(Tables(s, dir, "documents"),
         isTarget = col("lang") === "en").orderBy(col("doc_id"))),
 
+    // X143 — DSIR with HASHED BIGRAM features + the resampling step
+    // (Xie et al. 2023's actual device): n-gram features hashed into a
+    // fixed bucket table — state is O(B), independent of vocabulary, the
+    // property that lets the model fit in a broadcast at any corpus
+    // size (x72's explicit unigram vocab grows with the data). The
+    // importance weight is the raw summed log-ratio over the doc's
+    // bigram instances — DSIR's w(x), unnormalized by length, which
+    // also keeps the whole computation division-free (no truncate-vs-
+    // floor hazard on negative sums). Resampling: top quarter PER
+    // SOURCE by (weight, doc_id) — the per-domain quota form; the
+    // picked flag is part of the hash, so the selection decision is
+    // audited, not just the scores. Docs with < 2 words carry no
+    // bigram evidence and are absent (the x45 short-doc convention).
+    "x143_hashed_dsir" -> ((s, dir) =>
+      hashedDsir(Tables(s, dir, "documents"),
+                 isTarget = col("lang") === "en")
+        .orderBy(col("doc_id"))),
+
     // X77 — positional phrase search: the bigram "hash scan" answered
     // the way a search engine answers it — from a positional inverted
     // index (word → (doc, 1-based position)), never by re-scanning
@@ -1334,6 +1352,52 @@ object CorpusQueries {
       .withColumn("imp_x100", expr("(imp_sum * 100) DIV n_tokens"))
   }
 
+  /** X143 core — DSIR with hashed bigram features + per-source top-quarter
+    * resampling. Bigrams hash into `buckets` md5 buckets (model state is
+    * O(B), vocabulary-independent — broadcastable at any corpus size);
+    * the importance weight is the raw summed bitlen log-ratio (DSIR's
+    * w(x), unnormalized — also division-free, so no truncate-vs-floor
+    * hazard on negative sums). `picked` = per-source rank by
+    * (imp_sum DESC, doc_id) within the top quarter (min 1). Docs with
+    * < 2 words carry no bigram evidence and are absent. */
+  def hashedDsir(docs: DataFrame, isTarget: Column,
+                 buckets: Int = 1024)
+                (implicit scope: graft.ops.CacheScope): DataFrame = {
+    val bg = scope.persist(docs
+      .select(col("doc_id"), col("source"), isTarget.as("_t"),
+              explode(T.wordNgrams(col("text"), 2)).as("b"))
+      .withColumn("h",
+        conv(substring(md5(col("b")), 1, 12), 16, 10).cast("long")
+          % buckets)
+      .drop(col("b")))
+    bg.count() // eager: the explode+md5 scan feeds model, scoring, quotas
+    val cr = bg.groupBy(col("h")).agg(count(lit(1)).as("cr"))
+    val ctc = bg.filter(col("_t"))
+      .groupBy(col("h")).agg(count(lit(1)).as("ct"))
+    val model = cr.join(ctc, Seq("h"), "left_outer").na.fill(0L, Seq("ct"))
+    val totals = model.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val scored = bg.join(broadcast(model), Seq("h"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lr",
+        (length(bin((col("ct") + 1) * col("nr"))) -
+         length(bin((col("cr") + 1) * col("nt")))).cast("long"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lr")).as("imp_sum"))
+    val wsrc = Window.partitionBy(col("source"))
+      .orderBy(col("imp_sum").desc, col("doc_id").asc)
+    // quota denominators from bg directly — deriving them from `scored`
+    // would replay the model join + totals cross-join a second time
+    // (caught by the x143 plan pin: 2 BNLJ instead of 1)
+    val cnts = bg.select(col("source"), col("doc_id")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("_n"))
+    scored.join(broadcast(cnts), Seq("source"))
+      .withColumn("rn", row_number().over(wsrc))
+      .withColumn("picked",
+        col("rn") <= greatest(lit(1L), expr("_n DIV 4")))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+              col("imp_sum"), col("picked"))
+  }
+
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
   /** DuckDB fragment shared by x117/x118: the K-round BPE chain as
@@ -1936,6 +2000,39 @@ object CorpusQueries {
            sum(lr)::BIGINT AS imp_sum,
            (sum(lr)::BIGINT * 100) // count(*) AS imp_x100
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+    // the identical hashed-bucket model: same md5 % B bucketing, same
+    // bitlen log-ratio, same per-source quota rank
+    "x143_hashed_dsir" ->
+      s"""WITH w AS (SELECT doc_id, source, lang = 'en' AS t,
+                 $wordsSql AS ws FROM documents),
+         bg AS (SELECT doc_id, source, t,
+                  ('0x' || substr(md5(b), 1, 12))::BIGINT % 1024 AS h
+                FROM (SELECT doc_id, source, t,
+                        unnest(list_transform(
+                          generate_series(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1])) AS b FROM w)),
+         cr AS (SELECT h, count(*)::BIGINT AS cr FROM bg GROUP BY h),
+         ct AS (SELECT h, count(*)::BIGINT AS ct FROM bg WHERE t
+                GROUP BY h),
+         bk AS (SELECT cr.h, cr.cr, coalesce(ct.ct, 0)::BIGINT AS ct
+                FROM cr LEFT JOIN ct USING (h)),
+         tot AS (SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt
+                 FROM bk),
+         sc AS (SELECT doc_id, source, count(*)::BIGINT AS n_bigrams,
+                  sum(CAST(length(to_base((ct + 1) * nr, 2))
+                     - length(to_base((cr + 1) * nt, 2)) AS BIGINT))
+                    ::BIGINT AS imp_sum
+                FROM bg JOIN bk USING (h) CROSS JOIN tot
+                GROUP BY doc_id, source),
+         rk AS (SELECT doc_id, source, n_bigrams, imp_sum,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY imp_sum DESC, doc_id ASC) AS rn,
+                  count(*) OVER (PARTITION BY source) AS n
+                FROM sc)
+         SELECT doc_id, source, n_bigrams, imp_sum,
+           rn <= greatest(1, n // 4) AS picked
+         FROM rk ORDER BY doc_id""",
 
     // Adjacent-word pairs enumerated by position — the scan-everything
     // statement of the phrase semantics the index answers.

