@@ -688,6 +688,36 @@ object StreamingOps {
                 col(keyCol) === col("__tomb_k"), "left_anti")
       .withColumn("screened_at_ingest", lit(true))
 
+  /** x143's streaming twin: DSIR importance scoring at INGEST against a
+    * FROZEN hashed-bigram model (bucket counts + corpus totals fitted on
+    * yesterday's corpus — the x128/x16 economics: history is never
+    * re-scanned, the model is O(B) and rides a broadcast). Arriving docs
+    * explode to (doc, bucket) rows, stream-static join the model, and
+    * emit per-instance (doc_id, h, lr) evidence — per-match like
+    * [[streamingSemanticScreen]], since a per-doc sum would be a
+    * stateful aggregation; the downstream selector sums lr per doc
+    * batch-side over the materialized evidence. State: NONE; a refreshed
+    * model is picked up per micro-batch. `nr`/`nt` are the frozen corpus
+    * totals (certified-small scalars the model fit produces). */
+  def streamingDsirScreen(stream: DataFrame, model: DataFrame,
+                          nr: Long, nt: Long,
+                          buckets: Int = 1024): DataFrame = {
+    require(nr > 0 && nt > 0, s"frozen totals must be positive: nr=$nr nt=$nt")
+    stream
+      .select(col("doc_id"),
+              explode(graft.functions.TextFunctions
+                .wordNgrams(col("text"), 2)).as("b"))
+      .withColumn("h",
+        conv(substring(md5(col("b")), 1, 12), 16, 10).cast("long")
+          % buckets)
+      .join(broadcast(model.select(col("h"), col("cr"), col("ct"))),
+            Seq("h"), "left_outer")
+      .na.fill(0L, Seq("cr", "ct")) // unseen bucket = add-one smoothing only
+      .select(col("doc_id"), col("h"),
+        (length(bin((col("ct") + 1) * lit(nr))) -
+         length(bin((col("cr") + 1) * lit(nt)))).cast("long").as("lr"))
+  }
+
   def streamingQuantileSketch(cents: DataFrame,
                               centsCol: String = "c"): DataFrame =
     cents.select(graft.ops.QuantileSketchOps.bucketOf(col(centsCol)).as("b"))

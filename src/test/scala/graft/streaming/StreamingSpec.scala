@@ -768,6 +768,68 @@ class StreamingSpec extends SparkSpec {
     assert(batch(4L) == Seq(1L, 0L, 0L, 0L, false)) // no bigrams, no flag
   }
 
+  test("streamingDsirScreen: streamed evidence sums to the frozen-model batch weights; unseen buckets smooth, not drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // frozen model fitted on a tiny "yesterday" corpus
+    val corpus = Seq(
+      (100L, "S", true, "alpha beta alpha beta"),
+      (101L, "S", false, "gamma delta gamma delta"))
+      .toDF("doc_id", "source", "t", "text")
+    val bg = corpus.select(col("doc_id"), col("t"),
+        explode(graft.functions.TextFunctions
+          .wordNgrams(col("text"), 2)).as("b"))
+      .withColumn("h",
+        conv(substring(md5(col("b")), 1, 12), 16, 10).cast("long") % 1024)
+    val model = bg.groupBy("h").agg(count(lit(1)).as("cr"))
+      .join(bg.filter(col("t")).groupBy("h").agg(count(lit(1)).as("ct")),
+            Seq("h"), "left_outer").na.fill(0L, Seq("ct")).cache()
+    val Array(nr, nt) = model.agg(sum("cr"), sum("ct")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    // today's arrivals: one target-like, one off-target, one with a
+    // bigram the corpus never saw (eta theta)
+    val docs = Seq((1L, "alpha beta alpha beta"),
+                   (2L, "gamma delta gamma delta"),
+                   (3L, "eta theta eta theta"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingDsirScreen(
+        mem.toDF().toDF("doc_id", "text"), model, nr, nt)
+      .writeStream.format("memory").queryName("dsir").outputMode("append")
+      .start()
+    mem.addData(docs.take(1): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(1): _*)
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      "select doc_id, sum(lr) from dsir group by doc_id")
+      .as[(Long, Long)].collect().toMap
+    q.stop()
+    // reference: the same frozen-model arithmetic, straight-line
+    def refLr(cr: Long, ct: Long): Long =
+      java.lang.Long.toBinaryString((ct + 1) * nr).length.toLong -
+        java.lang.Long.toBinaryString((cr + 1) * nt).length.toLong
+    val m = model.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def hOf(b: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(b.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12), 16) % 1024
+    }
+    val want = docs.map { case (id, text) =>
+      val ws = text.split("\\s+").toSeq
+      id -> ws.zip(ws.tail).map { case (a, b) =>
+        val (cr, ct) = m.getOrElse(hOf(s"$a $b"), (0L, 0L))
+        refLr(cr, ct)
+      }.sum
+    }.toMap
+    assert(streamed == want)
+    // target-like arrival outscores off-target; unseen buckets scored
+    // the smoothed ratio, and the doc was NOT dropped
+    assert(streamed(1L) > streamed(2L))
+    assert(streamed.contains(3L))
+    model.unpersist()
+  }
+
   test("streamingTombstoneScreen: purged keys never re-enter; admitted rows equal the batch anti join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
