@@ -1167,6 +1167,32 @@ object ExtensionQueries {
         .withColumn("noisy_n", col("true_n") + col("noise"))
         .orderBy(col("n"), col("seg"))),
 
+    // X144 — differentially private SUMS: x140's mechanism extended to a
+    // numeric aggregate. DP for a sum needs a bounded per-record
+    // contribution, so each balance is CLIPPED to ±C cents first (the
+    // clip IS the privacy parameter — sensitivity Δ = C), then the
+    // released sum gets C-scaled two-sided-geometric noise: scaling the
+    // x140 draw by Δ keeps ε = ln 2 at sensitivity Δ. All integer, all
+    // derived from the group key — clip bound, noise, and both sums are
+    // in the hash. clipped_n audits how many records the clip touched
+    // (the utility cost of the bound, never silent).
+    "x144_dp_sums" -> ((s, dir) => {
+      val c = 100000L // clip bound: ±1000.00 in cents
+      val cents = expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+      Tables(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("n"),
+                greatest(lit(-c), least(lit(c), cents)).as("v"),
+                (cents > c || cents < -c).cast("long").as("cl"))
+        .groupBy(col("n"))
+        .agg(sum(col("v")).as("clipped_sum"),
+             sum(col("cl")).as("clipped_n"))
+        .withColumn("noise",
+          lit(c) * graft.ops.PrivacyOps.geometricNoise(
+            col("n"), "dsa:", "dsb:"))
+        .withColumn("noisy_sum", col("clipped_sum") + col("noise"))
+        .orderBy(col("n"))
+    }),
+
     // X141 — right-to-be-forgotten cascade (GDPR art. 17): a deletion
     // request set propagates customer → orders → lineitem, and the audit
     // that proves the erasure is the output — per-table purged/kept
@@ -2135,6 +2161,26 @@ object ExtensionQueries {
           SELECT n, seg, true_n, $noise AS noise,
                  true_n + $noise AS noisy_n
           FROM g ORDER BY n, seg"""
+    },
+
+    // the identical clip + Δ-scaled geometric draws
+    "x144_dp_sums" -> {
+      val noise = s"(${graft.ops.PrivacyOps.tzSql("CAST(n AS VARCHAR)", "dsa:")} - " +
+        s"${graft.ops.PrivacyOps.tzSql("CAST(n AS VARCHAR)", "dsb:")})"
+      s"""WITH g AS (SELECT CAST(c_nationkey AS BIGINT) AS n,
+                 sum(greatest(-100000, least(100000,
+                   CAST(round(c_acctbal * 100) AS BIGINT))))::BIGINT
+                   AS clipped_sum,
+                 sum(CASE WHEN CAST(round(c_acctbal * 100) AS BIGINT)
+                            > 100000
+                          OR CAST(round(c_acctbal * 100) AS BIGINT)
+                            < -100000
+                          THEN 1 ELSE 0 END)::BIGINT AS clipped_n
+               FROM customer GROUP BY 1)
+          SELECT n, clipped_sum, clipped_n,
+                 100000 * $noise AS noise,
+                 clipped_sum + 100000 * $noise AS noisy_sum
+          FROM g ORDER BY n"""
     },
 
     // the identical cascade: IN-subquery semi joins, count audits, and

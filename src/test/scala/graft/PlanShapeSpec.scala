@@ -1480,6 +1480,13 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x144 DP sums: clip + noise are projections around one keyed aggregate — no join at all") {
+    val plan = planOf("x144_dp_sums")
+    assert(!plan.contains("Join"), "noise must not join:\n" + plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("x141 RTBF cascade: the deletion set broadcasts into LeftSemi probes; audits are 1-row combines") {
     val plan = planOf("x141_rtbf_cascade")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
