@@ -350,6 +350,68 @@ object ClusterQueries {
         .orderBy(col("qid"))
     }),
 
+    // X145 — hard-negative mining for embedding-model training (the
+    // FaceNet semi-hard device): per anchor, the highest-cosine
+    // cell-mates with a DIFFERENT label — the pairs a contrastive loss
+    // learns most from. Candidates are cell-blocked (the x126 Σ|cell|²
+    // economics) with k AS A SCALE FUNCTION from the start — the x133
+    // governance is baked in, not retrofitted: fixed k=8 measured
+    // 3.5 → 21 s over one 10× decade before this was applied. Anchor
+    // label, negative label, rank, and similarity are all in the hash;
+    // the oracle re-derives k from its own count(*).
+    "x145_hard_negatives" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val n = e.count() // certified small: one scalar
+      val k = math.max(K, math.ceil(math.sqrt(n.toDouble) / 3).toInt)
+      val m = KMeansDet.fit(e, k, ITERS)
+      val sn = KMeansDet.assignWithVec(e, m)
+      val lab = e.select(col("vec_id"), col("label").cast("long").as("lab"))
+      val snl = sn.join(lab, "vec_id")
+      val a = snl.select(col("cell"), col("vec_id").as("aid"),
+                         col("v").as("va"), col("nrm").as("na"),
+                         col("lab").as("la"))
+      val b = snl.select(col("cell"), col("vec_id").as("nid"),
+                         col("v").as("vb"), col("nrm").as("nb"),
+                         col("lab").as("lb"))
+      val w = Window.partitionBy(col("aid"))
+        .orderBy(col("cos").desc_nulls_last, col("nid").asc)
+      a.join(b, Seq("cell"))
+        .filter(col("aid") =!= col("nid") && col("la") =!= col("lb"))
+        .withColumn("cos", cosOf("va", "na", "vb", "nb"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .select(col("aid").as("vec_id"), col("rn").as("rank"),
+                col("nid").as("neg_id"), col("la").as("label"),
+                col("lb").as("neg_label"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
+    // X146 — cluster-balanced corpus downsample (the D4-style diversity
+    // quota): keep the ceil(|cell|/4) most central vectors of every
+    // k-means cell — a 25% subset whose semantic coverage is balanced
+    // by construction (a frequency-proportional sample would let the
+    // dominant modes crowd out the tail cells). Selection = distance to
+    // the final centroid with id tie-break; every kept row's rank and
+    // distance are in the hash.
+    "x146_cell_downsample" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val m = KMeansDet.fit(e, K, ITERS)
+      val sn = KMeansDet.assignWithVec(e, m)
+      val cf = centroidFrame(s, m)
+      val w = Window.partitionBy(col("cell"))
+        .orderBy(col("d").asc, col("vec_id").asc)
+      sn.join(broadcast(cf), Seq("cell"))
+        .withColumn("d",
+          V.dot(col("v"), col("v")) - lit(2.0) * V.dot(col("v"), col("c"))
+            + V.dot(col("c"), col("c")))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("csize",
+          count(lit(1)).over(Window.partitionBy(col("cell"))))
+        .filter(col("rn") <= expr("(csize + 3) div 4"))
+        .select(col("vec_id"), col("cell"), col("rn").as("rank"),
+                round(col("d"), 4).as("d"))
+        .orderBy(col("cell"), col("rank"))
+    }),
+
     // X134 — grid-blocked DBSCAN: the density-based complement to the
     // k-means family (discovers the cluster COUNT, isolates noise —
     // k-means can do neither). Points are derived from customer in three
@@ -707,6 +769,46 @@ object ClusterQueries {
           SELECT ex.qid AS qid, count(gg.w) AS hits
           FROM ex LEFT JOIN gg ON gg.u = ex.qid AND gg.w = ex.nid
           GROUP BY ex.qid ORDER BY ex.qid""",
+
+    // the identical cell-blocked different-label pair mine, k re-derived
+    // from the oracle's own count (the x133 device)
+    "x145_hard_negatives" -> {
+      val kSql = s"SELECT greatest($K, CAST(ceil(sqrt(count(*)) / 3) " +
+        "AS BIGINT)) FROM e"
+      s"""WITH ${kmeansChain("", "embedding::DOUBLE[]", DIMS, "TRUE", kSql)},
+          sn AS (SELECT vec_id, cell, v,
+                   sqrt(list_dot_product(v, v)) AS n FROM af),
+          sl AS (SELECT sn.vec_id, sn.cell, sn.v, sn.n,
+                   CAST(e2.label AS BIGINT) AS lab
+                 FROM sn JOIN embeddings e2 USING (vec_id)),
+          p AS (SELECT a.vec_id AS aid, b.vec_id AS nid,
+                  a.lab AS la, b.lab AS lb,
+                  CASE WHEN a.n = 0 OR b.n = 0 THEN NULL
+                       ELSE list_dot_product(a.v, b.v) / (a.n * b.n)
+                  END AS cos,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY CASE WHEN a.n = 0 OR b.n = 0 THEN NULL
+                      ELSE list_dot_product(a.v, b.v) / (a.n * b.n) END
+                      DESC NULLS LAST, b.vec_id ASC) AS rn
+                FROM sl a JOIN sl b ON b.cell = a.cell
+                  AND b.vec_id <> a.vec_id AND b.lab <> a.lab)
+          SELECT aid AS vec_id, rn AS rank, nid AS neg_id, la AS label,
+                 lb AS neg_label, round(cos, 4) AS cos
+          FROM p WHERE rn <= 2 ORDER BY vec_id, rank"""
+    },
+
+    // the identical centrality quota per cell
+    "x146_cell_downsample" ->
+      s"""WITH ${kmeansCtes()},
+          j AS (SELECT af.vec_id, af.cell, ${distSql("af.v", "c.c")} AS d
+                FROM af JOIN c$ITERS c USING (cell)),
+          r AS (SELECT vec_id, cell, d,
+                  row_number() OVER (PARTITION BY cell
+                    ORDER BY d ASC, vec_id ASC) AS rn,
+                  count(*) OVER (PARTITION BY cell) AS csize
+                FROM j)
+          SELECT vec_id, cell, rn AS rank, round(d, 4) AS d
+          FROM r WHERE rn <= (csize + 3) // 4 ORDER BY cell, rank""",
 
     // the identical DBSCAN dataflow: 9-offset cell join, integer squared
     // distance, recursive-CTE closure over core-core edges (the x14/x123

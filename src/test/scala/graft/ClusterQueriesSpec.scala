@@ -69,4 +69,52 @@ class ClusterQueriesSpec extends SparkSpec {
     val hits = rows.map(r => r.getLong(0) -> r.getAs[Long]("hits")).toMap
     (8 to 11).foreach { i => assert(hits(i.toLong) >= 1) }
   }
+
+  /** Same geometry but with LABELS: axis i carries label i, the four
+    * scaled copies carry label 99 — so each copy's hardest same-cell
+    * different-label negative is exactly its axis partner at cos 1. */
+  private lazy val ldir: String = {
+    val d = Files.createTempDirectory("graft_cluster_lab_fixture").toString
+    val axes = (0 until 8).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => if (j == i) 1f else 0f), i)
+    }
+    val copies = (0 until 4).map { i =>
+      ((8 + i).toLong, Seq.tabulate(8)(j => if (j == i) 1.01f else 0f), 99)
+    }
+    (axes ++ copies).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("x145: each copy's hardest negative is its axis partner; same-label pairs excluded") {
+    val rows = ClusterQueries.queries("x145_hard_negatives")(spark, ldir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    (0 until 4).foreach { i =>
+      // anchor = copy 8+i: rank-1 negative is axis i (different label, cos 1)
+      assert(rows((8L + i, 1)) == ((i.toLong, 99L, i.toLong, 1.0)))
+      // anchor = axis i: rank-1 negative is its copy (label 99, cos 1)
+      assert(rows((i.toLong, 1)) == ((8L + i, i.toLong, 99L, 1.0)))
+    }
+    // never a same-label pair anywhere
+    assert(rows.values.forall { case (_, la, lb, _) => la != lb })
+    // axes 4..7 are alone in their cells: no candidates, absent
+    (4 to 7).foreach { i => assert(!rows.contains((i.toLong, 1))) }
+  }
+
+  test("x146: quota keeps the most central vector per cell — exactly one from every cell") {
+    val rows = ClusterQueries.queries("x146_cell_downsample")(spark, ldir)
+      .collect()
+    // 8 cells, sizes {2,2,2,2,1,1,1,1} -> ceil(n/4) = 1 kept per cell
+    assert(rows.length == 8)
+    assert(rows.forall(_.getInt(2) == 1))
+    // singleton cells keep their only member; in the 2-member cells the
+    // COPY wins on distance, not tie-break: 1.01f widens to the double
+    // 1.00999999…, the 6-dp-rounded centroid coordinate is 1.005, and
+    // |1.00999999… − 1.005| < |1 − 1.005| by ~1e-9 — float-to-double
+    // widening is part of the pinned arithmetic (the oracle agrees, so
+    // this is semantics, not noise)
+    assert(rows.map(_.getLong(0)).toSet ==
+      Set(4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L))
+  }
 }

@@ -1480,6 +1480,30 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x145 hard negatives: candidates are cell-blocked equi-joins — no cartesian, no data-sized nested loop") {
+    val plan = planOf("x145_hard_negatives")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("cell"),
+      "cell-blocked join keys missing:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("x146 cell downsample: centroids broadcast; both windows ride one cell exchange") {
+    val plan = planOf("x146_cell_downsample")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "centroid frame must broadcast:\n" + plan.take(3000))
+    // the rank window and the csize window share partitioning by cell:
+    // exactly one hashpartitioning(cell...) exchange feeds them
+    val cellEx = "Exchange hashpartitioning\\(cell".r.findAllIn(plan).size
+    assert(cellEx == 1,
+      s"expected one cell exchange for both windows, got $cellEx:\n" +
+        plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("x144 DP sums: clip + noise are projections around one keyed aggregate — no join at all") {
     val plan = planOf("x144_dp_sums")
     assert(!plan.contains("Join"), "noise must not join:\n" + plan.take(3000))
