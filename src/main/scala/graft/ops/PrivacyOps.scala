@@ -146,6 +146,13 @@ object PrivacyOps {
     * a per-release secret into the salts — the algebra is unchanged.
     * h = 0 (probability 2^−48) is pinned to tz = 48. */
   def geometricNoise(key: Column, salt1: String, salt2: String): Column = {
+    // equal salts would make the two draws identical and the noise
+    // IDENTICALLY ZERO — a silent, total failure of the mechanism
+    require(salt1 != salt2,
+      s"geometric draws need distinct salts, got '$salt1' twice")
+    // composition note: each RELEASE must use a fresh salt pair — reusing
+    // a pair across two releases of overlapping groups correlates their
+    // noise, and the ε's of correlated releases do not compose additively
     def tz(salt: String): Column = {
       val h = conv(substring(md5(concat(lit(salt), key.cast("string"))),
                              1, 12), 16, 10).cast("long")

@@ -134,6 +134,11 @@ class PrivacyOpsSpec extends SparkSpec {
     }
   }
 
+  test("geometricNoise refuses equal salts (noise would be identically zero)") {
+    intercept[IllegalArgumentException](
+      PrivacyOps.geometricNoise(col("k"), "same:", "same:"))
+  }
+
   test("geometric draws have the advertised shape: P(tz=0) ~ 1/2, mean ~ 1") {
     // deterministic given the fixed key set — a distribution audit, not a
     // flaky statistical test
