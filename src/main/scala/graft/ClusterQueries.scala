@@ -350,6 +350,54 @@ object ClusterQueries {
         .orderBy(col("qid"))
     }),
 
+    // X147 — INCREMENTAL k-NN graph maintenance: today's batch (the
+    // x16/x128 % 10 split) gets graph edges WITHOUT re-descending the
+    // corpus — centroids and the corpus graph are frozen artifacts from
+    // yesterday's build; a batch vector's candidates are its frozen-cell
+    // corpus mates PLUS one expansion hop over their graph adjacency
+    // (the hop recovers near-boundary neighbors the cell alone misses —
+    // query-time mixing, the same role x138's init ring plays at build
+    // time). Per batch node the cost is O(|cell|·(1+KG)) — history is
+    // never re-scanned beyond the touched cells, the x16/x116/x128
+    // ingest economics applied to the graph family. k is the x133 scale
+    // function (fixed k=8 measured 6.7 → 38 s over one decade before
+    // governance: |cell| grows with N, and mates = |batch|·|cell| is the
+    // dominant term); the oracle re-derives k from its own count(*).
+    "x147_knn_incremental" -> ((s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
+      val e = Tables(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") % 10 < 8)
+      val batch = e.filter(col("vec_id") % 10 >= 8)
+      val n = corpus.count() // certified small: one scalar
+      val k = math.max(K, math.ceil(math.sqrt(n.toDouble) / 3).toInt)
+      val m = KMeansDet.fit(corpus, k, ITERS)
+      val sn = KMeansDet.assignWithVec(corpus, m)
+      val g = scope.persist(
+        graft.operators.NnDescent.build(sn, KG, GR, mixBuckets = MIXB)
+          .select(col("u"), col("w")))
+      g.count() // eager: the frozen adjacency is probed per batch mate
+      val bs = KMeansDet.assignWithVec(batch, m)
+        .select(col("vec_id").as("bid"), col("cell"),
+                col("v").as("qv"), col("nrm").as("qn"))
+      val mates = bs
+        .join(sn.select(col("cell"), col("vec_id").as("cid")), Seq("cell"))
+        .select(col("bid"), col("cid"))
+      val hop = mates.join(g, mates("cid") === g("u"))
+        .select(col("bid"), col("w").as("cid"))
+      val cand = mates.union(hop).distinct()
+      val w = Window.partitionBy(col("bid"))
+        .orderBy(col("cos").desc_nulls_last, col("cid").asc)
+      cand
+        .join(bs.select(col("bid"), col("qv"), col("qn")), "bid")
+        .join(sn.select(col("vec_id").as("cid"), col("v").as("cv"),
+                        col("nrm").as("cn")), "cid")
+        .withColumn("cos", cosOf("qv", "qn", "cv", "cn"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= KG)
+        .select(col("bid").as("vec_id"), col("rn").as("rank"),
+                col("cid").as("nbr"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
     // X145 — hard-negative mining for embedding-model training (the
     // FaceNet semi-hard device): per anchor, the highest-cosine
     // cell-mates with a DIFFERENT label — the pairs a contrastive loss
@@ -769,6 +817,42 @@ object ClusterQueries {
           SELECT ex.qid AS qid, count(gg.w) AS hits
           FROM ex LEFT JOIN gg ON gg.u = ex.qid AND gg.w = ex.nid
           GROUP BY ex.qid ORDER BY ex.qid""",
+
+    // the identical frozen-artifact maintenance: corpus-only k-means +
+    // NN-Descent chains, batch assigned against the frozen centroids,
+    // candidates = cell mates ∪ one adjacency hop
+    "x147_knn_incremental" -> {
+      val cosBS = """CASE WHEN b.n = 0 OR s.n = 0 THEN NULL
+            ELSE list_dot_product(b.v, s.v) / (b.n * s.n) END"""
+      val kSql = s"SELECT greatest($K, CAST(ceil(sqrt(count(*)) / 3) " +
+        "AS BIGINT)) FROM e"
+      s"""WITH ${kmeansChain("", "embedding::DOUBLE[]", DIMS,
+                             "vec_id % 10 < 8", kSql)},
+          $nndCtes,
+          eb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings WHERE vec_id % 10 >= 8),
+          ab AS (SELECT vec_id, v, cell FROM (
+              SELECT eb.vec_id, eb.v, c.cell,
+                row_number() OVER (PARTITION BY eb.vec_id
+                  ORDER BY ${distSql("eb.v", "c.c")} ASC, c.cell ASC) AS rn
+              FROM eb CROSS JOIN c$ITERS c) WHERE rn = 1),
+          bsn AS (SELECT vec_id, cell, v,
+                    sqrt(list_dot_product(v, v)) AS n FROM ab),
+          mates AS (SELECT b.vec_id AS bid, s.vec_id AS cid
+                    FROM bsn b JOIN sn s ON s.cell = b.cell),
+          hop AS (SELECT m.bid, g.w AS cid
+                  FROM mates m JOIN g$GR g ON g.u = m.cid),
+          cand AS (SELECT bid, cid FROM mates
+                   UNION SELECT bid, cid FROM hop),
+          sc AS (SELECT c.bid, c.cid, $cosBS AS cos,
+                   row_number() OVER (PARTITION BY c.bid ORDER BY
+                     ($cosBS) DESC NULLS LAST, c.cid ASC) AS rn
+                 FROM cand c JOIN bsn b ON b.vec_id = c.bid
+                      JOIN sn s ON s.vec_id = c.cid)
+          SELECT bid AS vec_id, rn AS rank, cid AS nbr,
+                 round(cos, 4) AS cos
+          FROM sc WHERE rn <= $KG ORDER BY vec_id, rank"""
+    },
 
     // the identical cell-blocked different-label pair mine, k re-derived
     // from the oracle's own count (the x133 device)

@@ -70,6 +70,23 @@ class ClusterQueriesSpec extends SparkSpec {
     (8 to 11).foreach { i => assert(hits(i.toLong) >= 1) }
   }
 
+  test("x147: batch nodes get edges from frozen cells + one hop; corpus never re-descended") {
+    // corpus = {0..7, 10, 11}, batch = {8, 9} (the % 10 split); copy 8's
+    // frozen cell holds axis 0 -> rank-1 neighbor is 0 at cos 1; same
+    // for 9 and axis 1. Only batch ids appear as sources.
+    val rows = ClusterQueries.queries("x147_knn_incremental")(spark, dir)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(8L, 9L))
+    val top = rows.filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(top(8L) == ((0L, 1.0)))
+    assert(top(9L) == ((1L, 1.0)))
+    // every cited neighbor is a corpus id (the batch is never an edge
+    // target — its internal pairs are tomorrow's corpus build)
+    assert(rows.forall { r =>
+      val n = r.getLong(2); n % 10 < 8 })
+  }
+
   /** Same geometry but with LABELS: axis i carries label i, the four
     * scaled copies carry label 99 — so each copy's hardest same-cell
     * different-label negative is exactly its axis partner at cos 1. */

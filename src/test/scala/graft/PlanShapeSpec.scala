@@ -1480,6 +1480,16 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x147 incremental kNN: frozen-cell mates + adjacency hop are keyed equi-joins — no cartesian, no data-sized nested loop") {
+    val plan = planOf("x147_knn_incremental")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the hop drives on the frozen graph's source vertex
+    assert(plan.contains("cell") && plan.contains("cid"),
+      "cell/adjacency join keys missing:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("x145 hard negatives: candidates are cell-blocked equi-joins — no cartesian, no data-sized nested loop") {
     val plan = planOf("x145_hard_negatives")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
