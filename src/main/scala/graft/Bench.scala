@@ -134,6 +134,33 @@ object Bench {
       System.err.println(s"[bench] ${noisyIdx.length} noisy entries " +
         s"(probe base ${f"$probeBase%.2f"}s): " +
         noisyIdx.map(results(_)._1).mkString(", "))
+    // Self-adjudication (the r12 lesson: noisy entries used to need a
+    // MANUAL TimeOne session after every capture): each flagged entry is
+    // re-measured at capture END — temporally displaced from whatever
+    // spike flagged it, with its own interleaved probe so residual load
+    // is still visible. solo_med lands in the JSON line positionally
+    // aligned with "noisy" (and by name in BENCH_QUALITY.json), so a
+    // regression call on a noisy entry is adjudicated from the artifact
+    // alone. Capped like "noisy" at 60 to protect the capture window.
+    val soloByIdx: Map[Int, (Double, Seq[Double], Double)] =
+      noisyIdx.take(60).map { i =>
+        val (name, _, _, _) = results(i)
+        val fn = SparkEntry.queries(name)
+        val pr = probe()
+        val times = (1 to 3).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
+          val sec = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          if (ok) Some(sec) else None
+        }
+        val med = if (times.isEmpty) -1.0 else median(times)
+        System.err.println(f"[bench] solo $name med=$med%.2fs " +
+          f"probe=$pr%.2fs " + times.map(t => f"$t%.2f")
+            .mkString("[", ",", "]"))
+        i -> ((med, times, pr))
+      }.toMap
     // The harness captures only the last 2000 chars of output — INCLUDING
     // sbt's trailing "[success] Total time: …" line (~72 chars) — so the
     // JSON line must stay under ~1900 chars or its head gets clipped and
@@ -170,11 +197,18 @@ object Bench {
     // capped at 60 entries to protect the capture window; "noisyn" always
     // carries the true count, and BENCH_QUALITY.json has the full names.
     val noisyJson = noisyIdx.take(60).mkString("[", ",", "]")
+    // "solo": positionally aligned with "noisy" — solo[j] is the
+    // capture-end re-measured median of the entry at noisy[j], in the
+    // same unit as "q" (-1 = re-measure failed)
+    def soloJson(perSec: Int): String = noisyIdx.take(60).map { i =>
+      val med = soloByIdx.get(i).map(_._1).getOrElse(-1.0)
+      if (med < 0) -1L else math.max(1L, math.round(med * perSec))
+    }.mkString("[", ",", "]")
     def render(perSec: Int, unit: String): String = {
       val qs = results.map { case (_, v, _, _) =>
         if (v < 0) -1L else math.max(1L, math.round(v * perSec))
       }.mkString("[", ",", "]")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","qunit":"$unit","enc":"pos","n":${results.length},"passes":$passes,"calib_cs":${math.round(calib * 100)},"probe_cs":${math.round(probeBase * 100)},"warm":$warmed,"wfail":$warmFails,"noisyn":${noisyIdx.length},"noisy":$noisyJson,"q":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","qunit":"$unit","enc":"pos","n":${results.length},"passes":$passes,"calib_cs":${math.round(calib * 100)},"probe_cs":${math.round(probeBase * 100)},"warm":$warmed,"wfail":$warmFails,"noisyn":${noisyIdx.length},"noisy":$noisyJson,"solo":${soloJson(perSec)},"q":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     // full human-readable map for the judge; stdout stays compact
     try {
@@ -191,7 +225,11 @@ object Bench {
       val noisySet = noisyIdx.toSet
       val entries = results.zipWithIndex.map { case ((k, v, ts, pr), i) =>
         val tj = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
-        f""""$k":{"med":$v%.3f,"times":$tj,"probe":$pr%.3f,"noisy":${noisySet(i)}}"""
+        val solo = soloByIdx.get(i).map { case (m, sts, spr) =>
+          val sj = sts.map(t => f"$t%.3f").mkString("[", ",", "]")
+          f""","solo_med":$m%.3f,"solo_times":$sj,"solo_probe":$spr%.3f"""
+        }.getOrElse("")
+        f""""$k":{"med":$v%.3f,"times":$tj,"probe":$pr%.3f,"noisy":${noisySet(i)}$solo}"""
       }.mkString(",")
       val w = new java.io.PrintWriter("BENCH_QUALITY.json")
       try w.println(

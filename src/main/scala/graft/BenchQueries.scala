@@ -319,6 +319,49 @@ object BenchQueries {
                  col("cents") <=> col("_sa")).as("orders_agree"))
     }),
 
+    // X151 — the advisor WIRED INTO a real query (the b09 device applied
+    // to a user-facing pipeline, not the advisor's own demo): b02's
+    // four-relation revenue join, with the join ORDER produced by
+    // adviseGraph over the query's own join graph and executed as
+    // executeChain's left-deep pinned-shuffle_hash chain. The advice is
+    // the certified-small contract (3 single-row edge estimates, one
+    // collect — stats consultation, never data movement); inner joins
+    // commute, so the result is HASH-IDENTICAL to b02 (the oracle IS
+    // b02's SQL), and PlanShapeSpec asserts the physical leaf order
+    // follows the advice. On this data the advisor opens with
+    // customer–nation (the cheapest edge) and appends orders then
+    // lineitem — fact tables join LAST, after the dimension prefix has
+    // bounded the build sides, which is exactly the order a cost-based
+    // optimizer would seed with.
+    "x151_advised_revenue" -> ((s, dir) => {
+      import graft.ops.JoinAdvisorOps
+      import graft.ops.JoinAdvisorOps.JoinEdge
+      val rels: Map[String, DataFrame] = Map(
+        "lineitem" -> Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"),
+                  col("l_discount")),
+        "orders" -> Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        "customer" -> Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+        "nation" -> Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name")))
+      val edges = Seq(
+        JoinEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        JoinEdge("orders", "o_custkey", "customer", "c_custkey"),
+        JoinEdge("customer", "c_nationkey", "nation", "n_nationkey"))
+      val order = JoinAdvisorOps.adviseGraph(rels, edges)
+        .greedyOrder(rels.keys.toSeq.sorted)
+      JoinAdvisorOps.executeChain(rels, edges, order)
+        .groupBy(col("n_name"))
+        .agg(
+          sum(cents(col("l_extendedprice")) *
+              (lit(100) - cents(col("l_discount"))))
+            .as("revenue_cents_x100"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
     // B08 — AQP AT REST: x108's deterministic PPS sample persisted as a
     // pay-once artifact (the b04 economics applied to approximate query
     // processing). The sample — (id, prio, w, step, mult), refreshed by
@@ -395,6 +438,19 @@ object BenchQueries {
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    // inner joins commute: the advised order must reproduce b02 exactly
+    "x151_advised_revenue" ->
+      """SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS revenue_cents_x100,
+           count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
     // same rows as the raw-parquet join: layout must never change results
     "b03_bucketed_revenue" ->
       """SELECT o_orderpriority,

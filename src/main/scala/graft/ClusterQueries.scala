@@ -39,6 +39,14 @@ object ClusterQueries {
   private val KG = 4               // x138: k-NN graph degree
   private val GR = 2               // x138: NN-Descent rounds
   private val MIXB = 16            // x138: cross-cell mixing ring buckets
+  private val BEAM = 4             // x148/x149: beam width per hop
+  private val HOPS = 3             // x148/x149: graph-search expansion hops
+  // x149: label-centroid amplification — MEASURED on the driver
+  // embeddings (unit-norm, label-centroid norm ≈ 0.14, cross-label
+  // centroid dots ≈ 0): v' = v + 40·c_label gives same-label cos
+  // ≈ 0.95–0.99 and cross-label ≈ −0.03, i.e. genuinely clustered
+  // geometry derived deterministically from the input table alone
+  private val AMP = 40.0
 
   private def centroidFrame(s: SparkSession, m: KMeansDet.Model): DataFrame = {
     import s.implicits._
@@ -398,6 +406,118 @@ object ClusterQueries {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // X148 — SERVING from the x138 k-NN graph: deterministic beam search
+    // (x131's analog for the graph family, closing its build → audit →
+    // serve gap). Seeds are the query's coarse cell-mates — UNSCORED
+    // smallest ids, because scoring a whole cell is IVF's budget, the
+    // cost this path exists to avoid — then HOPS rounds of expand-the-
+    // frozen-adjacency / score / beam-cut, every decision pinned by
+    // (cos DESC NULLS LAST, id ASC). Per query the scored-candidate
+    // budget is ≤ BEAM·(1 + HOPS·KG) — CONSTANT in corpus size, vs
+    // IVF's nprobe/nlist fraction; x149 measures what recall that
+    // budget buys on geometry where a degree-KG graph can hold the
+    // answer (x142 documents the ~5% it buys on THIS near-isotropic
+    // corpus — the serve/don't-serve pair). Output is the served answer
+    // (qid, rank, nid, cos), all in the hash.
+    "x148_graph_search" -> ((s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
+      val e = Tables(s, dir, "embeddings")
+      val m = KMeansDet.fit(e, K, ITERS)
+      val sn = KMeansDet.assignWithVec(e, m)
+      val g = scope.persist(
+        graft.operators.NnDescent.build(sn, KG, GR, mixBuckets = MIXB)
+          .select(col("u"), col("w")))
+      g.count() // eager: the frozen adjacency is probed once per hop
+      val q = sn.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                col("nrm").as("qn"))
+      // nprobe=1 coarse assignment: for a corpus-member query the argmin
+      // over centroids IS its stored cell, so read it from sn (a fresh
+      // query would pay one broadcast argmin here — x131's probe step)
+      val assigned = sn.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("cell"))
+      val seeds = graft.operators.GraphSearch.cellSeeds(assigned, sn, BEAM)
+      graft.operators.GraphSearch.search(g, sn, q, seeds, BEAM, HOPS)
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("rn").as("rank"), col("nid"),
+                round(col("cos"), 4).as("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // X149 — the graph-serving recall twin on CLUSTERED geometry: the
+    // positive example the x142 audit needs before the serve/don't-serve
+    // decision means anything (x142's ~5% on the near-isotropic driver
+    // corpus is the negative). The clustered corpus is DERIVED from the
+    // embeddings table deterministically: sub-cluster key = label·G +
+    // vec_id % G with G SCALE-GOVERNED so clusters hold ~12 members at
+    // any SF (the x133 device — the oracle re-derives G from its own
+    // count(*)), then v' = v + AMP·centroid(cell) with 6dp-rounded
+    // centroids (the KMeansDet convention). Measured on the driver
+    // embeddings: same-cell cos ≈ 0.99, cross-cell ≤ ~0.2 — genuinely
+    // clustered, with CLUSTER SIZE COMMENSURATE WITH degree·budget,
+    // which is the real serve/don't-serve criterion this pair teaches:
+    // a first measurement at label-sized cells (~N/10 members) returned
+    // 27% recall — tight clusters much larger than the budget leave the
+    // search facing isotropic residuals again, exactly x142's regime.
+    // Cells are the graph cells (no quantizer in the loop — the twin
+    // isolates graph + search behavior). Build x138's graph over v',
+    // serve with the SAME beam search at the SAME budget, audit per
+    // query: hits = how many of the exact top-KG the served top-KG
+    // found, scored_n = the budget actually paid. (qid, hits, scored_n)
+    // — the budget→recall row, integer-only in the hash.
+    "x149_graph_recall_clustered" -> ((s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
+      val e = Tables(s, dir, "embeddings")
+      val n = e.count() // certified small: one scalar
+      val grp = math.max(1L, math.ceil(n / 120.0).toLong)
+      val ef = e.select(col("vec_id"),
+                        (col("label").cast("long") * grp +
+                         pmod(col("vec_id"), lit(grp))).as("cell"),
+                        V.toDouble(col("embedding")).as("v0"))
+      val means = (0 until DIMS).map(i =>
+        round(avg(col("v0")(i)), 6).as(s"m$i"))
+      val cent = ef.groupBy(col("cell"))
+        .agg(means.head, means.tail: _*)
+        .select(col("cell"),
+                array((0 until DIMS).map(i => col(s"m$i")): _*).as("c"))
+      val sn = scope.persist(ef.join(broadcast(cent), "cell")
+        .withColumn("v",
+          zip_with(col("v0"), col("c"), (a, b) => a + lit(AMP) * b))
+        .withColumn("nrm", V.norm(col("v")))
+        .select(col("vec_id"), col("cell"), col("v"), col("nrm")))
+      sn.count() // eager: read by build, serve, and the exact arm
+      val g = scope.persist(
+        graft.operators.NnDescent.build(sn, KG, GR, mixBuckets = MIXB)
+          .select(col("u"), col("w")))
+      g.count()
+      val q = sn.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                col("nrm").as("qn"))
+      val assigned = sn.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("cell"))
+      val seeds = graft.operators.GraphSearch.cellSeeds(assigned, sn, BEAM)
+      val vf = graft.operators.GraphSearch.search(g, sn, q, seeds,
+                                                  BEAM, HOPS)
+      val served = vf.filter(col("rn") <= KG)
+        .select(col("qid").as("aqid"), col("nid").as("anid"))
+      val budget = vf.select(col("qid").as("bqid"), col("scored_n"))
+        .distinct()
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc_nulls_last, col("nid").asc)
+      val exact = broadcast(q).join(sn, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qv"), col("qn"), col("vec_id").as("nid"),
+                col("v"), col("nrm"))
+        .withColumn("cos", cosOf("qv", "qn", "v", "nrm"))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= KG)
+        .select(col("qid"), col("nid"))
+      exact.join(served, col("qid") === col("aqid") &&
+                         col("nid") === col("anid"), "left")
+        .groupBy(col("qid")).agg(count(col("anid")).as("hits"))
+        .join(budget, col("qid") === col("bqid"))
+        .select(col("qid"), col("hits"), col("scored_n"))
+        .orderBy(col("qid"))
+    }),
+
     // X145 — hard-negative mining for embedding-model training (the
     // FaceNet semi-hard device): per anchor, the highest-cosine
     // cell-mates with a DIFFERENT label — the pairs a contrastive loss
@@ -616,6 +736,56 @@ object ClusterQueries {
                WHERE w IS NOT NULL),
         ${(1 to GR).map(roundCte).mkString(",\n        ")}"""
   }
+
+  /** The x148/x149 beam-search CTE chain (expects `sn`, a query CTE
+    * `qs(qid, qv, qn)`, a seed CTE `s0(qid, nid)`, and the graph CTE
+    * `gName(u, w)` in the same WITH). Ends at `vf(qid, nid, cos, rn,
+    * scored_n)` — the ranked visited set. Must stay arithmetically
+    * identical to [[graft.operators.GraphSearch.search]]: per hop, beam
+    * cut by (cos DESC NULLS LAST, nid ASC), directed expansion excluding
+    * self, UNION set-dedup (cos is recomputed bit-identically, so set
+    * semantics match the Spark distinct()). */
+  private def beamCtes(gName: String): String = {
+    val cosQ = """CASE WHEN q.qn = 0 OR b.n = 0 THEN NULL
+              ELSE list_dot_product(q.qv, b.v) / (q.qn * b.n) END"""
+    val hops = (1 to HOPS).map { h =>
+      s"""bm$h AS (SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC NULLS LAST, nid ASC) AS rn
+             FROM v${h - 1}) WHERE rn <= $BEAM),
+        nw$h AS (SELECT DISTINCT f.qid, g.w AS nid
+                 FROM bm$h f JOIN $gName g ON g.u = f.nid
+                 WHERE g.w <> f.qid),
+        v$h AS (SELECT qid, nid, cos FROM v${h - 1}
+                UNION
+                SELECT n.qid, n.nid, $cosQ AS cos
+                FROM nw$h n JOIN qs q ON q.qid = n.qid
+                     JOIN sn b ON b.vec_id = n.nid)"""
+    }.mkString(",\n        ")
+    s"""v0 AS (SELECT DISTINCT s.qid, s.nid, $cosQ AS cos
+               FROM s0 s JOIN qs q ON q.qid = s.qid
+                    JOIN sn b ON b.vec_id = s.nid),
+        $hops,
+        vf AS (SELECT qid, nid, cos,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC NULLS LAST, nid ASC) AS rn,
+                 count(*) OVER (PARTITION BY qid) AS scored_n
+               FROM v$HOPS)"""
+  }
+
+  /** x148/x149 seed CTE: the BEAM smallest same-cell ids per query,
+    * self excluded, unscored (see [[graft.operators.GraphSearch
+    * .cellSeeds]]). Queries are the sn members with vec_id < `qMax`. */
+  private def seedCtes(qMax: Int): String =
+    s"""qs AS (SELECT vec_id AS qid, v AS qv, n AS qn
+               FROM sn WHERE vec_id < $qMax),
+        s0 AS (SELECT qid, nid FROM (
+            SELECT q.vec_id AS qid, s.vec_id AS nid,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY s.vec_id ASC) AS srn
+            FROM sn q JOIN sn s
+              ON s.cell = q.cell AND s.vec_id <> q.vec_id
+            WHERE q.vec_id < $qMax) WHERE srn <= $BEAM)"""
 
   /** The four per-subspace PQ chains (p0..p3 over 16-dim slices). */
   private def pqChains: String =
@@ -852,6 +1022,56 @@ object ClusterQueries {
           SELECT bid AS vec_id, rn AS rank, cid AS nbr,
                  round(cos, 4) AS cos
           FROM sc WHERE rn <= $KG ORDER BY vec_id, rank"""
+    },
+
+    // the identical frozen-graph beam search: x138's k-means + NN-Descent
+    // chains, unscored smallest-id cell seeds, HOPS expand/score/cut
+    // rounds, served top-3
+    "x148_graph_search" ->
+      s"""WITH ${kmeansCtes()},
+          $nndCtes,
+          ${seedCtes(10)},
+          ${beamCtes(s"g$GR")}
+          SELECT qid, rn AS rank, nid, round(cos, 4) AS cos
+          FROM vf WHERE rn <= 3 ORDER BY qid, rank""",
+
+    // the identical clustered-corpus derivation (scale-governed
+    // sub-cluster key, 6dp-rounded cell centroids, v' = v + AMP·c)
+    // feeding the SAME NN-Descent + beam chains, audited against the
+    // exact top-KG; G re-derived from the oracle's own count (x133)
+    "x149_graph_recall_clustered" -> {
+      val amp = AMP.toInt // 40.0 is integer-exact; int·double is exact SQL
+      s"""WITH gd AS (SELECT greatest(1, CAST(ceil(count(*) / 120.0)
+                 AS BIGINT)) AS g FROM embeddings),
+          ex0 AS (SELECT vec_id,
+                 CAST(label AS BIGINT) * gd.g + vec_id % gd.g AS cell,
+                 embedding::DOUBLE[] AS v0 FROM embeddings CROSS JOIN gd),
+          cm AS (SELECT cell, i, round(avg(v0[i]), 6) AS m
+                 FROM ex0 CROSS JOIN generate_series(1, $DIMS) AS gs(i)
+                 GROUP BY cell, i),
+          cc AS (SELECT cell, list(m ORDER BY i) AS c FROM cm GROUP BY cell),
+          af AS (SELECT vec_id,
+                   list_transform(generate_series(1, $DIMS),
+                     i -> v0[i] + $amp * c[i]) AS v,
+                   ex0.cell
+                 FROM ex0 JOIN cc USING (cell)),
+          $nndCtes,
+          ${seedCtes(20)},
+          ${beamCtes(s"g$GR")},
+          ex AS (SELECT qid, nid FROM (
+              SELECT q.qid, s.vec_id AS nid,
+                row_number() OVER (PARTITION BY q.qid
+                  ORDER BY CASE WHEN q.qn = 0 OR s.n = 0 THEN NULL
+                    ELSE list_dot_product(q.qv, s.v) / (q.qn * s.n) END
+                    DESC NULLS LAST, s.vec_id ASC) AS rn
+              FROM qs q JOIN sn s ON s.vec_id <> q.qid) WHERE rn <= $KG),
+          ap AS (SELECT qid, nid FROM vf WHERE rn <= $KG),
+          bu AS (SELECT DISTINCT qid, scored_n FROM vf)
+          SELECT ex.qid AS qid, count(ap.nid) AS hits,
+                 any_value(bu.scored_n) AS scored_n
+          FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.nid = ex.nid
+               JOIN bu ON bu.qid = ex.qid
+          GROUP BY ex.qid ORDER BY ex.qid"""
     },
 
     // the identical cell-blocked different-label pair mine, k re-derived

@@ -647,6 +647,21 @@ object CorpusQueries {
       anchoredRepeatedSpans(Tables(s, dir, "documents"), window = 24)
         .orderBy(col("doc_id"))),
 
+    // X150 — short-duplicate spans: the recall complement closing the
+    // x67/x121 gap for shared regions in [12, 24) chars (x67 needs
+    // stride-aligned offsets; x121 needs the full 24-char window inside
+    // the shared region). CDC-anchored spans + x95's sorted-neighborhood
+    // over the span strings + a monotone common-prefix verify >= 12 —
+    // a short duplicate containing an anchor yields same-anchor spans
+    // in both docs that sort adjacent by their shared prefix even
+    // though the full spans differ. Output per doc: distinct spans
+    // with cross-doc prefix-neighbors, and the longest shared prefix
+    // (graded evidence, all integer, all in the hash).
+    "x150_short_spans" -> ((s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
+      shortDupSpans(Tables(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+
     // X68 — incremental vocabulary maintenance: merge a new batch's token
     // counts into the persisted corpus statistics WITHOUT re-scanning the
     // corpus — the aggregate twin of x16's incremental dedup index. Here
@@ -696,12 +711,12 @@ object CorpusQueries {
     // corpus — the hashed-ngram importance-resampling recipe, with the
     // n-gram features reduced to unigrams. The log-ratio is integer-exact
     // via bitlen (x46's −log₂ device, applied to the RATIO):
-    // lr(w) = bitlen((ct+1)·Nr) − bitlen((cr+1)·Nt) ≈ log₂(p_t(w)/p_r(w))
-    // with add-one smoothing so target-absent tokens score negative
-    // instead of −∞. Vocab and the two totals broadcast (bounded by type
-    // count); the per-doc agg is the only data-sized exchange. The
-    // (ct+1)·Nr product needs bitlen(ct)+bitlen(Nr) bits — at extreme
-    // corpus sizes promote it to decimal(38,0) before bitlen (x51 note).
+    // lr(w) = bitlen(ct+1) + bitlen(Nr) − bitlen(cr+1) − bitlen(Nt)
+    // ≈ log₂(p_t(w)/p_r(w)) with add-one smoothing so target-absent
+    // tokens score negative instead of −∞. The bitlen SUM (not bitlen of
+    // the products) is overflow-free at any corpus size — see
+    // TextFunctions.bitlenLogRatio. Vocab and the two totals broadcast
+    // (bounded by type count); the per-doc agg is the only exchange.
     "x72_importance_weights" -> ((s, dir) =>
       importanceWeights(Tables(s, dir, "documents"),
         isTarget = col("lang") === "en").orderBy(col("doc_id"))),
@@ -1279,6 +1294,80 @@ object CorpusQueries {
       .withColumn("dup_ppm", expr("(n_dup * 1000000) DIV n_spans"))
   }
 
+  /** X150 core — SHORT-duplicate recovery: the recall complement of
+    * x67/x121 for shared regions in [tau, window) chars, which BOTH
+    * miss — x67 needs offsets agreeing mod stride, x121 needs the full
+    * window to fit inside the shared region. Device: x95's
+    * sorted-neighborhood, applied to anchored span STRINGS. A shared
+    * region containing a CDC anchor yields spans in both documents that
+    * start at the SAME content anchor, so the two spans agree on a
+    * prefix as long as the shared suffix from that anchor — a
+    * lexicographic sort puts them within a few ranks of each other even
+    * though the full spans differ (their tails run into differing
+    * context, which is exactly why an EXACT span groupBy cannot see
+    * them). Pair each span with its w−1 sort neighbors from OTHER docs
+    * and verify the common-prefix length >= tau; the evidence is graded
+    * (the actual shared length), not fixed-granularity.
+    *
+    * Prefix length = size(filter(sequence(1, m), i -> prefix_i(a) =
+    * prefix_i(b))) — prefix equality is monotone, so the indicator sum
+    * IS the prefix length; the identical spelling runs in both engines
+    * (no fold-semantics hazard). O(window²) chars per pair, pairs are
+    * (w−1)·N — data-independent fan-out, x95's no-hot-block property.
+    *
+    * Scale shape: anchors are one precompiled pass per row (CdcBounds);
+    * the global sort rank is the range-split prefix-sum kernel (never a
+    * single-partition sort); the neighbor pairing is a banded equi-join
+    * on ⌊rn/(w−1)⌋. Like x95, sort-adjacency is a recall heuristic: a
+    * prefix shared by MANY spans can push a true pair beyond w−1 ranks
+    * (the audit columns expose counts, not a completeness claim). */
+  def shortDupSpans(docs: DataFrame, window: Int = 24, tau: Int = 12,
+                    hashWin: Int = 8, modulus: Int = 16)
+                   (implicit scope: graft.ops.CacheScope): DataFrame = {
+    require(tau >= hashWin && tau <= window,
+      s"need hashWin <= tau <= window, got $hashWin/$tau/$window")
+    val w = 4 // neighborhood width: pair ranks within distance <= 3
+    val spans = docs
+      .filter(length(col("text")) >= tau)
+      .select(col("doc_id"), col("text"), length(col("text")).as("_n"))
+      .withColumn("_bounds",
+        graft.functions.expr.CdcBounds(col("text"), hashWin, modulus))
+      // the trailing _n+1 sentinel and anchors too close to the end to
+      // carry a tau-prefix drop out; spans near the end may be shorter
+      // than `window` but are always >= tau
+      .select(col("doc_id"), explode(expr(
+        s"""transform(filter(_bounds, p -> p + ${tau - 1} <= _n),
+            p -> substring(text, cast(p as int), $window))""")).as("span"))
+      .distinct()
+    val ord = graft.ops.DedupOps.withIngestOrdinalFrom(
+        spans, Seq(col("span"), col("doc_id")))
+      .withColumnRenamed(graft.ops.DedupOps.OrdinalCol, "rn")
+    val lo = ord.select(col("rn").as("rn_a"), col("span").as("sp_a"),
+                        col("doc_id").as("id_a"))
+      .withColumn("blk", explode(array(expr(s"rn_a div ${w - 1}"),
+                                       expr(s"rn_a div ${w - 1} + 1"))))
+    val hi = ord.select(col("rn").as("rn_b"), col("span").as("sp_b"),
+                        col("doc_id").as("id_b"))
+      .withColumn("blk", expr(s"rn_b div ${w - 1}"))
+    val pairs = lo.join(hi, Seq("blk"))
+      .filter((col("rn_b") - col("rn_a")).between(1, w - 1) &&
+              col("id_a") =!= col("id_b"))
+      .withColumn("pfx", size(filter(
+        sequence(lit(1), least(length(col("sp_a")), length(col("sp_b")))),
+        i => col("sp_a").substr(lit(1), i) === col("sp_b").substr(lit(1), i)))
+        .cast("long"))
+      .filter(col("pfx") >= tau)
+    pairs.select(explode(array(
+        struct(col("id_a").as("doc_id"), col("sp_a").as("span"), col("pfx")),
+        struct(col("id_b").as("doc_id"), col("sp_b").as("span"), col("pfx"))))
+        .as("h"))
+      .select(col("h.doc_id").as("doc_id"), col("h.span").as("span"),
+              col("h.pfx").as("pfx"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("span")).as("n_dup_spans"),
+           max(col("pfx")).as("max_pfx"))
+  }
+
   /** X68 core — incremental count maintenance: token counts from the
     * batch slice merge into the base slice's counts by a keyed full-outer
     * join (counts are merge-closed: plus is associative/commutative, so
@@ -1325,12 +1414,13 @@ object CorpusQueries {
   }
 
   /** X72 core — DSIR-shaped importance score: per doc, the summed
-    * integer log-ratio lr(w) = bitlen((ct+1)·Nr) − bitlen((cr+1)·Nt)
-    * ≈ log₂(p_target(w)/p_raw(w)) with add-one smoothing (target-absent
-    * tokens score negative instead of −∞). Vocab + totals broadcast; the
-    * per-doc agg is the only data-sized exchange. The (ct+1)·Nr product
-    * needs bitlen(ct)+bitlen(Nr) bits — promote to decimal(38,0) before
-    * bitlen at extreme corpus sizes (x51 note). */
+    * integer log-ratio lr(w) = bitlen(ct+1) + bitlen(Nr) − bitlen(cr+1)
+    * − bitlen(Nt) ≈ log₂(p_target(w)/p_raw(w)) with add-one smoothing
+    * (target-absent tokens score negative instead of −∞). The bitlen SUM
+    * form is overflow-free at any corpus size — see
+    * [[graft.functions.TextFunctions.bitlenLogRatio]] for why the product
+    * form ((ct+1)·Nr) is a silent-wrap hazard. Vocab + totals broadcast;
+    * the per-doc agg is the only data-sized exchange. */
   def importanceWeights(docs: DataFrame, isTarget: Column): DataFrame = {
     val tok = docs
       .select(col("doc_id"), isTarget.as("_t"),
@@ -1344,9 +1434,8 @@ object CorpusQueries {
     val totals = vocab.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     tok.join(broadcast(vocab), Seq("token"))
       .crossJoin(broadcast(totals))
-      .withColumn("lr",
-        (length(bin((col("ct") + 1) * col("nr"))) -
-         length(bin((col("cr") + 1) * col("nt")))).cast("long"))
+      .withColumn("lr", graft.functions.TextFunctions.bitlenLogRatio(
+        col("ct"), col("cr"), col("nr"), col("nt")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("imp_sum"))
       .withColumn("imp_x100", expr("(imp_sum * 100) DIV n_tokens"))
@@ -1378,9 +1467,8 @@ object CorpusQueries {
     val totals = model.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     val scored = bg.join(broadcast(model), Seq("h"))
       .crossJoin(broadcast(totals))
-      .withColumn("lr",
-        (length(bin((col("ct") + 1) * col("nr"))) -
-         length(bin((col("cr") + 1) * col("nt")))).cast("long"))
+      .withColumn("lr", graft.functions.TextFunctions.bitlenLogRatio(
+        col("ct"), col("cr"), col("nr"), col("nt")))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lr")).as("imp_sum"))
     val wsrc = Window.partitionBy(col("source"))
@@ -1399,6 +1487,15 @@ object CorpusQueries {
   }
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** DuckDB spelling of [[graft.functions.TextFunctions.bitlenLogRatio]]
+    * (to_base(x,2) is DuckDB's bin()); kept as one fragment so the x72 and
+    * x143 oracles can only drift from the Spark formula loudly. */
+  private def bitlenLrSql(ct: String, cr: String,
+                          nr: String, nt: String): String =
+    s"""CAST(length(to_base($ct + 1, 2)) + length(to_base($nr, 2))
+          - length(to_base($cr + 1, 2)) - length(to_base($nt, 2))
+          AS BIGINT)"""
 
   /** DuckDB fragment shared by x117/x118: the K-round BPE chain as
     * MATERIALIZED CTEs (wf word counts, d0 spaced char symbolization,
@@ -1950,6 +2047,45 @@ object CorpusQueries {
          FROM sp JOIN nd USING (span)
          GROUP BY sp.doc_id ORDER BY sp.doc_id""",
 
+    // the identical anchored spans (x121's CDC formula at modulus 16),
+    // a plain global row_number for the sort rank, an inequality-banded
+    // neighbor join, and the same monotone indicator-sum prefix length
+    "x150_short_spans" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n
+           FROM documents WHERE length(text) >= 12),
+         b AS (SELECT doc_id, text, n,
+             list_concat([1],
+               CASE WHEN n >= 9 THEN
+                 list_filter(range(2, n - 6),
+                   p -> ('0x' || substr(md5(substr(text, p::INT, 8)),
+                                        1, 6))::BIGINT % 16 = 0)
+               ELSE []::BIGINT[] END) AS bs
+           FROM d),
+         raw AS (SELECT doc_id,
+             unnest(list_transform(
+               list_filter(bs, p -> p + 11 <= n),
+               p -> substr(text, p::INT, 24))) AS span
+           FROM b),
+         sp AS (SELECT DISTINCT doc_id, span FROM raw),
+         u AS (SELECT doc_id, span,
+                 row_number() OVER (ORDER BY span, doc_id) AS rn FROM sp),
+         p AS (SELECT a.span AS sp_a, a.doc_id AS id_a,
+                      c.span AS sp_b, c.doc_id AS id_b
+               FROM u a JOIN u c
+                 ON c.rn - a.rn BETWEEN 1 AND 3 AND a.doc_id <> c.doc_id),
+         sc AS (SELECT *,
+                  len(list_filter(
+                    generate_series(1, least(length(sp_a), length(sp_b))),
+                    i -> substr(sp_a, 1, i::INT) = substr(sp_b, 1, i::INT)))
+                    ::BIGINT AS pfx
+                FROM p),
+         q AS (SELECT * FROM sc WHERE pfx >= 12),
+         h AS (SELECT id_a AS doc_id, sp_a AS span, pfx FROM q
+               UNION ALL SELECT id_b, sp_b, pfx FROM q)
+         SELECT doc_id, count(DISTINCT span)::BIGINT AS n_dup_spans,
+                max(pfx)::BIGINT AS max_pfx
+         FROM h GROUP BY doc_id ORDER BY doc_id""",
+
     // the oracle IS the soundness claim: the incremental merge must
     // equal a full recompute over the whole corpus
     "x68_vocab_incremental" ->
@@ -1981,7 +2117,7 @@ object CorpusQueries {
          SELECT source, status, count(*)::BIGINT AS n_docs
          FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
 
-    // same bitlen log-ratio formula; to_base(x,2) is DuckDB's bin()
+    // same bitlen-sum log-ratio formula (bitlenLrSql)
     "x72_importance_weights" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest($wordsSql) AS token
                        FROM documents),
@@ -1993,8 +2129,7 @@ object CorpusQueries {
                FROM vr LEFT JOIN vt USING (token)),
          tot AS (SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt FROM v),
          sc AS (SELECT doc_id,
-                  CAST(length(to_base((ct + 1) * nr, 2))
-                     - length(to_base((cr + 1) * nt, 2)) AS BIGINT) AS lr
+                  ${bitlenLrSql("ct", "cr", "nr", "nt")} AS lr
                 FROM t2 JOIN v USING (token) CROSS JOIN tot)
          SELECT doc_id, count(*)::BIGINT AS n_tokens,
            sum(lr)::BIGINT AS imp_sum,
@@ -2020,8 +2155,7 @@ object CorpusQueries {
          tot AS (SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt
                  FROM bk),
          sc AS (SELECT doc_id, source, count(*)::BIGINT AS n_bigrams,
-                  sum(CAST(length(to_base((ct + 1) * nr, 2))
-                     - length(to_base((cr + 1) * nt, 2)) AS BIGINT))
+                  sum(${bitlenLrSql("ct", "cr", "nr", "nt")})
                     ::BIGINT AS imp_sum
                 FROM bg JOIN bk USING (h) CROSS JOIN tot
                 GROUP BY doc_id, source),

@@ -1170,12 +1170,22 @@ object ExtensionQueries {
     // X144 — differentially private SUMS: x140's mechanism extended to a
     // numeric aggregate. DP for a sum needs a bounded per-record
     // contribution, so each balance is CLIPPED to ±C cents first (the
-    // clip IS the privacy parameter — sensitivity Δ = C), then the
-    // released sum gets C-scaled two-sided-geometric noise: scaling the
-    // x140 draw by Δ keeps ε = ln 2 at sensitivity Δ. All integer, all
-    // derived from the group key — clip bound, noise, and both sums are
-    // in the hash. clipped_n audits how many records the clip touched
-    // (the utility cost of the bound, never silent).
+    // clip IS the privacy parameter — sensitivity Δ = C). The naive
+    // extension — add C-scaled unit-geometric noise to the raw clipped
+    // sum — is WRONG: the noise support is the lattice C·Z, so
+    // noisy_sum mod C equals the true sum's residue exactly (adjacent
+    // datasets get disjoint supports — ε = ∞, not ln 2). Instead the
+    // clipped sum is QUANTIZED to the lattice first: q_sum =
+    // floor(clipped_sum / C) has sensitivity exactly 1 (one record moves
+    // the sum by ≤ C, a monotone floor by ≤ 1), so the UNIT geometric
+    // mechanism applies verbatim and ε = ln 2 genuinely holds;
+    // noisy_sum = C·(q_sum + noise) is post-processing (no privacy
+    // cost). Utility: ≤ C deterministic quantization error on top of
+    // the C-scaled noise — bounded, and priced by the same clip bound
+    // the analyst already chose. All integer (floor division via pmod,
+    // identical in both engines), all in the hash. clipped_sum/clipped_n
+    // ride along as the calibration audit view (x140's true_n
+    // convention); the release view is (n, noisy_sum) only.
     "x144_dp_sums" -> ((s, dir) => {
       val c = 100000L // clip bound: ±1000.00 in cents
       val cents = expr("CAST(round(c_acctbal * 100) AS BIGINT)")
@@ -1186,10 +1196,14 @@ object ExtensionQueries {
         .groupBy(col("n"))
         .agg(sum(col("v")).as("clipped_sum"),
              sum(col("cl")).as("clipped_n"))
-        .withColumn("noise",
-          lit(c) * graft.ops.PrivacyOps.geometricNoise(
-            col("n"), "dsa:", "dsb:"))
-        .withColumn("noisy_sum", col("clipped_sum") + col("noise"))
+        // floor division as exact integer algebra: subtract the
+        // non-negative pmod residue, then the division is exact and any
+        // truncation convention agrees with floor
+        .withColumn("q_sum",
+          expr(s"(clipped_sum - pmod(clipped_sum, ${c}L)) div ${c}L"))
+        .withColumn("noise", graft.ops.PrivacyOps.geometricNoise(
+          col("n"), "dsa:", "dsb:"))
+        .withColumn("noisy_sum", (col("q_sum") + col("noise")) * lit(c))
         .orderBy(col("n"))
     }),
 
@@ -2163,7 +2177,8 @@ object ExtensionQueries {
           FROM g ORDER BY n, seg"""
     },
 
-    // the identical clip + Δ-scaled geometric draws
+    // the identical clip + floor-quantize + UNIT geometric draws
+    // (quantize-then-noise — the lattice fix; see the query comment)
     "x144_dp_sums" -> {
       val noise = s"(${graft.ops.PrivacyOps.tzSql("CAST(n AS VARCHAR)", "dsa:")} - " +
         s"${graft.ops.PrivacyOps.tzSql("CAST(n AS VARCHAR)", "dsb:")})"
@@ -2176,11 +2191,15 @@ object ExtensionQueries {
                           OR CAST(round(c_acctbal * 100) AS BIGINT)
                             < -100000
                           THEN 1 ELSE 0 END)::BIGINT AS clipped_n
-               FROM customer GROUP BY 1)
-          SELECT n, clipped_sum, clipped_n,
-                 100000 * $noise AS noise,
-                 clipped_sum + 100000 * $noise AS noisy_sum
-          FROM g ORDER BY n"""
+               FROM customer GROUP BY 1),
+          q AS (SELECT n, clipped_sum, clipped_n,
+                  ((clipped_sum - (((clipped_sum % 100000) + 100000)
+                      % 100000)) // 100000)::BIGINT AS q_sum
+                FROM g)
+          SELECT n, clipped_sum, clipped_n, q_sum,
+                 $noise AS noise,
+                 (q_sum + $noise) * 100000 AS noisy_sum
+          FROM q ORDER BY n"""
     },
 
     // the identical cascade: IN-subquery semi joins, count audits, and

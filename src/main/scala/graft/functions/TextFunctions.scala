@@ -56,6 +56,23 @@ object TextFunctions {
     when(size(w) < n, array().cast("array<string>")).otherwise(grams)
   }
 
+  /** bitlen(x) = floor(log₂ x) + 1 for x ≥ 1 (and 1 for x = 0, since
+    * bin(0) = "0") — the integer-exact −log₂ device shared by the
+    * surprise/PMI/DSIR family. */
+  def bitlen(x: Column): Column = length(bin(x)).cast("long")
+
+  /** DSIR log-ratio lr = bitlen(ct+1) + bitlen(nr) − bitlen(cr+1) −
+    * bitlen(nt) ≈ log₂(p_target / p_raw) with add-one smoothing. The SUM
+    * of bitlens, NOT bitlen of the products (ct+1)·nr and (cr+1)·nt: at
+    * real corpus scale (nr = total feature instances) those long products
+    * wrap silently in non-ANSI Spark while DuckDB's BIGINT errors loudly —
+    * silent wrong weights plus cross-engine divergence. The sum form
+    * differs from the product form by at most 1 bit per term and is
+    * overflow-free at any corpus size. Keep [[graft.CorpusQueries]]'s
+    * `bitlenLrSql` (the DuckDB spelling) in step with this. */
+  def bitlenLogRatio(ct: Column, cr: Column, nr: Column, nt: Column): Column =
+    bitlen(ct + 1) + bitlen(nr) - bitlen(cr + 1) - bitlen(nt)
+
   /** Maximum multiplicity of any element in a string array — sort, then
     * the longest equal run via one codegen'd fold (no explode, no
     * shuffle; the per-row twin of a group-count-max, which is what the

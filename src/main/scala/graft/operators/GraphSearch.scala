@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => V}
+import graft.ops.CacheScope
+
+/** Query-time serving over a frozen k-NN graph — the greedy/beam-search
+  * analog of IVF-ADC's x131 path, closing the graph family's
+  * build → audit → SERVE gap (x138 builds, x142 audits, THIS answers).
+  *
+  * The algorithm is the deterministic core of graph-ANN serving (HNSW /
+  * NSG-style best-first search, restated as a FIXED-hop beam so every
+  * decision is oracle-checkable): seed each query with a few members of
+  * its coarse cell, then repeat `hops` times — take the current `beam`
+  * best visited nodes, expand their frozen out-adjacency, score the new
+  * candidates against the query, and fold them into the visited set.
+  * Ranking and the beam cut are pinned by (cos DESC NULLS LAST, id ASC);
+  * the visited set is a pure function of (graph, seeds, query), so the
+  * whole served answer hashes identically in an independent engine.
+  *
+  * Budget (the property IVF cannot offer): per query, scored candidates
+  * are ≤ seeds + hops·beam·kg — CONSTANT in corpus size, vs IVF's
+  * nprobe/nlist FRACTION of the corpus. At 100 TB that is the difference
+  * between a per-query scan of millions of vectors and a few dozen keyed
+  * lookups; the scored count is part of the output (`scored_n`), so the
+  * budget→recall trade is audited per query, never asserted.
+  *
+  * Adjacency is expanded along the graph's DIRECTED out-edges (the
+  * artifact x138 persists); a deployment wanting higher recall per hop
+  * symmetrizes the graph once at build time and serves over that — the
+  * search itself is unchanged.
+  *
+  * Scale shape: every hop is one keyed equi-join of the (tiny) beam
+  * frontier against the adjacency table (at rest: bucketed by `u`, so
+  * the probe is co-partitioned and exchange-free) plus one keyed join
+  * against the vector store for scoring. Nothing driver-side; the
+  * per-hop visited set is persisted under `scope` (read twice: beam cut
+  * and next union — the x14/x120 iteration hygiene).
+  */
+object GraphSearch {
+
+  /** cos(query, candidate) with the zero-norm → null guard (the x126
+    * convention, identical to the build-side scoring). */
+  private def cosQC =
+    when(col("qn") === 0.0 || col("cn") === 0.0, lit(null).cast("double"))
+      .otherwise(V.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+
+  /** Beam-search `g` for each query in `q`.
+    *
+    * @param g     frozen adjacency (u, w) — e.g. [[NnDescent.build]]
+    *              output projected to its edge pair
+    * @param sn    vector store (vec_id, v: array<double>, nrm: double)
+    * @param q     queries (qid, qv: array<double>, qn: double)
+    * @param seeds (qid, nid) start set, e.g. [[cellSeeds]]
+    * @param beam  frontier width per hop
+    * @param hops  expansion rounds (a small constant — each is one keyed
+    *              join; fixed so the oracle can restate the chain)
+    * @return one row per VISITED (qid, nid): (qid, nid, cos, rn,
+    *         scored_n) ranked by (cos DESC NULLS LAST, nid ASC) with
+    *         scored_n = |visited(qid)| — the per-query budget. Callers
+    *         cut rn <= k for the served answer. A query's own id never
+    *         appears (excluded at seed and expansion). */
+  def search(g: DataFrame, sn: DataFrame, q: DataFrame, seeds: DataFrame,
+             beam: Int, hops: Int)
+            (implicit scope: CacheScope): DataFrame = {
+    require(beam > 0, s"beam must be positive, got $beam")
+    require(hops >= 0 && hops <= 8,
+      s"hops must be in [0, 8] (each is a keyed expansion), got $hops")
+    val cand = sn.select(col("vec_id").as("nid"), col("v").as("cv"),
+                         col("nrm").as("cn"))
+    // uniquely-named adjacency resolved BY NAME: after hop 1 the frontier
+    // derives from g, so dataset-qualified g("w") would be an ambiguous
+    // self-join reference
+    val adj = g.select(col("u").as("__gu"), col("w").as("__gw"))
+    def score(ids: DataFrame): DataFrame =
+      ids.join(q, "qid").join(cand, "nid")
+        .select(col("qid"), col("nid"), cosQC.as("cos"))
+    var visited = scope.persist(
+      score(seeds.filter(col("nid") =!= col("qid")).distinct()))
+    visited.count() // eager: read by the beam cut AND the next union
+    val wb = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc_nulls_last, col("nid").asc)
+    for (_ <- 1 to hops) {
+      val frontier = visited
+        .withColumn("rn", row_number().over(wb)).filter(col("rn") <= beam)
+        .select(col("qid"), col("nid"))
+      val expand = frontier.join(adj, col("nid") === col("__gu"))
+        .select(col("qid"), col("__gw").as("nid"))
+        .filter(col("nid") =!= col("qid"))
+        .distinct()
+      // union + distinct dedups re-visits: cos is recomputed by the
+      // identical expression over identical rows, so the (qid, nid, cos)
+      // triple is bit-equal and set semantics match the oracle's UNION
+      visited = scope.persist(visited.union(score(expand)).distinct())
+      visited.count()
+    }
+    visited
+      .withColumn("rn", row_number().over(wb))
+      .withColumn("scored_n",
+        count(lit(1)).over(Window.partitionBy(col("qid"))))
+  }
+
+  /** Coarse-cell seeds: for each query, the `beam` SMALLEST vec_ids of
+    * its cell — deliberately unscored (scoring whole cells is IVF's
+    * cost, the budget this serving path exists to avoid); the descent to
+    * good neighbors is the beam search's job. Self never seeds itself.
+    * `assigned` is (qid, cell) from the coarse quantizer — the query's
+    * argmin cell, x131's nprobe device at nprobe = 1. */
+  def cellSeeds(assigned: DataFrame, sn: DataFrame, beam: Int): DataFrame = {
+    val members = sn.select(col("cell"), col("vec_id").as("nid"))
+    val ws = Window.partitionBy(col("qid")).orderBy(col("nid").asc)
+    assigned.join(members, "cell")
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("srn", row_number().over(ws)).filter(col("srn") <= beam)
+      .select(col("qid"), col("nid"))
+  }
+}

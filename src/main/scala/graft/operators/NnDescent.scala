@@ -51,7 +51,10 @@ object NnDescent {
 
   /** Build the graph over `sn` — columns (vec_id, cell, v: array<double>,
     * nrm: double), e.g. [[KMeansDet.assignWithVec]] output. Returns
-    * (u, w, cos, rn): for each node u, its `rn`-th best neighbor w.
+    * (u, w, cos, rn): for each node u, its `rn`-th best neighbor w, with
+    * rn <= kg on EVERY path — rounds = 0 returns the scored init ring
+    * truncated to the same degree bound (not the raw up-to-2·kg union of
+    * cell ring and mixing ring).
     *
     * Candidates propagate only along existing edges, so a cell-confined
     * init would freeze each cell into a closed component — true neighbors
@@ -102,12 +105,16 @@ object NnDescent {
         .select(col("u"), col("w"), col("cos"), col("rn"))
     }
     if (rounds == 0) {
-      // score + rank the init edges so the contract (u, w, cos, rn) holds
+      // score + rank + truncate the init edges so the (u, w, cos,
+      // rn <= kg) contract is UNIFORM across round counts — with
+      // mixBuckets > 0 the raw init union holds up to 2·kg edges per
+      // node (cell ring ∪ mixing ring), and returning more than kg from
+      // this path only would be a silent contract exception
       val wq = Window.partitionBy(col("u"))
         .orderBy(col("cos").desc_nulls_last, col("w").asc)
       g = g.join(va, "u").join(vb, "w")
         .withColumn("cos", cosAB)
-        .withColumn("rn", row_number().over(wq))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= kg)
         .select(col("u"), col("w"), col("cos"), col("rn"))
     }
     g

@@ -714,8 +714,8 @@ object StreamingOps {
             Seq("h"), "left_outer")
       .na.fill(0L, Seq("cr", "ct")) // unseen bucket = add-one smoothing only
       .select(col("doc_id"), col("h"),
-        (length(bin((col("ct") + 1) * lit(nr))) -
-         length(bin((col("cr") + 1) * lit(nt)))).cast("long").as("lr"))
+        graft.functions.TextFunctions.bitlenLogRatio(
+          col("ct"), col("cr"), lit(nr), lit(nt)).as("lr"))
   }
 
   def streamingQuantileSketch(cents: DataFrame,

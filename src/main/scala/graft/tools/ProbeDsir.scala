@@ -48,9 +48,8 @@ object ProbeDsir {
     val totals = model.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     val scored = bg.join(broadcast(model), Seq("h"))
       .crossJoin(broadcast(totals))
-      .withColumn("lr",
-        (length(bin((col("ct") + 1) * col("nr"))) -
-         length(bin((col("cr") + 1) * col("nt")))).cast("long"))
+      .withColumn("lr", T.bitlenLogRatio(
+        col("ct"), col("cr"), col("nr"), col("nt")))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lr")).as("imp_sum"))
     time("scored")(scored.count())

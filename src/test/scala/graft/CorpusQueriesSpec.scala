@@ -458,7 +458,8 @@ class CorpusQueriesSpec extends SparkSpec {
   test("x72 importance: target-only tokens score positive, target-absent negative, shared ~0") {
     // target docs are alpha-heavy, raw-only docs beta-heavy; the
     // imbalance must exceed bitlen's ±1-bit quantization to register
-    // (beta: lr = bitlen(1·18) − bitlen(13·4) = 5 − 6 = −1)
+    // (beta: lr = bitlen(1)+bitlen(18) − bitlen(13) − bitlen(4)
+    //  = 1+5−4−3 = −1)
     val beta6 = "beta beta beta beta beta beta shared"
     val docs = Seq(
       (1L, "t", "alpha shared"), (2L, "t", "alpha shared"),
@@ -895,5 +896,46 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(out(1L)._3 > out(3L)._3)
     // n_bigrams counts instances, not types
     assert(out(1L)._2 == 5L && out(5L)._2 == 3L)
+  }
+
+  test("x150 recovers a planted below-window duplicate that x67 provably misses") {
+    implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
+    // CdcBounds' anchor decision, replicated: first 3 md5 bytes % 16
+    def h24(s: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)
+    }
+    // a 20-char shared region (< the 24-char window, so NO full window
+    // ever fits inside it — x67/x121 blind at any alignment) that
+    // carries an interior CDC anchor leaving >= tau=12 shared chars
+    val shared = (1 to 5000).iterator
+      .map(i => f"Q${i}%04dsharedkernel775".take(20))
+      .find { s =>
+        s.length == 20 &&
+        (0 to s.length - 12).exists(o => o + 8 <= s.length &&
+          h24(s.substring(o, o + 8)) % 16 == 0)
+      }.getOrElse(fail("no anchored shared candidate in 5000 tries"))
+    // disjoint-alphabet fillers (no cross-doc span can collide), shared
+    // planted at offsets differing mod 8 — below-stride misalignment on
+    // top of the below-window length
+    val doc1 = "bcdbcdbcdbcdbcdbcdbcdbcdbcdbcd1" + shared +
+               "dcbdcbdcbdcbdcbdcbdcbdcbdcb2"
+    val doc2 = "wxywxywxywxywxywxywxywxywxywxywxy3" + shared +
+               "yxwyxwyxwyxwyxwyxwyxwyxwyxw4"
+    assert((doc1.indexOf(shared) - doc2.indexOf(shared)) % 8 != 0)
+    val docs = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    // x67 at its x-query parameters: the planted duplicate is invisible
+    val x67 = CorpusQueries.repeatedSpans(docs, window = 24, stride = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(x67.values.forall(_ == 0L),
+      s"x67 saw the below-window duplicate?! $x67")
+    // x150: both docs carry a cross-doc prefix-neighbor of >= tau chars
+    val x150 = CorpusQueries.shortDupSpans(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(x150.keySet == Set(1L, 2L), s"planted dup not recovered: $x150")
+    assert(x150.values.forall(_._2 >= 12L),
+      s"shared prefix under tau: $x150")
   }
 }

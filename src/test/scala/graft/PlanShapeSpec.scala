@@ -1268,6 +1268,50 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x151 advised revenue: the physical chain follows the advisor's order; all chain joins pinned shuffle_hash") {
+    val df = SparkEntry.queries("x151_advised_revenue")(spark, sfDir)
+    val phys = df.queryExecution.sparkPlan.toString
+    assert("ShuffledHashJoin".r.findAllIn(phys).size == 3,
+      s"4-relation chain = 3 pinned SHJ joins:\n" + phys.take(3000))
+    assert(!phys.contains("CartesianProduct") &&
+           !phys.contains("BroadcastNestedLoopJoin"), phys.take(3000))
+    // re-derive the advice and check the left-deep leaf order (in a
+    // left-deep chain the Relation leaves print depth-first in join
+    // order — the b09 device, made robust by reading the leaf lines
+    // themselves: agg/groupBy columns at the plan top would fool a
+    // plain indexOf)
+    import graft.ops.JoinAdvisorOps
+    import graft.ops.JoinAdvisorOps.JoinEdge
+    val rels = Map(
+      "lineitem" -> Tables(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+                col("l_discount")),
+      "orders" -> Tables(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+      "customer" -> Tables(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+      "nation" -> Tables(spark, sfDir, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+    val edges = Seq(
+      JoinEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      JoinEdge("orders", "o_custkey", "customer", "c_custkey"),
+      JoinEdge("customer", "c_nationkey", "nation", "n_nationkey"))
+    val order = JoinAdvisorOps.adviseGraph(rels, edges)
+      .greedyOrder(rels.keys.toSeq.sorted)
+    // dimensions must precede the facts (the whole point of consulting
+    // the stats): nation/customer open, lineitem joins last
+    assert(order.last == "lineitem", s"advised order: $order")
+    val opt = df.queryExecution.optimizedPlan.toString
+    val prefix2rel = Map("l_" -> "lineitem", "o_" -> "orders",
+                         "c_" -> "customer", "n_" -> "nation")
+    val leafOrder = "Relation \\[(\\w\\w)".r.findAllMatchIn(opt)
+      .map(m => prefix2rel(m.group(1))).toSeq
+    assert(leafOrder == order,
+      s"physical leaf order $leafOrder must follow the advised order " +
+        s"$order:\n" + opt.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("x103 steady state stays inside its Spark-jobs budget") {
     // x103's wall clock at local[32] is structural JOB COUNT (pointer-
     // jumping rounds × one lazy-checkpoint job each), not data volume —
@@ -1487,6 +1531,30 @@ class PlanShapeSpec extends SparkSpec {
     // the hop drives on the frozen graph's source vertex
     assert(plan.contains("cell") && plan.contains("cid"),
       "cell/adjacency join keys missing:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("x148 graph serving: every hop is a keyed adjacency equi-join — no cartesian, no data-sized nested loop") {
+    val plan = planOf("x148_graph_search")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the expansion drives on the frozen graph's source vertex
+    assert(plan.contains("__gu"),
+      "adjacency join key missing:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("x149 clustered recall twin: serving stays keyed; the only nested loop is the exact arm's broadcast ground truth") {
+    val plan = planOf("x149_graph_recall_clustered")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the exact arm (broadcast 20-query probe × corpus, <> condition) is
+    // the deliberate Q·N ground-truth cost every recall audit pays
+    // (x127/x130/x142 convention) — exactly one such nested loop
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1,
+      s"only the exact arm may nested-loop, got $bnlj:\n" + plan.take(3000))
+    assert(plan.contains("__gu"),
+      "adjacency join key missing:\n" + plan.take(3000))
     spark.catalog.clearCache()
   }
 

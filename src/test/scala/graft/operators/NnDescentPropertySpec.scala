@@ -68,10 +68,10 @@ class NnDescentPropertySpec extends SparkSpec {
       edgeMap(NnDescent.build(sn, kg = 3, rounds = r, mixBuckets = 4)))
     for (r <- 0 until 3; (u, prev) <- byRound(r)) {
       val next = byRound(r + 1).getOrElse(u, Seq.empty)
-      // rounds=0 returns the UN-truncated scored init ring (contract),
-      // so compare the kg-prefix: candidates of round r+1 include round
-      // r's list, so the i-th best cosine can only rise and the list
-      // can only lengthen toward kg
+      // rounds=0 now truncates to kg like every other round (uniform
+      // contract); comparing the kg-prefix stays valid either way:
+      // candidates of round r+1 include round r's list, so the i-th best
+      // cosine can only rise and the list can only lengthen toward kg
       val prevK = prev.take(3)
       assert(next.size >= prevK.size, s"round ${r + 1} shrank $u")
       prevK.zip(next).foreach { case ((_, _, cPrev), (_, _, cNext)) =>

@@ -804,10 +804,13 @@ class StreamingSpec extends SparkSpec {
       "select doc_id, sum(lr) from dsir group by doc_id")
       .as[(Long, Long)].collect().toMap
     q.stop()
-    // reference: the same frozen-model arithmetic, straight-line
+    // reference: the same frozen-model arithmetic, straight-line (the
+    // overflow-free bitlen-SUM form of TextFunctions.bitlenLogRatio)
     def refLr(cr: Long, ct: Long): Long =
-      java.lang.Long.toBinaryString((ct + 1) * nr).length.toLong -
-        java.lang.Long.toBinaryString((cr + 1) * nt).length.toLong
+      java.lang.Long.toBinaryString(ct + 1).length.toLong +
+        java.lang.Long.toBinaryString(nr).length.toLong -
+        java.lang.Long.toBinaryString(cr + 1).length.toLong -
+        java.lang.Long.toBinaryString(nt).length.toLong
     val m = model.collect().map(r =>
       r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     def hOf(b: String): Long = {
