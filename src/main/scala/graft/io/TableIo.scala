@@ -112,12 +112,18 @@ object TableIo {
     out.write.mode("overwrite").json(path)
   }
 
-  /** S4 — XLSX source via the hand-rolled codec: first sheet, header row 0,
-    * all values string. Driver-side parse (payroll workbooks are small by
-    * contract — the distributed path is CSV/parquet). */
+  /** S4 — Excel source via the hand-rolled codecs: first sheet, header
+    * row 0, all values string. Driver-side parse (payroll workbooks are
+    * small by contract — the distributed path is CSV/parquet). Dispatches
+    * on the CONTENT's magic bytes, not the extension: an OLE2 container
+    * reads through the BIFF8 [[Xls]] reader, a zip through [[Xlsx]] —
+    * the reference's detection filter accepts both extensions
+    * (etl_payroll_pipeline.py:69,74), and mislabeled files are common. */
   def readXlsx(spark: SparkSession, storage: StorageClient,
                path: String): DataFrame = {
-    val (header, rows) = Xlsx.readTable(storage.readBytes(path))
+    val bytes = storage.readBytes(path)
+    val (header, rows) =
+      if (Xls.isOle2(bytes)) Xls.readTable(bytes) else Xlsx.readTable(bytes)
     val schema = StructType(header.map(c => StructField(c, StringType, nullable = true)) :+
       StructField(DedupOps.OrdinalCol, org.apache.spark.sql.types.LongType, nullable = false))
     val data = rows.zipWithIndex.map { case (r, i) =>

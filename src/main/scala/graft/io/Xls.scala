@@ -1,0 +1,305 @@
+package graft.io
+
+import scala.collection.mutable
+
+/** Minimal binary `.xls` (BIFF8 inside an OLE2/CFB container) reader —
+  * closing the last reference-surface gap: the reference's detection
+  * filter accepts `.xls` alongside `.xlsx`
+  * (/root/reference/etl_payroll_pipeline.py:69,74), and until now the
+  * engine failed loud with a convert-to-xlsx message.
+  *
+  * Scope is fixture-grade, matching [[Xlsx]]'s contract: first worksheet,
+  * header row 0, every value surfaced as String (the all-string ingest
+  * rule, SURVEY §1.3). Supported cell records: LABELSST, LABEL (inline),
+  * NUMBER, RK, MULRK, BLANK/MULBLANK. Anything the reader cannot
+  * faithfully surface — FORMULA, BOOLERR, an SST spilling into a
+  * CONTINUE record — FAILS LOUD with the record name, never silently
+  * drops a value (the S4 discipline).
+  *
+  * Container ([MS-CFB]): 512-byte sectors (major version 3), FAT from
+  * the header DIFAT, directory chain, and the mini-stream path — real
+  * small workbooks store the Workbook stream in 64-byte mini sectors
+  * (streams < 4096 bytes MUST per spec), so both chains are implemented.
+  * Unsupported container shapes (version 4 / 4096-byte sectors, DIFAT
+  * overflow sectors) fail loud.
+  *
+  * Numbers render as the shortest faithful string: integral doubles
+  * print as longs (42, not 42.0), everything else as Double.toString —
+  * the D3 strip-`.0` op downstream makes the pipelines insensitive to
+  * this choice either way.
+  */
+object Xls {
+
+  /** OLE2/CFB magic D0 CF 11 E0 A1 B1 1A E1 ([MS-CFB] §2.2). */
+  def isOle2(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 &&
+      (bytes(0) & 0xFF) == 0xD0 && (bytes(1) & 0xFF) == 0xCF &&
+      (bytes(2) & 0xFF) == 0x11 && (bytes(3) & 0xFF) == 0xE0 &&
+      (bytes(4) & 0xFF) == 0xA1 && (bytes(5) & 0xFF) == 0xB1 &&
+      (bytes(6) & 0xFF) == 0x1A && (bytes(7) & 0xFF) == 0xE1
+
+  /** Read the first worksheet into rows of optional cell values —
+    * [[Xlsx.read]]'s contract on the binary format. */
+  def read(bytes: Array[Byte]): Seq[Seq[Option[String]]] = {
+    require(isOle2(bytes), "not an OLE2/CFB container (.xls)")
+    val wb = cfbStreams(bytes).collectFirst {
+      case (name, data) if name == "Workbook" || name == "Book" => data
+    }.getOrElse(throw new IllegalArgumentException(
+      "no Workbook/Book stream in the OLE2 container"))
+    parseBiff(wb)
+  }
+
+  /** (header, dataRows) — [[Xlsx.readTable]]'s contract. */
+  def readTable(bytes: Array[Byte]): (Seq[String], Seq[Seq[Option[String]]]) = {
+    val rows = read(bytes)
+    if (rows.isEmpty) (Seq.empty, Seq.empty)
+    else {
+      val header = rows.head.map(_.getOrElse(""))
+      val width = header.length
+      (header, rows.tail.map(r => r.padTo(width, None).take(width)))
+    }
+  }
+
+  // --- OLE2/CFB container ---------------------------------------------------
+
+  private val EndOfChain = 0xFFFFFFFEL
+  private val SectorSize = 512
+  private val MiniSectorSize = 64
+  private val MiniCutoff = 4096L
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+  private def u32(b: Array[Byte], off: Int): Long =
+    (u16(b, off).toLong) | (u16(b, off + 2).toLong << 16)
+
+  /** All stream entries of the container: (name, bytes). */
+  private[io] def cfbStreams(b: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val major = u16(b, 26)
+    require(major == 3,
+      s"unsupported CFB major version $major (only 3 / 512-byte sectors)")
+    val numDifat = u32(b, 72)
+    require(numDifat == 0,
+      s"DIFAT overflow sectors unsupported (numDifatSectors=$numDifat)")
+    val numFat = u32(b, 44)
+    val firstDir = u32(b, 48)
+    val firstMiniFat = u32(b, 60)
+    val numMiniFat = u32(b, 64)
+
+    def sector(i: Long): Array[Byte] = {
+      val off = SectorSize * (i.toInt + 1)
+      require(off >= 0 && off + SectorSize <= b.length,
+        s"sector $i out of bounds")
+      java.util.Arrays.copyOfRange(b, off, off + SectorSize)
+    }
+    // FAT = concat of the sectors named by the header DIFAT (<= 109)
+    val fat: Array[Long] = (0 until math.min(numFat, 109L).toInt).flatMap {
+      j =>
+        val s = sector(u32(b, 76 + 4 * j))
+        (0 until SectorSize / 4).map(k => u32(s, 4 * k))
+    }.toArray
+    def chain(start: Long, fatArr: Array[Long]): Seq[Long] = {
+      val out = mutable.ArrayBuffer.empty[Long]
+      var cur = start
+      while (cur != EndOfChain && cur != 0xFFFFFFFFL) {
+        require(cur >= 0 && cur < fatArr.length, s"chain sector $cur invalid")
+        require(out.length <= fatArr.length, "cyclic sector chain")
+        out += cur
+        cur = fatArr(cur.toInt)
+      }
+      out.toSeq
+    }
+    def readChain(start: Long, size: Long): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      chain(start, fat).foreach(i => buf.write(sector(i)))
+      java.util.Arrays.copyOf(buf.toByteArray, size.toInt)
+    }
+    // directory entries (128 bytes each) from the directory chain
+    val dirBytes = {
+      val buf = new java.io.ByteArrayOutputStream()
+      chain(firstDir, fat).foreach(i => buf.write(sector(i)))
+      buf.toByteArray
+    }
+    final case class Entry(name: String, objType: Int, start: Long,
+                           size: Long)
+    val entries = (0 until dirBytes.length / 128).map { i =>
+      val off = i * 128
+      val nameLen = u16(dirBytes, off + 64) // bytes incl. terminator
+      val name =
+        if (nameLen >= 2)
+          new String(dirBytes, off, nameLen - 2, "UTF-16LE")
+        else ""
+      Entry(name, dirBytes(off + 66) & 0xFF,
+            u32(dirBytes, off + 116),
+            u32(dirBytes, off + 120) | (u32(dirBytes, off + 124) << 32))
+    }
+    val root = entries.find(_.objType == 5).getOrElse(
+      throw new IllegalArgumentException("CFB has no root entry"))
+    // mini stream: the root entry's own chain; mini FAT from the header
+    lazy val miniStream = readChain(root.start, root.size)
+    lazy val miniFat: Array[Long] =
+      chain(firstMiniFat, fat).take(numMiniFat.toInt).flatMap { i =>
+        val s = sector(i)
+        (0 until SectorSize / 4).map(k => u32(s, 4 * k))
+      }.toArray
+    def readMiniChain(start: Long, size: Long): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      chain(start, miniFat).foreach { i =>
+        val off = (i * MiniSectorSize).toInt
+        require(off + MiniSectorSize <= miniStream.length,
+          s"mini sector $i out of bounds")
+        buf.write(miniStream, off, MiniSectorSize)
+      }
+      java.util.Arrays.copyOf(buf.toByteArray, size.toInt)
+    }
+    entries.filter(_.objType == 2).map { e =>
+      e.name -> (if (e.size >= MiniCutoff) readChain(e.start, e.size)
+                 else readMiniChain(e.start, e.size))
+    }
+  }
+
+  // --- BIFF8 records ----------------------------------------------------
+
+  private val RBof = 0x0809
+  private val REof = 0x000A
+  private val RSst = 0x00FC
+  private val RContinue = 0x003C
+  private val RLabelSst = 0x00FD
+  private val RLabel = 0x0204
+  private val RNumber = 0x0203
+  private val RRk = 0x027E
+  private val RMulRk = 0x00BD
+  private val RFormula = 0x0006
+  private val RBoolErr = 0x0205
+
+  private def numStr(d: Double): String =
+    if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+
+  /** 30-bit RK encoding: bit0 = ×1/100, bit1 = int-vs-double-high-bits. */
+  private def rkValue(raw: Long): Double = {
+    val base =
+      // signed 30-bit int: reinterpret the u32 as Int FIRST so the
+      // arithmetic shift carries the sign down
+      if ((raw & 2L) != 0) (raw.toInt >> 2).toDouble
+      else java.lang.Double.longBitsToDouble((raw & 0xFFFFFFFCL) << 32)
+    if ((raw & 1L) != 0) base / 100.0 else base
+  }
+
+  private def parseBiff(wb: Array[Byte]): Seq[Seq[Option[String]]] = {
+    var pos = 0
+    def hasRec = pos + 4 <= wb.length
+    val sst = mutable.ArrayBuffer.empty[String]
+    val cells = mutable.Map.empty[(Int, Int), String] // (row, col) -> value
+    var bofDepth = 0  // which substream we are in
+    var inSheet1 = false
+    var sheetDone = false
+    var sheetsSeen = 0
+    while (hasRec && !sheetDone) {
+      val id = u16(wb, pos)
+      val len = u16(wb, pos + 2)
+      val off = pos + 4
+      require(off + len <= wb.length, s"truncated BIFF record 0x${id.toHexString}")
+      id match {
+        case RBof =>
+          bofDepth += 1
+          if (bofDepth > 1) { // a substream after globals
+            sheetsSeen += 1
+            inSheet1 = sheetsSeen == 1
+          }
+        case REof =>
+          if (inSheet1) sheetDone = true
+          inSheet1 = false
+        case RSst =>
+          // cstTotal u32, cstUnique u32, then XLUnicodeRichExtendedString*
+          val unique = u32(wb, off + 4)
+          var p = off + 8
+          var i = 0L
+          while (i < unique) {
+            require(p < off + len,
+              "SST spills into a CONTINUE record — unsupported (fixture-" +
+                "grade reader); split the string table or convert to .xlsx")
+            val cch = u16(wb, p); p += 2
+            val grbit = wb(p) & 0xFF; p += 1
+            val rich = (grbit & 0x08) != 0
+            val ext = (grbit & 0x04) != 0
+            val cRun = if (rich) { val r = u16(wb, p); p += 2; r } else 0
+            val cbExt = if (ext) { val r = u32(wb, p); p += 4; r } else 0L
+            val s =
+              if ((grbit & 0x01) != 0) { // UTF-16LE
+                val str = new String(wb, p, cch * 2, "UTF-16LE"); p += cch * 2
+                str
+              } else { // compressed: low bytes of UTF-16
+                val cs = new Array[Char](cch)
+                var j = 0
+                while (j < cch) { cs(j) = (wb(p + j) & 0xFF).toChar; j += 1 }
+                p += cch
+                new String(cs)
+              }
+            p += 4 * cRun + cbExt.toInt
+            sst += s
+            i += 1
+          }
+        case RContinue =>
+          // legal after many records; the SST parser above already fails
+          // loud if its strings spill here, so a CONTINUE is skippable
+          ()
+        case RLabelSst if inSheet1 =>
+          val rw = u16(wb, off); val c = u16(wb, off + 2)
+          val isst = u32(wb, off + 6)
+          require(isst < sst.length, s"LABELSST isst $isst out of range")
+          cells((rw, c)) = sst(isst.toInt)
+        case RLabel if inSheet1 =>
+          val rw = u16(wb, off); val c = u16(wb, off + 2)
+          val cch = u16(wb, off + 6)
+          val grbit = wb(off + 8) & 0xFF
+          cells((rw, c)) =
+            if ((grbit & 0x01) != 0)
+              new String(wb, off + 9, cch * 2, "UTF-16LE")
+            else {
+              val cs = new Array[Char](cch)
+              var j = 0
+              while (j < cch) { cs(j) = (wb(off + 9 + j) & 0xFF).toChar; j += 1 }
+              new String(cs)
+            }
+        case RNumber if inSheet1 =>
+          val rw = u16(wb, off); val c = u16(wb, off + 2)
+          var bits = 0L
+          var j = 0
+          while (j < 8) { bits |= (wb(off + 6 + j) & 0xFFL) << (8 * j); j += 1 }
+          cells((rw, c)) = numStr(java.lang.Double.longBitsToDouble(bits))
+        case RRk if inSheet1 =>
+          val rw = u16(wb, off); val c = u16(wb, off + 2)
+          cells((rw, c)) = numStr(rkValue(u32(wb, off + 6)))
+        case RMulRk if inSheet1 =>
+          val rw = u16(wb, off)
+          val colFirst = u16(wb, off + 2)
+          val nCells = (len - 6) / 6
+          var j = 0
+          while (j < nCells) {
+            cells((rw, colFirst + j)) = numStr(rkValue(u32(wb, off + 4 + 6 * j + 2)))
+            j += 1
+          }
+        case RFormula if inSheet1 =>
+          throw new IllegalArgumentException(
+            "FORMULA cells unsupported — export values or convert to .xlsx")
+        case RBoolErr if inSheet1 =>
+          throw new IllegalArgumentException(
+            "BOOLERR cells unsupported — convert to .xlsx")
+        case _ => () // DIMENSION/ROW/INDEX/window/format records: no values
+      }
+      pos = off + len
+    }
+    if (cells.isEmpty) Seq.empty
+    else {
+      val maxRow = cells.keys.map(_._1).max
+      (0 to maxRow).map { r =>
+        val rowCells = cells.collect { case ((`r`, c), v) => c -> v }
+        if (rowCells.isEmpty) Seq.empty[Option[String]]
+        else {
+          val maxCol = rowCells.keys.max
+          (0 to maxCol).map(c => rowCells.get(c)).toSeq
+        }
+      }
+    }
+  }
+}

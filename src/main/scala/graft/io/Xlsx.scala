@@ -25,15 +25,15 @@ object Xlsx {
     *
     * A binary `.xls` payload (OLE2/CFB container, magic D0 CF 11 E0 —
     * [MS-CFB] §2.2) fails loudly here instead of surfacing a raw
-    * ZipException: the reference's own stack (openpyxl,
-    * /root/reference/requirements.txt:6) can't read BIFF either, so the
-    * contract is "convert to .xlsx", stated explicitly. */
+    * ZipException; [[Xls.read]] is the BIFF8 reader for that format
+    * (TableIo.readXlsx dispatches on the magic automatically). */
   def read(bytes: Array[Byte]): Seq[Seq[Option[String]]] = {
     if (bytes.length >= 4 &&
         (bytes(0) & 0xFF) == 0xD0 && (bytes(1) & 0xFF) == 0xCF &&
         (bytes(2) & 0xFF) == 0x11 && (bytes(3) & 0xFF) == 0xE0)
       throw new IllegalArgumentException(
-        "binary .xls (BIFF/OLE2) is unsupported — convert the workbook to .xlsx")
+        "binary .xls (BIFF/OLE2) payload — use Xls.read (TableIo.readXlsx" +
+          " dispatches on the magic automatically)")
     var shared = Vector.empty[String]
     var sheet: Option[Array[Byte]] = None
     var firstSheetName: Option[String] = None

@@ -77,9 +77,17 @@ object GraphSearch {
     def score(ids: DataFrame): DataFrame =
       ids.join(q, "qid").join(cand, "nid")
         .select(col("qid"), col("nid"), cosQC.as("cos"))
-    var visited = scope.persist(
-      score(seeds.filter(col("nid") =!= col("qid")).distinct()))
-    visited.count() // eager: read by the beam cut AND the next union
+    // per-hop LAZY localCheckpoint (the x14/x120 iteration device, NOT a
+    // persist): visited is referenced twice per hop (beam cut + union),
+    // so without plan truncation the logical tree doubles every hop and
+    // CATALYST ANALYSIS time explodes long before the data does —
+    // measured on ~250 rows/query-batch at bench SF: per-hop action cost
+    // 0.25 → 0.9 → 1.8 → 4.5 s (doubling = planning, not execution).
+    // Checkpoints are lazy, so the final count materializes the whole
+    // chain in one cascade — hops jobs total, constant-size plans each.
+    var visited =
+      score(seeds.filter(col("nid") =!= col("qid")).distinct())
+        .localCheckpoint(false)
     val wb = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc_nulls_last, col("nid").asc)
     for (_ <- 1 to hops) {
@@ -93,9 +101,13 @@ object GraphSearch {
       // union + distinct dedups re-visits: cos is recomputed by the
       // identical expression over identical rows, so the (qid, nid, cos)
       // triple is bit-equal and set semantics match the oracle's UNION
-      visited = scope.persist(visited.union(score(expand)).distinct())
-      visited.count()
+      visited = visited.union(score(expand)).distinct()
+        .localCheckpoint(false)
     }
+    // the last hop's checkpoint IS the materialization — a persist on
+    // top would store the same tiny rows twice; downstream consumers
+    // (rank cut, budget, audit arms) re-plan from the checkpoint leaf
+    visited.count() // eager: drives the lazy checkpoint cascade once
     visited
       .withColumn("rn", row_number().over(wb))
       .withColumn("scored_n",

@@ -718,6 +718,90 @@ object StreamingOps {
           col("ct"), col("cr"), lit(nr), lit(nt)).as("lr"))
   }
 
+  /** x145's streaming twin: hard-negative CANDIDACY at ingest against the
+    * frozen cluster index (the x128/x148 frozen-artifact economics — the
+    * corpus is never re-clustered for an arriving vector). An arriving
+    * (vector, label) is assigned its frozen cell by the stateless literal
+    * argmin and paired with every DIFFERENT-label corpus cell-mate;
+    * output is per-match (new_id, cell, neg_id, label, neg_label, cos)
+    * evidence — per-match like [[streamingSemanticScreen]], because
+    * x145's per-anchor top-2 cut is a rank (stateful on a stream); the
+    * miner cuts rank batch-side over the materialized evidence. State:
+    * NONE; a refreshed index is picked up per micro-batch. `corpusIndex`
+    * = the persisted assignWithVec frame joined with labels — columns
+    * (cell, vec_id, v, nrm, lab). */
+  def streamingHardNegativeScreen(stream: DataFrame, corpusIndex: DataFrame,
+                                  m: graft.operators.KMeansDet.Model,
+                                  idCol: String = "vec_id",
+                                  vecCol: String = "embedding",
+                                  labCol: String = "label"): DataFrame = {
+    require(m.k <= graft.operators.KMeansDet.LiteralFormMaxK,
+      s"streaming screen needs the stateless literal argmin (k <= " +
+        s"${graft.operators.KMeansDet.LiteralFormMaxK}), got k=${m.k}")
+    // the label rides the opaque id through the argmin projection — a
+    // post-assign rejoin would be a stream-stream join (stateful)
+    val packed = stream.select(
+      struct(col(idCol).as("id"), col(labCol).cast("long").as("lab"))
+        .as("_idl"),
+      col(vecCol))
+    val a = graft.operators.KMeansDet.labeled(packed, m, "_idl", vecCol)
+      .select(col("_idl.id").as("new_id"), col("_idl.lab").as("lb"),
+              col("cell"), col("v").as("vb"), col("nrm").as("nb"))
+    val c = corpusIndex.select(col("cell"), col("vec_id").as("neg_id"),
+                               col("v").as("va"), col("nrm").as("na"),
+                               col("lab").as("la"))
+    a.join(c, Seq("cell"))
+      .filter(col("neg_id") =!= col("new_id") && col("la") =!= col("lb"))
+      .withColumn("cos",
+        when(col("na") === 0.0 || col("nb") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(graft.functions.VectorFunctions.dot(col("va"), col("vb"))
+            / (col("na") * col("nb"))))
+      .select(col("new_id"), col("cell"), col("neg_id"),
+              col("lb").as("label"), col("la").as("neg_label"),
+              round(col("cos"), 4).as("cos"))
+  }
+
+  /** x146's streaming twin: diversity-quota ADMISSION at ingest. The
+    * batch downsample keeps the ceil(|cell|/4) most-central rows per
+    * cell — a rank, not streamable; the frozen artifact it exports is
+    * the per-cell admission BOUNDARY (cell, bd, bid): the (distance,
+    * vec_id) of the last admitted row under the batch's (d ASC, id ASC)
+    * order. An arriving vector is admitted iff its (d, id) sorts
+    * at-or-before the boundary — the identical total order, so screening
+    * the corpus's own rows against its own boundaries reproduces the
+    * batch keep set EXACTLY (StreamingSpec), and a new arrival gets
+    * yesterday's quota discipline until the next batch refresh. State:
+    * NONE — one stateless literal argmin plus two k-row broadcast
+    * stream-static joins. A cell absent from `boundaries` admits
+    * nothing (left join, null-safe false). */
+  def streamingQuotaAdmission(stream: DataFrame, boundaries: DataFrame,
+                              m: graft.operators.KMeansDet.Model,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    require(m.k <= graft.operators.KMeansDet.LiteralFormMaxK,
+      s"streaming admission needs the stateless literal argmin (k <= " +
+        s"${graft.operators.KMeansDet.LiteralFormMaxK}), got k=${m.k}")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val cf = m.centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("cell", "_c")
+    graft.operators.KMeansDet.labeled(stream, m, idCol, vecCol)
+      .join(broadcast(cf), Seq("cell"))
+      .withColumn("d",
+        graft.functions.VectorFunctions.dot(col("v"), col("v"))
+          - lit(2.0) * graft.functions.VectorFunctions.dot(col("v"), col("_c"))
+          + graft.functions.VectorFunctions.dot(col("_c"), col("_c")))
+      .join(broadcast(boundaries.select(col("cell"), col("bd"), col("bid"))),
+            Seq("cell"), "left_outer")
+      .withColumn("admitted",
+        coalesce(struct(col("d").as("x"), col(idCol).cast("long").as("y")) <=
+                 struct(col("bd").as("x"), col("bid").cast("long").as("y")),
+                 lit(false)))
+      .select(col(idCol), col("cell"), round(col("d"), 4).as("d"),
+              col("admitted"))
+  }
+
   def streamingQuantileSketch(cents: DataFrame,
                               centsCol: String = "c"): DataFrame =
     cents.select(graft.ops.QuantileSketchOps.bucketOf(col(centsCol)).as("b"))

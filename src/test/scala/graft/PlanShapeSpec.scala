@@ -1534,27 +1534,60 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  /** Run `name` to completion and capture EVERY QueryExecution's
+    * executed plan — the per-hop localCheckpoint cascade in the graph
+    * serving loop truncates lineage, so the returned frame's own plan no
+    * longer shows the hop joins; the listener sees each hop's action. */
+  private def allPlansOf(name: String): Seq[String] = {
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      SparkEntry.queries(name)(spark, sfDir).count()
+      // listener delivery is async; poll until the plan stream settles
+      var last = -1
+      var settled = 0
+      while (settled < 3) {
+        Thread.sleep(200)
+        val n = l.synchronized(plans.length)
+        if (n == last) settled += 1 else { settled = 0; last = n }
+      }
+    } finally spark.listenerManager.unregister(l)
+    plans.toSeq
+  }
+
   test("x148 graph serving: every hop is a keyed adjacency equi-join — no cartesian, no data-sized nested loop") {
-    val plan = planOf("x148_graph_search")
-    assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
-    // the expansion drives on the frozen graph's source vertex
-    assert(plan.contains("__gu"),
-      "adjacency join key missing:\n" + plan.take(3000))
+    val plans = allPlansOf("x148_graph_search")
+    plans.foreach { p =>
+      assert(!p.contains("CartesianProduct"), p.take(3000))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    }
+    // the expansion drives on the frozen graph's source vertex (visible
+    // in the hop actions the checkpoint cascade runs)
+    assert(plans.exists(_.contains("__gu")),
+      s"adjacency join key missing from all ${plans.length} plans")
     spark.catalog.clearCache()
   }
 
   test("x149 clustered recall twin: serving stays keyed; the only nested loop is the exact arm's broadcast ground truth") {
-    val plan = planOf("x149_graph_recall_clustered")
-    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val plans = allPlansOf("x149_graph_recall_clustered")
+    plans.foreach(p => assert(!p.contains("CartesianProduct"), p.take(3000)))
     // the exact arm (broadcast 20-query probe × corpus, <> condition) is
     // the deliberate Q·N ground-truth cost every recall audit pays
-    // (x127/x130/x142 convention) — exactly one such nested loop
-    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-    assert(bnlj <= 1,
-      s"only the exact arm may nested-loop, got $bnlj:\n" + plan.take(3000))
-    assert(plan.contains("__gu"),
-      "adjacency join key missing:\n" + plan.take(3000))
+    // (x127/x130/x142 convention) — it may appear in the final action's
+    // plan only
+    val bnljPlans = plans.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnljPlans <= 1,
+      s"only the exact arm's action may nested-loop, got $bnljPlans plans")
+    assert(plans.exists(_.contains("__gu")),
+      s"adjacency join key missing from all ${plans.length} plans")
     spark.catalog.clearCache()
   }
 

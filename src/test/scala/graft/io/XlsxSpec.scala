@@ -27,8 +27,10 @@ class XlsxSpec extends org.scalatest.funsuite.AnyFunSuite {
     val biff = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
       .map(_.toByte) ++ Array.fill[Byte](504)(0)
     val ex = intercept[IllegalArgumentException](Xlsx.read(biff))
-    assert(ex.getMessage.contains("binary .xls"))
-    assert(ex.getMessage.contains("convert the workbook to .xlsx"))
+    assert(ex.getMessage.contains(".xls"))
+    // the message now routes to the BIFF8 reader instead of demanding a
+    // manual conversion (XlsSpec covers that path)
+    assert(ex.getMessage.contains("Xls.read"))
   }
 
   test("shared-strings workbooks parse (synthetic sharedStrings.xml)") {

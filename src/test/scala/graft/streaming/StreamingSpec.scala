@@ -861,4 +861,107 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getBoolean(0))
     assert(flags.nonEmpty && flags.forall(identity))
   }
+
+  test("streamingHardNegativeScreen: streamed evidence equals the batch different-label cell pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus: 8 orthogonal axes, alternating labels -> one axis per cell
+    val axes = (0 until 8).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => if (j == i) 1f else 0f), i % 2)
+    }
+    val corpus = axes.toDF("vec_id", "embedding", "label")
+    val m = graft.operators.KMeansDet.fit(
+      corpus.select("vec_id", "embedding"), k = 8, iters = 2)
+    val index = graft.operators.KMeansDet.assignWithVec(corpus, m)
+      .join(corpus.select(col("vec_id"),
+                          col("label").cast("long").as("lab")), "vec_id")
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    val stream = mem.toDF().toDF("vec_id", "embedding", "label")
+    val q = StreamingOps.streamingHardNegativeScreen(stream, index, m)
+      .writeStream.format("memory").queryName("hneg").outputMode("append")
+      .start()
+    // 20: near axis 2 (label 0) carrying label 1 -> a hard negative;
+    // 21: near axis 3 (label 1) carrying label 1 -> same label, no row
+    val near2 = Seq.tabulate(8)(j => if (j == 2) 1.01f else 0f)
+    val near3 = Seq.tabulate(8)(j => if (j == 3) 1.01f else 0f)
+    mem.addData((20L, near2, 1))
+    q.processAllAvailable()
+    mem.addData((21L, near3, 1))
+    q.processAllAvailable()
+    val got = spark.sql(
+      "select new_id, neg_id, label, neg_label, cos from hneg")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    q.stop()
+    assert(got == Set((20L, 2L, 1L, 0L, 1.0)), s"got $got")
+    // and the streamed evidence equals the same operator run as batch
+    val batch = StreamingOps.streamingHardNegativeScreen(
+      Seq((20L, near2, 1), (21L, near3, 1))
+        .toDF("vec_id", "embedding", "label"), index, m)
+      .select("new_id", "neg_id", "label", "neg_label", "cos")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(batch == got)
+    spark.catalog.clearCache()
+  }
+
+  test("streamingQuotaAdmission: corpus rows screened against their own boundaries reproduce the batch keep set; new arrivals follow the frozen quota") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two cells x 6 members at graded distances from their axis
+    val pts = (0 until 12).map { i =>
+      val axis = i % 2
+      val off = 0.05f * (i / 2) // distance grows with i
+      (i.toLong, Seq.tabulate(4)(j =>
+        if (j == axis) 1f else if (j == 2) off else 0f))
+    }
+    val corpus = pts.toDF("vec_id", "embedding")
+    val m = graft.operators.KMeansDet.fit(corpus, k = 2, iters = 2)
+    val sn = graft.operators.KMeansDet.assignWithVec(corpus, m)
+    import org.apache.spark.sql.expressions.Window
+    val cf = m.centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("cell", "_c")
+    import graft.functions.{VectorFunctions => V}
+    val scored = sn.join(broadcast(cf), Seq("cell"))
+      .withColumn("d",
+        V.dot(col("v"), col("v")) - lit(2.0) * V.dot(col("v"), col("_c"))
+          + V.dot(col("_c"), col("_c")))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+    val kept = scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("csize",
+        count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .filter(col("rn") <= expr("(csize + 3) div 4")).persist()
+    // the frozen artifact: the LAST admitted (d, id) per cell
+    val boundaries = kept
+      .withColumn("bs", max(struct(col("d").as("x"),
+        col("vec_id").cast("long").as("y")))
+        .over(Window.partitionBy(col("cell"))))
+      .select(col("cell"), col("bs.x").as("bd"), col("bs.y").as("bid"))
+      .distinct()
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.streamingQuotaAdmission(
+        mem.toDF().toDF("vec_id", "embedding"), boundaries, m)
+      .writeStream.format("memory").queryName("quota").outputMode("append")
+      .start()
+    // replay the corpus through the front door, plus one central and one
+    // peripheral new arrival
+    mem.addData(pts.take(7): _*)
+    q.processAllAvailable()
+    mem.addData(pts.drop(7) ++ Seq(
+      // the cell's off-component mean is ~0.125, so this lands at the
+      // centroid (admitted) while the 0.9-off arrival is peripheral
+      (100L, Seq(1f, 0f, 0.125f, 0f)),
+      (101L, Seq(1f, 0f, 0.9f, 0f))): _*)
+    q.processAllAvailable()
+    val admitted = spark.sql("select vec_id from quota where admitted")
+      .as[Long].collect().toSet
+    q.stop()
+    val batchKeep = kept.select(col("vec_id")).as[Long].collect().toSet
+    assert((admitted - 100L - 101L) == batchKeep,
+      s"corpus replay must reproduce the batch keep set: " +
+        s"$admitted vs $batchKeep")
+    assert(admitted.contains(100L) && !admitted.contains(101L))
+    kept.unpersist()
+    spark.catalog.clearCache()
+  }
 }
