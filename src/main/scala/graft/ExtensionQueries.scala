@@ -284,6 +284,53 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // X152 — x78's MinHash error audit under candidate GOVERNANCE: x78's
+    // near-dup pair source is q111's exact set-sim join, which the r13
+    // probe measured at ~37× for 10× data on the closed-vocabulary
+    // corpus — x78 INHERITS q111's documented fixture degeneracy
+    // (SCALING.md r11: every shingle's df grows linearly, the prefix
+    // filter stops pruning). This is the x124 governed twin applied to
+    // the audit: the near-dup arm is the df-capped join (jac ≥ ½ AND a
+    // shared shingle with df ≤ 8 — candidates bounded by cap·Σdf, linear
+    // at any df distribution), so the audit keeps its purpose — the
+    // near-dup error regime LSH recall pays for is exactly the
+    // rare-evidence pairs the cap keeps — at a linear cost the isotropic
+    // fixture cannot inflate. Adjacent-id background pairs unchanged.
+    "x152_minhash_error_governed" -> ((s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), T.words(col("text")).as("_w"))
+        .select(col("doc_id"),
+          graft.functions.expr.MinHashSigMd5(col("_w"), 3, 8).as("sig"),
+          array_distinct(T.shinglesFromWords(col("_w"), 3)).as("sh"))
+        .persist()
+      val adj = d.select(col("doc_id").as("id_a"),
+                         (col("doc_id") + 1).as("id_b"))
+      val near = graft.operators.SetSimJoin
+        .joinCapped(d.select(col("doc_id"), col("sh")), "doc_id", "sh",
+                    1, 2, dfCap = 8L)
+        .select(col("id_a"), col("id_b"))
+      val a = d.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+                       col("sh").as("sh_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+                       col("sh").as("sh_b"))
+      adj.unionByName(near).distinct()
+        .join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
+        .withColumn("est_x1000", expr(
+          """(1000 * size(filter(zip_with(sig_a, sig_b,
+               (x, y) -> x = y), m -> m))) DIV 8"""))
+        .withColumn("inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("uni",
+          size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
+        .withColumn("jac_x1000", expr("(1000 * inter) DIV uni"))
+        .select(col("id_a"), col("id_b"), col("est_x1000"),
+                col("jac_x1000"),
+                abs(col("est_x1000") - col("jac_x1000")).as("abs_err_x1000"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // X79 — LSH band-configuration tuning census: for each (bands,
     // rows_per_band) split of the SAME k=8 signature, the candidate
     // join cost (Σ n·(n−1)/2 over band buckets — the pairs the banded
@@ -1486,6 +1533,54 @@ object ExtensionQueries {
           e AS (SELECT doc_id, unnest(dsh) AS g FROM s),
           nd0 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                   FROM e a JOIN e b ON b.g = a.g AND b.doc_id > a.doc_id),
+          nd AS (SELECT id_a, id_b FROM (
+                   SELECT id_a, id_b,
+                     len(list_filter(sa.dsh,
+                       x -> list_contains(sb.dsh, x)))::BIGINT AS inter,
+                     (len(sa.dsh) + len(sb.dsh))::BIGINT AS tot
+                   FROM nd0
+                   JOIN s sa ON sa.doc_id = nd0.id_a
+                   JOIN s sb ON sb.doc_id = nd0.id_b)
+                 WHERE inter * 2 >= tot - inter),
+          adj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM s a JOIN s b ON b.doc_id = a.doc_id + 1),
+          pairs AS (SELECT DISTINCT id_a, id_b FROM
+                    (SELECT * FROM adj UNION ALL SELECT * FROM nd)),
+          p AS (SELECT id_a, id_b, a.sg AS sga, b.sg AS sgb,
+                  a.dsh AS da, b.dsh AS db
+                FROM pairs
+                JOIN sig a ON a.doc_id = pairs.id_a
+                JOIN sig b ON b.doc_id = pairs.id_b
+                WHERE len(a.dsh) > 0 AND len(b.dsh) > 0),
+          v AS (SELECT id_a, id_b,
+                  (1000 * len(list_filter(generate_series(1, 8),
+                     i -> sga[i] = sgb[i]))) // 8 AS est_x1000,
+                  len(list_filter(da, x -> list_contains(db, x)))::BIGINT
+                    AS inter,
+                  (len(da) + len(db))::BIGINT AS tot
+                FROM p)
+          SELECT id_a, id_b, est_x1000,
+            (1000 * inter) // (tot - inter) AS jac_x1000,
+            abs(est_x1000 - (1000 * inter) // (tot - inter))
+              AS abs_err_x1000
+          FROM v ORDER BY id_a, id_b""",
+
+    // x78's audit SQL with the near-dup candidates restricted to ANY
+    // shared LOW-DF shingle (the x124 governed-candidate device; no
+    // prefix, so parity re-proves the capped pruning complete here too)
+    "x152_minhash_error_governed" ->
+      s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh,
+                       list_distinct($shinglesSql) AS dsh
+                     FROM documents),
+          sig AS (SELECT doc_id,
+            [${(0 until 8).map(minhashSql).mkString(",\n             ")}] AS sg,
+            dsh FROM s),
+          e AS (SELECT doc_id, unnest(dsh) AS g FROM s),
+          dfq AS (SELECT g, count(*)::BIGINT AS df FROM e GROUP BY g),
+          le AS (SELECT e.doc_id, e.g FROM e JOIN dfq USING (g)
+                 WHERE df <= 8),
+          nd0 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM le a JOIN le b ON b.g = a.g AND b.doc_id > a.doc_id),
           nd AS (SELECT id_a, id_b FROM (
                    SELECT id_a, id_b,
                      len(list_filter(sa.dsh,
