@@ -479,6 +479,29 @@ object AnalyticsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X155 — MULTIMODAL audio VAD segmentation plan: the audio member of
+    // the x18 family — payload → fixed 40-byte frame grid → per-frame
+    // (stub) energy → speech segments via gaps-and-islands, all BEFORE
+    // any decode, so at scale the codec is told exactly which byte
+    // ranges carry speech and silence is never decoded. The energy stub
+    // is the one fake (first md5 byte of the frame — the x18 codec
+    // contract); frame grid, threshold, islands, and segment table are
+    // the real plumbing and all of it is in the hash. The payload rides
+    // the media struct as binary; its char view feeds the energy hash
+    // (the corpus is pure ASCII — char slice ≡ byte slice, which is
+    // what lets DuckDB slice the same frames without BLOB functions).
+    "x155_audio_vad" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val m = Multimodal.withMediaStruct(
+        Tables(s, dir, "documents").select("doc_id", "text"),
+        col("text").cast("binary"), lit("pcm"))
+      Multimodal.vadPlan(
+          m.select(col("doc_id"),
+                   col("media.payload").cast("string").as("pcm_chars")),
+          "doc_id", "pcm_chars")
+        .orderBy(col("doc_id"), col("seg_id"))
+    }),
+
     // X96 — MULTIMODAL pHash near-dup: payload-level duplicate detection
     // over an opaque binary column — x18's plumbing upgraded from metadata
     // to DEDUP, the image/audio use case (perceptual-hash dedup of media
@@ -1232,6 +1255,30 @@ object AnalyticsQueries {
                 WHEN octet_length(encode(text)) < 1048576 THEN 'm'
                 ELSE 'l' END AS size_class
          FROM documents ORDER BY doc_id""",
+
+    // the same frame grid, energy hash, and island arithmetic over the
+    // text's char view (ASCII corpus: char slice ≡ byte slice)
+    "x155_audio_vad" ->
+      """WITH m AS (SELECT doc_id, text,
+             greatest(1, (length(text) + 39) // 40) AS nf FROM documents),
+         f AS (SELECT doc_id, text, unnest(range(0, nf)) AS f FROM m),
+         e AS (SELECT doc_id, f,
+                 ('0x' || substr(md5(substr(text, f * 40 + 1, 40)),
+                                 1, 2))::INT AS energy
+               FROM f),
+         s AS (SELECT doc_id, f, energy,
+                 f - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY f) AS grp
+               FROM e WHERE energy >= 128),
+         seg AS (SELECT doc_id, grp, min(f)::BIGINT AS seg_start,
+                   max(f)::BIGINT AS seg_end, count(*)::BIGINT AS n_frames,
+                   max(energy)::INT AS e_max
+                 FROM s GROUP BY 1, 2)
+         SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY seg_start)::BIGINT AS seg_id,
+           seg_start, seg_end, n_frames, e_max
+         FROM seg ORDER BY doc_id, seg_id""",
 
     // brute-force ALL pairs (feasible at oracle scale), so every
     // hash-green run re-proves the engine's pigeonhole banding is

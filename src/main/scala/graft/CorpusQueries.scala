@@ -739,6 +739,68 @@ object CorpusQueries {
                  isTarget = col("lang") === "en")
         .orderBy(col("doc_id"))),
 
+    // X153 — hashed Naive-Bayes quality classifier: the model-based
+    // quality filter (fastText-style, the GPT-3/LLaMA curation device)
+    // with a real train/apply split — the labeled fifth fits O(B)
+    // per-bucket class counts, every other doc is scored OUT-OF-SAMPLE
+    // by the smoothed NB log-likelihood ratio + class prior in
+    // logRatioX256's 1/256-bit units (sign-decision grade — see
+    // ilog2x256's doc for why bitlen resolution fails here), and the
+    // heuristic label rides along so the classifier's generalization
+    // agreement (0.70/0.75/0.92 at the three SFs — a learning curve)
+    // is audited in the hash, not asserted.
+    "x153_nb_quality" -> ((s, dir) =>
+      nbQualityFilter(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // X156 — three-way snapshot merge (x71's diff upgraded to the
+    // git/lakeFS branch-reconciliation verb): base is the corpus, ours
+    // and theirs are deterministically derived branches covering every
+    // outcome class — one-sided edits land, identical edits collapse
+    // to `both`, divergent edits / delete-vs-modify / divergent adds
+    // CONFLICT (surfaced with a null merged_fp, never auto-resolved),
+    // double deletes delete, one-sided adds land. Every decision and
+    // fingerprint is in the hash.
+    "x156_threeway_merge" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val ours = base
+        .filter(col("doc_id") % 17 =!= 3)                  // ours deletes
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 5,
+               concat(lit("O:"), col("text")))             // shared-site edit
+            .when(col("doc_id") % 11 === 6,
+                  concat(lit("O1:"), col("text")))         // ours-only edit
+            .otherwise(col("text")).as("text"))
+        .unionByName(base.filter(col("doc_id") % 19 === 1) // ours adds
+          .select((col("doc_id") + 1000000000000L).as("doc_id"),
+                  concat(lit("A:"), col("text")).as("text")))
+        .unionByName(base.filter(col("doc_id") % 29 === 1) // divergent add
+          .select((col("doc_id") + 2000000000000L).as("doc_id"),
+                  concat(lit("A2:"), col("text")).as("text")))
+      val theirs = base
+        .filter(col("doc_id") % 23 =!= 2)                  // theirs deletes
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 5 && col("doc_id") % 2 === 0,
+               concat(lit("T:"), col("text")))             // divergent edit
+            .when(col("doc_id") % 13 === 5,
+                  concat(lit("O:"), col("text")))          // SAME edit
+            .when(col("doc_id") % 11 === 4,
+                  concat(lit("T1:"), col("text")))         // theirs-only
+            .otherwise(col("text")).as("text"))
+        .unionByName(base
+          .filter(col("doc_id") % 19 === 1 && col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 1000000000000L).as("doc_id"),
+                  concat(lit("A:"), col("text")).as("text"))) // SAME add
+        .unionByName(base.filter(col("doc_id") % 29 === 1)
+          .select((col("doc_id") + 2000000000000L).as("doc_id"),
+                  concat(lit("B2:"), col("text")).as("text")))
+        .unionByName(base.filter(col("doc_id") % 31 === 1) // theirs-only add
+          .select((col("doc_id") + 3000000000000L).as("doc_id"),
+                  concat(lit("B3:"), col("text")).as("text")))
+      threeWayMerge(base, ours, theirs).orderBy(col("doc_id"))
+    }),
+
     // X77 — positional phrase search: the bigram "hash scan" answered
     // the way a search engine answers it — from a positional inverted
     // index (word → (doc, 1-based position)), never by re-scanning
@@ -1413,6 +1475,65 @@ object CorpusQueries {
       .select(col("doc_id"), col("source"), col("status"))
   }
 
+  /** X156 core — THREE-WAY snapshot merge (the git/lakeFS verb; x71's
+    * two-way diff upgraded to branch reconciliation): classify every
+    * doc_id across base/ours/theirs and emit the standard three-way
+    * decision — an unchanged side yields to the changed one, identical
+    * changes collapse (`both`), divergent changes or delete-vs-modify
+    * conflict (merged_fp null — surfaced, never auto-resolved), double
+    * deletes delete, one-sided adds land, double adds collapse or
+    * conflict by fingerprint. Like x71, every side is fingerprinted AT
+    * THE SCAN (map-side md5 — no text crosses the wire) and the whole
+    * decision is two keyed full-outer joins on doc_id; bucketed
+    * snapshot tables make it exchange-free at 100 TB (b03's layout).
+    * Output: (doc_id, o_status, t_status, merged, merged_fp). */
+  def threeWayMerge(base: DataFrame, ours: DataFrame,
+                    theirs: DataFrame): DataFrame = {
+    def fp(df: DataFrame, out: String) =
+      df.select(col("doc_id"), md5(col("text").cast("binary")).as(out))
+    def status(side: String) =
+      when(col("fp_b").isNull && col(side).isNull, "absent")
+        .when(col("fp_b").isNull, "added")
+        .when(col(side).isNull, "removed")
+        .when(col(side) =!= col("fp_b"), "changed")
+        .otherwise("unchanged")
+    fp(base, "fp_b")
+      .join(fp(ours, "fp_o"), Seq("doc_id"), "full_outer")
+      .join(fp(theirs, "fp_t"), Seq("doc_id"), "full_outer")
+      .withColumn("o_status", status("fp_o"))
+      .withColumn("t_status", status("fp_t"))
+      .withColumn("merged",
+        // order matters: each arm assumes the earlier ones didn't match
+        when(col("o_status") === "unchanged" &&
+             col("t_status") === "unchanged", "base")
+          .when(col("o_status") === "removed" &&
+                col("t_status") === "removed", "deleted")
+          .when(col("o_status").isin("removed", "changed") &&
+                col("t_status").isin("removed", "changed") &&
+                !(col("fp_o") <=> col("fp_t")), "conflict")
+          .when(col("o_status") === "changed" &&
+                col("t_status") === "changed", "both") // same fp
+          .when(col("o_status").isin("removed", "changed"), "ours")
+          .when(col("t_status").isin("removed", "changed"), "theirs")
+          .when(col("o_status") === "added" &&
+                col("t_status") === "added",
+            when(col("fp_o") === col("fp_t"), "both").otherwise("conflict"))
+          .when(col("o_status") === "added", "ours")
+          .otherwise("theirs")) // t_status == "added"
+      .withColumn("merged_fp",
+        when(col("merged") === "base", col("fp_b"))
+          .when(col("merged").isin("ours", "both"), col("fp_o"))
+          .when(col("merged") === "theirs", col("fp_t"))) // else null
+      .withColumn("merged",
+        when(col("merged") === "ours" && col("o_status") === "removed",
+             "deleted")
+          .when(col("merged") === "theirs" &&
+                col("t_status") === "removed", "deleted")
+          .otherwise(col("merged")))
+      .select(col("doc_id"), col("o_status"), col("t_status"),
+              col("merged"), col("merged_fp"))
+  }
+
   /** X72 core — DSIR-shaped importance score: per doc, the summed
     * integer log-ratio lr(w) = bitlen(ct+1) + bitlen(Nr) − bitlen(cr+1)
     * − bitlen(Nt) ≈ log₂(p_target(w)/p_raw(w)) with add-one smoothing
@@ -1486,6 +1607,75 @@ object CorpusQueries {
               col("imp_sum"), col("picked"))
   }
 
+  /** X153 core — hashed Naive-Bayes quality classifier: the model-based
+    * quality filter of the GPT-3/LLaMA curation recipes (a cheap linear
+    * classifier imitating an expensive quality signal), reduced to its
+    * oracle-checkable core. A labeled TRAINING split (doc_id % 5 = 0;
+    * label = the x02 heuristic at the 0.475 cut — both classes present at
+    * every SF) fits per-bucket class counts over md5-hashed unigrams —
+    * model state O(buckets) like x143's DSIR model, NOT vocabulary-sized,
+    * so it broadcasts at any corpus size. Every OUT-OF-SAMPLE doc is then
+    * scored by the add-one-smoothed NB log-likelihood ratio plus the
+    * bitlen-family class prior, in [[TextFunctions.logRatioX256]]'s
+    * 1/256-bit fixed-point units — sign-decision grade, where the ±1-bit
+    * [[TextFunctions.bitlenLogRatio]] would accumulate a length-
+    * proportional bias that flips the verdict with corpus size (measured:
+    * see ilog2x256's doc). Unlike x143 (whose model sees every doc),
+    * train and apply are DISJOINT: pred is a genuine generalization
+    * decision, and the heuristic label rides along on the apply split so
+    * the classifier's out-of-sample agreement is itself in the hash
+    * (measured 0.70 / 0.75 / 0.92 at sf0.001/0.01/0.1 — a learning
+    * curve). Unseen buckets score via the left join's (0, 0) fill — the
+    * smoothed prior ratio, not a drop. Docs with no non-empty token carry
+    * no evidence and are absent (the x45/x143 short-doc convention).
+    * Dataflow: ONE explode+md5 scan (persisted) feeds model fit and
+    * scoring; model + the 1-row totals×prior broadcast; the per-doc agg
+    * is the only data-sized exchange. */
+  def nbQualityFilter(docs: DataFrame, buckets: Int = 1024)
+                     (implicit scope: graft.ops.CacheScope): DataFrame = {
+    require(buckets >= 2, s"nbQualityFilter needs buckets >= 2, got $buckets")
+    val base = docs.select(col("doc_id"), col("source"),
+      (col("doc_id") % 5 === 0).as("_train"),
+      (round(T.qualityScore(col("text")) * 10000).cast("long") >= 4750)
+        .as("_pos"),
+      col("text"))
+    val tok = scope.persist(base
+      .select(col("doc_id"), col("source"), col("_train"), col("_pos"),
+              explode(T.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("h",
+        conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long")
+          % buckets)
+      .drop("w"))
+    tok.count() // eager: the explode+md5 scan feeds BOTH fit and scoring
+    val model = tok.filter(col("_train"))
+      .groupBy(col("h"))
+      .agg(sum(when(col("_pos"), 1L).otherwise(0L)).as("cp"),
+           sum(when(!col("_pos"), 1L).otherwise(0L)).as("cn"))
+    val totals = model.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"))
+    val prior = base.filter(col("_train"))
+      .agg(sum(when(col("_pos"), 1L).otherwise(0L)).as("dp"),
+           sum(when(!col("_pos"), 1L).otherwise(0L)).as("dn"))
+    // one 1-row constants frame (totals × prior) → a single broadcast
+    // nested loop on the scoring path instead of two
+    val consts = totals.crossJoin(prior)
+    tok.filter(!col("_train"))
+      .join(broadcast(model), Seq("h"), "left_outer")
+      .na.fill(0L, Seq("cp", "cn"))
+      .crossJoin(broadcast(consts))
+      .withColumn("lr",
+        T.logRatioX256(col("cp"), col("cn"), col("nn"), col("np")))
+      .groupBy(col("doc_id"), col("source"), col("_pos"),
+               col("dp"), col("dn"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("_llr"))
+      .withColumn("nb_score",
+        T.ilog2x256(col("dp") + 1) - T.ilog2x256(col("dn") + 1) +
+          col("_llr"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+              col("nb_score"), (col("nb_score") > 0).as("pred"),
+              col("_pos").as("heur"))
+  }
+
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
   /** DuckDB spelling of [[graft.functions.TextFunctions.bitlenLogRatio]]
@@ -1496,6 +1686,26 @@ object CorpusQueries {
     s"""CAST(length(to_base($ct + 1, 2)) + length(to_base($nr, 2))
           - length(to_base($cr + 1, 2)) - length(to_base($nt, 2))
           AS BIGINT)"""
+
+  /** DuckDB spelling of [[graft.functions.TextFunctions.ilog2x256]]
+    * (pure integer shifts — bit-identical to the Spark formula); kept as
+    * one fragment so the x153 oracle can only drift loudly. */
+  private def ilogSql(x: String): String =
+    // shift ops bind LOOSER than +/- in DuckDB — the mantissa shift must
+    // be fully parenthesized or the whole sum right-shifts
+    s"""((length(to_base($x, 2)) - 1) * 256
+        + ((($x) << 8) >> (length(to_base($x, 2)) - 1)) - 256)"""
+
+  /** DuckDB spelling of the x02/x75 heuristic quality label at the
+    * 0.475 cut (integer ×10⁴ compare — no cross-engine double compare). */
+  private val qualityPosSql =
+    s"""CAST(round(round(len(regexp_extract_all(lower(text),
+          '\\b(${T.EnStopwords.mkString("|")})\\b'))::DOUBLE
+            / len($wordsSql) * 0.5
+          + length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+            / length(text) * 0.3
+          + (1 - length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+               / length(text)) * 0.2, 4) * 10000) AS BIGINT) >= 4750"""
 
   /** DuckDB fragment shared by x117/x118: the K-round BPE chain as
     * MATERIALIZED CTEs (wf word counts, d0 spaced char symbolization,
@@ -2167,6 +2377,112 @@ object CorpusQueries {
          SELECT doc_id, source, n_bigrams, imp_sum,
            rn <= greatest(1, n // 4) AS picked
          FROM rk ORDER BY doc_id""",
+
+    // Train on the labeled fifth, score everyone else — the oracle
+    // restates bucketing, the class-count model, the fixed-point-log
+    // LLR (ilogSql = the Spark shift formula verbatim), and the prior.
+    "x153_nb_quality" ->
+      s"""WITH b AS (SELECT doc_id, source, doc_id % 5 = 0 AS tr,
+                 $qualityPosSql AS pos, text FROM documents),
+         tok AS (SELECT doc_id, source, tr, pos,
+                   ('0x' || substr(md5(t), 1, 12))::BIGINT % 1024 AS h
+                 FROM (SELECT doc_id, source, tr, pos,
+                         unnest($wordsSql) AS t FROM b)
+                 WHERE t <> ''),
+         m AS (SELECT h, sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS cp,
+                  sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS cn
+               FROM tok WHERE tr GROUP BY h),
+         tot AS (SELECT sum(cp)::BIGINT AS np, sum(cn)::BIGINT AS nn
+                 FROM m),
+         pri AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS dp,
+                   sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS dn
+                 FROM b WHERE tr),
+         sc AS (SELECT doc_id, source, pos, count(*)::BIGINT AS n_tokens,
+                  sum(${ilogSql("coalesce(cp, 0) + 1")}
+                    + ${ilogSql("nn")}
+                    - ${ilogSql("coalesce(cn, 0) + 1")}
+                    - ${ilogSql("np")})::BIGINT AS llr
+                FROM tok LEFT JOIN m USING (h) CROSS JOIN tot
+                WHERE NOT tr GROUP BY 1, 2, 3)
+         SELECT doc_id, source, n_tokens,
+           (${ilogSql("dp + 1")} - ${ilogSql("dn + 1")} + llr)::BIGINT
+             AS nb_score,
+           (${ilogSql("dp + 1")} - ${ilogSql("dn + 1")} + llr) > 0 AS pred,
+           pos AS heur
+         FROM sc CROSS JOIN pri ORDER BY doc_id""",
+
+    // Both branch derivations restated, then the standard three-way
+    // decision table (md5(VARCHAR) hashes UTF-8 bytes — ≡ Spark's md5
+    // over cast-to-binary, the x18 note).
+    "x156_threeway_merge" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS fp_b FROM documents),
+         o AS (SELECT doc_id,
+                 md5(CASE WHEN doc_id % 13 = 5 THEN 'O:' || text
+                          WHEN doc_id % 11 = 6 THEN 'O1:' || text
+                          ELSE text END) AS fp_o
+               FROM documents WHERE doc_id % 17 <> 3
+               UNION ALL
+               SELECT doc_id + 1000000000000, md5('A:' || text)
+               FROM documents WHERE doc_id % 19 = 1
+               UNION ALL
+               SELECT doc_id + 2000000000000, md5('A2:' || text)
+               FROM documents WHERE doc_id % 29 = 1),
+         t AS (SELECT doc_id,
+                 md5(CASE WHEN doc_id % 13 = 5 AND doc_id % 2 = 0
+                            THEN 'T:' || text
+                          WHEN doc_id % 13 = 5 THEN 'O:' || text
+                          WHEN doc_id % 11 = 4 THEN 'T1:' || text
+                          ELSE text END) AS fp_t
+               FROM documents WHERE doc_id % 23 <> 2
+               UNION ALL
+               SELECT doc_id + 1000000000000, md5('A:' || text)
+               FROM documents WHERE doc_id % 19 = 1 AND doc_id % 2 = 0
+               UNION ALL
+               SELECT doc_id + 2000000000000, md5('B2:' || text)
+               FROM documents WHERE doc_id % 29 = 1
+               UNION ALL
+               SELECT doc_id + 3000000000000, md5('B3:' || text)
+               FROM documents WHERE doc_id % 31 = 1),
+         j AS (SELECT doc_id, fp_b, fp_o, fp_t
+               FROM b FULL JOIN o USING (doc_id)
+                      FULL JOIN t USING (doc_id)),
+         s AS (SELECT doc_id, fp_b, fp_o, fp_t,
+                 CASE WHEN fp_b IS NULL AND fp_o IS NULL THEN 'absent'
+                      WHEN fp_b IS NULL THEN 'added'
+                      WHEN fp_o IS NULL THEN 'removed'
+                      WHEN fp_o <> fp_b THEN 'changed'
+                      ELSE 'unchanged' END AS o_status,
+                 CASE WHEN fp_b IS NULL AND fp_t IS NULL THEN 'absent'
+                      WHEN fp_b IS NULL THEN 'added'
+                      WHEN fp_t IS NULL THEN 'removed'
+                      WHEN fp_t <> fp_b THEN 'changed'
+                      ELSE 'unchanged' END AS t_status
+               FROM j),
+         m AS (SELECT *,
+                 CASE
+                   WHEN o_status = 'unchanged' AND t_status = 'unchanged'
+                     THEN 'base'
+                   WHEN o_status = 'removed' AND t_status = 'removed'
+                     THEN 'deleted'
+                   WHEN o_status IN ('removed', 'changed')
+                        AND t_status IN ('removed', 'changed')
+                        AND fp_o IS DISTINCT FROM fp_t THEN 'conflict'
+                   WHEN o_status = 'changed' AND t_status = 'changed'
+                     THEN 'both'
+                   WHEN o_status = 'removed' THEN 'deleted'
+                   WHEN o_status = 'changed' THEN 'ours'
+                   WHEN t_status = 'removed' THEN 'deleted'
+                   WHEN t_status = 'changed' THEN 'theirs'
+                   WHEN o_status = 'added' AND t_status = 'added' THEN
+                     CASE WHEN fp_o = fp_t THEN 'both' ELSE 'conflict' END
+                   WHEN o_status = 'added' THEN 'ours'
+                   ELSE 'theirs' END AS merged
+               FROM s)
+         SELECT doc_id, o_status, t_status, merged,
+           CASE WHEN merged = 'base' THEN fp_b
+                WHEN merged IN ('ours', 'both') THEN fp_o
+                WHEN merged = 'theirs' THEN fp_t END AS merged_fp
+         FROM m ORDER BY doc_id""",
 
     // Adjacent-word pairs enumerated by position — the scan-everything
     // statement of the phrase semantics the index answers.

@@ -238,6 +238,31 @@ object ExtensionQueries {
         .orderBy(col("target_pct"))
     }),
 
+    // X154 — per-source quality tertiles (CCNet's head/middle/tail
+    // device): each SOURCE gets its own exact tertile cutoffs over the
+    // quality score, so a global bar can't silently empty a
+    // low-scoring domain — the per-domain calibration that keeps the
+    // training mixture diverse under quality filtering. x75 answers the
+    // GLOBAL budget question; this is the grouped form: cutoffs = the
+    // largest q whose top-down doc count reaches ⌈tot/3⌉ and ⌈2·tot/3⌉
+    // per source (ties keep the whole equal-q run in one bucket —
+    // boundary buckets may exceed a third, the standard tie semantics).
+    // Dataflow: the doc stream collapses to the (source, q) domain,
+    // `PrefixSumOps.selectRanks` runs GROUPED (only rank-carrying
+    // ranges shuffle — never a per-source global sort), and the
+    // |sources|-row cutoff table broadcasts back onto every doc. The
+    // per-doc bucket is in the hash, so the calibration decision is
+    // audited end to end.
+    "x154_quality_tertiles" -> ((s, dir) =>
+      graft.ops.QualityOps.scoreTertiles(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              round(T.qualityScore(col("text")) * 10000).cast("long")
+                .as("q")),
+          "q", "source")
+        .select(col("doc_id"), col("source"), col("q"), col("bucket"))
+        .orderBy(col("doc_id"))),
+
     // X78 — MinHash sketch-quality audit: estimated vs EXACT Jaccard,
     // per pair, in integer thousandths. est = matching signature
     // components / k; exact = |∩|/|∪| over the distinct 3-shingle sets.
@@ -1508,6 +1533,36 @@ object ExtensionQueries {
            (SELECT sum(toks)::BIGINT FROM vc WHERE q >= cutoff_q) AS toks_ge,
            (SELECT sum(docs)::BIGINT FROM vc WHERE q >= cutoff_q) AS docs_ge
          FROM cut ORDER BY target_pct""",
+
+    // Per-source cutoffs = the largest q whose top-down cumulative doc
+    // count reaches each tertile rank — selectRanks' contract restated
+    // as a window over the collapsed (source, q) domain.
+    "x154_quality_tertiles" ->
+      s"""WITH d AS (SELECT doc_id, source,
+             CAST(round(round(${mc(enStop)}::DOUBLE / len($wordsSql) * 0.5
+                  + length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                    / length(text) * 0.3
+                  + (1 - length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+                       / length(text)) * 0.2, 4) * 10000) AS BIGINT) AS q
+           FROM documents),
+         vc AS (SELECT source, q, count(*)::BIGINT AS docs
+                FROM d GROUP BY 1, 2),
+         cum AS (SELECT source, q,
+                   sum(docs) OVER (PARTITION BY source
+                                   ORDER BY q DESC)::BIGINT AS c,
+                   sum(docs) OVER (PARTITION BY source)::BIGINT AS tot
+                 FROM vc),
+         cuts AS (SELECT source,
+                    max(CASE WHEN c >= greatest(1, tot // 3)
+                        THEN q END) AS c1,
+                    max(CASE WHEN c >= greatest(1, (tot * 2) // 3)
+                        THEN q END) AS c2
+                  FROM cum GROUP BY source)
+         SELECT doc_id, d.source, q,
+           CASE WHEN q >= c1 THEN 'head'
+                WHEN q >= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM d JOIN cuts USING (source) ORDER BY doc_id""",
 
     // full-probe IVF must equal brute force — x09's oracle, verbatim
     "x73_ivf_search" ->

@@ -73,6 +73,36 @@ object TextFunctions {
   def bitlenLogRatio(ct: Column, cr: Column, nr: Column, nt: Column): Column =
     bitlen(ct + 1) + bitlen(nr) - bitlen(cr + 1) - bitlen(nt)
 
+  /** Fixed-point log₂ with an 8-bit mantissa: for x ≥ 1,
+    * L(x) = (bitlen(x)−1)·256 + ((x << 8) >> (bitlen(x)−1)) − 256
+    * ≈ 256·log₂ x. The mantissa term is the chord (linear-in-mantissa)
+    * approximation between consecutive powers of two — max error
+    * ~0.086 bits (≈ 22 units), monotone, and pure integer shifts, so the
+    * value is bit-identical in any engine (DuckDB spells it with the
+    * same `<<`/`>>`). This is the high-resolution sibling of [[bitlen]]:
+    * the ±1-bit bitlen error is fine for RANKING (x72/x143 sort by the
+    * score) but accumulates over a document's tokens into a bias that
+    * swamps a SIGN decision — a classifier thresholding at 0 needs this
+    * resolution (measured on x153: bitlen scores flip sign with corpus
+    * size; L(x) scores track the label). Caller contract: 1 ≤ x < 2^55
+    * (the `x << 8` headroom — at 2^55 ≈ 3.6e16 token instances this
+    * bound outlasts any corpus). */
+  def ilog2x256(x: Column): Column = {
+    val b = (length(bin(x)) - 1).cast("int")
+    (b.cast("long") * 256) +
+      call_function("shiftright", call_function("shiftleft", x, lit(8)), b) -
+      256
+  }
+
+  /** Naive-Bayes per-feature log-likelihood ratio in 1/256-bit units:
+    * 256·log₂((ct+1)/nt ÷ (cr+1)/nr) with add-one smoothing, via
+    * [[ilog2x256]] — the sign-decision-grade version of
+    * [[bitlenLogRatio]] (same parameter order; same overflow-free
+    * sum-of-logs shape). Keep [[graft.CorpusQueries]]'s `ilogSql` (the
+    * DuckDB spelling) in step with this. */
+  def logRatioX256(ct: Column, cr: Column, nr: Column, nt: Column): Column =
+    ilog2x256(ct + 1) + ilog2x256(nr) - ilog2x256(cr + 1) - ilog2x256(nt)
+
   /** Maximum multiplicity of any element in a string array — sort, then
     * the longest equal run via one codegen'd fold (no explode, no
     * shuffle; the per-row twin of a group-count-max, which is what the

@@ -135,4 +135,37 @@ object QualityOps {
       .reduce(_ unionByName _)
       .withColumn("pass", col("violations") === 0L)
   }
+
+  /** Per-group exact score tertiles (x154 — CCNet's head/middle/tail
+    * calibration device): every group gets its OWN cutoffs c1/c2 = the
+    * largest score whose top-down row count reaches ⌈tot/3⌉ and
+    * ⌈2·tot/3⌉, and each row is bucketed `head` (score ≥ c1), `middle`
+    * (≥ c2), else `tail`. Ties keep an entire equal-score run in one
+    * bucket — boundary buckets may exceed a third (the standard
+    * grouped-quantile tie semantics); a 1-row group is all-head (both
+    * ranks clamp to 1). Dataflow: the rows collapse to the (group,
+    * score) value domain, [[PrefixSumOps.selectRanks]] runs GROUPED —
+    * only rank-carrying ranges are shuffled/windowed, never a per-group
+    * global sort — and the |groups|-row cutoff table broadcasts back
+    * onto the full input. Scores must be non-null. */
+  def scoreTertiles(df: DataFrame, scoreCol: String, groupCol: String)
+                   (implicit scope: CacheScope): DataFrame = {
+    val vc = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("_docs"))
+      .withColumn("_nq", -col(scoreCol))
+    val cuts = PrefixSumOps.selectRanks(
+        vc.select(col(groupCol), col("_nq"), col("_docs")), Seq(groupCol),
+        "_nq", "_docs",
+        array(expr("greatest(CAST(1 AS BIGINT), _tot DIV 3)"),
+              expr("greatest(CAST(1 AS BIGINT), (_tot * 2) DIV 3)")))
+      .groupBy(col(groupCol))
+      .agg(max(when(col("_ri") === 0, -col("_nq"))).as("_c1"),
+           max(when(col("_ri") === 1, -col("_nq"))).as("_c2"))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .withColumn("bucket",
+        when(col(scoreCol) >= col("_c1"), "head")
+          .when(col(scoreCol) >= col("_c2"), "middle")
+          .otherwise("tail"))
+      .drop("_c1", "_c2")
+  }
 }

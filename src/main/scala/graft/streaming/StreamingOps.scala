@@ -718,6 +718,40 @@ object StreamingOps {
           col("ct"), col("cr"), lit(nr), lit(nt)).as("lr"))
   }
 
+  /** x153's streaming twin: NB quality scoring at INGEST against a FROZEN
+    * classifier (per-bucket class counts + class totals — certified-small
+    * artifacts of the batch fit; the [[streamingDsirScreen]] economics:
+    * the labeled corpus is never re-read, the model is O(B) and rides a
+    * broadcast). Arriving docs explode to (doc, bucket) token instances,
+    * stream-static join the model, and emit per-instance (doc_id, h, lr)
+    * evidence in [[graft.functions.TextFunctions.logRatioX256]]'s
+    * 1/256-bit units — per-match, because the per-doc sum + sign decision
+    * is a stateful aggregation on a stream; admission happens batch-side
+    * over the materialized evidence (sum(lr) + frozen prior > 0, exactly
+    * x153's decision). Unseen buckets get the smoothed prior ratio via
+    * the left join's (0, 0) fill, not a drop. State: NONE; a refreshed
+    * model is picked up per micro-batch. */
+  def streamingNbQualityScreen(stream: DataFrame, model: DataFrame,
+                               np: Long, nn: Long,
+                               buckets: Int = 1024): DataFrame = {
+    require(np > 0 && nn > 0,
+      s"frozen class totals must be positive: np=$np nn=$nn")
+    stream
+      .select(col("doc_id"),
+              explode(graft.functions.TextFunctions.words(col("text")))
+                .as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("h",
+        conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long")
+          % buckets)
+      .join(broadcast(model.select(col("h"), col("cp"), col("cn"))),
+            Seq("h"), "left_outer")
+      .na.fill(0L, Seq("cp", "cn")) // unseen bucket = smoothing only
+      .select(col("doc_id"), col("h"),
+        graft.functions.TextFunctions.logRatioX256(
+          col("cp"), col("cn"), lit(nn), lit(np)).as("lr"))
+  }
+
   /** x145's streaming twin: hard-negative CANDIDACY at ingest against the
     * frozen cluster index (the x128/x148 frozen-artifact economics — the
     * corpus is never re-clustered for an arriving vector). An arriving

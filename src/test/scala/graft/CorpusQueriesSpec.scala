@@ -898,6 +898,81 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(out(1L)._2 == 5L && out(5L)._2 == 3L)
   }
 
+  test("x156 three-way merge: every outcome class on a hand fixture") {
+    def md5s(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val base = (1L to 9L).map(i => (i, "x")).toDF("doc_id", "text")
+    val ours = Seq(
+      (1L, "x"),  // unchanged everywhere -> base
+      (2L, "o"),  // ours-only edit -> ours
+      (3L, "x"),  // theirs edits -> theirs
+      // 4 removed by ours, theirs unchanged -> deleted
+      (5L, "s"),  // IDENTICAL edit both sides -> both
+      (6L, "o6"), // divergent edits -> conflict
+      // 7 removed by both -> deleted
+      (8L, "x"),  // theirs removes -> deleted
+      // 9 removed by ours, theirs edits -> delete-vs-modify conflict
+      (10L, "n"),  // added identically by both -> both
+      (11L, "w"),  // ours-only add -> ours
+      (12L, "ac1") // divergent adds -> conflict
+    ).toDF("doc_id", "text")
+    val theirs = Seq(
+      (1L, "x"), (2L, "x"), (3L, "t"), (4L, "x"), (5L, "s"), (6L, "t6"),
+      (9L, "m9"),
+      (10L, "n"), (12L, "ac2"), (13L, "tn") // theirs-only add -> theirs
+    ).toDF("doc_id", "text")
+    val out = CorpusQueries.threeWayMerge(base, ours, theirs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getString(3), Option(r.getString(4))))).toMap
+    assert(out(1L) == (("unchanged", "unchanged", "base", Some(md5s("x")))))
+    assert(out(2L) == (("changed", "unchanged", "ours", Some(md5s("o")))))
+    assert(out(3L) == (("unchanged", "changed", "theirs", Some(md5s("t")))))
+    assert(out(4L) == (("removed", "unchanged", "deleted", None)))
+    assert(out(5L) == (("changed", "changed", "both", Some(md5s("s")))))
+    assert(out(6L) == (("changed", "changed", "conflict", None)))
+    assert(out(7L) == (("removed", "removed", "deleted", None)))
+    assert(out(8L) == (("unchanged", "removed", "deleted", None)))
+    assert(out(9L) == (("removed", "changed", "conflict", None)))
+    assert(out(10L) == (("added", "added", "both", Some(md5s("n")))))
+    assert(out(11L) == (("added", "absent", "ours", Some(md5s("w")))))
+    assert(out(12L) == (("added", "added", "conflict", None)))
+    assert(out(13L) == (("absent", "added", "theirs", Some(md5s("tn")))))
+    assert(out.size == 13)
+  }
+
+  test("x153 NB classifier: out-of-sample sign tracks the vocabulary, train docs and tokenless docs absent, unseen vocab smoothed") {
+    implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
+    // train split = doc_id % 5 == 0; the heuristic labels them by
+    // construction: all-stopword text scores ~0.93 (pos), punctuation
+    // garbage ~0.04 (neg)
+    val pos = "the and of to in a is for the and"
+    val neg = "!!! ??? ,,, ;;; !!! ???"
+    val docs = Seq(
+      (5L,  "A", pos), (10L, "A", pos),    // train, labeled positive
+      (15L, "A", neg), (20L, "A", neg),    // train, labeled negative
+      (1L,  "A", "the the and and of of"), // apply: positive vocabulary
+      (2L,  "A", "!!! ??? !!! ???"),       // apply: negative vocabulary
+      (3L,  "A", "zork blarg zork"),       // apply: unseen vocabulary
+      (4L,  "A", "   "))                   // apply: no tokens at all
+      .toDF("doc_id", "source", "text")
+    val out = CorpusQueries.nbQualityFilter(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+                                  r.getBoolean(4), r.getBoolean(5)))).toMap
+    // train docs and the tokenless doc never reach the output
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // the sign decision tracks the vocabulary, and agrees with the
+    // heuristic it was trained to imitate
+    assert(out(1L)._3 && out(1L)._4, s"doc 1: ${out(1L)}")
+    assert(!out(2L)._3 && !out(2L)._4, s"doc 2: ${out(2L)}")
+    // unseen vocabulary: present (smoothed), scored by the class-total
+    // ratio alone — straight-line reference: np=20 pos / nn=12 neg token
+    // instances, balanced doc prior (dp=dn=2) = 0, so each unseen token
+    // scores ilog(1)+ilog(12)−ilog(1)−ilog(20) = 896 − 1088 = −192
+    assert(out(3L)._1 == 3L && out(3L)._2 == -576L, s"doc 3: ${out(3L)}")
+    assert(!out(3L)._3)
+  }
+
   test("x150 recovers a planted below-window duplicate that x67 provably misses") {
     implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
     // CdcBounds' anchor decision, replicated: first 3 md5 bytes % 16

@@ -1524,6 +1524,46 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x153 NB classifier: the class-count model broadcasts; only 1-row frames may nested-loop") {
+    val plan = planOf("x153_nb_quality")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // exactly two 1-row nested loops: totals × prior (1-row × 1-row
+    // assembling the consts frame) and consts × the scoring stream —
+    // a third would mean a data-sized frame slipped into a cross join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 2,
+      s"expected <= 2 one-row nested loops, got $bnlj:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "class-count model must broadcast:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("x154 quality tertiles: the per-source cutoff table broadcasts back onto the docs — no cartesian, no data-sized nested loop") {
+    val plan = planOf("x154_quality_tertiles")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "cutoffs must broadcast:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("x155 audio VAD: per-row frame explode, windows keyed by doc — no join at all") {
+    val plan = planOf("x155_audio_vad")
+    assert(!plan.contains("Join"), "VAD plan must not join:\n" + plan.take(3000))
+    assert(plan.contains("Generate") && plan.contains("Window"),
+      plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("x156 three-way merge: two keyed full-outer joins on doc_id — no cartesian, no nested loop") {
+    val plan = planOf("x156_threeway_merge")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert("FullOuter".r.findAllIn(plan).size == 2,
+      "expected exactly 2 full-outer joins:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("x147 incremental kNN: frozen-cell mates + adjacency hop are keyed equi-joins — no cartesian, no data-sized nested loop") {
     val plan = planOf("x147_knn_incremental")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))

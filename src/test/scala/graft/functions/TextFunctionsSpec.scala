@@ -52,6 +52,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(2).getLong(2) == ref("  padded  ")) // hash is over RAW text
   }
 
+  test("ilog2x256: exact at powers of two, monotone, chord-bounded below 256·log2") {
+    import spark.implicits._
+    val xs = (1L to 5000L) ++ Seq(1L << 20, (1L << 20) + 12345,
+      1L << 40, (1L << 54) + 7)
+    val got = xs.toDF("x").select(ilog2x256(col("x")).as("l"))
+      .as[Long].collect()
+    // exact at powers of two: L(2^k) = 256k
+    xs.zip(got).foreach { case (x, l) =>
+      if ((x & (x - 1)) == 0)
+        assert(l == 256L * (63 - java.lang.Long.numberOfLeadingZeros(x)))
+      // chord property: 0 <= 256·log2(x) − L(x) <= 23 (0.086-bit chord
+      // error + 1 unit of mantissa floor)
+      val err = 256.0 * math.log(x.toDouble) / math.log(2.0) - l
+      assert(err >= -1e-6 && err <= 23.0, s"x=$x l=$l err=$err")
+    }
+    // monotone over the dense prefix
+    got.take(5000).sliding(2).foreach(p => assert(p(0) <= p(1)))
+  }
+
   test("fingerprint normalizes case and whitespace runs") {
     import spark.implicits._
     val fps = Seq("Hello   World", "hello world", " HELLO\tWORLD ")

@@ -293,6 +293,51 @@ class OperatorsSpec extends SparkSpec {
     assert(r.map(_.getInt(1)).toSeq == again.map(_.getInt(0)).toSeq)
   }
 
+  test("multimodal vadPlan: islands match a straight-line reference; degenerate thresholds pin the frame grid; loud args") {
+    import spark.implicits._
+    val docs = Seq((1L, "a" * 100), (2L, "b" * 85), (3L, "xyz"))
+      .toDF("doc_id", "text")
+    // threshold 0: every frame is speech -> ONE segment spanning the grid
+    val all = Multimodal.vadPlan(docs, "doc_id", "text", 40, 0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(all(1L) == ((1L, 0L, 2L, 3L))) // 100 bytes -> 3 frames
+    assert(all(2L) == ((1L, 0L, 2L, 3L))) // 85 -> ceil = 3
+    assert(all(3L) == ((1L, 0L, 0L, 1L))) // short doc -> 1 frame
+    // threshold 256: energy is a byte, nothing is ever speech
+    assert(Multimodal.vadPlan(docs, "doc_id", "text", 40, 256).count() == 0)
+    // default threshold: segments equal a straight-line islands pass
+    // over the reference energies (MessageDigest, first md5 byte)
+    val mixed = (1 to 400).map(i => ('a' + i % 26).toChar).mkString
+    def en(f: Int): Int = {
+      val s = mixed.substring(f * 40,
+        math.min(mixed.length, f * 40 + 40))
+      Integer.parseInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(2), 16)
+    }
+    val speech = (0 until 10).filter(en(_) >= 128)
+    val wantSegs = speech.foldLeft(List.empty[(Long, Long, Long, Int)]) {
+      case (acc, f) => acc match {
+        case (s, e, n, m) :: rest if e == f - 1 =>
+          (s, f.toLong, n + 1, math.max(m, en(f))) :: rest
+        case _ => (f.toLong, f.toLong, 1L, en(f)) :: acc
+      }
+    }.reverse.zipWithIndex.map { case ((s, e, n, m), i) =>
+      (4L, (i + 1).toLong, s, e, n, m)
+    }
+    assert(wantSegs.size >= 2, s"fixture too uniform: speech=$speech")
+    val got = Multimodal.vadPlan(Seq((4L, mixed)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4), r.getInt(5))).toSeq
+      .sortBy(_._2)
+    assert(got == wantSegs, s"got $got want $wantSegs")
+    intercept[IllegalArgumentException] {
+      Multimodal.vadPlan(docs, "doc_id", "text", 0, 128)
+    }
+  }
+
   test("frameSamplePlan + fingerprint set: identical payloads pair exactly; stride picks every k-th frame") {
     import spark.implicits._
     // stride semantics: frames 0..9, stride 3 -> 0,3,6,9

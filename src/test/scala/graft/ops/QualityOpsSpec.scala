@@ -84,4 +84,33 @@ class QualityOpsSpec extends SparkSpec {
       report(df, Seq.empty)
     }
   }
+
+  test("scoreTertiles: per-group cutoffs, ties stay in one bucket, tiny groups all-head") {
+    implicit val scope: CacheScope = CacheScope.session
+    // group A: scores 1..9 -> clean thirds {9,8,7}/{6,5,4}/{3,2,1};
+    // group B: all-equal scores -> c1 = c2 = 7, everything head;
+    // group C: a single row -> both ranks clamp to 1, head;
+    // group D: tie spanning the first boundary (9,9,9,9,1,1) -> the
+    // whole 9-run is head (c1 = 9 at rank 2), 1s split by c2 = 1
+    val rows =
+      (1L to 9L).map(i => ("A", i * 10, i)) ++
+      (1L to 4L).map(i => ("B", 7L, 100 + i)) ++
+      Seq(("C", 42L, 200L)) ++
+      Seq(("D", 9L, 301L), ("D", 9L, 302L), ("D", 9L, 303L),
+          ("D", 9L, 304L), ("D", 1L, 305L), ("D", 1L, 306L))
+    val df = rows.toDF("g", "score", "id")
+    val out = QualityOps.scoreTertiles(df, "score", "g")
+      .select("g", "id", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert((1L to 9L).forall { i =>
+      val want = if (i >= 7) "head" else if (i >= 4) "middle" else "tail"
+      out(("A", i)) == want
+    }, out.filter(_._1._1 == "A").toString)
+    assert((101L to 104L).forall(i => out(("B", i)) == "head"))
+    assert(out(("C", 200L)) == "head")
+    assert((301L to 304L).forall(i => out(("D", i)) == "head"))
+    // D: tot=6, rank2 = 4 -> c2 is still 9 (cum(9)=4 >= 4), so the 1s
+    // fall to tail — the equal-score run absorbed BOTH cutoffs
+    assert((305L to 306L).forall(i => out(("D", i)) == "tail"))
+  }
 }

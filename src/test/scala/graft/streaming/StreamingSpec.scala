@@ -833,6 +833,72 @@ class StreamingSpec extends SparkSpec {
     model.unpersist()
   }
 
+  test("streamingNbQualityScreen: streamed evidence reproduces the frozen-classifier batch scores; unseen buckets smooth, not drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // frozen classifier fitted on a tiny labeled "yesterday" corpus
+    val corpus = Seq(
+      (100L, true, "alpha beta alpha beta"),
+      (101L, false, "gamma delta gamma delta"))
+      .toDF("doc_id", "pos", "text")
+    val tk = corpus.select(col("doc_id"), col("pos"),
+        explode(graft.functions.TextFunctions.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("h",
+        conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long") % 1024)
+    val model = tk.groupBy("h")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+           sum(when(!col("pos"), 1L).otherwise(0L)).as("cn")).cache()
+    val Array(np, nn) = model.agg(sum("cp"), sum("cn")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    // today's arrivals: one positive-like, one negative-like, one with
+    // tokens the classifier never saw (eta theta)
+    val docs = Seq((1L, "alpha beta alpha beta"),
+                   (2L, "gamma delta gamma delta"),
+                   (3L, "eta theta eta theta"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingNbQualityScreen(
+        mem.toDF().toDF("doc_id", "text"), model, np, nn)
+      .writeStream.format("memory").queryName("nbq").outputMode("append")
+      .start()
+    mem.addData(docs.take(1): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(1): _*)
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      "select doc_id, sum(lr) from nbq group by doc_id")
+      .as[(Long, Long)].collect().toMap
+    q.stop()
+    // reference: the same frozen-classifier arithmetic, straight-line
+    // (the 8-bit-mantissa fixed-point log of TextFunctions.ilog2x256)
+    def ilog(x: Long): Long = {
+      val b = java.lang.Long.toBinaryString(x).length
+      (b - 1).toLong * 256 + ((x << 8) >> (b - 1)) - 256
+    }
+    def refLr(cp: Long, cn: Long): Long =
+      ilog(cp + 1) + ilog(nn) - ilog(cn + 1) - ilog(np)
+    val m = model.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def hOf(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(w.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12), 16) % 1024
+    }
+    val want = docs.map { case (id, text) =>
+      id -> text.split("\\s+").toSeq.map { w =>
+        val (cp, cn) = m.getOrElse(hOf(w), (0L, 0L))
+        refLr(cp, cn)
+      }.sum
+    }.toMap
+    assert(streamed == want)
+    // positive-like arrival scores positive, negative-like negative
+    // (the x153 sign decision with a balanced prior of 0), and the
+    // unseen-token doc was scored (smoothed), not dropped
+    assert(streamed(1L) > 0 && streamed(2L) < 0)
+    assert(streamed.contains(3L))
+    model.unpersist()
+  }
+
   test("streamingTombstoneScreen: purged keys never re-enter; admitted rows equal the batch anti join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
