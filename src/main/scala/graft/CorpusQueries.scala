@@ -753,6 +753,49 @@ object CorpusQueries {
       nbQualityFilter(Tables(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // X157 — classifier threshold audit: the EXACT operating curve of
+    // the x153 model — cumulative (tp, fp, fn, tn) at every distinct
+    // score cutoff, against the heuristic label. x75 asks "where must
+    // the bar sit for a token budget"; this asks "what does each bar
+    // COST in errors" — the table a curation run consults before
+    // committing a threshold, exact instead of sampled. The cumulative
+    // window runs over the collapsed DISTINCT-SCORE domain (bounded by
+    // the value domain, never corpus size — the x-domain convention of
+    // CorpusQueries' length windows), so the unpartitioned window is
+    // safe at any scale.
+    "x157_nb_threshold_audit" -> ((s, dir) =>
+      thresholdAudit(nbQualityFilter(Tables(s, dir, "documents")))
+        .orderBy(col("cutoff").desc)),
+
+    // X158 — the composed curation funnel (this round's x17-style
+    // end-to-end): repetition gate (x136's integer flag) → per-source
+    // quality tertiles with the TAIL dropped (x154; cutoffs computed on
+    // the gate's SURVIVORS — funnel semantics, each stage calibrates on
+    // what reaches it) → exact dedup keep-min-id (x05's fingerprint).
+    // Per-doc LINEAGE is the output: every input doc reports the stage
+    // that dropped it (or 'kept'), its tertile bucket, and its keeper —
+    // the audit table a production curation pass ships beside the
+    // corpus. Dataflow: two map-side projections, one grouped
+    // rank-selection on the collapsed (source, q) domain, one
+    // fingerprint agg + keyed join back — nothing quadratic, nothing
+    // driver-side.
+    // The corpus ships no exact duplicates at oracle SFs, so a
+    // case-mangled twin slice (the x30 injection device) is unioned in:
+    // upper() leaves q, the repetition flag, and the tertile bucket
+    // IDENTICAL to the original (quality reads lower()/both-case
+    // classes), while the normalized fingerprint still collides — the
+    // dedup stage's decision is visible in the hash at every SF.
+    "x158_curation_funnel" -> ((s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
+      val corpus = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      curationFunnel(corpus
+          .unionByName(corpus.filter(col("doc_id") % 37 === 1)
+            .select((col("doc_id") + 500000000000L).as("doc_id"),
+                    col("source"), upper(col("text")).as("text"))))
+        .orderBy(col("doc_id"))
+    }),
+
     // X156 — three-way snapshot merge (x71's diff upgraded to the
     // git/lakeFS branch-reconciliation verb): base is the corpus, ours
     // and theirs are deterministically derived branches covering every
@@ -1534,6 +1577,81 @@ object CorpusQueries {
               col("merged"), col("merged_fp"))
   }
 
+  /** X158 core — the composed curation funnel over (doc_id, source,
+    * text): repetition gate (x136's integer flag) → per-source quality
+    * tertiles with the TAIL dropped (x154; cutoffs computed on the
+    * gate's SURVIVORS — funnel semantics, each stage calibrates on what
+    * reaches it) → exact dedup keep-min-id on the normalized
+    * fingerprint. Returns per-doc LINEAGE: every input doc with the
+    * stage that dropped it ('repetitive' / 'tail' / 'duplicate') or
+    * 'kept', its tertile bucket (null when the gate dropped it), and
+    * its keeper id for duplicates — the audit table a production
+    * curation pass ships beside the corpus. Dataflow: two map-side
+    * projections, one grouped rank-selection on the collapsed
+    * (source, q) domain, one fingerprint agg + keyed join back —
+    * nothing quadratic, nothing driver-side. */
+  def curationFunnel(docs: DataFrame)
+                    (implicit scope: graft.ops.CacheScope): DataFrame = {
+    // the gate projection (regex quality + the bigram-multiplicity fold)
+    // is the expensive per-doc work and feeds FOUR consumers (tertile
+    // chain, survivor fingerprints, lineage join, final select) — an
+    // unpersisted frame replays it per consumer (measured 8.0 → 3.1 s
+    // at sf0.1, 28.4 → 11.5 s at 10×; the x143/x157 multi-consumer
+    // lesson)
+    val staged = scope.persist(docs
+      .withColumn("q",
+        round(T.qualityScore(col("text")) * 10000).cast("long"))
+      .withColumn("_rep",
+        T.maxMultiplicity(T.wordNgrams(col("text"), 2)) * lit(100L) >
+          (T.tokenCount(col("text")).cast("long") - 1L) * 9L))
+    val tert = scope.persist(graft.ops.QualityOps.scoreTertiles(
+      staged.filter(!col("_rep")), "q", "source"))
+    tert.count() // eager: one pass fills BOTH caches for every consumer
+    val surv = tert.filter(col("bucket") =!= "tail")
+      .withColumn("_fp", T.fingerprint(col("text")))
+    val keep = surv.groupBy(col("_fp"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val lineage = surv.join(keep, Seq("_fp"))
+      .select(col("doc_id"), col("keep_id"))
+    staged.select(col("doc_id"), col("source"), col("q"), col("_rep"))
+      .join(tert.select(col("doc_id"), col("bucket")),
+            Seq("doc_id"), "left_outer")
+      .join(lineage, Seq("doc_id"), "left_outer")
+      .withColumn("stage",
+        when(col("_rep"), "repetitive")
+          .when(col("bucket") === "tail", "tail")
+          .when(col("keep_id") =!= col("doc_id"), "duplicate")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("source"), col("q"), col("bucket"),
+              col("stage"),
+              when(col("stage") === "duplicate", col("keep_id"))
+                .as("dup_of"))
+  }
+
+  /** X157 core — the exact operating curve of a scored frame
+    * (nb_score, heur): cumulative (tp, fp, fn, tn) at every distinct
+    * score cutoff. The window runs over the collapsed DISTINCT-SCORE
+    * domain — bounded by the value domain, never corpus size. The
+    * collapsed domain is persisted: it feeds both the totals and the
+    * curve, and an unpersisted second consumer would replay the whole
+    * upstream scoring chain (the x143 quota-denominator lesson). */
+  def thresholdAudit(scored: DataFrame)
+                    (implicit scope: graft.ops.CacheScope): DataFrame = {
+    val dom = scope.persist(scored.groupBy(col("nb_score"))
+      .agg(sum(when(col("heur"), 1L).otherwise(0L)).as("pos_n"),
+           sum(when(!col("heur"), 1L).otherwise(0L)).as("neg_n")))
+    dom.count() // eager: the scoring chain runs once, both readers hit cache
+    val tt = dom.agg(sum(col("pos_n")).as("p"), sum(col("neg_n")).as("n"))
+    val w = Window.orderBy(col("nb_score").desc)
+    dom
+      .withColumn("tp", sum(col("pos_n")).over(w))
+      .withColumn("fp", sum(col("neg_n")).over(w))
+      .crossJoin(broadcast(tt))
+      .select(col("nb_score").as("cutoff"), col("tp"), col("fp"),
+              (col("p") - col("tp")).as("fn"),
+              (col("n") - col("fp")).as("tn"))
+  }
+
   /** X72 core — DSIR-shaped importance score: per doc, the summed
     * integer log-ratio lr(w) = bitlen(ct+1) + bitlen(Nr) − bitlen(cr+1)
     * − bitlen(Nt) ≈ log₂(p_target(w)/p_raw(w)) with add-one smoothing
@@ -1696,16 +1814,53 @@ object CorpusQueries {
     s"""((length(to_base($x, 2)) - 1) * 256
         + ((($x) << 8) >> (length(to_base($x, 2)) - 1)) - 256)"""
 
-  /** DuckDB spelling of the x02/x75 heuristic quality label at the
-    * 0.475 cut (integer ×10⁴ compare — no cross-engine double compare). */
-  private val qualityPosSql =
+  /** DuckDB spelling of the x02/x75 heuristic quality score ×10⁴
+    * (integer — no cross-engine double compare downstream). */
+  private val qualityX1e4Sql =
     s"""CAST(round(round(len(regexp_extract_all(lower(text),
           '\\b(${T.EnStopwords.mkString("|")})\\b'))::DOUBLE
             / len($wordsSql) * 0.5
           + length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
             / length(text) * 0.3
           + (1 - length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
-               / length(text)) * 0.2, 4) * 10000) AS BIGINT) >= 4750"""
+               / length(text)) * 0.2, 4) * 10000) AS BIGINT)"""
+
+  /** The x153 training label: the quality score at the 0.475 cut. */
+  private val qualityPosSql = s"$qualityX1e4Sql >= 4750"
+
+  /** DuckDB chain shared by x153/x157: [[nbQualityFilter]]'s full scored
+    * frame as named CTEs ending in `fin(doc_id, source, n_tokens,
+    * nb_score, heur)` — bucketing, class-count model, fixed-point-log
+    * LLR (ilogSql = the Spark shift formula verbatim), and the class
+    * prior. One fragment so the two oracles can only drift loudly. */
+  private def nbScoredSql: String =
+    s"""b AS (SELECT doc_id, source, doc_id % 5 = 0 AS tr,
+             $qualityPosSql AS pos, text FROM documents),
+     tok AS (SELECT doc_id, source, tr, pos,
+               ('0x' || substr(md5(t), 1, 12))::BIGINT % 1024 AS h
+             FROM (SELECT doc_id, source, tr, pos,
+                     unnest($wordsSql) AS t FROM b)
+             WHERE t <> ''),
+     m AS (SELECT h, sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS cp,
+              sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS cn
+           FROM tok WHERE tr GROUP BY h),
+     tot AS (SELECT sum(cp)::BIGINT AS np, sum(cn)::BIGINT AS nn
+             FROM m),
+     pri AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS dp,
+               sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS dn
+             FROM b WHERE tr),
+     sc AS (SELECT doc_id, source, pos, count(*)::BIGINT AS n_tokens,
+              sum(${ilogSql("coalesce(cp, 0) + 1")}
+                + ${ilogSql("nn")}
+                - ${ilogSql("coalesce(cn, 0) + 1")}
+                - ${ilogSql("np")})::BIGINT AS llr
+            FROM tok LEFT JOIN m USING (h) CROSS JOIN tot
+            WHERE NOT tr GROUP BY 1, 2, 3),
+     fin AS (SELECT doc_id, source, n_tokens,
+               (${ilogSql("dp + 1")} - ${ilogSql("dn + 1")} + llr)::BIGINT
+                 AS nb_score,
+               pos AS heur
+             FROM sc CROSS JOIN pri)"""
 
   /** DuckDB fragment shared by x117/x118: the K-round BPE chain as
     * MATERIALIZED CTEs (wf word counts, d0 spaced char symbolization,
@@ -2382,34 +2537,86 @@ object CorpusQueries {
     // restates bucketing, the class-count model, the fixed-point-log
     // LLR (ilogSql = the Spark shift formula verbatim), and the prior.
     "x153_nb_quality" ->
-      s"""WITH b AS (SELECT doc_id, source, doc_id % 5 = 0 AS tr,
-                 $qualityPosSql AS pos, text FROM documents),
-         tok AS (SELECT doc_id, source, tr, pos,
-                   ('0x' || substr(md5(t), 1, 12))::BIGINT % 1024 AS h
-                 FROM (SELECT doc_id, source, tr, pos,
-                         unnest($wordsSql) AS t FROM b)
-                 WHERE t <> ''),
-         m AS (SELECT h, sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS cp,
-                  sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS cn
-               FROM tok WHERE tr GROUP BY h),
-         tot AS (SELECT sum(cp)::BIGINT AS np, sum(cn)::BIGINT AS nn
-                 FROM m),
-         pri AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS dp,
-                   sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS dn
-                 FROM b WHERE tr),
-         sc AS (SELECT doc_id, source, pos, count(*)::BIGINT AS n_tokens,
-                  sum(${ilogSql("coalesce(cp, 0) + 1")}
-                    + ${ilogSql("nn")}
-                    - ${ilogSql("coalesce(cn, 0) + 1")}
-                    - ${ilogSql("np")})::BIGINT AS llr
-                FROM tok LEFT JOIN m USING (h) CROSS JOIN tot
-                WHERE NOT tr GROUP BY 1, 2, 3)
-         SELECT doc_id, source, n_tokens,
-           (${ilogSql("dp + 1")} - ${ilogSql("dn + 1")} + llr)::BIGINT
-             AS nb_score,
-           (${ilogSql("dp + 1")} - ${ilogSql("dn + 1")} + llr) > 0 AS pred,
-           pos AS heur
-         FROM sc CROSS JOIN pri ORDER BY doc_id""",
+      s"""WITH $nbScoredSql
+         SELECT doc_id, source, n_tokens, nb_score, nb_score > 0 AS pred,
+           heur
+         FROM fin ORDER BY doc_id""",
+
+    // x153's scored frame shared verbatim (nbScoredSql); the curve is
+    // two cumulative sums over the collapsed distinct-score domain.
+    "x157_nb_threshold_audit" ->
+      s"""WITH $nbScoredSql,
+         dom AS (SELECT nb_score,
+                   sum(CASE WHEN heur THEN 1 ELSE 0 END)::BIGINT AS pos_n,
+                   sum(CASE WHEN heur THEN 0 ELSE 1 END)::BIGINT AS neg_n
+                 FROM fin GROUP BY nb_score),
+         tt AS (SELECT sum(pos_n)::BIGINT AS p, sum(neg_n)::BIGINT AS n
+                FROM dom),
+         c AS (SELECT nb_score,
+                 sum(pos_n) OVER (ORDER BY nb_score DESC)::BIGINT AS tp,
+                 sum(neg_n) OVER (ORDER BY nb_score DESC)::BIGINT AS fp
+               FROM dom)
+         SELECT nb_score AS cutoff, tp, fp, p - tp AS fn, n - fp AS tn
+         FROM c CROSS JOIN tt ORDER BY cutoff DESC""",
+
+    // Repetition via the x136 relational fragment, tertiles via the
+    // x154 cumulative cutoffs over SURVIVORS, dedup on the normalized
+    // fingerprint — the whole funnel restated with per-doc lineage.
+    "x158_curation_funnel" ->
+      s"""WITH docs2 AS (SELECT doc_id, source, text FROM documents
+               UNION ALL
+               SELECT doc_id + 500000000000, source, upper(text)
+               FROM documents WHERE doc_id % 37 = 1),
+         d AS (SELECT doc_id, source, text, $qualityX1e4Sql AS q
+                 FROM docs2),
+         w AS (SELECT doc_id, $wordsSql AS ws FROM docs2),
+         bx AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i+1])) AS b
+                FROM w),
+         tpx AS (SELECT doc_id, max(cnt) AS tb FROM (
+                   SELECT doc_id, b, count(*)::BIGINT AS cnt
+                   FROM bx GROUP BY 1, 2) GROUP BY 1),
+         rp AS (SELECT w.doc_id,
+                  coalesce(tpx.tb, 0) * 100 > (len(ws) - 1) * 9 AS rep
+                FROM w LEFT JOIN tpx USING (doc_id)),
+         nr AS (SELECT d.* FROM d JOIN rp USING (doc_id) WHERE NOT rep),
+         vc AS (SELECT source, q, count(*)::BIGINT AS docs
+                FROM nr GROUP BY 1, 2),
+         cum AS (SELECT source, q,
+                   sum(docs) OVER (PARTITION BY source
+                                   ORDER BY q DESC)::BIGINT AS c,
+                   sum(docs) OVER (PARTITION BY source)::BIGINT AS tot
+                 FROM vc),
+         cuts AS (SELECT source,
+                    max(CASE WHEN c >= greatest(1, tot // 3)
+                        THEN q END) AS c1,
+                    max(CASE WHEN c >= greatest(1, (tot * 2) // 3)
+                        THEN q END) AS c2
+                  FROM cum GROUP BY source),
+         tb AS (SELECT nr.doc_id,
+                  CASE WHEN q >= c1 THEN 'head'
+                       WHEN q >= c2 THEN 'middle'
+                       ELSE 'tail' END AS bucket
+                FROM nr JOIN cuts USING (source)),
+         sv AS (SELECT nr.doc_id,
+                  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                    AS fp
+                FROM nr JOIN tb USING (doc_id) WHERE bucket <> 'tail'),
+         kp AS (SELECT fp, min(doc_id) AS keep_id FROM sv GROUP BY fp),
+         ln AS (SELECT sv.doc_id, keep_id FROM sv JOIN kp USING (fp))
+         SELECT d.doc_id, d.source, d.q, tb.bucket,
+           CASE WHEN rp.rep THEN 'repetitive'
+                WHEN tb.bucket = 'tail' THEN 'tail'
+                WHEN ln.keep_id <> d.doc_id THEN 'duplicate'
+                ELSE 'kept' END AS stage,
+           CASE WHEN NOT rp.rep AND tb.bucket <> 'tail'
+                     AND ln.keep_id <> d.doc_id
+                THEN ln.keep_id END AS dup_of
+         FROM d JOIN rp USING (doc_id)
+              LEFT JOIN tb USING (doc_id)
+              LEFT JOIN ln USING (doc_id)
+         ORDER BY doc_id""",
 
     // Both branch derivations restated, then the standard three-way
     // decision table (md5(VARCHAR) hashes UTF-8 bytes — ≡ Spark's md5

@@ -752,6 +752,31 @@ object StreamingOps {
           col("cp"), col("cn"), lit(nn), lit(np)).as("lr"))
   }
 
+  /** x155's streaming twin: VAD frame screening at INGEST. An arriving
+    * audio payload explodes to its frame grid and emits per-frame
+    * (doc_id, f, energy) SPEECH evidence — the stateless projection +
+    * filter half of [[graft.operators.Multimodal.vadPlan]]; the
+    * gaps-and-islands segment assembly is a per-doc window (stateful on
+    * a stream), so segments are cut batch-side over the materialized
+    * evidence, exactly like [[streamingDsirScreen]]'s per-instance
+    * split. State: NONE. At scale this is the ingest screen that
+    * decides which byte ranges even reach the codec. */
+  def streamingVadScreen(stream: DataFrame, frameBytes: Int = 40,
+                         threshold: Int = 128): DataFrame = {
+    require(frameBytes >= 1 && threshold >= 0 && threshold <= 256,
+      s"streamingVadScreen: bad args frameBytes=$frameBytes " +
+        s"threshold=$threshold")
+    val nf = greatest(lit(1L),
+      ((length(col("text")) + (frameBytes - 1)) / frameBytes).cast("long"))
+    stream
+      .select(col("doc_id"), col("text").as("_t"),
+              explode(sequence(lit(0L), nf - 1)).as("f"))
+      .withColumn("energy", graft.operators.Multimodal
+        .frameEnergyStub(col("_t"), col("f"), frameBytes))
+      .filter(col("energy") >= threshold)
+      .select(col("doc_id"), col("f"), col("energy"))
+  }
+
   /** x145's streaming twin: hard-negative CANDIDACY at ingest against the
     * frozen cluster index (the x128/x148 frozen-artifact economics — the
     * corpus is never re-clustered for an arriving vector). An arriving

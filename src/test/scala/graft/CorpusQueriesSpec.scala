@@ -898,6 +898,58 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(out(1L)._2 == 5L && out(5L)._2 == 3L)
   }
 
+  test("x157 thresholdAudit: confusion counts at every cutoff match a straight-line sweep") {
+    val scored = Seq(
+      (10L, true), (10L, false), (7L, true), (3L, false), (3L, true),
+      (-2L, false), (-2L, false), (-9L, true))
+      .toDF("nb_score", "heur")
+    val got = CorpusQueries.thresholdAudit(scored).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+                                  r.getLong(3), r.getLong(4)))).toMap
+    val rows = Seq((10L, true), (10L, false), (7L, true), (3L, false),
+      (3L, true), (-2L, false), (-2L, false), (-9L, true))
+    val cuts = rows.map(_._1).distinct
+    assert(got.keySet == cuts.toSet)
+    cuts.foreach { c =>
+      val tp = rows.count(r => r._1 >= c && r._2).toLong
+      val fp = rows.count(r => r._1 >= c && !r._2).toLong
+      val fn = rows.count(r => r._1 < c && r._2).toLong
+      val tn = rows.count(r => r._1 < c && !r._2).toLong
+      assert(got(c) == ((tp, fp, fn, tn)), s"cutoff $c: ${got(c)}")
+    }
+  }
+
+  test("x158 curationFunnel: per-doc lineage on a hand fixture — every stage fires, funnel order holds") {
+    implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
+    // every non-repetitive doc needs >= 13 tokens with distinct bigrams:
+    // the x136 flag (top bigram > 9% of instances) legitimately fires on
+    // any shorter doc, because 1 of <12 bigrams already exceeds 9%
+    val hiQ = "the and of to in a is for the cat sat on a mat"
+    val miQ = "the quick brown fox jumps over the lazy dog and runs far away"
+    val loQ = "!a! ?b? ,c, ;d; !e! ?f? ,g, ;h! !i? ?j! ,k; ;l, !m, ?n;"
+    val rep = "spam ham spam ham spam ham spam ham spam ham spam ham"
+    val docs = Seq(
+      (1L, "A", hiQ),              // high quality, unique -> kept
+      (2L, "A", hiQ + " plus two additional trailing filler words"),
+      (3L, "A", miQ),              // mid quality -> kept
+      (4L, "A", loQ),              // bottom-2 quality -> tail
+      (5L, "A", loQ + " extra"),   // tail
+      (6L, "A", rep),              // repetitive -> dropped at the gate
+      (7L, "A", miQ.toUpperCase.replace(" ", "  "))) // variant of 3
+      .toDF("doc_id", "source", "text")
+    val out = CorpusQueries.curationFunnel(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(4),
+        Option(r.getString(3)), Option(r.get(5)).map(_.toString.toLong))))
+      .toMap
+    assert(out(6L)._1 == "repetitive" && out(6L)._2.isEmpty)
+    assert(out(4L)._1 == "tail" && out(5L)._1 == "tail")
+    // 7 normalizes to 3's fingerprint; min-id keeps 3
+    assert(out(3L)._1 == "kept")
+    assert(out(7L) == (("duplicate", out(7L)._2, Some(3L))), out(7L))
+    assert(out(1L)._1 == "kept" && out(2L)._1 == "kept")
+    assert(out.size == 7) // every input doc reports a lineage row
+  }
+
   test("x156 three-way merge: every outcome class on a hand fixture") {
     def md5s(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

@@ -1564,6 +1564,34 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x157 threshold audit: the curve reads the CACHED score domain; only the 1-row totals loop sits above the cache") {
+    val plan = planOf("x157_nb_threshold_audit")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the collapsed domain must be persisted (an unpersisted second
+    // consumer replays the whole x153 scoring chain — the x143 lesson);
+    // x153's own 1-row loops live INSIDE the cached relation, so the
+    // section above the first cache boundary holds exactly the curve's
+    // totals loop and the window
+    assert(plan.contains("InMemoryRelation"),
+      "score domain must be cached:\n" + plan.take(3000))
+    val top = plan.split("InMemoryRelation")(0)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(top).size
+    assert(bnlj <= 1,
+      s"expected <= 1 totals loop above the cache, got $bnlj:\n" +
+        top.take(3000))
+    assert(top.contains("Window"), top.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("x158 curation funnel: tertile cutoffs broadcast, dedup joins keyed on the fingerprint — no cartesian, no data-sized nested loop") {
+    val plan = planOf("x158_curation_funnel")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("_fp"),
+      "fingerprint join key missing:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("x147 incremental kNN: frozen-cell mates + adjacency hop are keyed equi-joins — no cartesian, no data-sized nested loop") {
     val plan = planOf("x147_knn_incremental")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))

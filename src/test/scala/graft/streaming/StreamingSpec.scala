@@ -899,6 +899,42 @@ class StreamingSpec extends SparkSpec {
     model.unpersist()
   }
 
+  test("streamingVadScreen: streamed speech frames re-cut into exactly the batch vadPlan segments") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, (1 to 400).map(i => ('a' + i % 26).toChar).mkString),
+      (2L, "b" * 95),
+      (3L, "xyz"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingVadScreen(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("vad").outputMode("append")
+      .start()
+    mem.addData(docs.take(1): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch-side segment assembly over the materialized evidence = the
+    // island arithmetic of vadPlan, verbatim
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("f"))
+    val streamedSegs = spark.sql("select * from vad")
+      .withColumn("_grp", col("f") - row_number().over(w))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg(min(col("f")).as("seg_start"), max(col("f")).as("seg_end"),
+           count(lit(1)).as("n_frames"), max(col("energy")).as("e_max"))
+      .select("doc_id", "seg_start", "seg_end", "n_frames", "e_max")
+      .collect().map(_.toSeq).toSet
+    val batchSegs = graft.operators.Multimodal
+      .vadPlan(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "seg_start", "seg_end", "n_frames", "e_max")
+      .collect().map(_.toSeq).toSet
+    assert(streamedSegs == batchSegs)
+    assert(batchSegs.nonEmpty)
+  }
+
   test("streamingTombstoneScreen: purged keys never re-enter; admitted rows equal the batch anti join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
