@@ -796,6 +796,30 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X159 — incremental curation funnel: the corpus pass (doc_id%10<8)
+    // freezes its tertile cutoffs and kept-set fingerprint index; the
+    // batch (doc_id%10>=8 plus two planted case-mangled slices — one
+    // copying CORPUS docs so the frozen-index collision fires, one
+    // copying BATCH docs so the batch-internal min-id keeper fires)
+    // flows through gate → frozen buckets → index dedup. History is
+    // never re-gated or re-fingerprinted — the x16/x128 ingest-day
+    // economics for the quality family.
+    "x159_funnel_incremental" -> ((s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 10 < 8)
+      val fresh = docs.filter(col("doc_id") % 10 >= 8)
+      val batch = fresh
+        .unionByName(corpus.filter(col("doc_id") % 53 === 1)
+          .select((col("doc_id") + 700000000000L).as("doc_id"),
+                  col("source"), upper(col("text")).as("text")))
+        .unionByName(fresh.filter(col("doc_id") % 61 === 3)
+          .select((col("doc_id") + 800000000000L).as("doc_id"),
+                  col("source"), upper(col("text")).as("text")))
+      curationFunnelIncremental(corpus, batch).orderBy(col("doc_id"))
+    }),
+
     // X156 — three-way snapshot merge (x71's diff upgraded to the
     // git/lakeFS branch-reconciliation verb): base is the corpus, ours
     // and theirs are deterministically derived branches covering every
@@ -1590,6 +1614,16 @@ object CorpusQueries {
     * projections, one grouped rank-selection on the collapsed
     * (source, q) domain, one fingerprint agg + keyed join back —
     * nothing quadratic, nothing driver-side. */
+  /** The funnel's gate projection: heuristic quality ×10⁴ and the x136
+    * repetition flag — the expensive per-doc work, shared by x158 and
+    * x159. */
+  private[graft] def gateStage(docs: DataFrame): DataFrame = docs
+    .withColumn("q",
+      round(T.qualityScore(col("text")) * 10000).cast("long"))
+    .withColumn("_rep",
+      T.maxMultiplicity(T.wordNgrams(col("text"), 2)) * lit(100L) >
+        (T.tokenCount(col("text")).cast("long") - 1L) * 9L)
+
   def curationFunnel(docs: DataFrame)
                     (implicit scope: graft.ops.CacheScope): DataFrame = {
     // the gate projection (regex quality + the bigram-multiplicity fold)
@@ -1598,12 +1632,7 @@ object CorpusQueries {
     // unpersisted frame replays it per consumer (measured 8.0 → 3.1 s
     // at sf0.1, 28.4 → 11.5 s at 10×; the x143/x157 multi-consumer
     // lesson)
-    val staged = scope.persist(docs
-      .withColumn("q",
-        round(T.qualityScore(col("text")) * 10000).cast("long"))
-      .withColumn("_rep",
-        T.maxMultiplicity(T.wordNgrams(col("text"), 2)) * lit(100L) >
-          (T.tokenCount(col("text")).cast("long") - 1L) * 9L))
+    val staged = scope.persist(gateStage(docs))
     val tert = scope.persist(graft.ops.QualityOps.scoreTertiles(
       staged.filter(!col("_rep")), "q", "source"))
     tert.count() // eager: one pass fills BOTH caches for every consumer
@@ -1626,6 +1655,57 @@ object CorpusQueries {
               col("stage"),
               when(col("stage") === "duplicate", col("keep_id"))
                 .as("dup_of"))
+  }
+
+  /** X159 core — INCREMENTAL curation funnel (x158's ingest-day twin;
+    * the x16/x128 economics applied to the quality family): the corpus
+    * pass produces two FROZEN artifacts — the per-source tertile
+    * cutoffs (fitted on corpus gate-survivors) and the kept-set
+    * fingerprint index — and an arriving batch flows through gate →
+    * frozen-cutoff buckets → dedup against the index, with history
+    * never re-gated, re-calibrated, or re-fingerprinted. Batch-internal
+    * collisions keep the min-id batch doc; a batch doc whose fp is in
+    * the index is a duplicate of the CORPUS keeper. A batch source
+    * absent from the frozen cutoffs buckets `head` (no calibration
+    * evidence is no reason to refuse — see
+    * [[graft.ops.QualityOps.applyTertiles]]). Output: x158's lineage
+    * schema, batch rows only. */
+  def curationFunnelIncremental(corpus: DataFrame, batch: DataFrame)
+                               (implicit scope: graft.ops.CacheScope)
+      : DataFrame = {
+    import graft.ops.QualityOps
+    val cStaged = scope.persist(gateStage(corpus).filter(!col("_rep")))
+    val cuts = QualityOps.tertileCutoffs(cStaged, "q", "source")
+    val idx = QualityOps.applyTertiles(cStaged, cuts, "q", "source")
+      .filter(col("bucket") =!= "tail")
+      .withColumn("_fp", T.fingerprint(col("text")))
+      .groupBy(col("_fp")).agg(min(col("doc_id")).as("_keeper"))
+    val bStaged = scope.persist(gateStage(batch))
+    val bT = scope.persist(QualityOps.applyTertiles(
+      bStaged.filter(!col("_rep")), cuts, "q", "source"))
+    bT.count() // eager: gate fold + cutoff apply run once (x158's lesson)
+    val bSurv = bT.filter(col("bucket") =!= "tail")
+      .withColumn("_fp", T.fingerprint(col("text")))
+    val bKeep = bSurv.groupBy(col("_fp"))
+      .agg(min(col("doc_id")).as("_bkeeper"))
+    val lineage = bSurv
+      .join(idx, Seq("_fp"), "left_outer")
+      .join(bKeep, Seq("_fp"))
+      .withColumn("dup_of",
+        when(col("_keeper").isNotNull, col("_keeper"))
+          .when(col("_bkeeper") =!= col("doc_id"), col("_bkeeper")))
+      .select(col("doc_id"), col("dup_of"))
+    bStaged.select(col("doc_id"), col("source"), col("q"), col("_rep"))
+      .join(bT.select(col("doc_id"), col("bucket")),
+            Seq("doc_id"), "left_outer")
+      .join(lineage, Seq("doc_id"), "left_outer")
+      .withColumn("stage",
+        when(col("_rep"), "repetitive")
+          .when(col("bucket") === "tail", "tail")
+          .when(col("dup_of").isNotNull, "duplicate")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("source"), col("q"), col("bucket"),
+              col("stage"), col("dup_of"))
   }
 
   /** X157 core — the exact operating curve of a scored frame
@@ -1827,6 +1907,23 @@ object CorpusQueries {
 
   /** The x153 training label: the quality score at the 0.475 cut. */
   private val qualityPosSql = s"$qualityX1e4Sql >= 4750"
+
+  /** DuckDB CTEs for the funnel gate over source CTE `src`: `${p}rp`
+    * ends with (doc_id, rep) — the x136 relational repetition flag.
+    * Shared by the x158/x159 oracles (prefix `p` keeps the two
+    * instantiations in one WITH clause apart). */
+  private def gateSql(src: String, p: String): String =
+    s"""${p}w AS (SELECT doc_id, $wordsSql AS ws FROM $src),
+       ${p}bx AS (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1])) AS b
+                  FROM ${p}w),
+       ${p}tp AS (SELECT doc_id, max(cnt) AS tb FROM (
+                    SELECT doc_id, b, count(*)::BIGINT AS cnt
+                    FROM ${p}bx GROUP BY 1, 2) GROUP BY 1),
+       ${p}rp AS (SELECT ${p}w.doc_id,
+                    coalesce(${p}tp.tb, 0) * 100 > (len(ws) - 1) * 9 AS rep
+                  FROM ${p}w LEFT JOIN ${p}tp USING (doc_id))"""
 
   /** DuckDB chain shared by x153/x157: [[nbQualityFilter]]'s full scored
     * frame as named CTEs ending in `fin(doc_id, source, n_tokens,
@@ -2617,6 +2714,76 @@ object CorpusQueries {
               LEFT JOIN tb USING (doc_id)
               LEFT JOIN ln USING (doc_id)
          ORDER BY doc_id""",
+
+    // Corpus chain (gate → survivor-calibrated cutoffs → kept-set
+    // index) frozen, batch chain (gate → frozen buckets → index dedup)
+    // applied — head∪middle collapses to q >= c2 on the corpus side.
+    "x159_funnel_incremental" ->
+      s"""WITH cor AS (SELECT doc_id, source, text FROM documents
+               WHERE doc_id % 10 < 8),
+         fr AS (SELECT doc_id, source, text FROM documents
+                WHERE doc_id % 10 >= 8),
+         bat AS (SELECT * FROM fr
+                 UNION ALL
+                 SELECT doc_id + 700000000000, source, upper(text)
+                 FROM cor WHERE doc_id % 53 = 1
+                 UNION ALL
+                 SELECT doc_id + 800000000000, source, upper(text)
+                 FROM fr WHERE doc_id % 61 = 3),
+         ${gateSql("cor", "c")},
+         cq AS (SELECT doc_id, source, text, $qualityX1e4Sql AS q
+                FROM cor),
+         cnr AS (SELECT cq.* FROM cq JOIN crp USING (doc_id)
+                 WHERE NOT rep),
+         vc AS (SELECT source, q, count(*)::BIGINT AS docs
+                FROM cnr GROUP BY 1, 2),
+         cum AS (SELECT source, q,
+                   sum(docs) OVER (PARTITION BY source
+                                   ORDER BY q DESC)::BIGINT AS c,
+                   sum(docs) OVER (PARTITION BY source)::BIGINT AS tot
+                 FROM vc),
+         cuts AS (SELECT source,
+                    max(CASE WHEN c >= greatest(1, tot // 3)
+                        THEN q END) AS c1,
+                    max(CASE WHEN c >= greatest(1, (tot * 2) // 3)
+                        THEN q END) AS c2
+                  FROM cum GROUP BY source),
+         csv AS (SELECT cnr.doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                      'g')) AS fp
+                 FROM cnr JOIN cuts USING (source) WHERE q >= c2),
+         idx AS (SELECT fp, min(doc_id) AS keeper FROM csv GROUP BY fp),
+         ${gateSql("bat", "b")},
+         bq AS (SELECT doc_id, source, text, $qualityX1e4Sql AS q
+                FROM bat),
+         bnr AS (SELECT bq.* FROM bq JOIN brp USING (doc_id)
+                 WHERE NOT rep),
+         bb AS (SELECT bnr.*,
+                  CASE WHEN c1 IS NULL THEN 'head'
+                       WHEN q >= c1 THEN 'head'
+                       WHEN q >= c2 THEN 'middle'
+                       ELSE 'tail' END AS bucket
+                FROM bnr LEFT JOIN cuts USING (source)),
+         bsv AS (SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                      'g')) AS fp
+                 FROM bb WHERE bucket <> 'tail'),
+         bk AS (SELECT fp, min(doc_id) AS bkeeper FROM bsv GROUP BY fp),
+         ln AS (SELECT bsv.doc_id,
+                  CASE WHEN idx.keeper IS NOT NULL THEN idx.keeper
+                       WHEN bk.bkeeper <> bsv.doc_id THEN bk.bkeeper
+                  END AS dup_of
+                FROM bsv LEFT JOIN idx USING (fp) JOIN bk USING (fp))
+         SELECT bq.doc_id, bq.source, bq.q, tb.bucket,
+           CASE WHEN brp.rep THEN 'repetitive'
+                WHEN tb.bucket = 'tail' THEN 'tail'
+                WHEN ln.dup_of IS NOT NULL THEN 'duplicate'
+                ELSE 'kept' END AS stage,
+           ln.dup_of
+         FROM bq JOIN brp USING (doc_id)
+              LEFT JOIN (SELECT doc_id, bucket FROM bb) tb USING (doc_id)
+              LEFT JOIN ln USING (doc_id)
+         ORDER BY bq.doc_id""",
 
     // Both branch derivations restated, then the standard three-way
     // decision table (md5(VARCHAR) hashes UTF-8 bytes — ≡ Spark's md5

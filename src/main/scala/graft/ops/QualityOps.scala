@@ -149,11 +149,23 @@ object QualityOps {
     * global sort — and the |groups|-row cutoff table broadcasts back
     * onto the full input. Scores must be non-null. */
   def scoreTertiles(df: DataFrame, scoreCol: String, groupCol: String)
-                   (implicit scope: CacheScope): DataFrame = {
+                   (implicit scope: CacheScope): DataFrame =
+    applyTertiles(df, tertileCutoffs(df, scoreCol, groupCol),
+                  scoreCol, groupCol)
+
+  /** The cutoff half of [[scoreTertiles]]: per group, (_c1, _c2) = the
+    * largest scores whose top-down row counts reach ⌈tot/3⌉ and
+    * ⌈2·tot/3⌉ — a |groups|-row frame. Exposed separately so the
+    * cutoffs can be FROZEN and applied to a later batch (x159's
+    * incremental economics: the corpus calibration is an artifact, not
+    * a per-ingest recomputation). */
+  def tertileCutoffs(df: DataFrame, scoreCol: String,
+                     groupCol: String)
+                    (implicit scope: CacheScope): DataFrame = {
     val vc = df.groupBy(col(groupCol), col(scoreCol))
       .agg(count(lit(1)).as("_docs"))
       .withColumn("_nq", -col(scoreCol))
-    val cuts = PrefixSumOps.selectRanks(
+    PrefixSumOps.selectRanks(
         vc.select(col(groupCol), col("_nq"), col("_docs")), Seq(groupCol),
         "_nq", "_docs",
         array(expr("greatest(CAST(1 AS BIGINT), _tot DIV 3)"),
@@ -161,11 +173,20 @@ object QualityOps {
       .groupBy(col(groupCol))
       .agg(max(when(col("_ri") === 0, -col("_nq"))).as("_c1"),
            max(when(col("_ri") === 1, -col("_nq"))).as("_c2"))
-    df.join(broadcast(cuts), Seq(groupCol))
+  }
+
+  /** The application half of [[scoreTertiles]]: bucket every row by the
+    * given (possibly FROZEN) cutoff table. A group with no cutoff row
+    * buckets `head` — no calibration evidence is no reason to refuse
+    * (only reachable when `cuts` was fitted on a different frame; the
+    * self-derived [[scoreTertiles]] path always has full coverage). */
+  def applyTertiles(df: DataFrame, cuts: DataFrame, scoreCol: String,
+                    groupCol: String): DataFrame =
+    df.join(broadcast(cuts), Seq(groupCol), "left_outer")
       .withColumn("bucket",
-        when(col(scoreCol) >= col("_c1"), "head")
+        when(col("_c1").isNull, "head")
+          .when(col(scoreCol) >= col("_c1"), "head")
           .when(col(scoreCol) >= col("_c2"), "middle")
           .otherwise("tail"))
       .drop("_c1", "_c2")
-  }
 }

@@ -777,6 +777,30 @@ object StreamingOps {
       .select(col("doc_id"), col("f"), col("energy"))
   }
 
+  /** x159's streaming twin: curation-funnel ADMISSION at ingest against
+    * the two FROZEN artifacts — the per-source tertile cutoff table and
+    * the kept-set fingerprint index. An arriving doc is gated (the
+    * stateless x136/quality projection), bucketed by the frozen cutoffs
+    * (stream-static broadcast left join — an uncalibrated source admits
+    * to head, [[graft.ops.QualityOps.applyTertiles]]'s contract),
+    * fingerprinted, and LEFT ANTI screened against the index (the
+    * tombstone-twin device). Batch-internal keep-first is a rank —
+    * stateful on a stream — so within-batch duplicates are admitted
+    * here and deduped batch-side, exactly the reconciliation
+    * StreamingSpec asserts. State: NONE; refreshed artifacts are picked
+    * up per micro-batch. */
+  def streamingFunnelAdmission(stream: DataFrame, cuts: DataFrame,
+                               index: DataFrame): DataFrame =
+    graft.ops.QualityOps.applyTertiles(
+        graft.CorpusQueries.gateStage(stream).filter(!col("_rep")),
+        cuts, "q", "source")
+      .filter(col("bucket") =!= "tail")
+      .withColumn("_fp",
+        graft.functions.TextFunctions.fingerprint(col("text")))
+      .join(index.select(col("_fp")), Seq("_fp"), "left_anti")
+      .select(col("doc_id"), col("source"), col("q"), col("bucket"))
+      .withColumn("admitted_at_ingest", lit(true))
+
   /** x145's streaming twin: hard-negative CANDIDACY at ingest against the
     * frozen cluster index (the x128/x148 frozen-artifact economics — the
     * corpus is never re-clustered for an arriving vector). An arriving

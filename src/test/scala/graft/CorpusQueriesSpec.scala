@@ -950,6 +950,45 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(out.size == 7) // every input doc reports a lineage row
   }
 
+  test("x159 incremental funnel: frozen cutoffs and frozen index govern the batch; both duplicate classes fire") {
+    implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
+    val hiQ1 = "the and of to in a is for the cat sat on a mat"
+    val hiQ2 = hiQ1.replace("cat", "bat")
+    val miQ1 = "the quick brown fox jumps over the lazy dog and runs far away"
+    val miQ2 = miQ1.replace("fox", "vix")
+    val loQ1 = "!a! ?b? ,c, ;d; !e! ?f? ,g, ;h! !i? ?j! ,k; ;l, !m, ?n;"
+    def lo(v: String) = loQ1.replace("!a!", v) // same q, distinct fp
+    val corpus = Seq((1L, "A", hiQ1), (2L, "A", hiQ2), (3L, "A", miQ1),
+      (4L, "A", miQ2), (5L, "A", loQ1), (6L, "A", lo("!z!")))
+      .toDF("doc_id", "source", "text")
+    // corpus calibration: head {1,2}, middle {3,4}, tail {5,6};
+    // frozen index = fingerprints of {1,2,3,4}
+    val miNew = miQ1.replace("quick", "quiet") // q == miQ1's, new fp
+    val batch = Seq(
+      (101L, "A", miQ1.toUpperCase),  // fp in frozen index -> dup of 3
+      (102L, "A", miNew),             // new fp, min id -> kept
+      (103L, "A", miNew.toUpperCase), // batch-internal -> dup of 102
+      (104L, "A", lo("!y!")),         // frozen tail
+      (105L, "A", "spam ham spam ham spam ham spam ham spam ham spam ham"),
+      (106L, "Z", hiQ1.replace("cat", "rat")), // uncalibrated source
+      (107L, "A", lo("!w!")), (108L, "A", lo("!v!")))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusQueries.curationFunnelIncremental(corpus, batch)
+      .collect().map(r => r.getLong(0) -> ((Option(r.getString(3)),
+        r.getString(4), Option(r.get(5)).map(_.toString.toLong)))).toMap
+    assert(out(101L) == ((Some("middle"), "duplicate", Some(3L))))
+    assert(out(102L) == ((Some("middle"), "kept", None)))
+    assert(out(103L) == ((Some("middle"), "duplicate", Some(102L))))
+    // FROZEN cutoffs: the batch is majority low-quality, so a refit
+    // would promote these — the corpus calibration still tails them
+    Seq(104L, 107L, 108L).foreach(i =>
+      assert(out(i) == ((Some("tail"), "tail", None)), s"$i: ${out(i)}"))
+    assert(out(105L)._2 == "repetitive")
+    // a source with no frozen cutoffs admits to head
+    assert(out(106L) == ((Some("head"), "kept", None)))
+    assert(out.size == 8) // corpus rows never re-emitted
+  }
+
   test("x156 three-way merge: every outcome class on a hand fixture") {
     def md5s(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

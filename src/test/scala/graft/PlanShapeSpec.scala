@@ -1592,6 +1592,15 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x159 incremental funnel: frozen cutoffs broadcast, index dedup keyed on the fingerprint — no cartesian, no data-sized nested loop") {
+    val plan = planOf("x159_funnel_incremental")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("_fp"),
+      "fingerprint join key missing:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("x147 incremental kNN: frozen-cell mates + adjacency hop are keyed equi-joins — no cartesian, no data-sized nested loop") {
     val plan = planOf("x147_knn_incremental")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))

@@ -935,6 +935,65 @@ class StreamingSpec extends SparkSpec {
     assert(batchSegs.nonEmpty)
   }
 
+  test("streamingFunnelAdmission: admitted arrivals = batch kept set plus batch-internal duplicates (deduped batch-side)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
+    val hiQ1 = "the and of to in a is for the cat sat on a mat"
+    val miQ1 = "the quick brown fox jumps over the lazy dog and runs far away"
+    val loQ1 = "!a! ?b? ,c, ;d; !e! ?f? ,g, ;h! !i? ?j! ,k; ;l, !m, ?n;"
+    val corpus = Seq((1L, "A", hiQ1),
+      (2L, "A", hiQ1.replace("cat", "bat")), (3L, "A", miQ1),
+      (4L, "A", miQ1.replace("fox", "vix")), (5L, "A", loQ1),
+      (6L, "A", loQ1.replace("!a!", "!z!")))
+      .toDF("doc_id", "source", "text")
+    // frozen artifacts, built from the same public pieces x159 uses
+    val cStaged = graft.CorpusQueries.gateStage(corpus)
+      .filter(!col("_rep")).cache()
+    val cuts = graft.ops.QualityOps
+      .tertileCutoffs(cStaged, "q", "source").cache()
+    val idx = graft.ops.QualityOps
+      .applyTertiles(cStaged, cuts, "q", "source")
+      .filter(col("bucket") =!= "tail")
+      .select(graft.functions.TextFunctions.fingerprint(col("text"))
+        .as("_fp")).distinct().cache()
+    val miNew = miQ1.replace("quick", "quiet")
+    val batch = Seq(
+      (101L, "A", miQ1.toUpperCase),  // frozen-index hit -> refused
+      (102L, "A", miNew),             // admitted (batch keeps it)
+      (103L, "A", miNew.toUpperCase), // admitted; deduped batch-side
+      (104L, "A", loQ1.replace("!a!", "!y!")), // frozen tail -> refused
+      (105L, "A", "spam ham spam ham spam ham spam ham spam ham spam ham"),
+      (106L, "Z", hiQ1.replace("cat", "rat"))) // uncalibrated -> head
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.streamingFunnelAdmission(
+        mem.toDF().toDF("doc_id", "source", "text"), cuts, idx)
+      .writeStream.format("memory").queryName("adm").outputMode("append")
+      .start()
+    mem.addData(batch.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(batch.drop(3): _*)
+    q.processAllAvailable()
+    val admitted = spark.sql("select doc_id from adm")
+      .as[Long].collect().toSet
+    q.stop()
+    // reconciliation: the stream admits the batch-kept docs PLUS
+    // within-batch duplicates (keep-first is a rank — batch-side work)
+    val lineage = graft.CorpusQueries
+      .curationFunnelIncremental(corpus,
+        batch.toDF("doc_id", "source", "text"))
+      .select("doc_id", "stage", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+                 Option(r.get(2)).map(_.toString.toLong))).toSeq
+    val wantAdmitted = lineage.collect {
+      case (id, "kept", _) => id
+      case (id, "duplicate", Some(k)) if k >= 100L => id // batch keeper
+    }.toSet
+    assert(admitted == wantAdmitted)
+    assert(admitted == Set(102L, 103L, 106L))
+    cStaged.unpersist(); cuts.unpersist(); idx.unpersist()
+  }
+
   test("streamingTombstoneScreen: purged keys never re-enter; admitted rows equal the batch anti join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
