@@ -1861,8 +1861,16 @@ object CorpusQueries {
       .join(broadcast(model), Seq("h"), "left_outer")
       .na.fill(0L, Seq("cp", "cn"))
       .crossJoin(broadcast(consts))
+      // single-class training split fails LOUD (the streaming twin's
+      // require(np > 0 && nn > 0), spelled as an expression here because
+      // the totals only exist at execution time): ilog2x256(0) = −256 is
+      // out of contract and would silently bias every score
       .withColumn("lr",
-        T.logRatioX256(col("cp"), col("cn"), col("nn"), col("np")))
+        when(col("np") > 0 && col("nn") > 0,
+          T.logRatioX256(col("cp"), col("cn"), col("nn"), col("np")))
+          .otherwise(expr(
+            """raise_error('nbQualityFilter: single-class training """ +
+            """split (np=' || np || ', nn=' || nn || ')')""")))
       .groupBy(col("doc_id"), col("source"), col("_pos"),
                col("dp"), col("dn"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("_llr"))
@@ -1907,6 +1915,27 @@ object CorpusQueries {
 
   /** The x153 training label: the quality score at the 0.475 cut. */
   private val qualityPosSql = s"$qualityX1e4Sql >= 4750"
+
+  /** DuckDB CTEs for per-group tertile cutoffs over source CTE `src`
+    * (needs columns (source, q)): ends with `cuts(source, c1, c2)`.
+    * ONE spelling of the rank floors and tie semantics, shared by the
+    * x154/x158/x159 oracles — the floors are floor-division ranks
+    * (`tot // 3`), clamped to 1, matching
+    * [[graft.ops.QualityOps.tertileCutoffs]] exactly. */
+  private[graft] def tertileCutsSql(src: String): String =
+    s"""vc AS (SELECT source, q, count(*)::BIGINT AS docs
+            FROM $src GROUP BY 1, 2),
+       cum AS (SELECT source, q,
+                 sum(docs) OVER (PARTITION BY source
+                                 ORDER BY q DESC)::BIGINT AS c,
+                 sum(docs) OVER (PARTITION BY source)::BIGINT AS tot
+               FROM vc),
+       cuts AS (SELECT source,
+                  max(CASE WHEN c >= greatest(1, tot // 3)
+                      THEN q END) AS c1,
+                  max(CASE WHEN c >= greatest(1, (tot * 2) // 3)
+                      THEN q END) AS c2
+                FROM cum GROUP BY source)"""
 
   /** DuckDB CTEs for the funnel gate over source CTE `src`: `${p}rp`
     * ends with (doc_id, rep) — the x136 relational repetition flag.
@@ -2666,31 +2695,9 @@ object CorpusQueries {
                FROM documents WHERE doc_id % 37 = 1),
          d AS (SELECT doc_id, source, text, $qualityX1e4Sql AS q
                  FROM docs2),
-         w AS (SELECT doc_id, $wordsSql AS ws FROM docs2),
-         bx AS (SELECT doc_id,
-                  unnest(list_transform(generate_series(1, len(ws) - 1),
-                    i -> ws[i] || ' ' || ws[i+1])) AS b
-                FROM w),
-         tpx AS (SELECT doc_id, max(cnt) AS tb FROM (
-                   SELECT doc_id, b, count(*)::BIGINT AS cnt
-                   FROM bx GROUP BY 1, 2) GROUP BY 1),
-         rp AS (SELECT w.doc_id,
-                  coalesce(tpx.tb, 0) * 100 > (len(ws) - 1) * 9 AS rep
-                FROM w LEFT JOIN tpx USING (doc_id)),
-         nr AS (SELECT d.* FROM d JOIN rp USING (doc_id) WHERE NOT rep),
-         vc AS (SELECT source, q, count(*)::BIGINT AS docs
-                FROM nr GROUP BY 1, 2),
-         cum AS (SELECT source, q,
-                   sum(docs) OVER (PARTITION BY source
-                                   ORDER BY q DESC)::BIGINT AS c,
-                   sum(docs) OVER (PARTITION BY source)::BIGINT AS tot
-                 FROM vc),
-         cuts AS (SELECT source,
-                    max(CASE WHEN c >= greatest(1, tot // 3)
-                        THEN q END) AS c1,
-                    max(CASE WHEN c >= greatest(1, (tot * 2) // 3)
-                        THEN q END) AS c2
-                  FROM cum GROUP BY source),
+         ${gateSql("docs2", "g")},
+         nr AS (SELECT d.* FROM d JOIN grp USING (doc_id) WHERE NOT rep),
+         ${tertileCutsSql("nr")},
          tb AS (SELECT nr.doc_id,
                   CASE WHEN q >= c1 THEN 'head'
                        WHEN q >= c2 THEN 'middle'
@@ -2703,14 +2710,14 @@ object CorpusQueries {
          kp AS (SELECT fp, min(doc_id) AS keep_id FROM sv GROUP BY fp),
          ln AS (SELECT sv.doc_id, keep_id FROM sv JOIN kp USING (fp))
          SELECT d.doc_id, d.source, d.q, tb.bucket,
-           CASE WHEN rp.rep THEN 'repetitive'
+           CASE WHEN grp.rep THEN 'repetitive'
                 WHEN tb.bucket = 'tail' THEN 'tail'
                 WHEN ln.keep_id <> d.doc_id THEN 'duplicate'
                 ELSE 'kept' END AS stage,
-           CASE WHEN NOT rp.rep AND tb.bucket <> 'tail'
+           CASE WHEN NOT grp.rep AND tb.bucket <> 'tail'
                      AND ln.keep_id <> d.doc_id
                 THEN ln.keep_id END AS dup_of
-         FROM d JOIN rp USING (doc_id)
+         FROM d JOIN grp USING (doc_id)
               LEFT JOIN tb USING (doc_id)
               LEFT JOIN ln USING (doc_id)
          ORDER BY doc_id""",
@@ -2735,19 +2742,7 @@ object CorpusQueries {
                 FROM cor),
          cnr AS (SELECT cq.* FROM cq JOIN crp USING (doc_id)
                  WHERE NOT rep),
-         vc AS (SELECT source, q, count(*)::BIGINT AS docs
-                FROM cnr GROUP BY 1, 2),
-         cum AS (SELECT source, q,
-                   sum(docs) OVER (PARTITION BY source
-                                   ORDER BY q DESC)::BIGINT AS c,
-                   sum(docs) OVER (PARTITION BY source)::BIGINT AS tot
-                 FROM vc),
-         cuts AS (SELECT source,
-                    max(CASE WHEN c >= greatest(1, tot // 3)
-                        THEN q END) AS c1,
-                    max(CASE WHEN c >= greatest(1, (tot * 2) // 3)
-                        THEN q END) AS c2
-                  FROM cum GROUP BY source),
+         ${tertileCutsSql("cnr")},
          csv AS (SELECT cnr.doc_id,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
                                       'g')) AS fp

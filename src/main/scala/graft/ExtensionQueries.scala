@@ -1536,7 +1536,8 @@ object ExtensionQueries {
 
     // Per-source cutoffs = the largest q whose top-down cumulative doc
     // count reaches each tertile rank — selectRanks' contract restated
-    // as a window over the collapsed (source, q) domain.
+    // via the shared CorpusQueries.tertileCutsSql fragment (one
+    // spelling of the rank floors for x154/x158/x159).
     "x154_quality_tertiles" ->
       s"""WITH d AS (SELECT doc_id, source,
              CAST(round(round(${mc(enStop)}::DOUBLE / len($wordsSql) * 0.5
@@ -1545,19 +1546,7 @@ object ExtensionQueries {
                   + (1 - length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
                        / length(text)) * 0.2, 4) * 10000) AS BIGINT) AS q
            FROM documents),
-         vc AS (SELECT source, q, count(*)::BIGINT AS docs
-                FROM d GROUP BY 1, 2),
-         cum AS (SELECT source, q,
-                   sum(docs) OVER (PARTITION BY source
-                                   ORDER BY q DESC)::BIGINT AS c,
-                   sum(docs) OVER (PARTITION BY source)::BIGINT AS tot
-                 FROM vc),
-         cuts AS (SELECT source,
-                    max(CASE WHEN c >= greatest(1, tot // 3)
-                        THEN q END) AS c1,
-                    max(CASE WHEN c >= greatest(1, (tot * 2) // 3)
-                        THEN q END) AS c2
-                  FROM cum GROUP BY source)
+         ${CorpusQueries.tertileCutsSql("d")}
          SELECT doc_id, d.source, q,
            CASE WHEN q >= c1 THEN 'head'
                 WHEN q >= c2 THEN 'middle'

@@ -1062,6 +1062,18 @@ class CorpusQueriesSpec extends SparkSpec {
     // scores ilog(1)+ilog(12)−ilog(1)−ilog(20) = 896 − 1088 = −192
     assert(out(3L)._1 == 3L && out(3L)._2 == -576L, s"doc 3: ${out(3L)}")
     assert(!out(3L)._3)
+    // a single-class training split fails LOUD (the streaming twin's
+    // require, spelled as an execution-time raise_error here), never
+    // the silent out-of-contract ilog2x256(0) path
+    val oneClass = Seq((5L, "A", pos), (10L, "A", pos), (1L, "A", "zork"))
+      .toDF("doc_id", "source", "text")
+    val e = intercept[Exception] {
+      CorpusQueries.nbQualityFilter(oneClass).collect()
+    }
+    assert(e.getMessage.contains("single-class training split") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("single-class training split")),
+      e.toString)
   }
 
   test("x150 recovers a planted below-window duplicate that x67 provably misses") {

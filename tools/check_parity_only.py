@@ -2,8 +2,13 @@
 """check_parity restricted to query-name prefixes (local iteration).
 
 Usage: python3 tools/check_parity_only.py <sfDir> <verifyOutDir> <prefixes>
+
+Builds a throwaway view of the verify dir (filtered oracle_sql.json +
+symlinks to the selected query outputs) instead of mutating the shared
+oracle_sql.json in place — a hard kill mid-run must never leave the real
+artifact truncated to the subset.
 """
-import sys, json
+import sys, os, json, tempfile
 import check_parity as cp
 
 
@@ -12,11 +17,13 @@ def main(sf_dir, out_dir, prefixes):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     kept = {k: v for k, v in oracles.items()
             if any(k.startswith(p) for p in ps)}
-    json.dump(kept, open(f"{out_dir}/oracle_sql.json", "w"))
-    try:
-        return cp.main(sf_dir, out_dir)
-    finally:
-        json.dump(oracles, open(f"{out_dir}/oracle_sql.json", "w"))
+    with tempfile.TemporaryDirectory(prefix="parity_only_") as tmp:
+        json.dump(kept, open(f"{tmp}/oracle_sql.json", "w"))
+        for name in kept:
+            src = f"{out_dir}/{name}"
+            if os.path.isdir(src):
+                os.symlink(os.path.abspath(src), f"{tmp}/{name}")
+        return cp.main(sf_dir, tmp)
 
 
 if __name__ == "__main__":
