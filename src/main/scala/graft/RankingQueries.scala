@@ -195,6 +195,23 @@ object RankingQueries {
     // which is what lets a marketing export be regression-tested at
     // all. 555 = champions, 1xx = lapsing, x1x = one-shot, xx1 = low
     // spend.
+    // X160 — UniMax mixing allocation (epoch-capped uniform; Chung et
+    // al. 2023): the budget (90% of the corpus) splits EQUALLY across
+    // languages, but no language is allocated past its own size — a
+    // capped language's leftover waterfills into the rest. The fairness
+    // dual of x59's temperature weights: en's proportional share
+    // shrinks toward the uniform share while low-resource languages
+    // keep their full epoch. Decision evidence (alloc + capped flag) is
+    // in the hash; everything runs on the |langs|-row domain.
+    "x160_unimax_alloc" -> ((s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
+      graft.ops.QualityOps.unimaxAlloc(
+          Tables(s, dir, "documents")
+            .groupBy(col("lang")).agg(count(lit(1)).as("n")),
+          "lang", "n")
+        .orderBy(col("lang"))
+    }),
+
     "x114_rfm_segments" -> ((s, dir) => {
       import graft.ops.DedupOps
       val o = Tables(s, dir, "orders")
@@ -393,6 +410,43 @@ object RankingQueries {
              AS slots
          FROM rk CROSS JOIN lo
          ORDER BY slots DESC, n_name""",
+
+    // The waterfill walk restated over the tiny (lang, n) domain: the
+    // capped test in multiplication form (division-free), then one
+    // largest-remainder split of the leftover among the uncapped.
+    "x160_unimax_alloc" ->
+      """WITH src AS (SELECT lang, count(*)::BIGINT AS n
+            FROM documents GROUP BY lang),
+         tot AS (SELECT count(*)::BIGINT AS s,
+                   ((9 * sum(n)) // 10)::BIGINT AS t FROM src),
+         ord AS (SELECT lang, n,
+                   row_number() OVER (ORDER BY n, lang)::BIGINT AS i,
+                   coalesce(sum(n) OVER (ORDER BY n, lang
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0)::BIGINT AS p
+                 FROM src),
+         flg AS (SELECT ord.*, s, t,
+                   n * (s - i + 1) <= t - p AS capped
+                 FROM ord CROSS JOIN tot),
+         agg AS (SELECT sum(CASE WHEN capped THEN 1 ELSE 0 END)::BIGINT
+                     AS kk,
+                   sum(CASE WHEN capped THEN n ELSE 0 END)::BIGINT
+                     AS pcap
+                 FROM flg),
+         base AS (SELECT kk, (t - pcap) // greatest(s - kk, 1) AS b,
+                    (t - pcap) % greatest(s - kk, 1) AS r
+                  FROM agg CROSS JOIN tot),
+         unc AS (SELECT lang,
+                   row_number() OVER (ORDER BY n, lang)::BIGINT AS u
+                 FROM flg WHERE NOT capped)
+         SELECT f.lang, f.n AS n_docs,
+           (CASE WHEN f.capped THEN f.n
+                 ELSE b + CASE WHEN u.u <= r THEN 1 ELSE 0 END
+            END)::BIGINT AS alloc,
+           f.capped
+         FROM flg f CROSS JOIN base
+              LEFT JOIN unc u USING (lang)
+         ORDER BY f.lang""",
 
     "x59_temperature_mix" ->
       """WITH src AS (SELECT source, count(*)::BIGINT AS n_docs,

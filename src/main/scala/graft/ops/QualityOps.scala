@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality constraint suite (Deequ-shaped): a list of
@@ -173,6 +174,60 @@ object QualityOps {
       .groupBy(col(groupCol))
       .agg(max(when(col("_ri") === 0, -col("_nq"))).as("_c1"),
            max(when(col("_ri") === 1, -col("_nq"))).as("_c2"))
+  }
+
+  /** X160 core — UniMax allocation (Chung et al. 2023's epoch-capped
+    * UNIFORM mixing; the fairness complement to x59's temperature
+    * weights): a doc budget of `budgetNum/budgetDen` of the corpus is
+    * split EQUALLY across groups, except no group is ever allocated
+    * more than its own size (cap = 1 epoch — never upsample); a capped
+    * group's unused share waterfills into the remaining groups. The
+    * walk is the standard closed form over the cap-ascending order —
+    * group i is capped iff n_i·(S−i+1) ≤ T−P_{i−1} (multiplication
+    * form, division-free; the capped set is a prefix of the order) —
+    * and the leftover splits base + largest-remainder with ties pinned
+    * by (n, key). Everything runs on the collapsed |groups|-row domain
+    * (one corpus agg upstream, persisted — three tiny consumers), so
+    * the unpartitioned windows are value-domain-bounded. Returns
+    * (key, n_docs, alloc, capped); Σ alloc = T exactly whenever any
+    * group is uncapped. */
+  def unimaxAlloc(counts: DataFrame, keyCol: String, nCol: String,
+                  budgetNum: Long = 9, budgetDen: Long = 10)
+                 (implicit scope: CacheScope): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0,
+      s"unimaxAlloc: bad budget $budgetNum/$budgetDen")
+    val c = scope.persist(counts)
+    c.count() // eager: the corpus agg runs once for all consumers
+    val tot = c.agg(count(lit(1)).as("s"),
+      expr(s"($budgetNum * sum($nCol)) DIV $budgetDen").as("t"))
+    val wOrd = Window.orderBy(col(nCol), col(keyCol))
+    val flg = c
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("p", coalesce(sum(col(nCol)).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("capped",
+        col(nCol) * (col("s") - col("i") + 1) <= col("t") - col("p"))
+    val base = flg.agg(max(col("s")).as("s"), max(col("t")).as("t"),
+        sum(when(col("capped"), 1L).otherwise(0L)).as("kk"),
+        sum(when(col("capped"), col(nCol)).otherwise(0L)).as("pcap"))
+      // greatest(.,1): when EVERY group is capped (T ≥ Σn) there are no
+      // uncapped rows to read b/r, but the division must not be by zero
+      .withColumn("b",
+        expr("(t - pcap) DIV greatest(s - kk, CAST(1 AS BIGINT))"))
+      .withColumn("r",
+        expr("(t - pcap) % greatest(s - kk, CAST(1 AS BIGINT))"))
+      .select(col("b"), col("r"))
+    val unc = flg.filter(!col("capped"))
+      .withColumn("u", row_number().over(wOrd).cast("long"))
+      .select(col(keyCol), col("u"))
+    flg.join(unc, Seq(keyCol), "left_outer")
+      .crossJoin(broadcast(base))
+      .select(col(keyCol), col(nCol).as("n_docs"),
+        when(col("capped"), col(nCol))
+          .otherwise(col("b") +
+            when(col("u") <= col("r"), 1L).otherwise(0L)).as("alloc"),
+        col("capped"))
   }
 
   /** The application half of [[scoreTertiles]]: bucket every row by the

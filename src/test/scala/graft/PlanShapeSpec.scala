@@ -1601,6 +1601,16 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x160 unimax allocation: one corpus aggregate, then |groups|-row arithmetic — only 1-row/tiny frames nested-loop") {
+    val plan = planOf("x160_unimax_alloc")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // tot and base are 1-row broadcasts onto the |groups|-row cached
+    // domain — nothing data-sized may appear in a cross join
+    assert(plan.contains("InMemoryRelation"),
+      "group counts must be cached:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("x147 incremental kNN: frozen-cell mates + adjacency hop are keyed equi-joins — no cartesian, no data-sized nested loop") {
     val plan = planOf("x147_knn_incremental")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))

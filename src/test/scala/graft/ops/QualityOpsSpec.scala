@@ -85,6 +85,31 @@ class QualityOpsSpec extends SparkSpec {
     }
   }
 
+  test("unimaxAlloc: capped prefix + uniform waterfill, remainder tie pinning, all-capped degenerate") {
+    implicit val scope: CacheScope = CacheScope.session
+    def run(rows: Seq[(String, Long)], num: Long, den: Long) =
+      QualityOps.unimaxAlloc(rows.toDF("k", "n"), "k", "n", num, den)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(2), r.getBoolean(3)))).toMap
+    // mixed walk: Σn=115, T=103; small groups keep their whole epoch
+    // (2·4 ≤ 103, 3·3 ≤ 101), the two large ones split 98 evenly
+    val mixed = run(Seq(("a", 2L), ("b", 3L), ("c", 50L), ("d", 60L)),
+                    9, 10)
+    assert(mixed == Map("a" -> ((2L, true)), "b" -> ((3L, true)),
+      "c" -> ((49L, false)), "d" -> ((49L, false))), mixed.toString)
+    assert(mixed.values.map(_._1).sum == 103L) // budget exactly spent
+    // largest-remainder: T=28 over three equal groups -> 10/9/9, the
+    // +1 goes to the first in (n, key) order
+    val eq = Seq(("a", 10L), ("b", 10L), ("c", 10L))
+    val o2 = run(eq, 28, 30)
+    assert(o2 == Map("a" -> ((10L, false)), "b" -> ((9L, false)),
+      "c" -> ((9L, false))), o2.toString)
+    // budget beyond the corpus: everyone capped at one epoch, no
+    // division by zero, budget deliberately unfilled
+    val o3 = run(eq, 12, 10)
+    assert(o3.values.toSet == Set((10L, true)))
+  }
+
   test("scoreTertiles: per-group cutoffs, ties stay in one bucket, tiny groups all-head") {
     implicit val scope: CacheScope = CacheScope.session
     // group A: scores 1..9 -> clean thirds {9,8,7}/{6,5,4}/{3,2,1};
