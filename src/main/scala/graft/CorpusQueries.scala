@@ -51,6 +51,47 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X161 — checksum-validated identifier screen (x30's PCI upgrade):
+    // 16-digit candidates are regex-extracted, but only LUHN-VALID ones
+    // count as identifiers and get redacted — the checksum is what
+    // separates a card number from a random digit run, so the redactor
+    // stops masking false positives. Injection plants a valid card in
+    // every doc_id%3==0 doc and an off-by-one INVALID twin in every
+    // %3==1 doc (same digits except the check digit — the sharpest
+    // possible negative). The engine side is fully generic (fold-based
+    // Luhn over every candidate, redaction via a candidate fold); the
+    // oracle exploits the planted structure (the corpus has zero
+    // natural 16-digit runs at every SF — checked), so any natural or
+    // drifted candidate would surface as a hash mismatch, not slip by.
+    "x161_luhn_screen" -> ((s, dir) => {
+      val valids = Seq("5260181590830164", "6131860913909962",
+        "0308246281948214", "9935181909378654", "7975432319487576")
+      val invalids = valids.map(v =>
+        v.init + ((v.last - '0' + 1) % 10).toString)
+      val vArr = array(valids.map(lit): _*)
+      val iArr = array(invalids.map(lit): _*)
+      val pick = (col("doc_id") % 5 + 1).cast("int")
+      val injected = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" card "), element_at(vArr, pick)))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit(" card "), element_at(iArr, pick)))
+          .otherwise(lit("")))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), injected.as("_t"))
+        .withColumn("_cands",
+          expr("regexp_extract_all(_t, '\\\\b[0-9]{16}\\\\b', 0)"))
+        .select(col("doc_id"),
+          size(col("_cands")).cast("long").as("n_candidates"),
+          size(filter(col("_cands"), c => T.luhnValid(c))).cast("long")
+            .as("n_valid"),
+          md5(aggregate(col("_cands"), col("_t"),
+            (acc, c) => when(T.luhnValid(c),
+              replace(acc, c, lit("<CARD>"))).otherwise(acc))
+            .cast("binary")).as("red_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X31 — benchmark decontamination: docs sharing any 5-word shingle
     // with the "benchmark" slice (doc_id % 97 = 0 stands in for an eval
     // set) are flagged with their overlap count — the standard n-gram
@@ -2084,6 +2125,38 @@ object CorpusQueries {
            FROM d)
          SELECT doc_id, source, (pos * 1000) // w AS t
          FROM p ORDER BY t, source, doc_id LIMIT 500""",
+
+    // Generic Luhn restated in the lambda (digits walked from the
+    // right, doubles 9-subtracted) — the oracle validates candidates
+    // the same way the engine does, then redacts the surviving one
+    // (≤ 1 per doc by construction; zero natural 16-digit runs in the
+    // corpus at every SF, checked).
+    "x161_luhn_screen" ->
+      """WITH d AS (SELECT doc_id,
+           text || CASE WHEN doc_id % 3 = 0 THEN ' card ' ||
+                ['5260181590830164','6131860913909962','0308246281948214',
+                 '9935181909378654','7975432319487576'][(doc_id % 5 + 1)]
+              WHEN doc_id % 3 = 1 THEN ' card ' ||
+                ['5260181590830165','6131860913909963','0308246281948215',
+                 '9935181909378655','7975432319487577'][(doc_id % 5 + 1)]
+              ELSE '' END AS t
+         FROM documents),
+       c AS (SELECT doc_id, t,
+               regexp_extract_all(t, '\b[0-9]{16}\b') AS cands FROM d),
+       v AS (SELECT doc_id, t, cands,
+               list_filter(cands, x -> list_sum(list_transform(
+                   generate_series(1, length(x)),
+                   i -> CASE WHEN (length(x) - i) % 2 = 1
+                             THEN CASE WHEN x[i]::INT * 2 > 9
+                                       THEN x[i]::INT * 2 - 9
+                                       ELSE x[i]::INT * 2 END
+                             ELSE x[i]::INT END)) % 10 = 0) AS ok
+             FROM c)
+       SELECT doc_id, len(cands)::BIGINT AS n_candidates,
+         len(ok)::BIGINT AS n_valid,
+         md5(CASE WHEN len(ok) > 0 THEN replace(t, ok[1], '<CARD>')
+                  ELSE t END) AS red_md5
+       FROM v ORDER BY doc_id""",
 
     "x30_pii_redact" ->
       s"""WITH t AS (SELECT doc_id,

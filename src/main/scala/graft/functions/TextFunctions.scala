@@ -103,6 +103,27 @@ object TextFunctions {
   def logRatioX256(ct: Column, cr: Column, nr: Column, nt: Column): Column =
     ilog2x256(ct + 1) + ilog2x256(nr) - ilog2x256(cr + 1) - ilog2x256(nt)
 
+  /** Luhn checksum validity of an all-digit string (ISO/IEC 7812:
+    * every second digit from the RIGHT doubled, 9 subtracted above 9,
+    * total ≡ 0 mod 10) — the checksum screen that separates card-like
+    * identifiers from arbitrary digit runs, so a PII redactor masks
+    * validated positives instead of every 16-digit number (x161; the
+    * checksum upgrade of x30's pure-regex detection). One codegen'd
+    * fold over the character positions — no explode, no shuffle.
+    * Empty input is false (Spark's `sequence(1, 0)` would DESCEND —
+    * the wordNgrams guard). */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val tot = aggregate(sequence(lit(1), n), lit(0L),
+      (acc, i) => {
+        val d = digits.substr(i, lit(1)).cast("long")
+        val dd = when((n - i).cast("long") % 2 === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        acc + dd
+      })
+    when(n === 0, lit(false)).otherwise(tot % 10 === 0)
+  }
+
   /** Maximum multiplicity of any element in a string array — sort, then
     * the longest equal run via one codegen'd fold (no explode, no
     * shuffle; the per-row twin of a group-count-max, which is what the

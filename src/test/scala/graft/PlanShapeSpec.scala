@@ -1611,6 +1611,13 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x161 Luhn screen: a pure per-row projection — no join, no aggregate, no shuffle beyond the output sort") {
+    val plan = planOf("x161_luhn_screen")
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("HashAggregate"), plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("x147 incremental kNN: frozen-cell mates + adjacency hop are keyed equi-joins — no cartesian, no data-sized nested loop") {
     val plan = planOf("x147_knn_incremental")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))

@@ -71,6 +71,30 @@ class TextFunctionsSpec extends SparkSpec {
     got.take(5000).sliding(2).foreach(p => assert(p(0) <= p(1)))
   }
 
+  test("luhnValid: reference vectors, off-by-one check digits fail, edge inputs") {
+    import spark.implicits._
+    // straight-line reference
+    def ref(s: String): Boolean = s.nonEmpty && s.reverse.zipWithIndex
+      .map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum % 10 == 0
+    val valids = Seq("5260181590830164", "6131860913909962",
+      "0308246281948214", "9935181909378654", "7975432319487576",
+      "0", "18", "26")                     // short but checksum-clean
+    val invalids = valids.take(5).map(v =>
+      v.init + ((v.last - '0' + 1) % 10).toString) ++ Seq("1", "10")
+    val all = valids ++ invalids
+    assert(valids.forall(ref) && !invalids.exists(ref)) // fixture sanity
+    val got = all.toDF("d")
+      .select(col("d"), luhnValid(col("d")).as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    all.foreach(s => assert(got(s) == ref(s), s"$s: ${got(s)}"))
+    // empty string is false, not an error (the sequence guard)
+    val e = Seq("").toDF("d").select(luhnValid(col("d"))).collect()
+    assert(!e(0).getBoolean(0))
+  }
+
   test("fingerprint normalizes case and whitespace runs") {
     import spark.implicits._
     val fps = Seq("Hello   World", "hello world", " HELLO\tWORLD ")
