@@ -77,18 +77,8 @@ object CorpusQueries {
           .when(col("doc_id") % 3 === 1,
             concat(lit(" card "), element_at(iArr, pick)))
           .otherwise(lit("")))
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), injected.as("_t"))
-        .withColumn("_cands",
-          expr("regexp_extract_all(_t, '\\\\b[0-9]{16}\\\\b', 0)"))
-        .select(col("doc_id"),
-          size(col("_cands")).cast("long").as("n_candidates"),
-          size(filter(col("_cands"), c => T.luhnValid(c))).cast("long")
-            .as("n_valid"),
-          md5(aggregate(col("_cands"), col("_t"),
-            (acc, c) => when(T.luhnValid(c),
-              replace(acc, c, lit("<CARD>"))).otherwise(acc))
-            .cast("binary")).as("red_md5"))
+      luhnScreen(Tables(s, dir, "documents")
+          .select(col("doc_id"), injected.as("_t")), "doc_id", "_t")
         .orderBy(col("doc_id"))
     }),
 
@@ -1655,6 +1645,27 @@ object CorpusQueries {
     * projections, one grouped rank-selection on the collapsed
     * (source, q) domain, one fingerprint agg + keyed join back —
     * nothing quadratic, nothing driver-side. */
+  /** X161 core — checksum-validated identifier screen over
+    * (`idCol`, `textCol`): 16-digit candidates are regex-extracted,
+    * counted, Luhn-validated ([[graft.functions.TextFunctions
+    * .luhnValid]]), and the VALID ones redacted to `<CARD>` — the
+    * output md5 pins the redaction bytes. One stateless per-row
+    * projection (no explode, no shuffle), which is why the streaming
+    * twin runs it verbatim on the ingest stream. `textCol` must be a
+    * plain column name (it is interpolated into the regex extract). */
+  def luhnScreen(df: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    df.withColumn("_cands",
+        expr(s"regexp_extract_all($textCol, '\\\\b[0-9]{16}\\\\b', 0)"))
+      .select(col(idCol),
+        size(col("_cands")).cast("long").as("n_candidates"),
+        size(filter(col("_cands"), c => T.luhnValid(c))).cast("long")
+          .as("n_valid"),
+        md5(aggregate(col("_cands"), col(textCol),
+          (acc, c) => when(T.luhnValid(c),
+            replace(acc, c, lit("<CARD>"))).otherwise(acc))
+          .cast("binary")).as("red_md5"))
+
   /** The funnel's gate projection: heuristic quality ×10⁴ and the x136
     * repetition flag — the expensive per-doc work, shared by x158 and
     * x159. */

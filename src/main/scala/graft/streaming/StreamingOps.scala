@@ -903,6 +903,15 @@ object StreamingOps {
                                 textCol: String = "text"): DataFrame =
     graft.functions.TextFunctions.docRepetition(docs, idCol, textCol)
 
+  /** x161's streaming twin: the checksum-validated identifier screen at
+    * INGEST — the same stateless projection verbatim on the stream (the
+    * [[streamingRepetitionScreen]] pattern: extract → Luhn-validate →
+    * redact, zero state), so card-like identifiers are masked before
+    * the bytes ever land. */
+  def streamingLuhnScreen(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
+    graft.CorpusQueries.luhnScreen(docs, idCol, textCol)
+
   def streamingKmvDistinct(keys: DataFrame, k: Int = 64): DataFrame = {
     val bk = udaf(new graft.functions.BottomKDistinctLongAggregator(k),
                   org.apache.spark.sql.Encoders.scalaLong)

@@ -899,6 +899,40 @@ class StreamingSpec extends SparkSpec {
     model.unpersist()
   }
 
+  test("streamingLuhnScreen: streamed screen equals batch; valid cards redacted, off-by-one twins untouched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "pay with 5260181590830164 now"),  // Luhn-valid -> redacted
+      (2L, "pay with 5260181590830165 now"),  // check digit off -> kept
+      (3L, "no digits here at all"),
+      (4L, "two 6131860913909962 and 0308246281948214 cards"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingLuhnScreen(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("luhn").outputMode("append")
+      .start()
+    mem.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("select * from luhn")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    q.stop()
+    val batch = graft.CorpusQueries
+      .luhnScreen(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(streamed == batch)
+    def md5s(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(batch(1L) == Seq(1L, 1L, md5s("pay with <CARD> now")))
+    assert(batch(2L) ==
+      Seq(1L, 0L, md5s("pay with 5260181590830165 now")))
+    assert(batch(3L) == Seq(0L, 0L, md5s("no digits here at all")))
+    assert(batch(4L) == Seq(2L, 2L, md5s("two <CARD> and <CARD> cards")))
+  }
+
   test("streamingVadScreen: streamed speech frames re-cut into exactly the batch vadPlan segments") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
