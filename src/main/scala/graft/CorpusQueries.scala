@@ -2139,9 +2139,10 @@ object CorpusQueries {
 
     // Generic Luhn restated in the lambda (digits walked from the
     // right, doubles 9-subtracted) — the oracle validates candidates
-    // the same way the engine does, then redacts the surviving one
-    // (≤ 1 per doc by construction; zero natural 16-digit runs in the
-    // corpus at every SF, checked).
+    // the same way the engine does, then folds replace over ALL valid
+    // candidates (list_reduce seeded with t via list_prepend), mirroring
+    // the engine's aggregate fold — generic for multi-card docs, not
+    // dependent on the planted ≤1-valid-per-doc invariant.
     "x161_luhn_screen" ->
       """WITH d AS (SELECT doc_id,
            text || CASE WHEN doc_id % 3 = 0 THEN ' card ' ||
@@ -2165,8 +2166,8 @@ object CorpusQueries {
              FROM c)
        SELECT doc_id, len(cands)::BIGINT AS n_candidates,
          len(ok)::BIGINT AS n_valid,
-         md5(CASE WHEN len(ok) > 0 THEN replace(t, ok[1], '<CARD>')
-                  ELSE t END) AS red_md5
+         md5(list_reduce(list_prepend(t, ok),
+                         (acc, x) -> replace(acc, x, '<CARD>'))) AS red_md5
        FROM v ORDER BY doc_id""",
 
     "x30_pii_redact" ->

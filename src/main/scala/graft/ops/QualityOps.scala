@@ -139,8 +139,8 @@ object QualityOps {
 
   /** Per-group exact score tertiles (x154 — CCNet's head/middle/tail
     * calibration device): every group gets its OWN cutoffs c1/c2 = the
-    * largest score whose top-down row count reaches ⌈tot/3⌉ and
-    * ⌈2·tot/3⌉, and each row is bucketed `head` (score ≥ c1), `middle`
+    * largest score whose top-down row count reaches max(1, ⌊tot/3⌋) and
+    * max(1, ⌊2·tot/3⌋), and each row is bucketed `head` (score ≥ c1), `middle`
     * (≥ c2), else `tail`. Ties keep an entire equal-score run in one
     * bucket — boundary buckets may exceed a third (the standard
     * grouped-quantile tie semantics); a 1-row group is all-head (both
@@ -155,8 +155,8 @@ object QualityOps {
                   scoreCol, groupCol)
 
   /** The cutoff half of [[scoreTertiles]]: per group, (_c1, _c2) = the
-    * largest scores whose top-down row counts reach ⌈tot/3⌉ and
-    * ⌈2·tot/3⌉ — a |groups|-row frame. Exposed separately so the
+    * largest scores whose top-down row counts reach max(1, ⌊tot/3⌋) and
+    * max(1, ⌊2·tot/3⌋) — a |groups|-row frame. Exposed separately so the
     * cutoffs can be FROZEN and applied to a later batch (x159's
     * incremental economics: the corpus calibration is an artifact, not
     * a per-ingest recomputation). */

@@ -18,11 +18,15 @@ def main(sf_dir, out_dir, prefixes):
     kept = {k: v for k, v in oracles.items()
             if any(k.startswith(p) for p in ps)}
     with tempfile.TemporaryDirectory(prefix="parity_only_") as tmp:
-        json.dump(kept, open(f"{tmp}/oracle_sql.json", "w"))
+        with open(f"{tmp}/oracle_sql.json", "w") as f:
+            json.dump(kept, f)
         for name in kept:
             src = f"{out_dir}/{name}"
-            if os.path.isdir(src):
+            if os.path.exists(src):
                 os.symlink(os.path.abspath(src), f"{tmp}/{name}")
+            else:
+                print(f"WARN: no verify output for {name} at {src}",
+                      file=sys.stderr)
         return cp.main(sf_dir, tmp)
 
 
