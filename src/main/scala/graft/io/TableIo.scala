@@ -112,18 +112,23 @@ object TableIo {
     out.write.mode("overwrite").json(path)
   }
 
-  /** S4 — Excel source via the hand-rolled codecs: first sheet, header
-    * row 0, all values string. Driver-side parse (payroll workbooks are
-    * small by contract — the distributed path is CSV/parquet). Dispatches
-    * on the CONTENT's magic bytes, not the extension: an OLE2 container
-    * reads through the BIFF8 [[Xls]] reader, a zip through [[Xlsx]] —
-    * the reference's detection filter accepts both extensions
-    * (etl_payroll_pipeline.py:69,74), and mislabeled files are common. */
+  /** S4 — Excel source via the hand-rolled codecs: header row 0, all
+    * values string (date-styled cells resolve to ISO strings through
+    * the style table — [[ExcelDates]]). `sheetName = None` reads the
+    * first sheet (the pandas `read_excel` default); `Some(name)` is the
+    * `sheet_name=` analog on both formats. Driver-side parse (payroll
+    * workbooks are small by contract — the distributed path is
+    * CSV/parquet). Dispatches on the CONTENT's magic bytes, not the
+    * extension: an OLE2 container reads through the BIFF8 [[Xls]]
+    * reader, a zip through [[Xlsx]] — the reference's detection filter
+    * accepts both extensions (etl_payroll_pipeline.py:69,74), and
+    * mislabeled files are common. */
   def readXlsx(spark: SparkSession, storage: StorageClient,
-               path: String): DataFrame = {
+               path: String, sheetName: Option[String] = None): DataFrame = {
     val bytes = storage.readBytes(path)
     val (header, rows) =
-      if (Xls.isOle2(bytes)) Xls.readTable(bytes) else Xlsx.readTable(bytes)
+      if (Xls.isOle2(bytes)) Xls.readTable(bytes, sheetName)
+      else Xlsx.readTable(bytes, sheetName)
     val schema = StructType(header.map(c => StructField(c, StringType, nullable = true)) :+
       StructField(DedupOps.OrdinalCol, org.apache.spark.sql.types.LongType, nullable = false))
     val data = rows.zipWithIndex.map { case (r, i) =>

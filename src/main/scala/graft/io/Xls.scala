@@ -38,20 +38,27 @@ object Xls {
       (bytes(4) & 0xFF) == 0xA1 && (bytes(5) & 0xFF) == 0xB1 &&
       (bytes(6) & 0xFF) == 0x1A && (bytes(7) & 0xFF) == 0xE1
 
-  /** Read the first worksheet into rows of optional cell values —
-    * [[Xlsx.read]]'s contract on the binary format. */
-  def read(bytes: Array[Byte]): Seq[Seq[Option[String]]] = {
+  /** Read one worksheet into rows of optional cell values —
+    * [[Xlsx.read]]'s contract on the binary format: `sheetName = None`
+    * reads the first sheet, `Some(name)` selects by BOUNDSHEET name
+    * (fail-loud when absent). Date-styled NUMBER/RK/MULRK cells (the
+    * XF's ifmt is a builtin date id or a date-like FORMAT code, with
+    * the DATE1904 record honored) surface as ISO-8601 strings via
+    * [[ExcelDates]]. */
+  def read(bytes: Array[Byte],
+           sheetName: Option[String] = None): Seq[Seq[Option[String]]] = {
     require(isOle2(bytes), "not an OLE2/CFB container (.xls)")
     val wb = cfbStreams(bytes).collectFirst {
       case (name, data) if name == "Workbook" || name == "Book" => data
     }.getOrElse(throw new IllegalArgumentException(
       "no Workbook/Book stream in the OLE2 container"))
-    parseBiff(wb)
+    parseBiff(wb, sheetName)
   }
 
   /** (header, dataRows) — [[Xlsx.readTable]]'s contract. */
-  def readTable(bytes: Array[Byte]): (Seq[String], Seq[Seq[Option[String]]]) = {
-    val rows = read(bytes)
+  def readTable(bytes: Array[Byte], sheetName: Option[String] = None)
+      : (Seq[String], Seq[Seq[Option[String]]]) = {
+    val rows = read(bytes, sheetName)
     if (rows.isEmpty) (Seq.empty, Seq.empty)
     else {
       val header = rows.head.map(_.getOrElse(""))
@@ -170,6 +177,10 @@ object Xls {
   private val RMulRk = 0x00BD
   private val RFormula = 0x0006
   private val RBoolErr = 0x0205
+  private val RFormat = 0x041E
+  private val RXf = 0x00E0
+  private val RDate1904 = 0x0022
+  private val RBoundSheet = 0x0085
 
   private def numStr(d: Double): String =
     if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
@@ -185,15 +196,31 @@ object Xls {
     if ((raw & 1L) != 0) base / 100.0 else base
   }
 
-  private def parseBiff(wb: Array[Byte]): Seq[Seq[Option[String]]] = {
+  private def parseBiff(wb: Array[Byte],
+                        sheetName: Option[String]): Seq[Seq[Option[String]]] = {
     var pos = 0
     def hasRec = pos + 4 <= wb.length
     val sst = mutable.ArrayBuffer.empty[String]
     val cells = mutable.Map.empty[(Int, Int), String] // (row, col) -> value
+    val xfFmt = mutable.ArrayBuffer.empty[Int]    // XF index -> ifmt
+    val customFmt = mutable.Map.empty[Int, String] // ifmt -> format code
+    val sheetNames = mutable.ArrayBuffer.empty[String] // BOUNDSHEET order
+    var date1904 = false
     var bofDepth = 0  // which substream we are in
     var inSheet1 = false
     var sheetDone = false
     var sheetsSeen = 0
+    // target sheet ordinal: BOUNDSHEET records precede all sheet
+    // substreams in the globals, so by the first sheet BOF the name
+    // table is complete
+    var targetOrd = 1
+    def isDateXf(ixfe: Int): Boolean =
+      xfFmt.lift(ixfe).exists { ifmt =>
+        customFmt.get(ifmt).map(ExcelDates.isDateFormatCode)
+          .getOrElse(ExcelDates.isBuiltinDate(ifmt))
+      }
+    def cellNum(d: Double, ixfe: Int): String =
+      if (isDateXf(ixfe)) ExcelDates.serialToIso(d, date1904) else numStr(d)
     while (hasRec && !sheetDone) {
       val id = u16(wb, pos)
       val len = u16(wb, pos + 2)
@@ -203,12 +230,49 @@ object Xls {
         case RBof =>
           bofDepth += 1
           if (bofDepth > 1) { // a substream after globals
+            if (sheetsSeen == 0) sheetName.foreach { want =>
+              val i = sheetNames.indexOf(want)
+              require(i >= 0, s"no sheet named '$want' — workbook has " +
+                sheetNames.mkString("[", ", ", "]"))
+              targetOrd = i + 1
+            }
             sheetsSeen += 1
-            inSheet1 = sheetsSeen == 1
+            inSheet1 = sheetsSeen == targetOrd
           }
         case REof =>
           if (inSheet1) sheetDone = true
           inSheet1 = false
+        case RDate1904 =>
+          date1904 = u16(wb, off) != 0
+        case RXf =>
+          xfFmt += u16(wb, off + 2) // ifmt ([MS-XLS] XF, offset 2)
+        case RFormat =>
+          // ifmt u16 + XLUnicodeString (cch u16, grbit u8, chars)
+          val ifmt = u16(wb, off)
+          val cch = u16(wb, off + 2)
+          val grbit = wb(off + 4) & 0xFF
+          customFmt(ifmt) =
+            if ((grbit & 0x01) != 0)
+              new String(wb, off + 5, cch * 2, "UTF-16LE")
+            else {
+              val cs = new Array[Char](cch)
+              var j = 0
+              while (j < cch) { cs(j) = (wb(off + 5 + j) & 0xFF).toChar; j += 1 }
+              new String(cs)
+            }
+        case RBoundSheet =>
+          // lbPlyPos u32, grbit u16, then ShortXLUnicodeString (cch u8)
+          val cch = wb(off + 6) & 0xFF
+          val grbit = wb(off + 7) & 0xFF
+          sheetNames +=
+            (if ((grbit & 0x01) != 0)
+               new String(wb, off + 8, cch * 2, "UTF-16LE")
+             else {
+               val cs = new Array[Char](cch)
+               var j = 0
+               while (j < cch) { cs(j) = (wb(off + 8 + j) & 0xFF).toChar; j += 1 }
+               new String(cs)
+             })
         case RSst =>
           // cstTotal u32, cstUnique u32, then XLUnicodeRichExtendedString*
           val unique = u32(wb, off + 4)
@@ -263,20 +327,23 @@ object Xls {
             }
         case RNumber if inSheet1 =>
           val rw = u16(wb, off); val c = u16(wb, off + 2)
+          val ixfe = u16(wb, off + 4)
           var bits = 0L
           var j = 0
           while (j < 8) { bits |= (wb(off + 6 + j) & 0xFFL) << (8 * j); j += 1 }
-          cells((rw, c)) = numStr(java.lang.Double.longBitsToDouble(bits))
+          cells((rw, c)) = cellNum(java.lang.Double.longBitsToDouble(bits), ixfe)
         case RRk if inSheet1 =>
           val rw = u16(wb, off); val c = u16(wb, off + 2)
-          cells((rw, c)) = numStr(rkValue(u32(wb, off + 6)))
+          cells((rw, c)) = cellNum(rkValue(u32(wb, off + 6)), u16(wb, off + 4))
         case RMulRk if inSheet1 =>
           val rw = u16(wb, off)
           val colFirst = u16(wb, off + 2)
           val nCells = (len - 6) / 6
           var j = 0
           while (j < nCells) {
-            cells((rw, colFirst + j)) = numStr(rkValue(u32(wb, off + 4 + 6 * j + 2)))
+            cells((rw, colFirst + j)) =
+              cellNum(rkValue(u32(wb, off + 4 + 6 * j + 2)),
+                      u16(wb, off + 4 + 6 * j))
             j += 1
           }
         case RFormula if inSheet1 =>

@@ -28,6 +28,25 @@ object PayrollQueries {
         teM = df(s, TeMColumns, TeMRows)))
       out.drop(DedupOps.OrdinalCol).orderBy(PuaOrder.map(col): _*)
     }),
+    // x162 — the q22 dataflow fed through a DATE-CELLED workbook: the
+    // fixture is serialized to real XLSX bytes with `Calc Date` written
+    // as date-styled NUMERIC cells (1900-system serials, builtin numFmt
+    // 22 — what pandas `to_excel` emits for datetime64), read back
+    // through the Xlsx codec's styles.xml/numFmt resolution, and run
+    // through the same PuaPipeline. The oracle is q22's VERBATIM (string
+    // dataflow): green means serial→ISO resolution is value-exact.
+    // ("not-a-date" stays a string cell and still coerces to null.)
+    "x162_pua_datecell_xlsx" -> ((s, _) => {
+      val bytes = graft.io.Xlsx.write(PuaColumns, PuaRows, Set("Calc Date"))
+      val (h, rows) = graft.io.Xlsx.readTable(bytes)
+      val out = PuaPipeline.run(PuaPipeline.Inputs(
+        pua = df(s, h, rows),
+        tsOrg = df(s, TsOrgColumns, TsOrgRows),
+        tsDept = df(s, TsDeptColumns, TsDeptRows),
+        overtime = df(s, OvertimeColumns, OvertimeRows),
+        teM = df(s, TeMColumns, TeMRows)))
+      out.drop(DedupOps.OrdinalCol).orderBy(PuaOrder.map(col): _*)
+    }),
     "q23_cpa_pipeline" -> ((s, _) => {
       val out = CpaPipeline.run(CpaPipeline.Inputs(
         certBw = df(s, CertColumns, CertBwRows),
@@ -45,6 +64,8 @@ object PayrollQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q22_pua_pipeline" -> puaOracle,
+    // same oracle as q22: the date-cell roundtrip must be value-invisible
+    "x162_pua_datecell_xlsx" -> puaOracle,
     "q23_cpa_pipeline" -> cpaOracle)
 
   /** nan-coercing strip: pandas astype(str).str.strip() (H2). */
