@@ -6,6 +6,29 @@ object Bench {
     val s = xs.sorted
     s(s.length / 2)
   }
+
+  private[graft] def spreadOf(ts: Seq[Double]): Double =
+    if (ts.isEmpty || ts.min <= 0) Double.PositiveInfinity
+    else ts.max / ts.min
+
+  /** Spread verdict for the noisy flag and the extra-pass trigger.
+    * Pass 0 is excluded ONLY when it is the LARGEST pass — a
+    * first-pass-high outlier is structural (residual JIT, pay-once
+    * Scratch artifact rebuilds) and the median is already robust to
+    * it. A spike among the LATER passes, or a LOW pass 0 (meaning the
+    * steady passes themselves are inflated), is load and must flag.
+    * This closes the r13 blind spot: q113 ran [4.40, 12.84, 6.45] s —
+    * the old unconditional drop(1) saw spread 12.84/6.45 = 1.99, just
+    * under the 2× limit, and the inflated 6.45 s median entered the
+    * round artifact unadjudicated. Directionally, head 4.40 < max
+    * 12.84 means pass 0 is NOT the structural case, so the verdict now
+    * runs over all passes: 12.84/4.40 = 2.9 → flagged → solo block. */
+  private[graft] def captureSpread(ts: Seq[Double]): Double =
+    if (ts.length <= 2) spreadOf(ts)
+    else {
+      val steady = ts.drop(1)
+      if (ts.head >= steady.max) spreadOf(steady) else spreadOf(ts)
+    }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -74,9 +97,6 @@ object Bench {
     probe() // compile/JIT the probe plan itself before the first use
     val spreadLimit = 2.0
     val maxExtraPasses = 2
-    def spreadOf(ts: Seq[Double]): Double =
-      if (ts.isEmpty || ts.min <= 0) Double.PositiveInfinity
-      else ts.max / ts.min
     // (name, medianSec or -1, all pass times, probe seconds)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val pr = probe()
@@ -93,14 +113,14 @@ object Bench {
       var times = (1 to passes).flatMap(_ => onePass())
       var failed = times.length < passes
       if (!failed) {
-        // Extra-pass trigger mirrors the noisy verdict below: pass 0 is
-        // excluded from the spread (first-pass outliers are structural —
-        // residual JIT, pay-once Scratch artifact rebuilds — and the
-        // median is already robust to them), so a query whose only
-        // spread is pass 0 doesn't pay 2 extra passes every capture.
+        // Extra-pass trigger mirrors the noisy verdict below
+        // (captureSpread: pass 0 excluded only when it is the largest —
+        // the structural-JIT direction), so a query whose only spread
+        // is a high pass 0 doesn't pay 2 extra passes every capture,
+        // while an inflated-steady-passes capture does.
         var extra = 0
         while (!failed && times.length > 2 &&
-               spreadOf(times.drop(1)) > spreadLimit &&
+               captureSpread(times) > spreadLimit &&
                extra < maxExtraPasses) {
           extra += 1
           onePass() match {
@@ -119,16 +139,14 @@ object Bench {
       }
     }
     // noise adjudication: baseline machine speed = the run's median probe.
-    // The spread verdict EXCLUDES pass 0 — a first-pass-only outlier is
-    // structural (residual JIT, a pay-once Scratch artifact rebuilt on
-    // pass 0) and the median is already robust to it; only a spike among
-    // the steady passes, or an inflated probe, marks the entry noisy.
+    // Spread verdict = captureSpread (pass 0 excluded only when it is
+    // the largest pass); an inflated probe flags independently.
     val probeBase = median(results.map(_._4))
     val noisyIdx = results.zipWithIndex.collect {
       case ((_, med, times, pr), i)
         if med >= 0 &&
            (pr > 1.5 * probeBase ||
-            (times.length > 2 && spreadOf(times.drop(1)) > spreadLimit)) => i
+            (times.length > 2 && captureSpread(times) > spreadLimit)) => i
     }
     if (noisyIdx.nonEmpty)
       System.err.println(s"[bench] ${noisyIdx.length} noisy entries " +
