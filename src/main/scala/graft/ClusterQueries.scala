@@ -83,6 +83,68 @@ object ClusterQueries {
               col("max_cos"))
   }
 
+  /** The x149 clustered-corpus derivation, shared by x149/x163/x164/x165:
+    * scale-governed sub-cluster key (label·G + vec_id % G, G = ⌈n/120⌉ so
+    * cells hold ~12 members at any SF — the x133 device), 6dp-rounded
+    * cell centroids, v' = v + AMP·centroid, then x138's NN-Descent graph
+    * over v'. Returns (sn, centroids, graph), all persisted under scope
+    * and materialized (each is probed repeatedly downstream). */
+  private def clusteredGraph(s: SparkSession, dir: String)
+      (implicit scope: graft.ops.CacheScope)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val e = Tables(s, dir, "embeddings")
+    val n = e.count() // certified small: one scalar
+    val grp = math.max(1L, math.ceil(n / 120.0).toLong)
+    val ef = e.select(col("vec_id"),
+                      (col("label").cast("long") * grp +
+                       pmod(col("vec_id"), lit(grp))).as("cell"),
+                      V.toDouble(col("embedding")).as("v0"))
+    val means = (0 until DIMS).map(i =>
+      round(avg(col("v0")(i)), 6).as(s"m$i"))
+    val cent = scope.persist(ef.groupBy(col("cell"))
+      .agg(means.head, means.tail: _*)
+      .select(col("cell"),
+              array((0 until DIMS).map(i => col(s"m$i")): _*).as("c")))
+    val sn = scope.persist(ef.join(broadcast(cent), "cell")
+      .withColumn("v",
+        zip_with(col("v0"), col("c"), (a, b) => a + lit(AMP) * b))
+      .withColumn("nrm", V.norm(col("v")))
+      .select(col("vec_id"), col("cell"), col("v"), col("nrm")))
+    sn.count() // eager: read by build, serve, and the exact arm
+    val g = scope.persist(
+      graft.operators.NnDescent.build(sn, KG, GR, mixBuckets = MIXB)
+        .select(col("u"), col("w")))
+    g.count()
+    (sn, cent, g)
+  }
+
+  /** The exact cosine top-KG per query — the Q·N broadcast ground-truth
+    * arm every recall audit pays (x127/x130/x142 convention). */
+  private def exactTopKG(q: DataFrame, sn: DataFrame): DataFrame = {
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc_nulls_last, col("nid").asc)
+    broadcast(q).join(sn, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("qn"), col("vec_id").as("nid"),
+              col("v"), col("nrm"))
+      .withColumn("cos", cosOf("qv", "qn", "v", "nrm"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= KG)
+      .select(col("qid"), col("nid"))
+  }
+
+  /** hits (served top-KG ∩ exact top-KG) + the budget actually paid,
+    * from a [[graft.operators.GraphSearch.search]] visited frame. */
+  private def auditServe(exact: DataFrame, vf: DataFrame): DataFrame = {
+    val served = vf.filter(col("rn") <= KG)
+      .select(col("qid").as("aqid"), col("nid").as("anid"))
+    val budget = vf.select(col("qid").as("bqid"), col("scored_n"))
+      .distinct()
+    exact.join(served, col("qid") === col("aqid") &&
+                       col("nid") === col("anid"), "left")
+      .groupBy(col("qid")).agg(count(col("anid")).as("hits"))
+      .join(budget, col("qid") === col("bqid"))
+      .select(col("qid"), col("hits"), col("scored_n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // X125 — deterministic k-means assignment over the embedding corpus:
@@ -467,29 +529,7 @@ object ClusterQueries {
     // — the budget→recall row, integer-only in the hash.
     "x149_graph_recall_clustered" -> ((s, dir) => {
       implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
-      val e = Tables(s, dir, "embeddings")
-      val n = e.count() // certified small: one scalar
-      val grp = math.max(1L, math.ceil(n / 120.0).toLong)
-      val ef = e.select(col("vec_id"),
-                        (col("label").cast("long") * grp +
-                         pmod(col("vec_id"), lit(grp))).as("cell"),
-                        V.toDouble(col("embedding")).as("v0"))
-      val means = (0 until DIMS).map(i =>
-        round(avg(col("v0")(i)), 6).as(s"m$i"))
-      val cent = ef.groupBy(col("cell"))
-        .agg(means.head, means.tail: _*)
-        .select(col("cell"),
-                array((0 until DIMS).map(i => col(s"m$i")): _*).as("c"))
-      val sn = scope.persist(ef.join(broadcast(cent), "cell")
-        .withColumn("v",
-          zip_with(col("v0"), col("c"), (a, b) => a + lit(AMP) * b))
-        .withColumn("nrm", V.norm(col("v")))
-        .select(col("vec_id"), col("cell"), col("v"), col("nrm")))
-      sn.count() // eager: read by build, serve, and the exact arm
-      val g = scope.persist(
-        graft.operators.NnDescent.build(sn, KG, GR, mixBuckets = MIXB)
-          .select(col("u"), col("w")))
-      g.count()
+      val (sn, _, g) = clusteredGraph(s, dir)
       val q = sn.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
                 col("nrm").as("qn"))
@@ -498,24 +538,131 @@ object ClusterQueries {
       val seeds = graft.operators.GraphSearch.cellSeeds(assigned, sn, BEAM)
       val vf = graft.operators.GraphSearch.search(g, sn, q, seeds,
                                                   BEAM, HOPS)
-      val served = vf.filter(col("rn") <= KG)
-        .select(col("qid").as("aqid"), col("nid").as("anid"))
-      val budget = vf.select(col("qid").as("bqid"), col("scored_n"))
-        .distinct()
-      val wq = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc_nulls_last, col("nid").asc)
-      val exact = broadcast(q).join(sn, col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("qv"), col("qn"), col("vec_id").as("nid"),
-                col("v"), col("nrm"))
-        .withColumn("cos", cosOf("qv", "qn", "v", "nrm"))
-        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= KG)
-        .select(col("qid"), col("nid"))
-      exact.join(served, col("qid") === col("aqid") &&
-                         col("nid") === col("anid"), "left")
-        .groupBy(col("qid")).agg(count(col("anid")).as("hits"))
-        .join(budget, col("qid") === col("bqid"))
-        .select(col("qid"), col("hits"), col("scored_n"))
-        .orderBy(col("qid"))
+      auditServe(exactTopKG(q, sn), vf).orderBy(col("qid"))
+    }),
+
+    // X163 — multi-cell seeding insurance (the nprobe>1 analog for graph
+    // serving) + mis-seed recall audit, on the x149 clustered corpus at
+    // the SAME total seed budget. Three modes, each a full serve+audit:
+    //   one  — x149's baseline: BEAM seeds from the quantizer's nearest
+    //          cell (by centroid distance, not the stored label — the
+    //          probe a fresh query actually pays);
+    //   two  — BEAM/2 seeds from EACH of the top-2 cells (nprobe=2 at
+    //          the same total seed count — the insurance policy);
+    //   mis1 — BEAM seeds from the SECOND-nearest cell only: the
+    //          deliberately mis-assigned set quantifying what x149's
+    //          GraphSearchSpec documents qualitatively — a mis-seeded
+    //          query cannot escape the wrong cluster, because every
+    //          frozen out-edge points within it.
+    // The quantizer is the derivation's own 6dp cell-centroid table
+    // (dist = |q|² − 2q·c + |c|², ties by cell — the KMeansDet
+    // expression); for these corpus-member queries its nearest cell IS
+    // the stored cell, so `one` reproduces x149's numbers. Output
+    // (mode, qid, hits, scored_n) — the nprobe=2 insurance priced in
+    // recall AND budget, integer-only in the hash.
+    "x163_graph_seed_insurance" -> ((s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
+      val (sn, cent, g) = clusteredGraph(s, dir)
+      val q = scope.persist(sn.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                col("nrm").as("qn")))
+      // coarse ranking: Q × |cells| against the broadcast centroid
+      // table — the quantizer probe cost (Q·nlist), tiny and constant
+      // in corpus size
+      val wc = Window.partitionBy(col("qid"))
+        .orderBy(col("dist").asc, col("cell").asc)
+      val ranked = scope.persist(q.crossJoin(broadcast(cent))
+        .withColumn("dist",
+          V.dot(col("qv"), col("qv")) - lit(2.0) * V.dot(col("qv"), col("c"))
+            + V.dot(col("c"), col("c")))
+        .withColumn("crn", row_number().over(wc))
+        .filter(col("crn") <= 2)
+        .select(col("qid"), col("cell"), col("crn")))
+      ranked.count() // eager: confine the Q×nlist probe to its own job
+      val members = sn.select(col("cell"), col("vec_id").as("nid"))
+      def seedsFrom(cells: DataFrame, perCell: Int): DataFrame = {
+        val ws = Window.partitionBy(col("qid"), col("cell"))
+          .orderBy(col("nid").asc)
+        cells.join(members, "cell")
+          .filter(col("nid") =!= col("qid"))
+          .withColumn("srn", row_number().over(ws))
+          .filter(col("srn") <= perCell)
+          .select(col("qid"), col("nid"))
+      }
+      val exact = scope.persist(exactTopKG(q, sn))
+      exact.count() // eager: the Q·N ground-truth arm pays once, one job
+      val modes = Seq(
+        ("one", ranked.filter(col("crn") === 1), BEAM),
+        ("two", ranked, BEAM / 2),
+        ("mis1", ranked.filter(col("crn") === 2), BEAM))
+      modes.map { case (mode, cells, perCell) =>
+        val vf = graft.operators.GraphSearch.search(
+          g, sn, q, seedsFrom(cells.select(col("qid"), col("cell")), perCell),
+          BEAM, HOPS)
+        auditServe(exact, vf)
+          .select(lit(mode).as("mode"), col("qid"), col("hits"),
+                  col("scored_n"))
+      }.reduce(_ unionByName _).orderBy(col("mode"), col("qid"))
+    }),
+
+    // X164 — the symmetrize-at-build trade, MEASURED: GraphSearch's
+    // scaladoc asserts a deployment symmetrizes the directed k-NN graph
+    // once at build time for higher recall per hop — this prices that
+    // claim on the x149 corpus. `dir` serves over the frozen directed
+    // out-edges (x149's arm, the comparison row); `sym` serves over
+    // g ∪ reverse(g) built ONCE (a distinct union — at 100 TB a single
+    // extra keyed dedup over the edge artifact, paid at build, never at
+    // query time) with the IDENTICAL beam/hops/seeds. Expansion fan-out
+    // grows from out-degree KG to at most 2·KG, so scored_n rises with
+    // it — recall AND the budget paid for it land in the same row.
+    // Output (mode, qid, hits, scored_n), integer-only.
+    "x164_graph_symmetrized" -> ((s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
+      val (sn, _, g) = clusteredGraph(s, dir)
+      val gu = scope.persist(
+        g.union(g.select(col("w").as("u"), col("u").as("w"))).distinct())
+      gu.count() // eager: the symmetrized artifact is probed per hop
+      val q = scope.persist(sn.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                col("nrm").as("qn")))
+      val assigned = sn.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("cell"))
+      val seeds = scope.persist(
+        graft.operators.GraphSearch.cellSeeds(assigned, sn, BEAM))
+      val exact = scope.persist(exactTopKG(q, sn))
+      Seq(("dir", g), ("sym", gu)).map { case (mode, graph) =>
+        val vf = graft.operators.GraphSearch.search(graph, sn, q, seeds,
+                                                    BEAM, HOPS)
+        auditServe(exact, vf)
+          .select(lit(mode).as("mode"), col("qid"), col("hits"),
+                  col("scored_n"))
+      }.reduce(_ unionByName _).orderBy(col("mode"), col("qid"))
+    }),
+
+    // X165 — the serve/don't-serve decision DIAGNOSTIC: x142 measured
+    // ~5% recall serving the raw near-isotropic corpus (kmeans cells ≫
+    // budget) and x149 measured ~96% on the clustered corpus (cells ~12
+    // ≤ budget 52) — this emits the decision INPUTS (cell-size
+    // distribution, doc-weighted median neighborhood, degree, budget,
+    // coverage ratio) and the verdict for BOTH corpora, so the prose
+    // criterion becomes a table a pipeline can gate on before
+    // committing to graph serving. No graph build, no search — the
+    // diagnostic is one keyed count per corpus collapsed to the |cells|
+    // domain; it must agree with the measured pair at every SF.
+    "x165_serve_decision" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val m = KMeansDet.fit(e, K, ITERS)
+      val iso = KMeansDet.assign(e, m).select(col("cell"))
+      val n = e.count() // certified small: one scalar
+      val grp = math.max(1L, math.ceil(n / 120.0).toLong)
+      val clu = e.select((col("label").cast("long") * grp +
+                          pmod(col("vec_id"), lit(grp))).as("cell"))
+      graft.operators.GraphSearch.serveDiagnostic(iso, KG, BEAM, HOPS)
+        .select(lit("isotropic").as("corpus"), col("*"))
+        .unionByName(
+          graft.operators.GraphSearch.serveDiagnostic(clu, KG, BEAM, HOPS)
+            .select(lit("clustered").as("corpus"), col("*")))
+        .orderBy(col("corpus"))
     }),
 
     // X145 — hard-negative mining for embedding-model training (the
@@ -711,12 +858,12 @@ object ClusterQueries {
               ELSE list_dot_product(a.v, b.v) / (a.n * b.n) END"""
     def roundCte(i: Int): String = {
       val prev = s"g${i - 1}"
-      s"""und$i AS (SELECT u, w FROM $prev
+      s"""und$i AS MATERIALIZED (SELECT u, w FROM $prev
                  UNION SELECT w AS u, u AS w FROM $prev),
-        cd$i AS (SELECT a.u AS u, b.w AS w
+        cd$i AS MATERIALIZED (SELECT a.u AS u, b.w AS w
                  FROM und$i a JOIN und$i b ON b.u = a.w WHERE b.w <> a.u
                  UNION SELECT u, w FROM und$i),
-        g$i AS (SELECT u, w, cos, rn FROM (
+        g$i AS MATERIALIZED (SELECT u, w, cos, rn FROM (
             SELECT c.u, c.w, $cosRaw AS cos,
               row_number() OVER (PARTITION BY c.u ORDER BY
                 ($cosRaw) DESC NULLS LAST, c.w ASC) AS rn
@@ -724,11 +871,11 @@ object ClusterQueries {
                  JOIN sn b ON b.vec_id = c.w)
           WHERE rn <= $KG)"""
     }
-    s"""sn AS (SELECT vec_id, cell, v,
+    s"""sn AS MATERIALIZED (SELECT vec_id, cell, v,
                  sqrt(list_dot_product(v, v)) AS n FROM af),
         ld AS (SELECT vec_id AS u, ${leadCols("cell")} FROM sn),
         lm AS (SELECT vec_id AS u, ${leadCols(s"vec_id % $MIXB")} FROM sn),
-        g0 AS (SELECT u, w FROM (
+        g0 AS MATERIALIZED (SELECT u, w FROM (
                  SELECT u, unnest([$wList]) AS w FROM ld) WHERE w IS NOT NULL
                UNION
                SELECT u, w FROM (
@@ -737,41 +884,88 @@ object ClusterQueries {
         ${(1 to GR).map(roundCte).mkString(",\n        ")}"""
   }
 
-  /** The x148/x149 beam-search CTE chain (expects `sn`, a query CTE
-    * `qs(qid, qv, qn)`, a seed CTE `s0(qid, nid)`, and the graph CTE
-    * `gName(u, w)` in the same WITH). Ends at `vf(qid, nid, cos, rn,
-    * scored_n)` — the ranked visited set. Must stay arithmetically
-    * identical to [[graft.operators.GraphSearch.search]]: per hop, beam
-    * cut by (cos DESC NULLS LAST, nid ASC), directed expansion excluding
-    * self, UNION set-dedup (cos is recomputed bit-identically, so set
+  /** The x148/x149/x163/x164 beam-search CTE chain (expects `sn`, a
+    * query CTE `qs(qid, qv, qn)`, a seed CTE `seed(qid, nid)`, and the
+    * graph CTE `gName(u, w)` in the same WITH). Ends at
+    * `${p}vf(qid, nid, cos, rn, scored_n)` — the ranked visited set; the
+    * `p` prefix lets several chains (seeding modes, graph variants)
+    * coexist in one WITH. Must stay arithmetically identical to
+    * [[graft.operators.GraphSearch.search]]: per hop, beam cut by
+    * (cos DESC NULLS LAST, nid ASC), directed expansion excluding self,
+    * UNION set-dedup (cos is recomputed bit-identically, so set
     * semantics match the Spark distinct()). */
-  private def beamCtes(gName: String): String = {
+  private def beamCtes(gName: String, p: String = "",
+                       seed: String = "s0"): String = {
     val cosQ = """CASE WHEN q.qn = 0 OR b.n = 0 THEN NULL
               ELSE list_dot_product(q.qv, b.v) / (q.qn * b.n) END"""
     val hops = (1 to HOPS).map { h =>
-      s"""bm$h AS (SELECT qid, nid FROM (
+      s"""${p}bm$h AS (SELECT qid, nid FROM (
              SELECT qid, nid, row_number() OVER (PARTITION BY qid
                ORDER BY cos DESC NULLS LAST, nid ASC) AS rn
-             FROM v${h - 1}) WHERE rn <= $BEAM),
-        nw$h AS (SELECT DISTINCT f.qid, g.w AS nid
-                 FROM bm$h f JOIN $gName g ON g.u = f.nid
+             FROM ${p}v${h - 1}) WHERE rn <= $BEAM),
+        ${p}nw$h AS (SELECT DISTINCT f.qid, g.w AS nid
+                 FROM ${p}bm$h f JOIN $gName g ON g.u = f.nid
                  WHERE g.w <> f.qid),
-        v$h AS (SELECT qid, nid, cos FROM v${h - 1}
+        ${p}v$h AS MATERIALIZED (SELECT qid, nid, cos FROM ${p}v${h - 1}
                 UNION
                 SELECT n.qid, n.nid, $cosQ AS cos
-                FROM nw$h n JOIN qs q ON q.qid = n.qid
+                FROM ${p}nw$h n JOIN qs q ON q.qid = n.qid
                      JOIN sn b ON b.vec_id = n.nid)"""
     }.mkString(",\n        ")
-    s"""v0 AS (SELECT DISTINCT s.qid, s.nid, $cosQ AS cos
-               FROM s0 s JOIN qs q ON q.qid = s.qid
+    s"""${p}v0 AS MATERIALIZED (SELECT DISTINCT s.qid, s.nid, $cosQ AS cos
+               FROM $seed s JOIN qs q ON q.qid = s.qid
                     JOIN sn b ON b.vec_id = s.nid),
         $hops,
-        vf AS (SELECT qid, nid, cos,
+        ${p}vf AS MATERIALIZED (SELECT qid, nid, cos,
                  row_number() OVER (PARTITION BY qid
                    ORDER BY cos DESC NULLS LAST, nid ASC) AS rn,
                  count(*) OVER (PARTITION BY qid) AS scored_n
-               FROM v$HOPS)"""
+               FROM ${p}v$HOPS)"""
   }
+
+  /** The x149/x163/x164 clustered-corpus derivation as CTEs: ends at
+    * `af(vec_id, v, cell)` (amplified vectors) and `cc(cell, c)` (the
+    * 6dp-rounded cell centroids — x163's coarse quantizer table). Must
+    * stay arithmetically identical to [[clusteredGraph]]. */
+  private def clusteredCtes: String = {
+    val amp = AMP.toInt // 40.0 is integer-exact; int·double is exact SQL
+    s"""gd AS (SELECT greatest(1, CAST(ceil(count(*) / 120.0)
+               AS BIGINT)) AS g FROM embeddings),
+        ex0 AS MATERIALIZED (SELECT vec_id,
+               CAST(label AS BIGINT) * gd.g + vec_id % gd.g AS cell,
+               embedding::DOUBLE[] AS v0 FROM embeddings CROSS JOIN gd),
+        cm AS (SELECT cell, i, round(avg(v0[i]), 6) AS m
+               FROM ex0 CROSS JOIN generate_series(1, $DIMS) AS gs0(i)
+               GROUP BY cell, i),
+        cc AS MATERIALIZED (SELECT cell, list(m ORDER BY i) AS c FROM cm GROUP BY cell),
+        af AS MATERIALIZED (SELECT vec_id,
+                 list_transform(generate_series(1, $DIMS),
+                   i -> v0[i] + $amp * c[i]) AS v,
+                 ex0.cell
+               FROM ex0 JOIN cc USING (cell))"""
+  }
+
+  /** Shared exact-top-KG arm (expects `qs` and `sn`): `ex(qid, nid)`. */
+  private def exCte: String =
+    s"""ex AS MATERIALIZED (SELECT qid, nid FROM (
+        SELECT q.qid, s.vec_id AS nid,
+          row_number() OVER (PARTITION BY q.qid
+            ORDER BY CASE WHEN q.qn = 0 OR s.n = 0 THEN NULL
+              ELSE list_dot_product(q.qv, s.v) / (q.qn * s.n) END
+              DESC NULLS LAST, s.vec_id ASC) AS rn
+        FROM qs q JOIN sn s ON s.vec_id <> q.qid) WHERE rn <= $KG)"""
+
+  /** Serve audit over a `${p}vf` beam chain vs `ex`: `${p}au(qid, hits,
+    * scored_n)`. */
+  private def auditCte(p: String): String =
+    s"""${p}ap AS (SELECT qid, nid FROM ${p}vf WHERE rn <= $KG),
+        ${p}bu AS (SELECT DISTINCT qid, scored_n FROM ${p}vf),
+        ${p}au AS (SELECT ex.qid AS qid, count(${p}ap.nid) AS hits,
+                 any_value(${p}bu.scored_n) AS scored_n
+               FROM ex LEFT JOIN ${p}ap
+                 ON ${p}ap.qid = ex.qid AND ${p}ap.nid = ex.nid
+                 JOIN ${p}bu ON ${p}bu.qid = ex.qid
+               GROUP BY ex.qid)"""
 
   /** x148/x149 seed CTE: the BEAM smallest same-cell ids per query,
     * self excluded, unscored (see [[graft.operators.GraphSearch
@@ -786,6 +980,29 @@ object ClusterQueries {
             FROM sn q JOIN sn s
               ON s.cell = q.cell AND s.vec_id <> q.vec_id
             WHERE q.vec_id < $qMax) WHERE srn <= $BEAM)"""
+
+  /** x165 per-corpus diagnostic CTEs over a `(cell)` source CTE `src`:
+    * ends at `${p}dg` — one row of decision inputs + verdict. Must stay
+    * arithmetically identical to
+    * [[graft.operators.GraphSearch.serveDiagnostic]]. */
+  private def diagCtes(p: String, src: String, label: String): String = {
+    val budget = BEAM.toLong + HOPS.toLong * BEAM * KG
+    s"""${p}sz AS (SELECT cell, count(*)::BIGINT AS sz
+               FROM $src GROUP BY cell),
+        ${p}st AS (SELECT sum(sz)::BIGINT AS n, count(*)::BIGINT AS n_cells,
+                 min(sz) AS min_sz, max(sz) AS max_sz FROM ${p}sz),
+        ${p}cu AS (SELECT sz, sum(sz) OVER (ORDER BY sz ASC, cell ASC
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM ${p}sz),
+        ${p}md AS (SELECT min_by(sz, cum) AS med_sz
+               FROM ${p}cu CROSS JOIN ${p}st WHERE cum * 2 >= n),
+        ${p}dg AS (SELECT '$label' AS corpus, n, n_cells, min_sz, med_sz,
+                 max_sz, CAST($KG AS BIGINT) AS degree,
+                 CAST($budget AS BIGINT) AS budget,
+                 (100 * $budget) // med_sz AS ratio_pct,
+                 CASE WHEN med_sz <= $budget THEN 'serve'
+                      ELSE 'dont_serve' END AS verdict
+               FROM ${p}st CROSS JOIN ${p}md)"""
+  }
 
   /** The four per-subspace PQ chains (p0..p3 over 16-dim slices). */
   private def pqChains: String =
@@ -1039,40 +1256,97 @@ object ClusterQueries {
     // sub-cluster key, 6dp-rounded cell centroids, v' = v + AMP·c)
     // feeding the SAME NN-Descent + beam chains, audited against the
     // exact top-KG; G re-derived from the oracle's own count (x133)
-    "x149_graph_recall_clustered" -> {
-      val amp = AMP.toInt // 40.0 is integer-exact; int·double is exact SQL
-      s"""WITH gd AS (SELECT greatest(1, CAST(ceil(count(*) / 120.0)
-                 AS BIGINT)) AS g FROM embeddings),
-          ex0 AS (SELECT vec_id,
-                 CAST(label AS BIGINT) * gd.g + vec_id % gd.g AS cell,
-                 embedding::DOUBLE[] AS v0 FROM embeddings CROSS JOIN gd),
-          cm AS (SELECT cell, i, round(avg(v0[i]), 6) AS m
-                 FROM ex0 CROSS JOIN generate_series(1, $DIMS) AS gs(i)
-                 GROUP BY cell, i),
-          cc AS (SELECT cell, list(m ORDER BY i) AS c FROM cm GROUP BY cell),
-          af AS (SELECT vec_id,
-                   list_transform(generate_series(1, $DIMS),
-                     i -> v0[i] + $amp * c[i]) AS v,
-                   ex0.cell
-                 FROM ex0 JOIN cc USING (cell)),
+    "x149_graph_recall_clustered" ->
+      s"""WITH $clusteredCtes,
           $nndCtes,
           ${seedCtes(20)},
           ${beamCtes(s"g$GR")},
-          ex AS (SELECT qid, nid FROM (
-              SELECT q.qid, s.vec_id AS nid,
+          $exCte,
+          ${auditCte("")}
+          SELECT qid, hits, scored_n FROM au ORDER BY qid""",
+
+    // the identical clustered derivation + graph; three seed sets from
+    // the 6dp-centroid quantizer ranking (nearest cell / top-2 at half
+    // seeds each / second-nearest only), three beam chains, three audit
+    // arms against the shared exact top-KG
+    "x163_graph_seed_insurance" -> {
+      val half = BEAM / 2
+      s"""WITH $clusteredCtes,
+          $nndCtes,
+          qs AS (SELECT vec_id AS qid, v AS qv, n AS qn
+                 FROM sn WHERE vec_id < 20),
+          cr AS (SELECT qid, cell, crn FROM (
+              SELECT q.qid, cc.cell,
                 row_number() OVER (PARTITION BY q.qid
-                  ORDER BY CASE WHEN q.qn = 0 OR s.n = 0 THEN NULL
-                    ELSE list_dot_product(q.qv, s.v) / (q.qn * s.n) END
-                    DESC NULLS LAST, s.vec_id ASC) AS rn
-              FROM qs q JOIN sn s ON s.vec_id <> q.qid) WHERE rn <= $KG),
-          ap AS (SELECT qid, nid FROM vf WHERE rn <= $KG),
-          bu AS (SELECT DISTINCT qid, scored_n FROM vf)
-          SELECT ex.qid AS qid, count(ap.nid) AS hits,
-                 any_value(bu.scored_n) AS scored_n
-          FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.nid = ex.nid
-               JOIN bu ON bu.qid = ex.qid
-          GROUP BY ex.qid ORDER BY ex.qid"""
+                  ORDER BY ${distSql("q.qv", "cc.c")} ASC, cc.cell ASC)
+                  AS crn
+              FROM qs q CROSS JOIN cc) WHERE crn <= 2),
+          so AS (SELECT qid, nid FROM (
+              SELECT cr.qid, s.vec_id AS nid,
+                row_number() OVER (PARTITION BY cr.qid, cr.cell
+                  ORDER BY s.vec_id ASC) AS srn
+              FROM cr JOIN sn s ON s.cell = cr.cell AND s.vec_id <> cr.qid
+              WHERE cr.crn = 1) WHERE srn <= $BEAM),
+          st AS (SELECT qid, nid FROM (
+              SELECT cr.qid, s.vec_id AS nid,
+                row_number() OVER (PARTITION BY cr.qid, cr.cell
+                  ORDER BY s.vec_id ASC) AS srn
+              FROM cr JOIN sn s ON s.cell = cr.cell AND s.vec_id <> cr.qid)
+            WHERE srn <= $half),
+          sm AS (SELECT qid, nid FROM (
+              SELECT cr.qid, s.vec_id AS nid,
+                row_number() OVER (PARTITION BY cr.qid, cr.cell
+                  ORDER BY s.vec_id ASC) AS srn
+              FROM cr JOIN sn s ON s.cell = cr.cell AND s.vec_id <> cr.qid
+              WHERE cr.crn = 2) WHERE srn <= $BEAM),
+          ${beamCtes(s"g$GR", "o_", "so")},
+          ${beamCtes(s"g$GR", "t_", "st")},
+          ${beamCtes(s"g$GR", "m_", "sm")},
+          $exCte,
+          ${auditCte("o_")},
+          ${auditCte("t_")},
+          ${auditCte("m_")}
+          SELECT * FROM (
+            SELECT 'one' AS mode, qid, hits, scored_n FROM o_au
+            UNION ALL SELECT 'two', qid, hits, scored_n FROM t_au
+            UNION ALL SELECT 'mis1', qid, hits, scored_n FROM m_au)
+          ORDER BY mode, qid"""
     },
+
+    // both corpora's cell assignments (kmeans / derived sub-cluster
+    // key), each collapsed to per-cell sizes; the doc-weighted median
+    // walk and verdict restated per corpus
+    "x165_serve_decision" ->
+      s"""WITH ${kmeansCtes()},
+          iso AS (SELECT cell FROM af),
+          gd AS (SELECT greatest(1, CAST(ceil(count(*) / 120.0)
+                 AS BIGINT)) AS g FROM embeddings),
+          clu AS (SELECT CAST(label AS BIGINT) * gd.g + vec_id % gd.g
+                    AS cell
+                  FROM embeddings CROSS JOIN gd),
+          ${diagCtes("i_", "iso", "isotropic")},
+          ${diagCtes("c_", "clu", "clustered")}
+          SELECT * FROM (
+            SELECT * FROM i_dg UNION ALL SELECT * FROM c_dg)
+          ORDER BY corpus""",
+
+    // the identical derivation + directed graph, plus its symmetrized
+    // union; the SAME seeds/beam/hops through both, two audit arms
+    "x164_graph_symmetrized" ->
+      s"""WITH $clusteredCtes,
+          $nndCtes,
+          ${seedCtes(20)},
+          gs AS (SELECT u, w FROM g$GR
+                 UNION SELECT w AS u, u AS w FROM g$GR),
+          ${beamCtes(s"g$GR", "d_")},
+          ${beamCtes("gs", "y_")},
+          $exCte,
+          ${auditCte("d_")},
+          ${auditCte("y_")}
+          SELECT * FROM (
+            SELECT 'dir' AS mode, qid, hits, scored_n FROM d_au
+            UNION ALL SELECT 'sym', qid, hits, scored_n FROM y_au)
+          ORDER BY mode, qid""",
 
     // the identical cell-blocked different-label pair mine, k re-derived
     // from the oracle's own count (the x133 device)

@@ -30,7 +30,18 @@ import graft.ops.CacheScope
   * Adjacency is expanded along the graph's DIRECTED out-edges (the
   * artifact x138 persists); a deployment wanting higher recall per hop
   * symmetrizes the graph once at build time and serves over that — the
-  * search itself is unchanged.
+  * search itself is unchanged. MEASURED (x164, the x149 corpus):
+  * g ∪ reverse(g) at the identical beam/hops/seeds lifts recall@4 from
+  * 96.2/97.5/92.5% to 97.5/100/100% across sf0.001/0.01/0.1 for ~6–10%
+  * more scored candidates (avg 9.7→10.3 at sf0.001, 11.4→12.5 at
+  * sf0.1) — the reverse edges recover exactly the neighbors a directed
+  * out-list drops when a popular node's in-edges aren't reciprocated.
+  * Seeding sensitivity is measured too (x163): a DELIBERATELY
+  * mis-seeded query (second-nearest cell) recalls 0–6% — the search
+  * cannot escape the wrong cluster, because every frozen out-edge
+  * points within it — while top-2-cell seeding at the SAME total seed
+  * count holds 91–94% and prices the insurance at ~60% more scored
+  * candidates (two cells' adjacency both expand).
   *
   * Scale shape: every hop is one keyed equi-join of the (tiny) beam
   * frontier against the adjacency table (at rest: bucketed by `u`, so
@@ -112,6 +123,53 @@ object GraphSearch {
       .withColumn("rn", row_number().over(wb))
       .withColumn("scored_n",
         count(lit(1)).over(Window.partitionBy(col("qid"))))
+  }
+
+  /** The serve/don't-serve decision, OPERATIONALIZED (x165): the
+    * criterion the x142/x149 pair taught — graph serving pays off only
+    * when a typical coarse-cell neighborhood fits inside the per-query
+    * scored-candidate budget (seeds + hops·beam·kg); cells much larger
+    * than the budget leave the beam search facing isotropic residuals
+    * (x142's regime, ~5% recall), cells commensurate with it reach
+    * ~96%+ (x149) — turned from in-code prose into a queryable table a
+    * pipeline can gate on.
+    *
+    * Emits ONE row of decision inputs + verdict: corpus size, cell
+    * count, min/max cell size, the DOC-WEIGHTED median cell size (the
+    * neighborhood a typical VECTOR experiences — for skewed quantizers
+    * this is what a random query actually lands in, not the typical
+    * cell), the graph degree and budget, the coverage ratio
+    * 100·budget/med (how much of a typical neighborhood the budget
+    * covers), and `serve` iff med ≤ budget. Median pinned: walk cells
+    * by (size ASC, cell ASC), first cell whose cumulative vector count
+    * reaches half the corpus. Scale shape: one keyed count collapses
+    * the corpus to the |cells| domain (bounded by the quantizer's
+    * nlist); the single-partition window runs on that domain only. */
+  def serveDiagnostic(assigned: DataFrame, kg: Int, beam: Int,
+                      hops: Int): DataFrame = {
+    val budget = beam.toLong + hops.toLong * beam * kg
+    val sizes = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("sz"))
+    val wc = Window.orderBy(col("sz").asc, col("cell").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = sizes.agg(
+      sum(col("sz")).as("n"), count(lit(1)).as("n_cells"),
+      min(col("sz")).as("min_sz"), max(col("sz")).as("max_sz"))
+    val med = sizes.withColumn("cum", sum(col("sz")).over(wc))
+      .crossJoin(broadcast(sizes.agg(sum(col("sz")).as("_n"))))
+      .filter(col("cum") * 2 >= col("_n"))
+      .agg(min_by(col("sz"), col("cum")).as("med_sz"))
+    stats.crossJoin(broadcast(med))
+      .withColumn("degree", lit(kg.toLong))
+      .withColumn("budget", lit(budget))
+      .withColumn("ratio_pct",
+        (lit(100L * budget) / col("med_sz")).cast("long"))
+      .withColumn("verdict",
+        when(col("med_sz") <= budget, lit("serve"))
+          .otherwise(lit("dont_serve")))
+      .select(col("n"), col("n_cells"), col("min_sz"), col("med_sz"),
+              col("max_sz"), col("degree"), col("budget"),
+              col("ratio_pct"), col("verdict"))
   }
 
   /** Coarse-cell seeds: for each query, the `beam` SMALLEST vec_ids of

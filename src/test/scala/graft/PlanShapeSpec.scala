@@ -1685,6 +1685,101 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  /** Render an executed plan WITHOUT cached subtrees: a cached frame's
+    * ORIGIN plan is reprinted (with its whole AQE history) under every
+    * consumer's InMemoryTableScan, so an operator paid once into cache
+    * (e.g. a deliberate broadcast nested loop) would otherwise be
+    * counted once per consumer action. The walk descends through AQE
+    * wrappers and stops at cache scans. */
+  private def renderSansCached(
+      root: org.apache.spark.sql.execution.SparkPlan): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val sb = new StringBuilder
+    def walk(n: SparkPlan): Unit = {
+      sb.append(n.simpleString(2000)).append('\n')
+      n match {
+        case _: InMemoryTableScanExec => // paid in its own action
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec        => walk(q.plan)
+        case other                    => other.children.foreach(walk)
+      }
+    }
+    walk(root)
+    sb.toString
+  }
+
+  /** [[allPlansOf]] with cached subtrees excluded — for pins that count
+    * pay-once operators. */
+  private def allPlansSansCachedOf(name: String): Seq[String] = {
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit =
+        synchronized { plans += renderSansCached(qe.executedPlan) }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      SparkEntry.queries(name)(spark, sfDir).count()
+      var last = -1
+      var settled = 0
+      while (settled < 3) {
+        Thread.sleep(200)
+        val n = l.synchronized(plans.length)
+        if (n == last) settled += 1 else { settled = 0; last = n }
+      }
+    } finally spark.listenerManager.unregister(l)
+    plans.toSeq
+  }
+
+  test("x163 seed insurance: three serves stay keyed; nested loops only for the exact arm and the Q×nlist quantizer probe") {
+    val plans = allPlansSansCachedOf("x163_graph_seed_insurance")
+    plans.foreach(p => assert(!p.contains("CartesianProduct"), p.take(3000)))
+    // two deliberate broadcast nested loops, each PAID ONCE into cache:
+    // the exact arm's Q·N ground truth (x127/x130/x142 convention) and
+    // the coarse ranking's Q × |cells| centroid probe — both
+    // constant-size in corpus terms (Q=20 fixed, |cells| is the
+    // quantizer's nlist). With cached reprints stripped, each appears
+    // in exactly its own materialization action.
+    val bnljPlans = plans.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnljPlans <= 2,
+      s"only the exact arm and the centroid probe may nested-loop, got $bnljPlans plans")
+    assert(plans.exists(_.contains("__gu")),
+      s"adjacency join key missing from all ${plans.length} plans")
+    spark.catalog.clearCache()
+  }
+
+  test("x164 symmetrized serving: both graph variants serve through keyed expansions; only the exact arm nested-loops") {
+    val plans = allPlansSansCachedOf("x164_graph_symmetrized")
+    plans.foreach(p => assert(!p.contains("CartesianProduct"), p.take(3000)))
+    val bnljPlans = plans.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnljPlans <= 1,
+      s"only the exact arm's action may nested-loop, got $bnljPlans plans")
+    assert(plans.exists(_.contains("__gu")),
+      s"adjacency join key missing from all ${plans.length} plans")
+    spark.catalog.clearCache()
+  }
+
+  test("x165 serve diagnostic: corpus collapses to per-cell counts; nested loops only between singleton stat frames") {
+    val plans = allPlansSansCachedOf("x165_serve_decision")
+    plans.foreach(p => assert(!p.contains("CartesianProduct"), p.take(3000)))
+    // the diagnostic's crossJoins glue ONE-ROW frames (stats × median ×
+    // total) — they print as broadcast nested loops but each side is a
+    // single row by construction; the corpus-sized work is only the
+    // keyed per-cell count, so no data-sized nested loop can appear
+    plans.filter(_.contains("BroadcastNestedLoopJoin")).foreach { p =>
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+        "a nested loop appeared outside the singleton stat assembly:\n" +
+          p.take(3000))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("x145 hard negatives: candidates are cell-blocked equi-joins — no cartesian, no data-sized nested loop") {
     val plan = planOf("x145_hard_negatives")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
