@@ -125,6 +125,35 @@ object GraphSearch {
         count(lit(1)).over(Window.partitionBy(col("qid"))))
   }
 
+  /** The frozen serving artifacts as ONE ROW of maps — the export the
+    * streaming twin ([[graft.streaming.StreamingOps.streamingGraphServe]])
+    * broadcasts onto the query stream: `gmap` (node → sorted
+    * out-neighbors), `vmap` (node → (v, nrm)), `smap` (cell → the
+    * beam+1 smallest member ids; +1 because self-exclusion happens per
+    * query, AFTER which the first `beam` are the [[cellSeeds]] set).
+    * This is the in-RAM serving-shard shape (an HNSW-style server keeps
+    * graph + vectors resident); at 100 TB the corpus shards by coarse
+    * cell and each serving executor holds its shard's row — the maps
+    * here are one shard, not "the corpus on the driver". */
+  def serveArtifacts(g: DataFrame, sn: DataFrame, beam: Int): DataFrame = {
+    val gm = g.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("w"))).as("nbrs"))
+      .agg(map_from_entries(collect_list(struct(col("u"), col("nbrs"))))
+        .as("gmap"))
+    val vm = sn
+      .agg(map_from_entries(collect_list(struct(col("vec_id"),
+        struct(col("v"), col("nrm"))))).as("vmap"))
+    val ws = Window.partitionBy(col("cell")).orderBy(col("vec_id").asc)
+    val sm = sn.select(col("cell"), col("vec_id"))
+      .withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= beam + 1)
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("mem"))
+      .agg(map_from_entries(collect_list(struct(col("cell"), col("mem"))))
+        .as("smap"))
+    gm.crossJoin(vm).crossJoin(sm)
+  }
+
   /** The serve/don't-serve decision, OPERATIONALIZED (x165): the
     * criterion the x142/x149 pair taught — graph serving pays off only
     * when a typical coarse-cell neighborhood fits inside the per-query

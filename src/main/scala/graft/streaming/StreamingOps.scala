@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -911,6 +911,75 @@ object StreamingOps {
   def streamingLuhnScreen(docs: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame =
     graft.CorpusQueries.luhnScreen(docs, idCol, textCol)
+
+  /** x148's streaming twin: graph-ANN SERVING on a query stream. The
+    * frozen artifacts ([[graft.operators.GraphSearch.serveArtifacts]]:
+    * adjacency, vector store, per-cell seed lists as one row of maps)
+    * broadcast onto the stream — ONE stream-static broadcast join, zero
+    * state — and the whole fixed-hop beam search runs INSIDE each query
+    * row as higher-order array functions: seed from the query's cell
+    * (self excluded), then `hops` rounds of sort-by-(cos DESC NULLS
+    * LAST, nid ASC) → take `beam` → expand `gmap` → score fresh
+    * candidates via `vmap`. Per-row work is bounded by the same
+    * constant budget as the batch operator (≤ beam + hops·beam·kg
+    * scored candidates), and the visited set is the identical pure
+    * function of (graph, seeds, query) — StreamingSpec reconciles the
+    * served answer with batch [[graft.operators.GraphSearch.search]]
+    * over a query split. Output per query: (qid, rank, nid, cos,
+    * scored_n) for rank ≤ `k`.
+    *
+    * This is the deployment shape for query-time ANN at ingest: the
+    * serving executor holds its shard's artifacts in RAM (the HNSW
+    * convention); queries route to shards by coarse cell upstream. */
+  def streamingGraphServe(queries: DataFrame, artifacts: DataFrame,
+                          beam: Int, hops: Int, k: Int): DataFrame = {
+    // comparator for (cos DESC NULLS LAST, nid ASC) — the batch rank
+    def cmp(l: Column, r: Column): Column = {
+      val byId = when(l.getField("nid") < r.getField("nid"), -1)
+        .when(l.getField("nid") > r.getField("nid"), 1).otherwise(0)
+      val lc = l.getField("cos"); val rc = r.getField("cos")
+      when(lc.isNull && rc.isNull, byId)
+        .when(lc.isNull, 1).when(rc.isNull, -1)
+        .when(lc > rc, -1).when(lc < rc, 1)
+        .otherwise(byId)
+    }
+    def scoreOf(id: Column): Column = {
+      val e = element_at(col("vmap"), id)
+      val cos = when(col("qn") === 0.0 || e.getField("nrm") === 0.0,
+          lit(null).cast("double"))
+        .otherwise(graft.functions.VectorFunctions.dot(
+            col("qv"), e.getField("v")) / (col("qn") * e.getField("nrm")))
+      struct(id.as("nid"), cos.as("cos"))
+    }
+    var out = queries.join(broadcast(artifacts)) // one row: cross
+      .withColumn("visited",
+        transform(
+          slice(filter(
+            coalesce(element_at(col("smap"), col("cell")),
+                     array().cast("array<long>")),
+            id => id =!= col("qid")), 1, beam),
+          scoreOf(_)))
+    for (_ <- 1 to hops) {
+      out = out
+        .withColumn("_beam", slice(array_sort(col("visited"), cmp), 1, beam))
+        .withColumn("_fresh",
+          filter(
+            array_distinct(flatten(transform(col("_beam"), b =>
+              coalesce(element_at(col("gmap"), b.getField("nid")),
+                       array().cast("array<long>"))))),
+            id => id =!= col("qid") &&
+              !exists(col("visited"), v => v.getField("nid") === id)))
+        .withColumn("visited",
+          concat(col("visited"), transform(col("_fresh"), scoreOf(_))))
+    }
+    out
+      .select(col("qid"), size(col("visited")).cast("long").as("scored_n"),
+              posexplode(array_sort(col("visited"), cmp)))
+      .filter(col("pos") < k)
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+              col("col").getField("nid").as("nid"),
+              col("col").getField("cos").as("cos"), col("scored_n"))
+  }
 
   def streamingKmvDistinct(keys: DataFrame, k: Int = 64): DataFrame = {
     val bk = udaf(new graft.functions.BottomKDistinctLongAggregator(k),

@@ -1159,4 +1159,66 @@ class StreamingSpec extends SparkSpec {
     kept.unpersist()
     spark.catalog.clearCache()
   }
+
+  test("streamingGraphServe: the served answer over a query split equals batch GraphSearch.search") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
+    val beam = 2; val hops = 2; val kg = 2; val k = 4
+    // three tight clusters around orthogonal axes with graded offsets —
+    // enough structure that hops genuinely move the frontier
+    val pts = (0 until 18).map { i =>
+      val axis = i % 3
+      val off = 0.03 * (i / 3)
+      (i.toLong, axis.toLong,
+       Seq.tabulate(6)(j =>
+         if (j == axis) 1.0 else if (j == 3 + axis) off else 0.0))
+    }
+    val sn = pts.toDF("vec_id", "cell", "v")
+      .withColumn("nrm", graft.functions.VectorFunctions.norm(col("v")))
+      .persist()
+    val g = graft.operators.NnDescent.build(sn, kg, rounds = 1,
+        mixBuckets = 4)
+      .select(col("u"), col("w")).persist()
+    g.count()
+    val qrows = pts.filter(_._1 < 6) // two queries per cell
+    val q = sn.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+              col("nrm").as("qn"))
+    val assigned = sn.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("cell"))
+    val seeds = graft.operators.GraphSearch.cellSeeds(assigned, sn, beam)
+    val batch = graft.operators.GraphSearch.search(g, sn, q, seeds,
+        beam, hops)
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn").cast("long").as("rank"), col("nid"),
+              col("cos"), col("scored_n"))
+      .collect().map(_.toSeq).toSet
+
+    val artifacts = graft.operators.GraphSearch.serveArtifacts(g, sn, beam)
+    val mem = MemoryStream[(Long, Seq[Double], Long)]
+    val stream = mem.toDF().toDF("qid", "qv", "cell")
+      .withColumn("qn", graft.functions.VectorFunctions.norm(col("qv")))
+    val sq = StreamingOps.streamingGraphServe(stream, artifacts,
+        beam, hops, k)
+      .writeStream.format("memory").queryName("gserve")
+      .outputMode("append").start()
+    // split the queries across two micro-batches — per-row statelessness
+    // means the split cannot change any answer
+    mem.addData(qrows.take(3).map(p => (p._1, p._3, p._2)): _*)
+    sq.processAllAvailable()
+    mem.addData(qrows.drop(3).map(p => (p._1, p._3, p._2)): _*)
+    sq.processAllAvailable()
+    val streamed = spark.table("gserve")
+      .select(col("qid"), col("rank").cast("long"), col("nid"),
+              col("cos"), col("scored_n"))
+      .collect().map(_.toSeq).toSet
+    sq.stop()
+    assert(streamed == batch,
+      s"streamed ${streamed.size} rows != batch ${batch.size}:\n" +
+        s"only-stream: ${(streamed -- batch).take(5)}\n" +
+        s"only-batch: ${(batch -- streamed).take(5)}")
+    sn.unpersist(); g.unpersist()
+    spark.catalog.clearCache()
+  }
 }
