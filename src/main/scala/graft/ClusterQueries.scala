@@ -37,6 +37,7 @@ object ClusterQueries {
   private val PQ_M = 4             // PQ subspaces
   private val PQ_SD = DIMS / PQ_M  // dims per subspace
   private val KG = 4               // x138: k-NN graph degree
+  private val MCAP = 16            // x166: capped direct mates per batch node
   private val GR = 2               // x138: NN-Descent rounds
   private val MIXB = 16            // x138: cross-cell mixing ring buckets
   private val BEAM = 4             // x148/x149: beam width per hop
@@ -468,6 +469,59 @@ object ClusterQueries {
         .orderBy(col("vec_id"), col("rank"))
     }),
 
+    // X166 — x147's GOVERNED twin (the x123/x152 device applied to
+    // ingest-time graph maintenance): the sf10 probe measured x147 at
+    // 507–610 s (sf1 10.4 s — the sqrt-blocking candidate set's N^1.5
+    // arriving on schedule at the third decade: mates = |batch|·|cell|
+    // with |cell| = 3√N). Here a batch node's direct mates are CAPPED
+    // at the MCAP smallest corpus ids of its frozen cell — per-cell,
+    // not per-pair, so the |batch|·|cell| frame is never materialized —
+    // and the one-hop graph expansion (already x147's design: the hop
+    // recovers near-boundary neighbors) does the neighborhood work the
+    // dropped mates would have done. Per batch node the candidate
+    // budget is ≤ MCAP·(1+KG), CONSTANT in corpus size; the cap binds
+    // at every SF (gate cells hold ~50 members > MCAP=16). Output
+    // shape identical to x147: the exact top-KG of the capped
+    // candidate set, all decisions in the hash.
+    "x166_knn_incremental_capped" -> ((s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
+      val e = Tables(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") % 10 < 8)
+      val batch = e.filter(col("vec_id") % 10 >= 8)
+      val n = corpus.count() // certified small: one scalar
+      val k = math.max(K, math.ceil(math.sqrt(n.toDouble) / 3).toInt)
+      val m = KMeansDet.fit(corpus, k, ITERS)
+      val sn = KMeansDet.assignWithVec(corpus, m)
+      val g = scope.persist(
+        graft.operators.NnDescent.build(sn, KG, GR, mixBuckets = MIXB)
+          .select(col("u"), col("w")))
+      g.count() // eager: the frozen adjacency is probed per batch mate
+      val bs = KMeansDet.assignWithVec(batch, m)
+        .select(col("vec_id").as("bid"), col("cell"),
+                col("v").as("qv"), col("nrm").as("qn"))
+      val wm = Window.partitionBy(col("cell")).orderBy(col("cid").asc)
+      val capped = sn.select(col("cell"), col("vec_id").as("cid"))
+        .withColumn("mrn", row_number().over(wm))
+        .filter(col("mrn") <= MCAP)
+        .select(col("cell"), col("cid"))
+      val mates = bs.join(capped, Seq("cell"))
+        .select(col("bid"), col("cid"))
+      val hop = mates.join(g, mates("cid") === g("u"))
+        .select(col("bid"), col("w").as("cid"))
+      val cand = mates.union(hop).distinct()
+      val w = Window.partitionBy(col("bid"))
+        .orderBy(col("cos").desc_nulls_last, col("cid").asc)
+      cand
+        .join(bs.select(col("bid"), col("qv"), col("qn")), "bid")
+        .join(sn.select(col("vec_id").as("cid"), col("v").as("cv"),
+                        col("nrm").as("cn")), "cid")
+        .withColumn("cos", cosOf("qv", "qn", "cv", "cn"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= KG)
+        .select(col("bid").as("vec_id"), col("rn").as("rank"),
+                col("cid").as("nbr"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
     // X148 — SERVING from the x138 k-NN graph: deterministic beam search
     // (x131's analog for the graph family, closing its build → audit →
     // serve gap). Seeds are the query's coarse cell-mates — UNSCORED
@@ -811,7 +865,7 @@ object ClusterQueries {
   private def kmeansChain(p: String, vexpr: String, dims: Int,
                           eWhere: String, kSql: String = K.toString): String = {
     val sb = new StringBuilder
-    sb ++= s"""${p}e AS (SELECT vec_id, $vexpr AS v
+    sb ++= s"""${p}e AS MATERIALIZED (SELECT vec_id, $vexpr AS v
                      FROM embeddings WHERE $eWhere),
       ${p}c0 AS (SELECT rn - 1 AS cell, v AS c FROM (
                SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
@@ -819,7 +873,7 @@ object ClusterQueries {
     for (i <- 1 to ITERS) {
       val prev = s"${p}c${i - 1}"
       sb ++= s"""
-      ${p}a$i AS (SELECT vec_id, v, cell FROM (
+      ${p}a$i AS MATERIALIZED (SELECT vec_id, v, cell FROM (
           SELECT e.vec_id, e.v, c.cell,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${distSql("e.v", "c.c")} ASC, c.cell ASC) AS rn
@@ -827,13 +881,13 @@ object ClusterQueries {
       ${p}m$i AS (SELECT cell, i, round(avg(v[i]), 6) AS mv
               FROM ${p}a$i CROSS JOIN generate_series(1, $dims) AS g(i)
               GROUP BY cell, i),
-      ${p}c$i AS (SELECT p.cell, coalesce(mm.c, p.c) AS c
+      ${p}c$i AS MATERIALIZED (SELECT p.cell, coalesce(mm.c, p.c) AS c
               FROM $prev p LEFT JOIN (SELECT cell, list(mv ORDER BY i) AS c
                                       FROM ${p}m$i GROUP BY cell) mm
                 USING (cell)),"""
     }
     sb ++= s"""
-      ${p}af AS (SELECT vec_id, v, cell FROM (
+      ${p}af AS MATERIALIZED (SELECT vec_id, v, cell FROM (
           SELECT e.vec_id, e.v, c.cell,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${distSql("e.v", "c.c")} ASC, c.cell ASC) AS rn
@@ -1227,6 +1281,45 @@ object ClusterQueries {
                     sqrt(list_dot_product(v, v)) AS n FROM ab),
           mates AS (SELECT b.vec_id AS bid, s.vec_id AS cid
                     FROM bsn b JOIN sn s ON s.cell = b.cell),
+          hop AS (SELECT m.bid, g.w AS cid
+                  FROM mates m JOIN g$GR g ON g.u = m.cid),
+          cand AS (SELECT bid, cid FROM mates
+                   UNION SELECT bid, cid FROM hop),
+          sc AS (SELECT c.bid, c.cid, $cosBS AS cos,
+                   row_number() OVER (PARTITION BY c.bid ORDER BY
+                     ($cosBS) DESC NULLS LAST, c.cid ASC) AS rn
+                 FROM cand c JOIN bsn b ON b.vec_id = c.bid
+                      JOIN sn s ON s.vec_id = c.cid)
+          SELECT bid AS vec_id, rn AS rank, cid AS nbr,
+                 round(cos, 4) AS cos
+          FROM sc WHERE rn <= $KG ORDER BY vec_id, rank"""
+    },
+
+    // x147's chain with the per-cell MCAP-smallest mate cap spliced in
+    "x166_knn_incremental_capped" -> {
+      val cosBS = """CASE WHEN b.n = 0 OR s.n = 0 THEN NULL
+            ELSE list_dot_product(b.v, s.v) / (b.n * s.n) END"""
+      val kSql = s"SELECT greatest($K, CAST(ceil(sqrt(count(*)) / 3) " +
+        "AS BIGINT)) FROM e"
+      s"""WITH ${kmeansChain("", "embedding::DOUBLE[]", DIMS,
+                             "vec_id % 10 < 8", kSql)},
+          $nndCtes,
+          eb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings WHERE vec_id % 10 >= 8),
+          ab AS (SELECT vec_id, v, cell FROM (
+              SELECT eb.vec_id, eb.v, c.cell,
+                row_number() OVER (PARTITION BY eb.vec_id
+                  ORDER BY ${distSql("eb.v", "c.c")} ASC, c.cell ASC) AS rn
+              FROM eb CROSS JOIN c$ITERS c) WHERE rn = 1),
+          bsn AS (SELECT vec_id, cell, v,
+                    sqrt(list_dot_product(v, v)) AS n FROM ab),
+          cm0 AS (SELECT cell, cid FROM (
+              SELECT cell, vec_id AS cid,
+                row_number() OVER (PARTITION BY cell
+                  ORDER BY vec_id ASC) AS mrn
+              FROM sn) WHERE mrn <= $MCAP),
+          mates AS (SELECT b.vec_id AS bid, c.cid
+                    FROM bsn b JOIN cm0 c ON c.cell = b.cell),
           hop AS (SELECT m.bid, g.w AS cid
                   FROM mates m JOIN g$GR g ON g.u = m.cid),
           cand AS (SELECT bid, cid FROM mates

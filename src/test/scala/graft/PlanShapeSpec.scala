@@ -1628,6 +1628,20 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x166 capped incremental kNN: the mate cap is a per-cell rank (the batch×cell frame never materializes); everything keyed") {
+    val plan = planOf("x166_knn_incremental_capped")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the cap is computed on the corpus side (per-cell window on `cid`)
+    // BEFORE the batch join — a cap applied after a |batch|·|cell| join
+    // would defeat the governance
+    assert(plan.contains("mrn"),
+      "per-cell mate-cap rank missing:\n" + plan.take(3000))
+    assert(plan.contains("cell") && plan.contains("cid"),
+      "cell/adjacency join keys missing:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
   /** Run `name` to completion and capture EVERY QueryExecution's
     * executed plan — the per-hop localCheckpoint cascade in the graph
     * serving loop truncates lineage, so the returned frame's own plan no

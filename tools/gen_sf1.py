@@ -109,10 +109,19 @@ meta_w /= meta_w.sum()
 n_docs = SPAN['doc'] * TILES
 doc_lens = rng.choice(lens, size=n_docs)
 meta_idx = rng.choice(len(meta_keys), size=n_docs, p=meta_w)
+# one vectorized index draw for ALL words (the per-doc rng.choice loop is
+# O(|vocab|) per call — prohibitive at TILES=100 / 500k docs), then split
+# at the cumulative doc lengths; same unigram/length model, same seed
+# stream discipline (a different draw than the loop form, which only
+# matters for byte-identity of a regenerated corpus, not for the scaling
+# probes this data exists for)
+vocab_arr = np.array(vocab, dtype=object)
+total_words = int(doc_lens.sum())
+word_idx = rng.choice(len(vocab_arr), size=total_words, p=wts)
+bounds = np.concatenate(([0], np.cumsum(doc_lens.astype(np.int64))))
 texts, langs, sources = [], [], []
 for i in range(n_docs):
-    words = rng.choice(vocab, size=int(doc_lens[i]), p=wts)
-    texts.append(" ".join(words))
+    texts.append(" ".join(vocab_arr[word_idx[bounds[i]:bounds[i + 1]]]))
     langs.append(meta_keys[meta_idx[i]][0])
     sources.append(meta_keys[meta_idx[i]][1])
 import pyarrow as pa
