@@ -82,6 +82,51 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // X167 — BPE merge LEARNING (Sennrich 2016; the GPT-2/LLaMA
+    // vocabulary recipe): 8 merge rounds over the corpus word-frequency
+    // domain. Output = the merge table WITH the training curve (pair,
+    // corpus count, vocab size and total corpus tokens AFTER each
+    // merge) — every argmax decision and its compression effect is in
+    // the hash. See [[graft.operators.Bpe]] for the value-domain scale
+    // argument (one corpus-sized word count; every round bounded by
+    // |vocab|).
+    "x167_bpe_train" -> ((s, dir) =>
+      graft.operators.Bpe.train(corpusWords(s, dir), BPER)._1
+        .orderBy(col("round"))),
+
+    // X168 — frozen-tokenizer segmentation (x167's ingest-day twin):
+    // merges learned on the CORPUS split (doc_id % 10 < 8) apply to the
+    // batch split WITHOUT pair counting — 8 folds over the batch's own
+    // word domain, then one posexplode+join reassembles per-doc token
+    // counts and the md5 of the space-joined segmentation (word order
+    // preserved via the sorted-struct device — collect_list order is
+    // never trusted). The trainable artifact is 8 rows; application
+    // cost is independent of corpus size.
+    "x168_bpe_segment" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val (merges, _) = graft.operators.Bpe.train(
+        corpusWords(s, dir, "doc_id % 10 < 8"), BPER)
+      // the frozen artifact: 8 rows, plan-truncated (read per round)
+      val mergesP = merges.localCheckpoint()
+      val batch = docs.filter(col("doc_id") % 10 >= 8)
+      val segB = graft.operators.Bpe.segmentWords(
+          corpusWords(s, dir, "doc_id % 10 >= 8"), mergesP, BPER)
+        .select(col("word"),
+                array_join(col("toks"), " ").as("seg"),
+                size(col("toks")).cast("long").as("nt"))
+        .localCheckpoint() // |batch vocab| rows, read by the doc arm
+      batch.select(col("doc_id"), posexplode(T.words(col("text"))))
+        .filter(col("col") =!= "")
+        .select(col("doc_id"), col("pos"), col("col").as("word"))
+        .join(segB, "word")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("nt")).as("n_tokens"),
+             md5(concat_ws(" ",
+               expr("transform(array_sort(collect_list(struct(pos, seg)))," +
+                    " x -> x.seg)")).cast("binary")).as("seg_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X31 — benchmark decontamination: docs sharing any 5-word shingle
     // with the "benchmark" slice (doc_id % 97 = 0 stands in for an eval
     // set) are flagged with their overlap count — the standard n-gram
@@ -1653,6 +1698,18 @@ object CorpusQueries {
     * projection (no explode, no shuffle), which is why the streaming
     * twin runs it verbatim on the ingest stream. `textCol` must be a
     * plain column name (it is interpolated into the regex extract). */
+  private val BPER = 8 // x167/x168: BPE merge rounds
+
+  /** Corpus word-frequency domain — the BPE training/application
+    * input (x167/x168): one corpus-sized explode + keyed count; all
+    * downstream rounds run on these |vocab| rows. */
+  private def corpusWords(s: SparkSession, dir: String,
+                          where: String = "TRUE"): DataFrame =
+    Tables(s, dir, "documents").filter(expr(where))
+      .select(explode(T.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+
   def luhnScreen(df: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame =
     df.withColumn("_cands",
@@ -1936,6 +1993,52 @@ object CorpusQueries {
 
   private val wordsSql = "regexp_split_to_array(trim(text), '\\s+')"
 
+  /** One BPE greedy-fold resegmentation as SQL (x167/x168) — the same
+    * left-to-right scan as [[graft.operators.Bpe.applyMerge]], as a
+    * list_reduce over single-token lists with the round's 1-row merge
+    * frame cross-joined in. Words are never empty (filtered at the
+    * domain build), so list_reduce's non-empty-input requirement
+    * holds. */
+  private def bpeFoldSql(src: String, bName: String): String =
+    s"""SELECT word, wcount,
+         list_reduce(list_transform(toks, t -> [t]),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = $bName.a
+                              AND x[1] = $bName.b
+                            THEN list_append(acc[:len(acc)-1],
+                                             acc[-1] || x[1])
+                            ELSE list_concat(acc, x) END) AS toks
+       FROM $src CROSS JOIN $bName"""
+
+  /** The x167 training chain: word domain → char seg s0 → per round r:
+    * pair counts p_r, argmax b_r (count DESC, a, b), reseg s_r. Must
+    * stay arithmetically identical to [[graft.operators.Bpe.train]]. */
+  private def bpeTrainCtes(eWhere: String = "TRUE"): String = {
+    val sb = new StringBuilder
+    sb ++= s"""wrds AS MATERIALIZED (SELECT w AS word,
+             count(*)::BIGINT AS wcount
+           FROM (SELECT unnest($wordsSql) AS w FROM documents
+                 WHERE $eWhere)
+           WHERE w <> '' GROUP BY 1),
+        s0 AS MATERIALIZED (SELECT word, wcount,
+             list_transform(generate_series(1, length(word)),
+               i -> substr(word, i, 1)) AS toks FROM wrds)"""
+    for (r <- 1 to BPER) {
+      sb ++= s""",
+        p$r AS (SELECT pr['a'] AS a, pr['b'] AS b,
+                 sum(wcount)::BIGINT AS cnt
+               FROM (SELECT wcount,
+                       unnest(list_transform(
+                         generate_series(1, len(toks) - 1),
+                         i -> {'a': toks[i], 'b': toks[i + 1]})) AS pr
+                     FROM s${r - 1} WHERE len(toks) >= 2)
+               GROUP BY 1, 2),
+        b$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r
+               ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+        s$r AS MATERIALIZED (${bpeFoldSql(s"s${r - 1}", s"b$r")})"""
+    }
+    sb.toString
+  }
+
   /** DuckDB spelling of [[graft.functions.TextFunctions.bitlenLogRatio]]
     * (to_base(x,2) is DuckDB's bin()); kept as one fragment so the x72 and
     * x143 oracles can only drift from the Spark formula loudly. */
@@ -2183,6 +2286,56 @@ object CorpusQueries {
               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
               '\\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS red_md5
           FROM t ORDER BY doc_id""",
+
+    // the unrolled 8-round train chain; per round, the argmax row plus
+    // the post-merge vocab/token-count scalars
+    "x167_bpe_train" -> {
+      val outs = (1 to BPER).map { r =>
+        s"""SELECT $r AS round, a, b, cnt,
+             (SELECT count(DISTINCT t) FROM
+               (SELECT unnest(toks) AS t FROM s$r))::BIGINT AS vocab_size,
+             (SELECT sum(len(toks) * wcount)
+              FROM s$r)::BIGINT AS total_tokens
+           FROM b$r"""
+      }.mkString("\n UNION ALL ")
+      s"""WITH ${bpeTrainCtes()}
+          SELECT * FROM ($outs) ORDER BY round"""
+    },
+
+    // corpus-split train chain + the SAME b_r folds applied to the
+    // batch word domain, then the per-doc reassembly in word order
+    "x168_bpe_segment" -> {
+      val applies = {
+        val sb = new StringBuilder
+        sb ++= s"""bw AS MATERIALIZED (SELECT w AS word,
+                 count(*)::BIGINT AS wcount
+               FROM (SELECT unnest($wordsSql) AS w FROM documents
+                     WHERE doc_id % 10 >= 8)
+               WHERE w <> '' GROUP BY 1),
+            a0 AS (SELECT word, wcount,
+                 list_transform(generate_series(1, length(word)),
+                   i -> substr(word, i, 1)) AS toks FROM bw)"""
+        for (r <- 1 to BPER) sb ++= s""",
+            a$r AS MATERIALIZED (${bpeFoldSql(s"a${r - 1}", s"b$r")})"""
+        sb.toString
+      }
+      s"""WITH ${bpeTrainCtes("doc_id % 10 < 8")},
+          $applies,
+          dws AS (SELECT doc_id, $wordsSql AS ws FROM documents
+                  WHERE doc_id % 10 >= 8),
+          dw AS (SELECT doc_id, pw['pos'] AS pos, pw['word'] AS word
+                 FROM (SELECT doc_id,
+                         unnest(list_transform(
+                           generate_series(1, len(ws)),
+                           i -> {'pos': i, 'word': ws[i]})) AS pw
+                       FROM dws)
+                 WHERE pw['word'] <> ''),
+          j AS (SELECT doc_id, pos, toks FROM dw JOIN a$BPER USING (word))
+          SELECT doc_id, sum(len(toks))::BIGINT AS n_tokens,
+            md5(string_agg(array_to_string(toks, ' '), ' '
+                           ORDER BY pos)) AS seg_md5
+          FROM j GROUP BY doc_id ORDER BY doc_id"""
+    },
 
     "x31_decontaminate" ->
       s"""WITH sh AS (SELECT doc_id, unnest(list_distinct($shingles5Sql)) AS s

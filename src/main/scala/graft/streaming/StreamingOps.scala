@@ -981,6 +981,43 @@ object StreamingOps {
               col("col").getField("cos").as("cos"), col("scored_n"))
   }
 
+  /** x168's streaming twin: frozen-tokenizer segmentation at INGEST.
+    * The 8-row merge artifact ([[graft.operators.Bpe.mergesArtifact]])
+    * broadcasts onto the stream — one stream-static join, zero state —
+    * and each doc row segments itself: words split per row, each word
+    * folded through the learned merges IN ORDER (the same greedy
+    * left-to-right [[graft.operators.Bpe.applyMerge]] fold, unrolled to
+    * the fixed round count as nested higher-order functions). Output
+    * (id, n_tokens, seg_md5) matches batch x168 exactly over any
+    * micro-batch split (StreamingSpec) — token accounting and the
+    * segmentation hash are available the moment a document lands,
+    * under yesterday's tokenizer, with no reprocessing. Wordless docs
+    * are dropped (the batch arm's join semantics). */
+  def streamingBpeSegment(docs: DataFrame, artifact: DataFrame,
+                          rounds: Int, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    def segWord(w: Column): Column = {
+      var t: Column =
+        transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+      for (r <- 1 to rounds) {
+        val m = element_at(col("merges"), r)
+        t = graft.operators.Bpe.applyMerge(t, m.getField("a"),
+                                           m.getField("b"))
+      }
+      t
+    }
+    docs.crossJoin(broadcast(artifact))
+      .withColumn("_ws",
+        filter(graft.functions.TextFunctions.words(col(textCol)),
+               w => w =!= ""))
+      .filter(size(col("_ws")) > 0)
+      .withColumn("_toks", flatten(transform(col("_ws"), segWord(_))))
+      .select(col(idCol),
+              size(col("_toks")).cast("long").as("n_tokens"),
+              md5(array_join(col("_toks"), " ").cast("binary"))
+                .as("seg_md5"))
+  }
+
   def streamingKmvDistinct(keys: DataFrame, k: Int = 64): DataFrame = {
     val bk = udaf(new graft.functions.BottomKDistinctLongAggregator(k),
                   org.apache.spark.sql.Encoders.scalaLong)

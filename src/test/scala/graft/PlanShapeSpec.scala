@@ -1642,6 +1642,26 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x167 BPE train: every round is a keyed pair agg + a singleton merge-rule broadcast — no cartesian") {
+    val plans = allPlansSansCachedOf("x167_bpe_train")
+    plans.foreach(p => assert(!p.contains("CartesianProduct"), p.take(3000)))
+    // the per-round crossJoin glues the 1-ROW argmax frame onto the
+    // vocab domain (prints as a broadcast nested loop; one side is a
+    // single row by construction); the corpus-sized work is only the
+    // word-count scan and the pair aggregation
+    assert(plans.exists(_.contains("HashAggregate")),
+      s"pair-count aggregation missing from all ${plans.length} plans")
+    spark.catalog.clearCache()
+  }
+
+  test("x168 BPE segment: frozen merges apply by fold; the doc arm is one keyed word join") {
+    val plans = allPlansSansCachedOf("x168_bpe_segment")
+    plans.foreach(p => assert(!p.contains("CartesianProduct"), p.take(3000)))
+    assert(plans.exists(p => p.contains("word")),
+      s"word-keyed doc join missing from all ${plans.length} plans")
+    spark.catalog.clearCache()
+  }
+
   /** Run `name` to completion and capture EVERY QueryExecution's
     * executed plan — the per-hop localCheckpoint cascade in the graph
     * serving loop truncates lineage, so the returned frame's own plan no

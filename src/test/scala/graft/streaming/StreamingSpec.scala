@@ -1221,4 +1221,59 @@ class StreamingSpec extends SparkSpec {
     sn.unpersist(); g.unpersist()
     spark.catalog.clearCache()
   }
+
+  test("streamingBpeSegment: frozen-tokenizer segmentation on the stream equals batch x168 over a doc split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rounds = 4
+    val corpus = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the rat and the cat chat"),
+      (2L, "that hat is the cat hat")).toDF("doc_id", "text")
+    val batchDocs = Seq(
+      (10L, "the cat chat on that mat"),
+      (11L, "a rat sat"),
+      (12L, "unseen wordz here")).toDF("doc_id", "text")
+    def wordsOf(d: org.apache.spark.sql.DataFrame) = d
+      .select(explode(graft.functions.TextFunctions.words(col("text")))
+        .as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+    val (merges, _) = graft.operators.Bpe.train(wordsOf(corpus), rounds)
+    val mergesP = merges.localCheckpoint()
+    // batch arm: the x168 dataflow on the fixture
+    val segB = graft.operators.Bpe
+      .segmentWords(wordsOf(batchDocs), mergesP, rounds)
+      .select(col("word"), array_join(col("toks"), " ").as("seg"),
+              size(col("toks")).cast("long").as("nt"))
+    val expected = batchDocs
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.words(col("text"))))
+      .filter(col("col") =!= "")
+      .select(col("doc_id"), col("pos"), col("col").as("word"))
+      .join(segB, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nt")).as("n_tokens"),
+           md5(concat_ws(" ",
+             expr("transform(array_sort(collect_list(struct(pos, seg)))," +
+                  " x -> x.seg)")).cast("binary")).as("seg_md5"))
+      .collect().map(_.toSeq).toSet
+
+    val artifact = graft.operators.Bpe.mergesArtifact(mergesP)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingBpeSegment(
+        mem.toDF().toDF("doc_id", "text"), artifact, rounds)
+      .writeStream.format("memory").queryName("bpeseg")
+      .outputMode("append").start()
+    mem.addData((10L, "the cat chat on that mat"))
+    q.processAllAvailable()
+    mem.addData((11L, "a rat sat"), (12L, "unseen wordz here"))
+    q.processAllAvailable()
+    val streamed = spark.table("bpeseg").collect().map(_.toSeq).toSet
+    q.stop()
+    assert(streamed == expected,
+      s"only-stream: ${(streamed -- expected).take(3)}\n" +
+        s"only-batch: ${(expected -- streamed).take(3)}")
+    spark.catalog.clearCache()
+  }
 }
