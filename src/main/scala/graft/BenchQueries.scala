@@ -166,6 +166,30 @@ object BenchQueries {
     // dependence. At 100 TB the steady-state read is nprobe/cells of
     // the corpus, and the exact in-cell top-k is the x09 kernel over
     // that slice alone.
+    // X169 — ORC source/sink fidelity: the warehouse's second columnar
+    // format (orc-core ships inside Spark — no extra deps). The fact
+    // table round-trips through an ORC layout written PAY-ONCE under
+    // the content-fingerprinted scratch path (the b04/b05 device), and
+    // the oracle computes the same audit aggregate from the PARQUET
+    // original — green means every value class the table carries
+    // (dates, doubles, strings, ints) survived the format byte-exactly
+    // (sums in integer cents, so partial-agg order can't hide a drift).
+    "x169_orc_roundtrip" -> ((s, dir) => {
+      val path = Scratch.dir("orc", dir)
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        Tables(s, dir, "lineitem").write.mode("overwrite").orc(path)
+      graft.io.TableIo.readOrc(s, path)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"),
+             sum(round(col("l_extendedprice") * 100).cast("long"))
+               .as("price_c"),
+             sum(round(col("l_discount") * 100).cast("long")).as("disc_c"),
+             countDistinct(col("l_shipdate")).as("n_shipdates"),
+             max(col("l_shipdate")).as("max_shipdate"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     "b05_ann_steady" -> ((s, dir) => {
       import graft.functions.{VectorFunctions => V}
       import org.apache.spark.sql.expressions.Window
@@ -413,6 +437,21 @@ object BenchQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // the audit aggregate straight from the PARQUET original — parity
+    // proves the ORC roundtrip value-exact on every carried type
+    "x169_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_c,
+           CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+             AS disc_c,
+           count(DISTINCT l_shipdate)::BIGINT AS n_shipdates,
+           max(l_shipdate) AS max_shipdate
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "b01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -1642,6 +1642,18 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x169 ORC roundtrip: the ORC scan prunes to the audited columns") {
+    val plan = planOf("x169_orc_roundtrip")
+    assert(plan.toLowerCase.contains("orc"),
+      "expected an ORC scan:\n" + plan.take(2000))
+    // l_orderkey is not part of the audit — a scan reading all 16
+    // columns for a 6-column aggregate would be wrong (the pushdown/
+    // pruning contract holds for ORC exactly as for parquet)
+    assert(!plan.contains("l_orderkey"),
+      "unused columns must be pruned from the ORC scan:\n" + plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("x167 BPE train: every round is a keyed pair agg + a singleton merge-rule broadcast — no cartesian") {
     val plans = allPlansSansCachedOf("x167_bpe_train")
     plans.foreach(p => assert(!p.contains("CartesianProduct"), p.take(3000)))
