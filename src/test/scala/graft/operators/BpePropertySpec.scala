@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Full straight-line second implementation of BPE training (the
+  * MergeTertilePropertySpec device): an in-memory trainer — per round,
+  * overlapping adjacent-pair counts weighted by word frequency, argmax
+  * by (cnt DESC, a ASC, b ASC), greedy left-to-right non-overlapping
+  * resegmentation — compared row-for-row against [[Bpe.train]]'s merge
+  * table, curve, and final segmentation over seeded random corpora. */
+class BpePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refFold(toks: Seq[String], a: String,
+                      b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  private def refTrain(words: Seq[(String, Long)], rounds: Int)
+      : (Seq[(Int, String, String, Long, Long, Long)],
+         Map[String, Seq[String]]) = {
+    var seg: Map[String, Seq[String]] =
+      words.map { case (w, _) => w -> w.map(_.toString) }.toMap
+    val wc = words.toMap
+    val merges = Seq.newBuilder[(Int, String, String, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long]
+      for ((w, toks) <- seg; i <- 0 until toks.length - 1)
+        counts((toks(i), toks(i + 1))) =
+          counts.getOrElse((toks(i), toks(i + 1)), 0L) + wc(w)
+      val ((a, b), cnt) = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      seg = seg.map { case (w, toks) => w -> refFold(toks, a, b) }
+      val vocab = seg.values.flatten.toSet.size.toLong
+      val total = seg.map { case (w, toks) => toks.length * wc(w) }.sum
+      merges += ((r, a, b, cnt, vocab, total))
+    }
+    (merges.result(), seg)
+  }
+
+  test("Bpe.train ≡ the straight-line trainer over seeded random corpora") {
+    val rnd = new scala.util.Random(20260816)
+    val alphabet = "abcd"
+    for (trial <- 1 to 5) {
+      val words = (1 to 12).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+          .mkString
+      }.distinct.map(w => w -> (1L + rnd.nextInt(9)))
+      val rounds = 3 + rnd.nextInt(3)
+      val (refMerges, refSeg) = refTrain(words, rounds)
+      val (merges, seg) = Bpe.train(words.toDF("word", "wcount"), rounds)
+      val got = merges.orderBy("round").collect().map(r =>
+        (r.getAs[Int]("round"), r.getAs[String]("a"), r.getAs[String]("b"),
+         r.getAs[Long]("cnt"), r.getAs[Long]("vocab_size"),
+         r.getAs[Long]("total_tokens"))).toSeq
+      assert(got == refMerges,
+        s"trial $trial (rounds=$rounds, words=$words):\n$got\nvs\n$refMerges")
+      val gotSeg = seg.collect()
+        .map(r => r.getAs[String]("word") -> r.getSeq[String](2)).toMap
+      assert(gotSeg == refSeg, s"trial $trial final segmentation")
+    }
+  }
+}
