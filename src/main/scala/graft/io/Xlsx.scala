@@ -60,7 +60,7 @@ object Xlsx {
     val shared = entries.get("xl/sharedStrings.xml")
       .map(parseSharedStrings).getOrElse(Vector.empty)
     val xfIsDate = entries.get("xl/styles.xml")
-      .map(parseStyleDates).getOrElse(Vector.empty)
+      .map(parseStyleDates).getOrElse(Vector.empty[() => Boolean])
     val (date1904, sheetsInOrder) = entries.get("xl/workbook.xml")
       .map(parseWorkbook).getOrElse((false, Vector.empty))
     val rels = entries.get("xl/_rels/workbook.xml.rels")
@@ -241,7 +241,7 @@ object Xlsx {
   }
 
   private def parseSheet(bytes: Array[Byte], shared: Vector[String],
-                         xfIsDate: Vector[Boolean],
+                         xfIsDate: Vector[() => Boolean],
                          date1904: Boolean): Seq[Seq[Option[String]]] = {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
@@ -250,7 +250,7 @@ object Xlsx {
     var row: mutable.ArrayBuffer[Option[String]] = null
     var cellCol = -1
     var cellType = ""
-    var cellDate = false
+    var cellStyle: Option[Int] = None
     var inV = false
     var inIsT = false
     var text = new StringBuilder
@@ -263,8 +263,8 @@ object Xlsx {
               val ref = Option(r.getAttributeValue(null, "r"))
               cellCol = ref.map(colIndex).getOrElse(row.length)
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
-              cellDate = Option(r.getAttributeValue(null, "s"))
-                .flatMap(_.toIntOption).exists(xfIsDate.lift(_).contains(true))
+              cellStyle = Option(r.getAttributeValue(null, "s"))
+                .flatMap(_.toIntOption)
               text = new StringBuilder
             case "v" => inV = true
             case "t" => inIsT = true
@@ -280,7 +280,8 @@ object Xlsx {
               val raw = text.toString
               val value: Option[String] = cellType match {
                 case "s" => raw.toIntOption.flatMap(shared.lift)
-                case "" | "n" if cellDate && raw.nonEmpty =>
+                case "" | "n" if raw.nonEmpty &&
+                    cellStyle.flatMap(xfIsDate.lift).exists(_.apply()) =>
                   // date-styled numeric cell: serial → ISO (pandas parity)
                   Some(ExcelDates.serialToIso(raw.toDouble, date1904))
                 case "inlineStr" | "str" | "" | "n" | "b" =>
@@ -299,10 +300,11 @@ object Xlsx {
     rows.map(_.toSeq).toSeq
   }
 
-  /** `xl/styles.xml` → per-cellXf "is a date style" flags, in xf order
-    * (a cell's `s` attribute indexes this). Builtin ids and custom
-    * formatCodes both resolve through [[ExcelDates]]. */
-  private def parseStyleDates(bytes: Array[Byte]): Vector[Boolean] = {
+  /** `xl/styles.xml` → per-cellXf "is a date style" resolvers, in xf
+    * order (a cell's `s` attribute indexes this). Builtin ids resolve
+    * immediately; custom formatCodes resolve (and fail loud on
+    * elapsed-duration codes) only when a cell actually uses them. */
+  private def parseStyleDates(bytes: Array[Byte]): Vector[() => Boolean] = {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     val r = f.createXMLStreamReader(new ByteArrayInputStream(bytes))
@@ -330,9 +332,15 @@ object Xlsx {
       }
     }
     r.close()
+    // custom codes classify LAZILY, on first CELL USE (matching the Xls
+    // reader's per-cell resolution): an elapsed-duration style that no
+    // numeric cell references must not fail a read pandas accepts
     xfIds.result().map { id =>
-      custom.get(id).map(ExcelDates.isDateFormatCode)
-        .getOrElse(ExcelDates.isBuiltinDate(id))
+      custom.get(id) match {
+        case Some(code) => () => ExcelDates.isDateFormatCode(code)
+        case None =>
+          val b = ExcelDates.isBuiltinDate(id); () => b
+      }
     }
   }
 

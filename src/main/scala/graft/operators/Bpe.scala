@@ -74,6 +74,7 @@ object Bpe {
     * round 8 (measured: OOM on a 3k-word domain). Checkpointed frames
     * are |vocab|-sized, so the materialization cost is negligible. */
   def train(words: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var seg = initSeg(words).localCheckpoint()
     var out: Option[DataFrame] = None
     for (r <- 1 to rounds) {
@@ -105,18 +106,25 @@ object Bpe {
 
   /** Apply a learned merge table — `merges` as (round, a, b) — to a
     * fresh word domain WITHOUT pair counting (x168's ingest economics:
-    * training is the corpus's cost, application is 8 folds over the
-    * batch's |vocab|). Merges apply in learned order, each as a
-    * broadcast 1-row parameter frame. */
+    * training is the corpus's cost, application is `rounds` folds over
+    * the batch's |vocab|). The table is COLLECTED into merge-rule
+    * literals (it is the frozen artifact — `rounds` rows by contract,
+    * the [[graft.operators.KMeansDet.Model]] pattern) and validated to
+    * carry exactly rounds 1..`rounds`: a missing round as a silent
+    * empty cross join would erase the batch. */
   def segmentWords(words: DataFrame, merges: DataFrame, rounds: Int)
       : DataFrame = {
+    val ms = merges.select(col("round"), col("a"), col("b"))
+      .orderBy(col("round")).collect()
+    require(ms.length == rounds &&
+        ms.zipWithIndex.forall { case (r, i) => r.getInt(0) == i + 1 },
+      s"merge table must carry exactly rounds 1..$rounds, got " +
+        ms.map(_.getInt(0)).mkString("[", ",", "]"))
     var seg = initSeg(words)
-    for (r <- 1 to rounds) {
-      val m = merges.filter(col("round") === r).select(col("a"), col("b"))
-      seg = seg.crossJoin(broadcast(m))
-        .select(col("word"), col("wcount"),
-                applyMerge(col("toks"), col("a"), col("b")).as("toks"))
-    }
+    for (m <- ms)
+      seg = seg.select(col("word"), col("wcount"),
+        applyMerge(col("toks"), lit(m.getString(1)), lit(m.getString(2)))
+          .as("toks"))
     seg
   }
 }

@@ -112,6 +112,22 @@ class XlsxSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Xlsx.read(bytes) == Seq(Seq(Some("1904-01-01"))))
   }
 
+  test("an UNUSED elapsed-duration style does not fail the read (lazy per-cell classification)") {
+    val styles =
+      """<?xml version="1.0"?><styleSheet>
+        |<numFmts><numFmt numFmtId="164" formatCode="[h]:mm:ss"/></numFmts>
+        |<cellXfs><xf numFmtId="0"/><xf numFmtId="164"/></cellXfs></styleSheet>""".stripMargin
+    val bytes = zipOf(
+      "xl/styles.xml" -> styles,
+      "xl/worksheets/sheet1.xml" ->
+        """<?xml version="1.0"?><worksheet><sheetData>
+          |<row r="1"><c r="A1" s="0"><v>7</v></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    // the duration style exists but no cell uses it — pandas reads this
+    // workbook fine, so must we
+    assert(Xlsx.read(bytes) == Seq(Seq(Some("7"))))
+  }
+
   test("elapsed-duration custom formats fail loud (ambiguous as datetime)") {
     val styles =
       """<?xml version="1.0"?><styleSheet>
