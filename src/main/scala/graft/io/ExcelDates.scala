@@ -34,7 +34,21 @@ object ExcelDates {
 
   /** Builtin numFmtIds that are date/time formats ([ECMA-376] §18.8.30;
     * 14–22 core date/time, 27–36 and 50–58 East Asian locale dates,
-    * 45–47 minute/second time formats). */
+    * 45–47 minute/second time formats).
+    *
+    * Builtin 46 ('[h]:mm:ss') is DELIBERATELY included even though its
+    * format code is elapsed-duration shaped: the engine's contract is
+    * "the value pandas would produce", and openpyxl's BUILTIN_FORMATS
+    * path datetime-converts id 46 like every other 45–47 time format —
+    * a cell styled with the builtin id must round-trip to the same
+    * string the pandas path yields. The CUSTOM-format path diverges on
+    * purpose ([[isDateFormatCode]] fails loud on '[h]:mm:ss'): a custom
+    * numFmt is authored intent — the workbook writer explicitly declared
+    * a duration, and surfacing 30:15:00 as "1900-01-01 06:15:00" would
+    * silently corrupt, whereas the builtin id arrives from tools that
+    * picked it off a style menu and is read by pandas as a time-of-day.
+    * Same glyphs, different provenance, different right answer —
+    * pinned by ExcelDatesSpec on both paths. */
   private val builtinDateIds: Set[Int] =
     ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
 

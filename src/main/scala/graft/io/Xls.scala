@@ -247,10 +247,18 @@ object Xls {
         case RXf =>
           xfFmt += u16(wb, off + 2) // ifmt ([MS-XLS] XF, offset 2)
         case RFormat =>
-          // ifmt u16 + XLUnicodeString (cch u16, grbit u8, chars)
+          // ifmt u16 + XLUnicodeString (cch u16, grbit u8, chars) — the
+          // string must FIT the record: a format code split across a
+          // CONTINUE record (legal BIFF8, like the SST case) would
+          // otherwise read the next record's bytes as characters
           val ifmt = u16(wb, off)
           val cch = u16(wb, off + 2)
           val grbit = wb(off + 4) & 0xFF
+          val need = 5 + cch * (if ((grbit & 0x01) != 0) 2 else 1)
+          require(need <= len,
+            s"FORMAT record for ifmt $ifmt: $cch-char code spills into a " +
+              "CONTINUE record — unsupported (fixture-grade reader); " +
+              "shorten the format code or convert to .xlsx")
           customFmt(ifmt) =
             if ((grbit & 0x01) != 0)
               new String(wb, off + 5, cch * 2, "UTF-16LE")
@@ -261,9 +269,15 @@ object Xls {
               new String(cs)
             }
         case RBoundSheet =>
-          // lbPlyPos u32, grbit u16, then ShortXLUnicodeString (cch u8)
+          // lbPlyPos u32, grbit u16, then ShortXLUnicodeString (cch u8);
+          // bounded like FORMAT — fail descriptive, never read past the
+          // record
           val cch = wb(off + 6) & 0xFF
           val grbit = wb(off + 7) & 0xFF
+          val need = 8 + cch * (if ((grbit & 0x01) != 0) 2 else 1)
+          require(need <= len,
+            s"BOUNDSHEET record: $cch-char sheet name spills into a " +
+              "CONTINUE record — unsupported (fixture-grade reader)")
           sheetNames +=
             (if ((grbit & 0x01) != 0)
                new String(wb, off + 8, cch * 2, "UTF-16LE")

@@ -86,9 +86,29 @@ object Xlsx {
           throw new IllegalArgumentException(
             s"sheet '$want' (${hit._2}) has no resolvable worksheet part"))
       case None =>
-        sheetsInOrder.headOption.flatMap(s => partOf(s._2))
-          .filter(entries.contains)
-          .orElse(byConvention.headOption)
+        sheetsInOrder.headOption match {
+          case Some((name, rid)) =>
+            partOf(rid) match {
+              case Some(target) =>
+                // the workbook DECLARES a first sheet and rels resolves
+                // it: the part must exist — a silent byConvention
+                // fallback could read a DIFFERENT sheet than workbook
+                // order (inconsistent with the Some(name) path, which
+                // fails loud on an unresolvable part)
+                if (entries.contains(target)) Some(target)
+                else throw new IllegalArgumentException(
+                  s"workbook-declared first sheet '$name' ($rid) " +
+                    s"resolves to missing part '$target' — refusing " +
+                    "to guess another sheet")
+              case None =>
+                // no rels metadata for the declared sheet (fixture-grade
+                // workbooks omit rels entirely): the filename convention
+                // is the only remaining order source
+                byConvention.headOption
+            }
+          case None => // no workbook metadata at all: filename convention
+            byConvention.headOption
+        }
     }
     part.map(p => parseSheet(entries(p), shared, xfIsDate, date1904))
       .getOrElse(Seq.empty)

@@ -992,10 +992,27 @@ object StreamingOps {
     * micro-batch split (StreamingSpec) — token accounting and the
     * segmentation hash are available the moment a document lands,
     * under yesterday's tokenizer, with no reprocessing. Wordless docs
-    * are dropped (the batch arm's join semantics). */
+    * are dropped (the batch arm's join semantics).
+    *
+    * The artifact is VALIDATED before the first micro-batch (the same
+    * fail-loud contract [[graft.operators.Bpe.segmentWords]] enforces):
+    * it must be exactly one row whose `merges` array carries rounds
+    * 1..`rounds` in order — under default (non-ANSI) mode a short or
+    * mis-ordered array would make `element_at` return null and the
+    * merge silently no-op, corrupting every segmentation. The artifact
+    * is the static side of the stream-static join (rounds+0 rows by
+    * contract), so the collect is certified-small and runs once. */
   def streamingBpeSegment(docs: DataFrame, artifact: DataFrame,
                           rounds: Int, idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
+    val arows = artifact.select(col("merges")).collect()
+    require(arows.length == 1,
+      s"merge artifact must be exactly one row, got ${arows.length}")
+    val rs = arows(0).getSeq[org.apache.spark.sql.Row](0).map(_.getInt(0))
+    require(rs.length == rounds &&
+        rs.zipWithIndex.forall { case (r, i) => r == i + 1 },
+      s"merge artifact must carry exactly rounds 1..$rounds in order, " +
+        rs.mkString("got [", ",", "]"))
     def segWord(w: Column): Column = {
       var t: Column =
         transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))

@@ -94,4 +94,16 @@ class ExcelDatesSpec extends org.scalatest.funsuite.AnyFunSuite {
     intercept[IllegalArgumentException](
       ExcelDates.isDateFormatCode("[mm]:ss"))
   }
+
+  test("builtin 46 vs custom '[h]:mm:ss': openpyxl parity vs authored " +
+       "intent — same glyphs, different provenance, both pinned") {
+    // builtin id 46 datetime-converts (openpyxl's BUILTIN_FORMATS path:
+    // pandas reads such a cell as a time), so the serial surfaces as
+    // the value the pandas path would carry
+    assert(ExcelDates.isBuiltinDate(46))
+    // the identical format code supplied as a CUSTOM numFmt is authored
+    // duration intent and must fail loud, never guess an instant
+    intercept[IllegalArgumentException](
+      ExcelDates.isDateFormatCode("[h]:mm:ss"))
+  }
 }

@@ -187,6 +187,34 @@ class XlsxSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(back == rows)
   }
 
+  test("default read fails loud when the declared first sheet's part is " +
+       "missing — never silently reads a different sheet") {
+    // twoSheetWb minus sheet1.xml: rels resolves rId1 → worksheets/
+    // sheet1.xml, which is absent; the old byConvention fallback would
+    // have read sheet2.xml ("second") — a different sheet than workbook
+    // order
+    val broken = zipOf(
+      "xl/workbook.xml" ->
+        """<?xml version="1.0"?>
+          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+          | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |<sheets><sheet name="Summary" sheetId="1" r:id="rId1"/>
+          |<sheet name="Detail" sheetId="2" r:id="rId2"/></sheets></workbook>""".stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        """<?xml version="1.0"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/worksheets/sheet2.xml" ->
+        """<?xml version="1.0"?><worksheet><sheetData>
+          |<row r="1"><c r="A1" t="inlineStr"><is><t>second</t></is></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    val e = intercept[IllegalArgumentException](Xlsx.read(broken))
+    assert(e.getMessage.contains("Summary"))
+    assert(e.getMessage.contains("missing part"))
+  }
+
   test("sheet selection: default first-in-workbook-order, by-name analog") {
     assert(Xlsx.read(twoSheetWb) == Seq(Seq(Some("first"))))
     assert(Xlsx.read(twoSheetWb, Some("Detail")) == Seq(Seq(Some("second"))))
