@@ -11,10 +11,14 @@ import scala.collection.mutable
   * Scope is fixture-grade, matching [[Xlsx]]'s contract: first worksheet,
   * header row 0, every value surfaced as String (the all-string ingest
   * rule, SURVEY §1.3). Supported cell records: LABELSST, LABEL (inline),
-  * NUMBER, RK, MULRK, BLANK/MULBLANK. Anything the reader cannot
-  * faithfully surface — FORMULA, BOOLERR, an SST spilling into a
-  * CONTINUE record — FAILS LOUD with the record name, never silently
-  * drops a value (the S4 discipline).
+  * NUMBER, RK, MULRK, BLANK/MULBLANK, and FORMULA's CACHED result
+  * (numeric — date-styled like any NUMBER — string via the following
+  * STRING record, or blank; the value pandas/xlrd surfaces for a
+  * computed payroll column, matching the XLSX side where the StAX
+  * reader takes `<v>` and ignores `<f>`). Anything the reader cannot
+  * faithfully surface — a boolean/error formula result, BOOLERR, an
+  * SST/FORMAT/STRING spilling into a CONTINUE record — FAILS LOUD with
+  * the record name, never silently drops a value (the S4 discipline).
   *
   * Container ([MS-CFB]): 512-byte sectors (major version 3), FAT from
   * the header DIFAT, directory chain, and the mini-stream path — real
@@ -176,6 +180,7 @@ object Xls {
   private val RRk = 0x027E
   private val RMulRk = 0x00BD
   private val RFormula = 0x0006
+  private val RString = 0x0207
   private val RBoolErr = 0x0205
   private val RFormat = 0x041E
   private val RXf = 0x00E0
@@ -210,6 +215,9 @@ object Xls {
     var inSheet1 = false
     var sheetDone = false
     var sheetsSeen = 0
+    // a FORMULA whose cached result is a string: (row, col) awaiting the
+    // following STRING record
+    var pendingString: Option[(Int, Int)] = None
     // target sheet ordinal: BOUNDSHEET records precede all sheet
     // substreams in the globals, so by the first sheet BOF the name
     // table is complete
@@ -242,6 +250,9 @@ object Xls {
         case REof =>
           if (inSheet1) sheetDone = true
           inSheet1 = false
+          require(pendingString.isEmpty,
+            "sheet ended with a FORMULA string result missing its " +
+              "STRING record — corrupt or unsupported workbook")
         case RDate1904 =>
           date1904 = u16(wb, off) != 0
         case RXf =>
@@ -361,8 +372,66 @@ object Xls {
             j += 1
           }
         case RFormula if inSheet1 =>
-          throw new IllegalArgumentException(
-            "FORMULA cells unsupported — export values or convert to .xlsx")
+          // CACHED formula result ([MS-XLS] 2.4.127 FormulaValue) — the
+          // value pandas/xlrd surfaces for a computed cell (a payroll
+          // extract with computed columns reads its VALUES, never the
+          // formula text). 8 bytes at +6: when the high word (bytes
+          // 6–7) is 0xFFFF, byte 0 selects string (the text follows in
+          // a STRING record) / boolean / error / blank-string;
+          // otherwise the 8 bytes are the cached IEEE double, honoring
+          // the cell's date style like any NUMBER. Boolean and error
+          // results still fail loud: the all-string surface has no
+          // faithful rendering for them (xlrd maps errors to NaN —
+          // a silent value loss this reader refuses).
+          val rw = u16(wb, off); val c = u16(wb, off + 2)
+          val ixfe = u16(wb, off + 4)
+          require(pendingString.isEmpty,
+            "FORMULA with a string result was not followed by its " +
+              "STRING record — corrupt or unsupported workbook")
+          if (u16(wb, off + 12) == 0xFFFF) {
+            (wb(off + 6) & 0xFF) match {
+              case 0 => pendingString = Some((rw, c)) // next STRING record
+              case 3 => cells((rw, c)) = ""           // cached blank string
+              case 1 => throw new IllegalArgumentException(
+                "FORMULA with a cached BOOLEAN result — no faithful " +
+                  "all-string rendering; convert to .xlsx")
+              case 2 => throw new IllegalArgumentException(
+                "FORMULA with a cached ERROR result — the value is " +
+                  "lost; recompute and export values, or convert to .xlsx")
+              case other => throw new IllegalArgumentException(
+                s"FORMULA cached-value type $other unsupported")
+            }
+          } else {
+            var bits = 0L
+            var j = 0
+            while (j < 8) { bits |= (wb(off + 6 + j) & 0xFFL) << (8 * j); j += 1 }
+            cells((rw, c)) =
+              cellNum(java.lang.Double.longBitsToDouble(bits), ixfe)
+          }
+        case RString if inSheet1 =>
+          // the cached string result of the preceding FORMULA
+          // (XLUnicodeString: cch u16, grbit u8, chars), bounded by the
+          // record like FORMAT
+          pendingString match {
+            case Some((rw, c)) =>
+              val cch = u16(wb, off)
+              val grbit = wb(off + 2) & 0xFF
+              val need = 3 + cch * (if ((grbit & 0x01) != 0) 2 else 1)
+              require(need <= len,
+                s"STRING record: $cch-char formula result spills into a " +
+                  "CONTINUE record — unsupported (fixture-grade reader)")
+              cells((rw, c)) =
+                if ((grbit & 0x01) != 0)
+                  new String(wb, off + 3, cch * 2, "UTF-16LE")
+                else {
+                  val cs = new Array[Char](cch)
+                  var j = 0
+                  while (j < cch) { cs(j) = (wb(off + 3 + j) & 0xFF).toChar; j += 1 }
+                  new String(cs)
+                }
+              pendingString = None
+            case None => () // STRING outside a formula context: no value
+          }
         case RBoolErr if inSheet1 =>
           throw new IllegalArgumentException(
             "BOOLERR cells unsupported — convert to .xlsx")
