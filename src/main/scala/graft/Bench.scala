@@ -205,6 +205,22 @@ object Bench {
       spark.range(1000000000L).selectExpr("sum(id % 1000003)").collect()
       (System.nanoTime() - t0) / 1e9
     })
+    // Calibration DRIFT gate (the r14 lesson: that capture ran at calib
+    // 31 cs vs r13's 16 — per-entry noise was adjudicated correctly,
+    // but the headline 237.66 s was mostly machine speed and needed a
+    // hand comparison). RefCalibCs pins the quiet-box speed this
+    // machine class measures when idle (r12/r13 captures: 15–16 cs);
+    // calib_ratio = calib/ref lands in the JSON line, value_cal is the
+    // calib-normalized total (raw ÷ ratio) so two rounds' headlines
+    // compare at a glance, and a ratio > 1.5 prints a loud RECAPTURE
+    // advisory on stderr — the convention NOTES documents is to re-run
+    // the sweep rather than ship a hot-box artifact.
+    val RefCalibCs = 16.0
+    val calibRatio = calib * 100.0 / RefCalibCs
+    if (calibRatio > 1.5)
+      System.err.println(f"[bench] RECAPTURE ADVISED: calib ${calib * 100}%.0f cs" +
+        f" is ${calibRatio}%.2fx the pinned quiet-box reference " +
+        f"($RefCalibCs%.0f cs) — this capture is machine-speed inflated")
     // warm=true: timed passes measured steady-state (post-smoke-warm-up);
     // wfail>0 means that many queries failed warm-up and were timed cold —
     // cross-round comparisons are only valid on same-methodology runs
@@ -226,7 +242,7 @@ object Bench {
       val qs = results.map { case (_, v, _, _) =>
         if (v < 0) -1L else math.max(1L, math.round(v * perSec))
       }.mkString("[", ",", "]")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","qunit":"$unit","enc":"pos","n":${results.length},"passes":$passes,"calib_cs":${math.round(calib * 100)},"probe_cs":${math.round(probeBase * 100)},"warm":$warmed,"wfail":$warmFails,"noisyn":${noisyIdx.length},"noisy":$noisyJson,"solo":${soloJson(perSec)},"q":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","value_cal":${total / calibRatio}%.2f,"calib_ratio":$calibRatio%.2f,"qunit":"$unit","enc":"pos","n":${results.length},"passes":$passes,"calib_cs":${math.round(calib * 100)},"probe_cs":${math.round(probeBase * 100)},"warm":$warmed,"wfail":$warmFails,"noisyn":${noisyIdx.length},"noisy":$noisyJson,"solo":${soloJson(perSec)},"q":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     // full human-readable map for the judge; stdout stays compact
     try {
