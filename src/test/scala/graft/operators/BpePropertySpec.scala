@@ -70,4 +70,51 @@ class BpePropertySpec extends SparkSpec {
       assert(gotSeg == refSeg, s"trial $trial final segmentation")
     }
   }
+
+  test("Bpe.trainCollected ≡ Bpe.train merge-for-merge (table, curve, " +
+       "final segmentation) over seeded random corpora") {
+    val rnd = new scala.util.Random(20260817)
+    val alphabet = "abcde"
+    for (trial <- 1 to 5) {
+      val words = (1 to 15).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+          .mkString
+      }.distinct.map(w => w -> (1L + rnd.nextInt(9)))
+      val rounds = 3 + rnd.nextInt(4)
+      val wdf = words.toDF("word", "wcount")
+      def mergeRows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("round").collect().map(r =>
+          (r.getAs[Int]("round"), r.getAs[String]("a"),
+           r.getAs[String]("b"), r.getAs[Long]("cnt"),
+           r.getAs[Long]("vocab_size"),
+           r.getAs[Long]("total_tokens"))).toSeq
+      def segRows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getAs[String]("word"), r.getAs[Long]("wcount"),
+           r.getSeq[String](2))).sortBy(_._1).toSeq
+      val (lm, ls) = Bpe.train(wdf, rounds)
+      val (cm, cs) = Bpe.trainCollected(wdf, rounds)
+      assert(mergeRows(cm) == mergeRows(lm),
+        s"trial $trial (rounds=$rounds, words=$words) merge table")
+      assert(segRows(cs) == segRows(ls), s"trial $trial segmentation")
+    }
+  }
+
+  test("trainCollected splits by CODE POINT and exhausts loud") {
+    // a supplementary character (U+1D11E, two UTF-16 code units) must
+    // count as ONE initial token — Spark's substring/length semantics
+    val g = new String(Character.toChars(0x1D11E))
+    val words = Seq((s"$g$g", 3L), ("xy", 2L))
+    val (m, s) = Bpe.trainCollected(words.toDF("word", "wcount"), 1)
+    val row = m.collect().head
+    // (g,g) cnt 3 beats (x,y) cnt 2
+    assert(row.getAs[String]("a") == g && row.getAs[Long]("cnt") == 3L)
+    assert(s.filter(col("word") === "xy").collect()
+      .head.getSeq[String](2) == Seq("x", "y"))
+    // rounds beyond pair exhaustion fail loud, never silently no-op
+    val e = intercept[IllegalArgumentException](
+      Bpe.trainCollected(Seq(("ab", 1L)).toDF("word", "wcount"), 2))
+    assert(e.getMessage.contains("no adjacent pairs"))
+  }
 }
