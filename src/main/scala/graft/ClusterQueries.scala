@@ -614,6 +614,36 @@ object ClusterQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // X170 — SHARDED graph serving ≡ batch beam search: the x148 answer
+    // reproduced through the per-cell shard artifacts
+    // (GraphSearch.serveShards — seed list + closure-restricted
+    // adjacency/vector maps, ONE ROW PER CELL) and the keyed-join
+    // higher-order-function serve (streamingGraphServe run on a batch
+    // frame; the identical code path the streaming twin executes).
+    // Green means the shard CLOSURE restriction is exactly sufficient:
+    // every node a cell-seeded search expands (depth ≤ HOPS−1) or
+    // scores (depth ≤ HOPS) is in the shard, so per-shard serving loses
+    // nothing vs the whole-graph batch operator — the 100 TB sharding
+    // story made structural and hash-audited (the oracle is x148's
+    // verbatim beam chain + the budget column). scored_n is in the
+    // hash: a shard that silently dropped a reachable candidate would
+    // shift the budget even where the top-3 survived.
+    "x170_graph_serve_sharded" -> ((s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
+      val (sn, g) = kmeansGraph(s, dir)
+      val shards = scope.persist(
+        graft.operators.GraphSearch.serveShards(g, sn, BEAM, HOPS))
+      shards.count() // eager: the shard build is one job, probed per query
+      val q = sn.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                col("nrm").as("qn"), col("cell"))
+      graft.streaming.StreamingOps.streamingGraphServe(q, shards,
+          BEAM, HOPS, 3)
+        .select(col("qid"), col("rank"), col("nid"),
+                round(col("cos"), 4).as("cos"), col("scored_n"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // X149 — the graph-serving recall twin on CLUSTERED geometry: the
     // positive example the x142 audit needs before the serve/don't-serve
     // decision means anything (x142's ~5% on the near-isotropic driver
@@ -1397,6 +1427,18 @@ object ClusterQueries {
           ${seedCtes(10)},
           ${beamCtes(s"g$GR")}
           SELECT qid, rn AS rank, nid, round(cos, 4) AS cos
+          FROM vf WHERE rn <= 3 ORDER BY qid, rank""",
+
+    // the shard path must EQUAL the whole-graph beam search, so the
+    // oracle IS x148's verbatim chain — plus the per-query budget
+    // column (a dropped reachable candidate shifts scored_n even where
+    // the served top-3 survives)
+    "x170_graph_serve_sharded" ->
+      s"""WITH ${kmeansCtes()},
+          $nndCtes,
+          ${seedCtes(10)},
+          ${beamCtes(s"g$GR")}
+          SELECT qid, rn AS rank, nid, round(cos, 4) AS cos, scored_n
           FROM vf WHERE rn <= 3 ORDER BY qid, rank""",
 
     // the identical clustered-corpus derivation (scale-governed

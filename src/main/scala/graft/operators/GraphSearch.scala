@@ -125,33 +125,71 @@ object GraphSearch {
         count(lit(1)).over(Window.partitionBy(col("qid"))))
   }
 
-  /** The frozen serving artifacts as ONE ROW of maps — the export the
-    * streaming twin ([[graft.streaming.StreamingOps.streamingGraphServe]])
-    * broadcasts onto the query stream: `gmap` (node → sorted
-    * out-neighbors), `vmap` (node → (v, nrm)), `smap` (cell → the
-    * beam+1 smallest member ids; +1 because self-exclusion happens per
-    * query, AFTER which the first `beam` are the [[cellSeeds]] set).
-    * This is the in-RAM serving-shard shape (an HNSW-style server keeps
-    * graph + vectors resident); at 100 TB the corpus shards by coarse
-    * cell and each serving executor holds its shard's row — the maps
-    * here are one shard, not "the corpus on the driver". */
-  def serveArtifacts(g: DataFrame, sn: DataFrame, beam: Int): DataFrame = {
-    val gm = g.groupBy(col("u"))
+  /** The frozen serving artifacts SHARDED BY COARSE CELL — one row per
+    * cell: `seeds` (the beam+1 smallest member ids; +1 because
+    * self-exclusion happens per query, AFTER which the first `beam` are
+    * the [[cellSeeds]] set), `gmap` (node → sorted out-neighbors) and
+    * `vmap` (node → (v, nrm)) restricted to the cell's hops-reachable
+    * CLOSURE. This is the structural form of the 100 TB serving story
+    * the one-row export used to carry only as prose: each serving
+    * executor holds ITS cell's row (the HNSW resident-shard
+    * convention), queries route to shards by coarse cell, and the
+    * stream side is one keyed stream-static join — no whole-corpus
+    * single-row aggregate anywhere in the serving path.
+    *
+    * Closure bound, pinned to the search's access pattern: a query
+    * seeded from this cell only ever EXPANDS nodes it visited at hop
+    * ≤ hops−1 and only ever SCORES nodes at hop ≤ hops, so `gmap`
+    * carries the (≤ hops−1)-reachable set from the cell's members and
+    * `vmap` the (≤ hops)-reachable set — per-shard serving is then
+    * EXACTLY the batch [[search]] answer for cell-local queries (x170
+    * hash-proves it at 3 SFs). Shard size is governed by the graph
+    * degree: |members|·(1 + kg + … + kg^hops) keys worst-case, in
+    * practice far smaller because neighbors-of-neighbors overlap
+    * within a cluster (the locality NN-Descent exists to exploit).
+    * Scale shape: `hops` keyed self-joins on the edge artifact + two
+    * per-cell map aggregations — no driver state, no global collect. */
+  def serveShards(g: DataFrame, sn: DataFrame, beam: Int,
+                  hops: Int): DataFrame = {
+    require(hops >= 1, s"hops must be >= 1, got $hops")
+    val adj = g.select(col("u").as("__gu"), col("w").as("__gw"))
+    val members = sn.select(col("cell"), col("vec_id").as("nid"))
+    def expand(nodes: DataFrame): DataFrame =
+      nodes.join(adj, col("nid") === col("__gu"))
+        .select(col("cell"), col("__gw").as("nid"))
+        .distinct()
+    // depth ≤ hops−1 closure (gmap keys: nodes whose adjacency a
+    // cell-seeded beam search can expand)
+    var reachG = members
+    var frontier = members
+    for (_ <- 1 to hops - 1) {
+      frontier = expand(frontier)
+      reachG = reachG.union(frontier).distinct()
+    }
+    // depth ≤ hops closure (vmap keys: nodes the search can score)
+    val reachV = reachG.union(expand(frontier)).distinct()
+    val gm = reachG.join(g, reachG("nid") === g("u"))
+      .groupBy(col("cell"), col("u"))
       .agg(sort_array(collect_list(col("w"))).as("nbrs"))
+      .groupBy(col("cell"))
       .agg(map_from_entries(collect_list(struct(col("u"), col("nbrs"))))
         .as("gmap"))
-    val vm = sn
-      .agg(map_from_entries(collect_list(struct(col("vec_id"),
+    val vm = reachV
+      .join(sn.select(col("vec_id").as("nid"), col("v"), col("nrm")), "nid")
+      .groupBy(col("cell"))
+      .agg(map_from_entries(collect_list(struct(col("nid"),
         struct(col("v"), col("nrm"))))).as("vmap"))
     val ws = Window.partitionBy(col("cell")).orderBy(col("vec_id").asc)
-    val sm = sn.select(col("cell"), col("vec_id"))
+    val sd = sn.select(col("cell"), col("vec_id"))
       .withColumn("srn", row_number().over(ws))
       .filter(col("srn") <= beam + 1)
       .groupBy(col("cell"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("mem"))
-      .agg(map_from_entries(collect_list(struct(col("cell"), col("mem"))))
-        .as("smap"))
-    gm.crossJoin(vm).crossJoin(sm)
+      .agg(sort_array(collect_list(col("vec_id"))).as("seeds"))
+    // left joins from the seed table: every cell has members (hence
+    // seeds); a cell whose closure carries no out-edges simply has a
+    // null gmap — the per-lookup coalesce in the serve path covers it
+    sd.join(gm, Seq("cell"), "left").join(vm, Seq("cell"), "left")
+      .select(col("cell"), col("seeds"), col("gmap"), col("vmap"))
   }
 
   /** The serve/don't-serve decision, OPERATIONALIZED (x165): the

@@ -912,25 +912,30 @@ object StreamingOps {
                           textCol: String = "text"): DataFrame =
     graft.CorpusQueries.luhnScreen(docs, idCol, textCol)
 
-  /** x148's streaming twin: graph-ANN SERVING on a query stream. The
-    * frozen artifacts ([[graft.operators.GraphSearch.serveArtifacts]]:
-    * adjacency, vector store, per-cell seed lists as one row of maps)
-    * broadcast onto the stream — ONE stream-static broadcast join, zero
-    * state — and the whole fixed-hop beam search runs INSIDE each query
-    * row as higher-order array functions: seed from the query's cell
+  /** x148's streaming twin: graph-ANN SERVING on a query stream over
+    * the PER-CELL sharded artifacts
+    * ([[graft.operators.GraphSearch.serveShards]]: one row per coarse
+    * cell — seed list, closure-restricted adjacency and vector maps).
+    * Each query joins to ITS cell's shard row — one stream-static KEYED
+    * equi-join on `cell`, zero state, no whole-corpus broadcast — and
+    * the whole fixed-hop beam search runs INSIDE the joined row as
+    * higher-order array functions: seed from the shard's seed list
     * (self excluded), then `hops` rounds of sort-by-(cos DESC NULLS
     * LAST, nid ASC) → take `beam` → expand `gmap` → score fresh
     * candidates via `vmap`. Per-row work is bounded by the same
     * constant budget as the batch operator (≤ beam + hops·beam·kg
-    * scored candidates), and the visited set is the identical pure
-    * function of (graph, seeds, query) — StreamingSpec reconciles the
-    * served answer with batch [[graft.operators.GraphSearch.search]]
-    * over a query split. Output per query: (qid, rank, nid, cos,
-    * scored_n) for rank ≤ `k`.
+    * scored candidates); the shard's closure restriction covers every
+    * node a cell-seeded search can touch, so the visited set is the
+    * identical pure function of (graph, seeds, query) — StreamingSpec
+    * reconciles the served answer with batch
+    * [[graft.operators.GraphSearch.search]] over a query split ACROSS
+    * shards, and x170 hash-proves shard ≡ batch at 3 SFs. Output per
+    * query: (qid, rank, nid, cos, scored_n) for rank ≤ `k`.
     *
-    * This is the deployment shape for query-time ANN at ingest: the
-    * serving executor holds its shard's artifacts in RAM (the HNSW
-    * convention); queries route to shards by coarse cell upstream. */
+    * This is the deployment shape for query-time ANN at ingest: each
+    * serving executor holds its cell's shard resident (the HNSW
+    * convention), queries route to shards by coarse cell upstream, and
+    * corpus growth adds SHARDS, never widens a global artifact. */
   def streamingGraphServe(queries: DataFrame, artifacts: DataFrame,
                           beam: Int, hops: Int, k: Int): DataFrame = {
     // comparator for (cos DESC NULLS LAST, nid ASC) — the batch rank
@@ -951,12 +956,13 @@ object StreamingOps {
             col("qv"), e.getField("v")) / (col("qn") * e.getField("nrm")))
       struct(id.as("nid"), cos.as("cos"))
     }
-    var out = queries.join(broadcast(artifacts)) // one row: cross
+    // keyed stream-static join: each query row picks up exactly its
+    // cell's shard (seeds + closure maps)
+    var out = queries.join(artifacts, "cell")
       .withColumn("visited",
         transform(
           slice(filter(
-            coalesce(element_at(col("smap"), col("cell")),
-                     array().cast("array<long>")),
+            coalesce(col("seeds"), array().cast("array<long>")),
             id => id =!= col("qid")), 1, beam),
           scoreOf(_)))
     for (_ <- 1 to hops) {

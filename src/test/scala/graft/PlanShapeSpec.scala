@@ -1716,6 +1716,23 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x170 sharded serving: shard build is keyed adjacency self-joins, the serve is one keyed shard join — no cartesian, no nested loop") {
+    // full plans INCLUDING cached subtrees: x170 has no deliberate
+    // pay-once nested loop to double-count, and the closure build lives
+    // under the shard cache scan, so the existence pin needs the origin
+    // plan visible
+    val plans = allPlansOf("x170_graph_serve_sharded")
+    plans.foreach { p =>
+      assert(!p.contains("CartesianProduct"), p.take(3000))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    }
+    // the closure expansion drives on the frozen graph's source vertex;
+    // the serve joins queries to shards on the cell key
+    assert(plans.exists(_.contains("__gu")),
+      s"closure-expansion join key missing from all ${plans.length} plans")
+    spark.catalog.clearCache()
+  }
+
   test("x149 clustered recall twin: serving stays keyed; the only nested loop is the exact arm's broadcast ground truth") {
     val plans = allPlansOf("x149_graph_recall_clustered")
     plans.foreach(p => assert(!p.contains("CartesianProduct"), p.take(3000)))

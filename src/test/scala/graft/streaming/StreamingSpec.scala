@@ -1195,7 +1195,13 @@ class StreamingSpec extends SparkSpec {
               col("cos"), col("scored_n"))
       .collect().map(_.toSeq).toSet
 
-    val artifacts = graft.operators.GraphSearch.serveArtifacts(g, sn, beam)
+    val artifacts = graft.operators.GraphSearch.serveShards(g, sn, beam,
+        hops).persist()
+    // the serving path is genuinely SHARDED: one row per cell, and the
+    // query split below spans several shards (never a single-shard
+    // degenerate pass)
+    assert(artifacts.count() == 3)
+    assert(qrows.map(_._2).distinct.size >= 2)
     val mem = MemoryStream[(Long, Seq[Double], Long)]
     val stream = mem.toDF().toDF("qid", "qv", "cell")
       .withColumn("qn", graft.functions.VectorFunctions.norm(col("qv")))
