@@ -239,6 +239,62 @@ object GraphSearch {
               col("ratio_pct"), col("verdict"))
   }
 
+  /** LONG-RANGE graph augmentation — the deterministic analog of
+    * HNSW's upper layers / NSG's navigating node, built to fix the
+    * failure x163 MEASURED: a query seeded in the wrong cell recalls
+    * 0–6%, because every frozen out-edge points within the cluster and
+    * the beam search cannot escape it. The remedy adds, at BUILD time,
+    * a few edges per node that leave the cluster: each node gets one
+    * edge to the SMALLEST-id member of each of its top-`ell` foreign
+    * cells by centroid distance (dist = |v|² − 2v·c + |c|², ties by
+    * cell ASC — the KMeansDet ranking expression over the quantizer's
+    * centroid table). A mis-seeded beam then reaches a nearby foreign
+    * cluster's anchor in one hop and climbs from there; x171 prices the
+    * recovery (recall recovered × extra scored candidates) against the
+    * un-augmented graph at 3 SFs.
+    *
+    * MEASURED VERDICT (x171, ell=4, the x149 corpus): the remedy buys
+    * beam DIVERSITY, not query-directed navigation. Mis-seeded recall
+    * recovers 6.2→21.2% at sf0.001 and decays to 5→0% and 0→0% at
+    * sf0.01/sf0.1 (for ~25–45% more scored candidates; the
+    * correctly-seeded arm is unharmed at 92.5–97.5%). Why, mechanically:
+    * every wrong-cell member's amplified vector is dominated by the
+    * SAME 40·centroid term, so all beam nodes rank foreign cells
+    * nearly identically — widening the beam multiplies visited nodes
+    * but NOT visited anchors — and the sub-cells a nearest-sibling
+    * mis-seed must navigate among are separated only by quantizer
+    * noise, which a query-independent static edge set cannot rank for
+    * a specific query. The principled insurance remains SEEDING-side:
+    * x163's top-2-cell split holds 91–94% at the same total seed
+    * count. Static long-range edges stay the right device for what
+    * they actually provide — cross-cluster CONNECTIVITY (escape from a
+    * far mis-route, reachability for component-spanning walks) — and
+    * the wrong device for nearest-sibling precision, which is now a
+    * number, not a guess.
+    *
+    * @param sn   vector store (vec_id, cell, v, nrm)
+    * @param cent quantizer centroids (cell, c)
+    * @param ell  long-range edges per node (top-ell foreign cells)
+    * @return (u, w) edge pairs to union with the frozen k-NN graph */
+  def longRangeEdges(sn: DataFrame, cent: DataFrame, ell: Int): DataFrame = {
+    require(ell >= 1, s"ell must be >= 1, got $ell")
+    val tc = cent.select(col("cell").as("tcell"), col("c"))
+    val tgt = sn.groupBy(col("cell"))
+      .agg(min(col("vec_id")).as("w"))
+      .select(col("cell").as("tcell"), col("w"))
+    val wn = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("tcell").asc)
+    sn.select(col("vec_id"), col("cell"), col("v"))
+      .join(broadcast(tc), col("tcell") =!= col("cell"))
+      .withColumn("dist",
+        V.dot(col("v"), col("v")) - lit(2.0) * V.dot(col("v"), col("c"))
+          + V.dot(col("c"), col("c")))
+      .withColumn("nrn", row_number().over(wn))
+      .filter(col("nrn") <= ell)
+      .join(tgt, "tcell")
+      .select(col("vec_id").as("u"), col("w"))
+  }
+
   /** Coarse-cell seeds: for each query, the `beam` SMALLEST vec_ids of
     * its cell — deliberately unscored (scoring whole cells is IVF's
     * cost, the budget this serving path exists to avoid); the descent to

@@ -128,6 +128,33 @@ class GraphSearchSpec extends SparkSpec {
       s"escaped the seed cluster: $visited — fixture no longer separated?")
   }
 
+  test("longRangeEdges restore cross-cluster reachability: a far-mis-seeded query recovers once anchors are linked (the connectivity claim; x171 measures the nearest-sibling limit)") {
+    val sn = fixture(id => if (id < 6) 0L else 1L)
+    val g = buildAll(sn)
+    val cent = sn.groupBy(col("cell"))
+      .agg(array((0 until 4).map(i => avg(col("v")(i))): _*).as("c"))
+    val lr = GraphSearch.longRangeEdges(sn, cent, ell = 1)
+    // with two cells, every node's one long-range edge targets the
+    // OTHER cluster's smallest-id anchor
+    assert(lr.as[(Long, Long)].collect().toSet ==
+      ((0L to 5L).map(_ -> 10L) ++ (10L to 15L).map(_ -> 0L)).toSet)
+    val ga = scope.persist(g.union(lr).distinct())
+    ga.count()
+    val q = queryFrame(sn, Seq(1L))
+    val wrongSeeds = Seq((1L, 10L), (1L, 11L)).toDF("qid", "nid")
+    // plain directed graph: provably trapped (the pinned negative above)
+    val plain = GraphSearch.search(g, sn, q, wrongSeeds, beam = 2, hops = 3)
+      .select(col("nid")).as[Long].collect().toSet
+    assert(plain.forall(_ >= 10L))
+    // augmented: hop 1 reaches cluster A's anchor through the
+    // long-range edge, hops 2–3 climb — the served top-3 is exact
+    val served = GraphSearch
+      .search(ga, sn, q, wrongSeeds, beam = 2, hops = 3)
+      .filter(col("rn") <= 3).orderBy(col("rn"))
+      .select(col("nid")).as[Long].collect().toSeq
+    assert(served == exactTopK(sn, 1L, 3), s"served $served")
+  }
+
   test("cellSeeds: smallest cell-mates, self excluded, at most beam") {
     val sn = fixture(id => if (id < 6) 0L else 1L)
     val seeds = GraphSearch
