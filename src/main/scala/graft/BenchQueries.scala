@@ -190,6 +190,37 @@ object BenchQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // X172 — ORC PARTITIONED layout + predicate pushdown (x169's scale
+    // path): the fact table lands once PARTITIONED BY l_returnflag as
+    // ORC (the b03/b05 pay-once device on the second columnar format);
+    // the steady-state read opens ONLY the 'R' partition directory
+    // (PartitionFilters, static) and pushes the shipdate range INTO the
+    // ORC reader (PushedFilters — row groups outside the range never
+    // decompress). At 100 TB that is the difference between scanning a
+    // third of the warehouse and scanning the matching stripes of one
+    // directory. The audit aggregate is the x169 device: counts and
+    // integer-cents sums the oracle computes from the parquet original
+    // under the same predicate — green proves partition pruning +
+    // pushdown lost no rows and the format carried every value class.
+    "x172_orc_partitioned" -> ((s, dir) => {
+      val path = Scratch.dir("orcp", dir)
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        graft.io.TableIo.writePartitioned(
+          Tables(s, dir, "lineitem"), path, Seq("l_returnflag"), "orc")
+      graft.io.TableIo.readOrc(s, path)
+        .filter(col("l_returnflag") === "R" &&
+                col("l_shipdate") >= lit("1995-06-01").cast("date"))
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"),
+             sum(round(col("l_extendedprice") * 100).cast("long"))
+               .as("price_c"),
+             countDistinct(col("l_shipdate")).as("n_shipdates"),
+             min(col("l_shipdate")).as("min_shipdate"),
+             max(col("l_shipdate")).as("max_shipdate"))
+        .orderBy(col("l_linestatus"))
+    }),
+
     "b05_ann_steady" -> ((s, dir) => {
       import graft.functions.{VectorFunctions => V}
       import org.apache.spark.sql.expressions.Window
@@ -451,6 +482,22 @@ object BenchQueries {
            count(DISTINCT l_shipdate)::BIGINT AS n_shipdates,
            max(l_shipdate) AS max_shipdate
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // same predicate over the PARQUET original — green proves the
+    // partition-pruned + predicate-pushed ORC read lost nothing
+    "x172_orc_partitioned" ->
+      """SELECT l_linestatus,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_c,
+           count(DISTINCT l_shipdate)::BIGINT AS n_shipdates,
+           min(l_shipdate) AS min_shipdate,
+           max(l_shipdate) AS max_shipdate
+         FROM lineitem
+         WHERE l_returnflag = 'R' AND l_shipdate >= DATE '1995-06-01'
+         GROUP BY 1 ORDER BY 1""",
 
     "b01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -59,13 +59,18 @@ object TableIo {
       .drop("_fp", "_ri", "_fidx")
   }
 
-  /** Large-data sink: parquet partitioned by a (low-cardinality, derived)
-    * column — e.g. event date — so downstream range scans prune whole
-    * directories instead of filtering rows. The 100 TB twin of the
-    * collect-and-write payroll sinks below. */
+  /** Large-data sink: a columnar layout partitioned by a
+    * (low-cardinality, derived) column — e.g. event date — so
+    * downstream range scans prune whole directories instead of
+    * filtering rows. The 100 TB twin of the collect-and-write payroll
+    * sinks below. `format` is any columnar source Spark ships
+    * ("parquet" default, "orc" — both give the same PartitionFilters /
+    * PushedFilters pruning surface, pinned by PlanShapeSpec b03/x172). */
   def writePartitioned(df: DataFrame, path: String,
-                       partitionCols: Seq[String]): Unit =
-    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+                       partitionCols: Seq[String],
+                       format: String = "parquet"): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .format(format).save(path)
 
   /** Global-total-order sharded export: the corpus written as `shards`
     * parquet files such that reading them in file order replays one

@@ -1654,6 +1654,34 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x172 ORC partitioned: scan statically pruned to the R partition, shipdate range pushed into the ORC reader, unused columns pruned") {
+    val df = SparkEntry.queries("x172_orc_partitioned")(spark, sfDir)
+    df.collect() // materializes the pay-once layout if absent
+    val plan = SparkEntry.queries("x172_orc_partitioned")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("orc"),
+      "expected an ORC scan:\n" + plan.take(2000))
+    assert(plan.contains("PartitionFilters: [") &&
+           plan.contains("l_returnflag"),
+      "the returnflag predicate must prune partitions at the scan:\n" +
+        plan.take(3000))
+    // the shipdate range reaches the ORC reader — row groups outside it
+    // never decompress (the parquet PushedFilters contract, same surface)
+    assert(plan.contains("PushedFilters: [") &&
+           plan.contains("GreaterThanOrEqual(l_shipdate"),
+      "the shipdate range must push into the ORC reader:\n" +
+        plan.take(3000))
+    assert(!plan.contains("l_orderkey"),
+      "unused columns must be pruned from the ORC scan:\n" + plan.take(3000))
+    // layout is pay-once: a second run must not rewrite it
+    val dirF = new java.io.File(Scratch.dir("orcp", sfDir))
+    val stamp = dirF.listFiles().map(_.lastModified()).max
+    SparkEntry.queries("x172_orc_partitioned")(spark, sfDir).collect()
+    assert(dirF.listFiles().map(_.lastModified()).max == stamp,
+      "steady-state run must not rewrite the ORC layout")
+    spark.catalog.clearCache()
+  }
+
   test("x167 BPE train: every round is a keyed pair agg + a singleton merge-rule broadcast — no cartesian") {
     val plans = allPlansSansCachedOf("x167_bpe_train")
     plans.foreach(p => assert(!p.contains("CartesianProduct"), p.take(3000)))
