@@ -94,6 +94,19 @@ object CorpusQueries {
       graft.operators.Bpe.train(corpusWords(s, dir), BPER)._1
         .orderBy(col("round"))),
 
+    // X173 — the BATCHED trainer (Bpe.trainCollected) against the SAME
+    // independent-engine oracle as x167: the word-frequency value
+    // domain collects once (the segmentWords certified-small contract)
+    // and all merges learn driver-side. BpePropertySpec already proves
+    // loop ≡ batched on random corpora; THIS pins the batched form
+    // against DuckDB's unrolled restatement on the real corpus at 3
+    // SFs — the deployable 32k-merge trainer carries the identical
+    // oracle guarantee as the 8-round reference loop (measured 25×
+    // cheaper at rounds=64, flat in rounds; SCALING.md).
+    "x173_bpe_train_batched" -> ((s, dir) =>
+      graft.operators.Bpe.trainCollected(corpusWords(s, dir), BPER)._1
+        .orderBy(col("round"))),
+
     // X168 — frozen-tokenizer segmentation (x167's ingest-day twin):
     // merges learned on the CORPUS split (doc_id % 10 < 8) apply to the
     // batch split WITHOUT pair counting — 8 folds over the batch's own
@@ -2290,6 +2303,21 @@ object CorpusQueries {
     // the unrolled 8-round train chain; per round, the argmax row plus
     // the post-merge vocab/token-count scalars
     "x167_bpe_train" -> {
+      val outs = (1 to BPER).map { r =>
+        s"""SELECT $r AS round, a, b, cnt,
+             (SELECT count(DISTINCT t) FROM
+               (SELECT unnest(toks) AS t FROM s$r))::BIGINT AS vocab_size,
+             (SELECT sum(len(toks) * wcount)
+              FROM s$r)::BIGINT AS total_tokens
+           FROM b$r"""
+      }.mkString("\n UNION ALL ")
+      s"""WITH ${bpeTrainCtes()}
+          SELECT * FROM ($outs) ORDER BY round"""
+    },
+
+    // the identical unrolled chain — the batched trainer must reproduce
+    // the loop's merges exactly, so the oracle IS x167's
+    "x173_bpe_train_batched" -> {
       val outs = (1 to BPER).map { r =>
         s"""SELECT $r AS round, a, b, cnt,
              (SELECT count(DISTINCT t) FROM
