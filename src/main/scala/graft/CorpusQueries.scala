@@ -107,6 +107,41 @@ object CorpusQueries {
       graft.operators.Bpe.trainCollected(corpusWords(s, dir), BPER)._1
         .orderBy(col("round"))),
 
+    // X174 — TOKENIZER FERTILITY per language (the audit a tokenizer
+    // team consults before committing a vocabulary: how many subword
+    // tokens does a word cost in each language, and how many characters
+    // does a token carry?). The frozen x167 tokenizer's final
+    // segmentation is a |vocab|-row (word → token count) table; the
+    // per-(lang, word) corpus counts join to it and collapse per lang —
+    // words/tokens/chars as exact integers plus the two derived ratios
+    // (tokens/word = fertility, chars/token = compression). 100 TB
+    // shape: one corpus-sized (lang, word) count, then everything runs
+    // on the value domain; a fertility skew across languages is the
+    // number UniMax-style mixing (x160) acts on.
+    "x174_tokenizer_fertility" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val (_, seg) = graft.operators.Bpe.train(corpusWords(s, dir), BPER)
+      val segP = seg
+        .select(col("word"), size(col("toks")).cast("long").as("nt"))
+        .localCheckpoint() // |vocab| rows, read once per lang group
+      val lw = docs
+        .select(col("lang"), explode(T.words(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("lang"), col("word"))
+        .agg(count(lit(1)).as("lcount"))
+      lw.join(segP, "word")
+        .groupBy(col("lang"))
+        .agg(sum(col("lcount")).as("n_words"),
+             sum(col("lcount") * col("nt")).as("n_tokens"),
+             sum(col("lcount") * length(col("word"))).as("n_chars"),
+             countDistinct(col("word")).as("n_vocab"))
+        .withColumn("tokens_per_word",
+          round(col("n_tokens") / col("n_words"), 4))
+        .withColumn("chars_per_token",
+          round(col("n_chars") / col("n_tokens"), 4))
+        .orderBy(col("lang"))
+    }),
+
     // X168 — frozen-tokenizer segmentation (x167's ingest-day twin):
     // merges learned on the CORPUS split (doc_id % 10 < 8) apply to the
     // batch split WITHOUT pair counting — 8 folds over the batch's own
@@ -2329,6 +2364,25 @@ object CorpusQueries {
       s"""WITH ${bpeTrainCtes()}
           SELECT * FROM ($outs) ORDER BY round"""
     },
+
+    // the shared train chain's final segmentation joined to per-lang
+    // word counts; exact integer totals + the two derived ratios
+    "x174_tokenizer_fertility" ->
+      s"""WITH ${bpeTrainCtes()},
+          lw AS (SELECT lang, w AS word, count(*)::BIGINT AS lcount
+                 FROM (SELECT lang, unnest($wordsSql) AS w FROM documents)
+                 WHERE w <> '' GROUP BY 1, 2)
+          SELECT lang,
+            sum(lcount)::BIGINT AS n_words,
+            sum(lcount * len(toks))::BIGINT AS n_tokens,
+            sum(lcount * length(word))::BIGINT AS n_chars,
+            count(DISTINCT word)::BIGINT AS n_vocab,
+            round(sum(lcount * len(toks)) / sum(lcount), 4)
+              AS tokens_per_word,
+            round(sum(lcount * length(word)) / sum(lcount * len(toks)), 4)
+              AS chars_per_token
+          FROM lw JOIN s$BPER USING (word)
+          GROUP BY lang ORDER BY lang""",
 
     // corpus-split train chain + the SAME b_r folds applied to the
     // batch word domain, then the per-doc reassembly in word order
