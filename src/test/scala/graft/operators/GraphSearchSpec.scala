@@ -164,6 +164,32 @@ class GraphSearchSpec extends SparkSpec {
                         (12L, 10L), (12L, 11L), (12L, 13L)))
   }
 
+  test("serveShards closure contract: gmap = depth <= hops-1 reachable from members, vmap = depth <= hops, seeds = beam+1 smallest") {
+    // a 6-node directed CHAIN 0→1→2→3→4→5 with node 0 alone in cell 0:
+    // depths from cell 0's member set are exactly the chain positions,
+    // so the closure cut is observable per node
+    val chain = (0L to 5L).map(i =>
+      (i, if (i == 0) 0L else 1L, Seq(1.0, i.toDouble), math.sqrt(1 + i * i)))
+      .toDF("vec_id", "cell", "v", "nrm")
+    val g = (0L to 4L).map(i => (i, i + 1)).toDF("u", "w")
+    val shard0 = GraphSearch.serveShards(g, chain, beam = 2, hops = 3)
+      .filter(col("cell") === 0L).collect().head
+    assert(shard0.getSeq[Long](1) == Seq(0L)) // seeds: the only member
+    // gmap: nodes at depth <= 2 from {0} = {0, 1, 2}
+    assert(shard0.getMap[Long, Seq[Long]](2).keySet == Set(0L, 1L, 2L))
+    // vmap: nodes at depth <= 3 = {0, 1, 2, 3}
+    assert(shard0.getMap[Long, org.apache.spark.sql.Row](3).keySet ==
+      Set(0L, 1L, 2L, 3L))
+    // hops=1: gmap = members only, vmap = members + their out-neighbors
+    val s1 = GraphSearch.serveShards(g, chain, beam = 2, hops = 1)
+      .filter(col("cell") === 0L).collect().head
+    assert(s1.getMap[Long, Seq[Long]](2).keySet == Set(0L))
+    assert(s1.getMap[Long, org.apache.spark.sql.Row](3).keySet ==
+      Set(0L, 1L))
+    intercept[IllegalArgumentException](
+      GraphSearch.serveShards(g, chain, beam = 2, hops = 0))
+  }
+
   test("fails loud on bad arguments") {
     val sn = fixture(_ => 0L)
     val g = buildAll(sn)
