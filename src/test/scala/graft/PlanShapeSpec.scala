@@ -1761,6 +1761,32 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("serving shards at rest: the partitioned shard store prunes to the queried cells") {
+    // the 100 TB deployment artifact, composed from x170 + x172's
+    // devices: serveShards written PARTITIONED BY cell, so a serving
+    // node's scan opens only ITS cells' directories — corpus growth
+    // adds directories, and a query batch routed to two cells reads
+    // exactly two
+    SparkEntry.queries("x148_graph_search")(spark, sfDir).count() // kgr
+    val kgr = Scratch.dir("kgr", sfDir)
+    val sn = spark.read.parquet(s"$kgr/sn")
+    val g = spark.read.parquet(s"$kgr/g")
+      .select(org.apache.spark.sql.functions.col("u"),
+              org.apache.spark.sql.functions.col("w"))
+    val store = Scratch.dir("shardstore", sfDir)
+    if (!new java.io.File(store, "_SUCCESS").exists())
+      graft.io.TableIo.writePartitioned(
+        graft.operators.GraphSearch.serveShards(g, sn, 4, 3),
+        store, Seq("cell"))
+    val plan = spark.read.parquet(store)
+      .filter(org.apache.spark.sql.functions.col("cell").isin(0L, 1L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      "the cell route must prune shard directories at the scan:\n" +
+        plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("x149 clustered recall twin: serving stays keyed; the only nested loop is the exact arm's broadcast ground truth") {
     val plans = allPlansOf("x149_graph_recall_clustered")
     plans.foreach(p => assert(!p.contains("CartesianProduct"), p.take(3000)))
