@@ -120,7 +120,11 @@ object CorpusQueries {
     // number UniMax-style mixing (x160) acts on.
     "x174_tokenizer_fertility" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val (_, seg) = graft.operators.Bpe.train(corpusWords(s, dir), BPER)
+      // trainCollected, not the per-merge loop: proven merge-identical
+      // (BpePropertySpec) and oracle-pinned (x173), and it skips ~24
+      // scheduling-bound jobs the loop pays per execution
+      val (_, seg) = graft.operators.Bpe.trainCollected(
+        corpusWords(s, dir), BPER)
       val segP = seg
         .select(col("word"), size(col("toks")).cast("long").as("nt"))
         .localCheckpoint() // |vocab| rows, read once per lang group

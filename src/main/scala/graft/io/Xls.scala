@@ -383,6 +383,9 @@ object Xls {
           // results still fail loud: the all-string surface has no
           // faithful rendering for them (xlrd maps errors to NaN —
           // a silent value loss this reader refuses).
+          require(len >= 14,
+            s"truncated FORMULA record ($len bytes < the 14-byte fixed " +
+              "prefix) — corrupt workbook")
           val rw = u16(wb, off); val c = u16(wb, off + 2)
           val ixfe = u16(wb, off + 4)
           require(pendingString.isEmpty,
@@ -416,6 +419,12 @@ object Xls {
             case Some((rw, c)) =>
               val cch = u16(wb, off)
               val grbit = wb(off + 2) & 0xFF
+              // rich-text (0x08) / phonetic-ext (0x04) variants shift
+              // the character start (the SST parser's cRun/cbExt
+              // layout) — fail loud rather than mis-decode
+              require((grbit & 0x0C) == 0,
+                "STRING record with rich-text/ext flags — unsupported " +
+                  "(fixture-grade reader); convert to .xlsx")
               val need = 3 + cch * (if ((grbit & 0x01) != 0) 2 else 1)
               require(need <= len,
                 s"STRING record: $cch-char formula result spills into a " +

@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 /** Dev probe: time [[graft.operators.Bpe.train]] (per-merge Spark loop)
   * vs [[graft.operators.Bpe.trainCollected]] (one collect + driver
   * arithmetic) at a given round count over the sf dir's word domain —
-  * `runMain graft.tools.ProbeBpe <rounds> [loop|collected|both]`.
+  * `runMain graft.tools.ProbeBpe <rounds> [loop|collected|both]`
+  * (default rounds=64 — the deepest the sf0.01 word domain supports
+  * before pair exhaustion, which now fails loud in both trainers).
   * Feeds the SCALING.md row for the batched-trainer trade. */
 object ProbeBpe {
   def main(args: Array[String]): Unit = {
-    val rounds = if (args.nonEmpty) args(0).toInt else 256
+    val rounds = if (args.nonEmpty) args(0).toInt else 64
     val mode = if (args.length > 1) args(1) else "both"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = Sessions.local()
