@@ -82,16 +82,26 @@ object Bpe {
       val best = pairCounts(seg)
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1)
         .localCheckpoint() // 1 row, read by the fold and the output
-      // pair exhaustion fails LOUD: an empty `best` would cross-join the
-      // segmentation to zero rows — the silent-erase class the
-      // segmentWords/streaming artifact guards exist for ([[trainCollected]]
-      // enforces the same contract)
-      require(best.count() == 1,
-        s"round $r: no adjacent pairs left — every word is one token; " +
-          s"asked for $rounds rounds on a domain that exhausts sooner")
-      seg = seg.crossJoin(broadcast(best))
+      // pair exhaustion fails LOUD, at ZERO extra jobs: an empty `best`
+      // would silently erase the segmentation under a cross join (the
+      // class the segmentWords/streaming artifact guards exist for), so
+      // the merge frame attaches by LEFT join and a null merge rule
+      // raises from the fold job itself — the raise must sit OUTSIDE
+      // applyMerge's lambda (an exhausted domain is all 1-token words,
+      // whose fold short-circuits before touching the rule) and
+      // per-row, which is why the whole merged column is wrapped.
+      // [[trainCollected]] enforces the same contract via require; an
+      // A/B against a per-round count() guard timed identically at
+      // bench SF — this form is kept for the job count (3/round, not
+      // 4), which is what a many-round loop pays for.
+      seg = seg.join(broadcast(best), lit(true), "left")
         .select(col("word"), col("wcount"),
-                applyMerge(col("toks"), col("a"), col("b")).as("toks"))
+                when(col("a").isNull, raise_error(lit(
+                    s"round $r: no adjacent pairs left — every word is " +
+                      s"one token; asked for $rounds rounds on a domain " +
+                      "that exhausts sooner")).cast("array<string>"))
+                  .otherwise(applyMerge(col("toks"), col("a"), col("b")))
+                  .as("toks"))
         .localCheckpoint()
       val stats = seg.select(col("wcount"), explode(col("toks")).as("t"))
         .agg(countDistinct(col("t")).as("vocab_size"),

@@ -116,5 +116,15 @@ class BpePropertySpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Bpe.trainCollected(Seq(("ab", 1L)).toDF("word", "wcount"), 2))
     assert(e.getMessage.contains("no adjacent pairs"))
+    // the Spark loop enforces the same contract from inside the fold's
+    // materialization (zero extra jobs — a raise_error on the null
+    // merge rule), surfacing as a Spark-side exception chain
+    val et = intercept[Throwable](
+      Bpe.train(Seq(("ab", 1L)).toDF("word", "wcount"), 2))
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(et).exists(_.contains("no adjacent pairs")),
+      chain(et).mkString(" | "))
   }
 }
