@@ -221,6 +221,39 @@ object BenchQueries {
         .orderBy(col("l_linestatus"))
     }),
 
+    // X175 — SCHEMA EVOLUTION at the scan: a table written in two
+    // generations (gen 1 lacks l_returnflag — the column arrived later,
+    // the normal life of a 100 TB warehouse table) reads as ONE frame
+    // via mergeSchema over the partitioned layout; gen-1 rows surface
+    // the missing column as NULL and flow through a null-group
+    // aggregate. Green means the merged read loses no rows, types
+    // unify, and the null-fill is exactly what the oracle computes
+    // from the unsplit original — the drift case every long-lived
+    // ingest pipeline hits, proven instead of assumed.
+    "x175_schema_evolution" -> ((s, dir) => {
+      val path = Scratch.dir("sevo", dir)
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        val li = Tables(s, dir, "lineitem")
+        li.filter(col("l_orderkey") % 2 === 0)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
+          .write.mode("overwrite").parquet(s"$path/g=1")
+        li.filter(col("l_orderkey") % 2 =!= 0)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"),
+                  col("l_returnflag"))
+          .write.mode("overwrite").parquet(s"$path/g=2")
+        // partition-style layout: the two generations are subdirs; the
+        // top-level _SUCCESS marks the whole artifact
+        new java.io.FileOutputStream(new java.io.File(path, "_SUCCESS"))
+          .close()
+      }
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("g"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"),
+             countDistinct(col("l_shipdate")).as("n_shipdates"))
+        .orderBy(col("g"), col("l_returnflag"))
+    }),
+
     "b05_ann_steady" -> ((s, dir) => {
       import graft.functions.{VectorFunctions => V}
       import org.apache.spark.sql.expressions.Window
@@ -481,6 +514,19 @@ object BenchQueries {
              AS disc_c,
            count(DISTINCT l_shipdate)::BIGINT AS n_shipdates,
            max(l_shipdate) AS max_shipdate
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the two generations restated from the unsplit original: even
+    // orderkeys are gen 1 (l_returnflag arrived later → NULL), odd are
+    // gen 2 (column present)
+    "x175_schema_evolution" ->
+      """SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 2 END AS g,
+           CASE WHEN l_orderkey % 2 = 0 THEN NULL
+                ELSE l_returnflag END AS l_returnflag,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_c,
+           count(DISTINCT l_shipdate)::BIGINT AS n_shipdates
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // same predicate over the PARQUET original — green proves the
