@@ -254,6 +254,37 @@ object BenchQueries {
         .orderBy(col("g"), col("l_returnflag"))
     }),
 
+    // X176 — CORRUPT-TOLERANT JSONL ingest: a feed where every 7th
+    // record arrives truncated (the normal life of an at-scale ingest
+    // firehose) reads under PERMISSIVE mode with the malformed line
+    // captured in _corrupt_record instead of poisoning the batch —
+    // the quarantine-don't-crash contract. The corruption is a
+    // DETERMINISTIC function of doc_id, so the oracle reproduces both
+    // populations from the clean table: green proves no good record
+    // was dropped, no bad record silently parsed, and the quarantined
+    // line count is exact.
+    "x176_jsonl_corrupt" -> ((s, dir) => {
+      val path = Scratch.dir("cjl", dir)
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        val docs = Tables(s, dir, "documents")
+        val line = to_json(struct(col("doc_id"), col("lang"),
+                                  col("n_chars")))
+        docs.select(
+            when(col("doc_id") % 7 === 0, substring(line, 1, 10))
+              .otherwise(line).as("value"))
+          .write.mode("overwrite").text(path)
+      }
+      s.read
+        .schema("doc_id LONG, lang STRING, n_chars LONG, " +
+                "_corrupt_record STRING")
+        .json(path)
+        .groupBy(col("_corrupt_record").isNotNull.as("quarantined"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("n_chars")).as("sum_chars"),
+             countDistinct(col("lang")).as("n_lang"))
+        .orderBy(col("quarantined"))
+    }),
+
     "b05_ann_steady" -> ((s, dir) => {
       import graft.functions.{VectorFunctions => V}
       import org.apache.spark.sql.expressions.Window
@@ -515,6 +546,20 @@ object BenchQueries {
            count(DISTINCT l_shipdate)::BIGINT AS n_shipdates,
            max(l_shipdate) AS max_shipdate
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // both populations restated from the clean table: doc_id % 7 = 0
+    // lines were truncated (quarantined, nulls throughout), the rest
+    // parse whole
+    "x176_jsonl_corrupt" ->
+      """SELECT quarantined, count(*)::BIGINT AS n,
+           sum(n_chars)::BIGINT AS sum_chars,
+           count(DISTINCT lang)::BIGINT AS n_lang
+         FROM (SELECT doc_id % 7 = 0 AS quarantined,
+                 CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END
+                   AS n_chars,
+                 CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang
+               FROM documents)
+         GROUP BY 1 ORDER BY 1""",
 
     // the two generations restated from the unsplit original: even
     // orderkeys are gen 1 (l_returnflag arrived later → NULL), odd are
