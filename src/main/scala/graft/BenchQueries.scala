@@ -285,6 +285,40 @@ object BenchQueries {
         .orderBy(col("quarantined"))
     }),
 
+    // X177 — BINARY-FILE ingest (spark.read.format("binaryFile")): the
+    // actual front door for the multimodal family — media lands as
+    // FILES in object storage, and this source turns a directory into
+    // (path, length, content) rows that the x18 codec-boundary
+    // operators consume. A deterministic slice of documents is
+    // serialized to .bin files pay-once; the read recovers each file's
+    // identity from its PATH, its length, and a content fingerprint —
+    // all three oracle-checked against the source table, so the
+    // bytes-on-disk → binary-column hop provably loses nothing.
+    "x177_binaryfile_ingest" -> ((s, dir) => {
+      val path = Scratch.dir("binf", dir)
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        val rows = Tables(s, dir, "documents")
+          .filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id"), col("text")).collect() // ≤ N/100 files
+        new java.io.File(path).mkdirs()
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(path, f"doc_${r.getLong(0)}%06d.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+        new java.io.FileOutputStream(new java.io.File(path, "_SUCCESS"))
+          .close()
+      }
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin").load(path)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("length"),
+          md5(col("content")).as("content_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     "b05_ann_steady" -> ((s, dir) => {
       import graft.functions.{VectorFunctions => V}
       import org.apache.spark.sql.expressions.Window
@@ -546,6 +580,14 @@ object BenchQueries {
            count(DISTINCT l_shipdate)::BIGINT AS n_shipdates,
            max(l_shipdate) AS max_shipdate
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // identity, size, and fingerprint restated from the source table
+    // (the files carry the text's UTF-8 bytes)
+    "x177_binaryfile_ingest" ->
+      """SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS length,
+           md5(text) AS content_md5
+         FROM documents WHERE doc_id % 100 = 0 ORDER BY doc_id""",
 
     // both populations restated from the clean table: doc_id % 7 = 0
     // lines were truncated (quarantined, nulls throughout), the rest
