@@ -1041,6 +1041,29 @@ object StreamingOps {
                 .as("seg_md5"))
   }
 
+  /** x176's streaming twin: corrupt-tolerant JSON parsing at INGEST —
+    * the quarantine-don't-crash contract on the stream. Each arriving
+    * raw line parses via `from_json` (a stateless projection, zero
+    * state); a line that fails to parse lands with its struct null and
+    * the RAW BYTES preserved in `_corrupt_record` (the PERMISSIVE
+    * convention), so the quarantine can be re-driven or audited later
+    * instead of silently vanishing at the firehose. StreamingSpec
+    * reconciles the streamed good/quarantined split with batch x176's
+    * populations over a line split. */
+  def streamingJsonQuarantine(lines: DataFrame, schema: String,
+                              lineCol: String = "value"): DataFrame = {
+    // the corrupt column rides INSIDE the parse schema
+    // (columnNameOfCorruptRecord) — the same PERMISSIVE mechanism the
+    // batch reader uses, not a reimplementation: from_json alone would
+    // return a null-FIELDED struct for malformed input,
+    // indistinguishable from a legitimately-empty record
+    val parsed = from_json(col(lineCol),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        schema + ", _corrupt_record STRING"),
+      Map("columnNameOfCorruptRecord" -> "_corrupt_record"))
+    lines.select(parsed.as("r")).select(col("r.*"))
+  }
+
   def streamingKmvDistinct(keys: DataFrame, k: Int = 64): DataFrame = {
     val bk = udaf(new graft.functions.BottomKDistinctLongAggregator(k),
                   org.apache.spark.sql.Encoders.scalaLong)

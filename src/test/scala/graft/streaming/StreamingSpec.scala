@@ -1228,6 +1228,38 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("streamingJsonQuarantine: corrupt lines quarantine with raw bytes preserved, good lines parse whole (x176 on the stream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq((0L, "en", 10L), (1L, "de", 20L), (7L, "fr", 30L),
+                   (14L, "es", 40L), (3L, "zh", 50L))
+    // the x176 corruption rule: every doc_id % 7 == 0 line truncated
+    val lines = docs.map { case (id, lang, n) =>
+      val whole = s"""{"doc_id":$id,"lang":"$lang","n_chars":$n}"""
+      if (id % 7 == 0) whole.take(10) else whole
+    }
+    val mem = MemoryStream[String]
+    val sq = StreamingOps.streamingJsonQuarantine(
+        mem.toDF(), "doc_id LONG, lang STRING, n_chars LONG")
+      .writeStream.format("memory").queryName("jquar")
+      .outputMode("append").start()
+    mem.addData(lines.take(2): _*)
+    sq.processAllAvailable()
+    mem.addData(lines.drop(2): _*)
+    sq.processAllAvailable()
+    val out = spark.table("jquar").collect()
+    sq.stop()
+    val quarantined = out.filter(!_.isNullAt(3))
+    val good = out.filter(_.isNullAt(3))
+    // doc_ids 0, 7, 14 truncate; the raw bytes survive for re-driving
+    assert(quarantined.length == 3)
+    assert(quarantined.map(_.getString(3)).toSet ==
+      Set("{\"doc_id\":", "{\"doc_id\":", "{\"doc_id\":"))
+    assert(quarantined.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+    assert(good.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet == Set((1L, "de", 20L), (3L, "zh", 50L)))
+  }
+
   test("streamingBpeSegment: frozen-tokenizer segmentation on the stream equals batch x168 over a doc split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
