@@ -274,10 +274,18 @@ object BenchQueries {
               .otherwise(line).as("value"))
           .write.mode("overwrite").text(path)
       }
+      // localCheckpoint is load-bearing, not hygiene: a downstream
+      // count() prunes the aggregate's value columns away, leaving a
+      // raw-JSON scan that references ONLY the corrupt column — which
+      // Spark disallows (QUERY_ONLY_CORRUPT_RECORD_COLUMN). The
+      // checkpoint materializes every column once, so any consumer
+      // shape (full dump, count, single-column select) replans from
+      // the materialized rows, never from the raw scan.
       s.read
         .schema("doc_id LONG, lang STRING, n_chars LONG, " +
                 "_corrupt_record STRING")
         .json(path)
+        .localCheckpoint()
         .groupBy(col("_corrupt_record").isNotNull.as("quarantined"))
         .agg(count(lit(1)).as("n"),
              sum(col("n_chars")).as("sum_chars"),
