@@ -101,7 +101,7 @@ object ClusterQueries {
     * artifact is the same frame any session would rebuild. */
   private def clusteredGraph(s: SparkSession, dir: String)
       (implicit scope: graft.ops.CacheScope)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, String) = {
     val path = Scratch.dir("cgr", dir)
     if (!new java.io.File(s"$path/g/_SUCCESS").exists()) {
       val e = Tables(s, dir, "embeddings")
@@ -133,7 +133,9 @@ object ClusterQueries {
     val cent = scope.persist(s.read.parquet(s"$path/cent"))
     val g = scope.persist(s.read.parquet(s"$path/g"))
     sn.count(); g.count()
-    (sn, cent, g)
+    // the path rides along so consumers freezing SIBLING artifacts
+    // (x171's ga) don't re-pay the content-fingerprint walk
+    (sn, cent, g, path)
   }
 
   /** x142/x148's raw-corpus k-means + NN-Descent build as a pay-once
@@ -668,7 +670,7 @@ object ClusterQueries {
     // — the budget→recall row, integer-only in the hash.
     "x149_graph_recall_clustered" -> ((s, dir) => {
       implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
-      val (sn, _, g) = clusteredGraph(s, dir)
+      val (sn, _, g, _) = clusteredGraph(s, dir)
       val q = sn.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
                 col("nrm").as("qn"))
@@ -701,7 +703,7 @@ object ClusterQueries {
     // recall AND budget, integer-only in the hash.
     "x163_graph_seed_insurance" -> ((s, dir) => {
       implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
-      val (sn, cent, g) = clusteredGraph(s, dir)
+      val (sn, cent, g, _) = clusteredGraph(s, dir)
       val q = scope.persist(sn.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
                 col("nrm").as("qn")))
@@ -767,12 +769,12 @@ object ClusterQueries {
     // principled mis-seed insurance.
     "x171_graph_longrange" -> ((s, dir) => {
       implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
-      val (sn, cent, g) = clusteredGraph(s, dir)
+      val (sn, cent, g, cgrPath) = clusteredGraph(s, dir)
       // the augmented graph is a BUILD-TIME artifact (the scaladoc's
       // "paid once at build, never at query time" — now structurally
       // true): frozen beside the cgr derivation under the same
       // content-fingerprinted path, keyed by LRE
-      val gaPath = s"${Scratch.dir("cgr", dir)}/ga$LRE"
+      val gaPath = s"$cgrPath/ga$LRE"
       if (!new java.io.File(s"$gaPath/_SUCCESS").exists())
         g.select(col("u"), col("w"))
           .union(graft.operators.GraphSearch.longRangeEdges(sn, cent, LRE))
@@ -835,7 +837,7 @@ object ClusterQueries {
     // Output (mode, qid, hits, scored_n), integer-only.
     "x164_graph_symmetrized" -> ((s, dir) => {
       implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
-      val (sn, _, g) = clusteredGraph(s, dir)
+      val (sn, _, g, _) = clusteredGraph(s, dir)
       val gu = scope.persist(
         g.union(g.select(col("w").as("u"), col("u").as("w"))).distinct())
       gu.count() // eager: the symmetrized artifact is probed per hop

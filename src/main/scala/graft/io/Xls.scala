@@ -417,6 +417,9 @@ object Xls {
           // record like FORMAT
           pendingString match {
             case Some((rw, c)) =>
+              require(len >= 3,
+                s"truncated STRING record ($len bytes < the 3-byte " +
+                  "header) — corrupt workbook")
               val cch = u16(wb, off)
               val grbit = wb(off + 2) & 0xFF
               // rich-text (0x08) / phonetic-ext (0x04) variants shift

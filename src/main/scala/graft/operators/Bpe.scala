@@ -77,6 +77,13 @@ object Bpe {
   def train(words: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var seg = initSeg(words).localCheckpoint()
+    // an EMPTY word domain would sail through every round untouched
+    // (zero rows → the per-row exhaustion raise below never evaluates)
+    // and return silently-empty merges — the one boundary the row-level
+    // guard cannot see; one take(1) on the already-materialized
+    // checkpoint, matching [[trainCollected]]'s contract
+    require(seg.take(1).nonEmpty,
+      "empty word domain — nothing to train on")
     var out: Option[DataFrame] = None
     for (r <- 1 to rounds) {
       val best = pairCounts(seg)
@@ -184,6 +191,7 @@ object Bpe {
     val rows = words
       .select(col("word").cast("string"), col("wcount").cast("long"))
       .collect() // certified small: the |vocab| value domain
+    require(rows.nonEmpty, "empty word domain — nothing to train on")
     var seg: Array[(String, Long, Array[String])] =
       rows.map(r => (r.getString(0), r.getLong(1),
                      codePoints(r.getString(0))))

@@ -1057,11 +1057,22 @@ object StreamingOps {
     // batch reader uses, not a reimplementation: from_json alone would
     // return a null-FIELDED struct for malformed input,
     // indistinguishable from a legitimately-empty record
-    val parsed = from_json(col(lineCol),
-      org.apache.spark.sql.types.StructType.fromDDL(
-        schema + ", _corrupt_record STRING"),
+    val st = org.apache.spark.sql.types.StructType.fromDDL(
+      schema + ", _corrupt_record STRING")
+    val parsed = from_json(col(lineCol), st,
       Map("columnNameOfCorruptRecord" -> "_corrupt_record"))
-    lines.select(parsed.as("r")).select(col("r.*"))
+    // a NULL line (a Kafka tombstone cast to string) makes from_json
+    // return a null STRUCT — neither parsed nor corrupt-captured — so
+    // it would land in the GOOD population as an all-null row; the
+    // struct-level coalesce quarantines it instead (raw bytes "" — a
+    // null payload has none to preserve)
+    val quarantinedNull = struct(st.fields.map { f =>
+      if (f.name == "_corrupt_record")
+        coalesce(col(lineCol), lit("")).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    lines.select(coalesce(parsed, quarantinedNull).as("r"))
+      .select(col("r.*"))
   }
 
   def streamingKmvDistinct(keys: DataFrame, k: Int = 64): DataFrame = {

@@ -126,5 +126,14 @@ class BpePropertySpec extends SparkSpec {
       else Option(t.getMessage).toSeq ++ chain(t.getCause)
     assert(chain(et).exists(_.contains("no adjacent pairs")),
       chain(et).mkString(" | "))
+    // an EMPTY word domain fails loud in BOTH trainers — the one
+    // boundary the row-level raise cannot see (zero rows → it never
+    // evaluates; train would otherwise return silently-empty merges)
+    val emptyW = Seq.empty[(String, Long)].toDF("word", "wcount")
+    val e1 = intercept[IllegalArgumentException](Bpe.train(emptyW, 1))
+    assert(e1.getMessage.contains("empty word domain"))
+    val e2 = intercept[IllegalArgumentException](
+      Bpe.trainCollected(emptyW, 1))
+    assert(e2.getMessage.contains("empty word domain"))
   }
 }

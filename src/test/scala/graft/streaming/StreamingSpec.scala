@@ -1247,9 +1247,16 @@ class StreamingSpec extends SparkSpec {
     sq.processAllAvailable()
     mem.addData(lines.drop(2): _*)
     sq.processAllAvailable()
+    // a NULL line (Kafka tombstone cast to string) must QUARANTINE —
+    // from_json returns a null struct for it, which would otherwise
+    // land in the good population as an all-null row
+    mem.addData(null.asInstanceOf[String])
+    sq.processAllAvailable()
     val out = spark.table("jquar").collect()
     sq.stop()
-    val quarantined = out.filter(!_.isNullAt(3))
+    val nullLine = out.filter(r => !r.isNullAt(3) && r.getString(3) == "")
+    assert(nullLine.length == 1 && nullLine.head.isNullAt(0))
+    val quarantined = out.filter(r => !r.isNullAt(3) && r.getString(3) != "")
     val good = out.filter(_.isNullAt(3))
     // doc_ids 0, 7, 14 truncate; the raw bytes survive for re-driving
     assert(quarantined.length == 3)
