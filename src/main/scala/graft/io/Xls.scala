@@ -11,14 +11,20 @@ import scala.collection.mutable
   * Scope is fixture-grade, matching [[Xlsx]]'s contract: first worksheet,
   * header row 0, every value surfaced as String (the all-string ingest
   * rule, SURVEY §1.3). Supported cell records: LABELSST, LABEL (inline),
-  * NUMBER, RK, MULRK, BLANK/MULBLANK, and FORMULA's CACHED result
-  * (numeric — date-styled like any NUMBER — string via the following
-  * STRING record, or blank; the value pandas/xlrd surfaces for a
-  * computed payroll column, matching the XLSX side where the StAX
-  * reader takes `<v>` and ignores `<f>`). Anything the reader cannot
-  * faithfully surface — a boolean/error formula result, BOOLERR, an
-  * SST/FORMAT/STRING spilling into a CONTINUE record — FAILS LOUD with
-  * the record name, never silently drops a value (the S4 discipline).
+  * NUMBER, RK, MULRK, BLANK/MULBLANK, BOOLERR's boolean value
+  * ("TRUE"/"FALSE" — Excel's display strings, the xlrd bool surface),
+  * and FORMULA's CACHED result (numeric — date-styled like any
+  * NUMBER — boolean, blank, or string via the following STRING record,
+  * INCLUDING a result spilling into CONTINUE records — the legal BIFF8
+  * continuation where each fragment re-states its own encoding flag;
+  * the value pandas/xlrd surfaces for a computed payroll column,
+  * matching the XLSX side where the StAX reader takes `<v>` and
+  * ignores `<f>`). Anything the reader cannot faithfully surface — an
+  * ERROR value (cached or BOOLERR: xlrd maps those to NaN, a silent
+  * value loss this reader refuses), an SST/FORMAT spilling into a
+  * CONTINUE record, a STRING record arriving with no pending FORMULA
+  * (record-stream desync) — FAILS LOUD with the record name, never
+  * silently drops a value (the S4 discipline).
   *
   * Container ([MS-CFB]): 512-byte sectors (major version 3), FAT from
   * the header DIFAT, directory chain, and the mini-stream path — real
@@ -377,12 +383,13 @@ object Xls {
           // extract with computed columns reads its VALUES, never the
           // formula text). 8 bytes at +6: when the high word (bytes
           // 6–7) is 0xFFFF, byte 0 selects string (the text follows in
-          // a STRING record) / boolean / error / blank-string;
-          // otherwise the 8 bytes are the cached IEEE double, honoring
-          // the cell's date style like any NUMBER. Boolean and error
-          // results still fail loud: the all-string surface has no
-          // faithful rendering for them (xlrd maps errors to NaN —
-          // a silent value loss this reader refuses).
+          // a STRING record) / boolean (value in byte 2, rendered
+          // "TRUE"/"FALSE" — Excel's display strings, the xlrd bool
+          // surface) / error / blank-string; otherwise the 8 bytes are
+          // the cached IEEE double, honoring the cell's date style like
+          // any NUMBER. Error results still fail loud: the all-string
+          // surface has no faithful rendering (xlrd maps errors to
+          // NaN — a silent value loss this reader refuses).
           require(len >= 14,
             s"truncated FORMULA record ($len bytes < the 14-byte fixed " +
               "prefix) — corrupt workbook")
@@ -395,9 +402,8 @@ object Xls {
             (wb(off + 6) & 0xFF) match {
               case 0 => pendingString = Some((rw, c)) // next STRING record
               case 3 => cells((rw, c)) = ""           // cached blank string
-              case 1 => throw new IllegalArgumentException(
-                "FORMULA with a cached BOOLEAN result — no faithful " +
-                  "all-string rendering; convert to .xlsx")
+              case 1 => cells((rw, c)) =
+                if ((wb(off + 8) & 0xFF) != 0) "TRUE" else "FALSE"
               case 2 => throw new IllegalArgumentException(
                 "FORMULA with a cached ERROR result — the value is " +
                   "lost; recompute and export values, or convert to .xlsx")
@@ -413,40 +419,84 @@ object Xls {
           }
         case RString if inSheet1 =>
           // the cached string result of the preceding FORMULA
-          // (XLUnicodeString: cch u16, grbit u8, chars), bounded by the
-          // record like FORMAT
+          // (XLUnicodeString: cch u16, grbit u8, chars). A result longer
+          // than the record legally continues into CONTINUE records —
+          // the BIFF8 string-continuation rule: each fragment restates
+          // its OWN option-flags byte (the encoding may flip mid-string),
+          // then carries characters only. The walk below reads exactly
+          // cch characters across the chain, validating each fragment
+          // boundary, and never consumes a byte past the declared
+          // lengths — the same bounded discipline as the one-record
+          // case. (The main loop re-visits the consumed CONTINUEs and
+          // skips them via the RContinue no-op arm.)
           pendingString match {
             case Some((rw, c)) =>
               require(len >= 3,
                 s"truncated STRING record ($len bytes < the 3-byte " +
                   "header) — corrupt workbook")
               val cch = u16(wb, off)
-              val grbit = wb(off + 2) & 0xFF
+              val grbit0 = wb(off + 2) & 0xFF
               // rich-text (0x08) / phonetic-ext (0x04) variants shift
               // the character start (the SST parser's cRun/cbExt
               // layout) — fail loud rather than mis-decode
-              require((grbit & 0x0C) == 0,
+              require((grbit0 & 0x0C) == 0,
                 "STRING record with rich-text/ext flags — unsupported " +
                   "(fixture-grade reader); convert to .xlsx")
-              val need = 3 + cch * (if ((grbit & 0x01) != 0) 2 else 1)
-              require(need <= len,
-                s"STRING record: $cch-char formula result spills into a " +
-                  "CONTINUE record — unsupported (fixture-grade reader)")
-              cells((rw, c)) =
-                if ((grbit & 0x01) != 0)
-                  new String(wb, off + 3, cch * 2, "UTF-16LE")
-                else {
-                  val cs = new Array[Char](cch)
+              val sb = new java.lang.StringBuilder(cch)
+              var remaining = cch
+              var wide = (grbit0 & 0x01) != 0
+              var p = off + 3
+              var fEnd = off + len
+              while (remaining > 0) {
+                val avail = if (wide) (fEnd - p) / 2 else fEnd - p
+                val take = math.min(remaining, avail)
+                if (wide) {
+                  sb.append(new String(wb, p, take * 2, "UTF-16LE"))
+                  p += take * 2
+                } else {
                   var j = 0
-                  while (j < cch) { cs(j) = (wb(off + 3 + j) & 0xFF).toChar; j += 1 }
-                  new String(cs)
+                  while (j < take) {
+                    sb.append(((wb(p + j) & 0xFF)).toChar); j += 1
+                  }
+                  p += take
                 }
+                remaining -= take
+                if (remaining > 0) {
+                  require(p == fEnd && fEnd + 4 <= wb.length &&
+                      u16(wb, fEnd) == RContinue,
+                    s"STRING record: $remaining chars of the formula " +
+                      "result remain but no CONTINUE record follows — " +
+                      "corrupt workbook")
+                  val clen = u16(wb, fEnd + 2)
+                  require(clen >= 1,
+                    "empty CONTINUE fragment inside a STRING result — " +
+                      "corrupt workbook")
+                  val g = wb(fEnd + 4) & 0xFF
+                  require((g & 0xFE) == 0,
+                    "STRING continuation fragment with non-encoding " +
+                      "option flags — unsupported (fixture-grade reader)")
+                  wide = (g & 0x01) != 0
+                  p = fEnd + 5
+                  fEnd = fEnd + 4 + clen
+                }
+              }
+              cells((rw, c)) = sb.toString
               pendingString = None
-            case None => () // STRING outside a formula context: no value
+            case None => throw new IllegalArgumentException(
+              "STRING record with no pending FORMULA — record-stream " +
+                "desync (e.g. a shared-formula layout this reader does " +
+                "not model); convert to .xlsx")
           }
         case RBoolErr if inSheet1 =>
-          throw new IllegalArgumentException(
-            "BOOLERR cells unsupported — convert to .xlsx")
+          // rw u16, col u16, ixfe u16, bBoolErr u8, fError u8: a literal
+          // boolean renders like the cached-FORMULA boolean; an error
+          // value stays loud (same rationale as the FORMULA error arm)
+          val rw = u16(wb, off); val c = u16(wb, off + 2)
+          if ((wb(off + 7) & 0xFF) == 0)
+            cells((rw, c)) = if ((wb(off + 6) & 0xFF) != 0) "TRUE" else "FALSE"
+          else throw new IllegalArgumentException(
+            "BOOLERR cell with an ERROR value — the value is lost; " +
+              "recompute and export values, or convert to .xlsx")
         case _ => () // DIMENSION/ROW/INDEX/window/format records: no values
       }
       pos = off + len
