@@ -29,6 +29,16 @@ object Bench {
       val steady = ts.drop(1)
       if (ts.head >= steady.max) spreadOf(steady) else spreadOf(ts)
     }
+
+  /** Headline total with each noisy entry's sweep median replaced by
+    * its capture-end solo median (when the solo succeeded) — the
+    * at-a-glance comparable number for contended captures. Failed
+    * queries (med < 0) stay excluded, exactly like `value`. */
+  private[graft] def soloAdjustedTotal(meds: Seq[Double],
+                                       solos: Map[Int, Double]): Double =
+    meds.zipWithIndex.collect { case (m, i) if m >= 0 =>
+      solos.get(i).filter(_ >= 0).getOrElse(m)
+    }.sum
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -215,12 +225,28 @@ object Bench {
     // compare at a glance, and a ratio > 1.5 prints a loud RECAPTURE
     // advisory on stderr — the convention NOTES documents is to re-run
     // the sweep rather than ship a hot-box artifact.
-    val RefCalibCs = 16.0
+    // The reference calibration is one machine class's quiet-box value
+    // (r12/r13 captures: 15–16 cs on this box) — env-overridable and
+    // RECORDED in the JSON (`ref_calib_cs`), so a capture on different
+    // hardware carries its own pin instead of silently renormalizing by
+    // a stale one; value_cal is only comparable across captures sharing
+    // the same ref_calib_cs.
+    val RefCalibCs = sys.env.getOrElse("SPARK_GRAFT_REF_CALIB_CS", "16.0")
+      .toDouble
     val calibRatio = calib * 100.0 / RefCalibCs
     if (calibRatio > 1.5)
       System.err.println(f"[bench] RECAPTURE ADVISED: calib ${calib * 100}%.0f cs" +
         f" is ${calibRatio}%.2fx the pinned quiet-box reference " +
         f"($RefCalibCs%.0f cs) — this capture is machine-speed inflated")
+    // the other direction matters too: a ratio far BELOW 1 inflates
+    // value_cal (raw ÷ ratio), so a faster-than-reference box would
+    // publish a silently flattering normalized headline
+    if (calibRatio < 0.67)
+      System.err.println(f"[bench] CALIBRATION ADVISORY: calib " +
+        f"${calib * 100}%.0f cs is ${calibRatio}%.2fx the pinned " +
+        f"reference ($RefCalibCs%.0f cs) — value_cal is INFLATED by the " +
+        "renormalization; re-pin SPARK_GRAFT_REF_CALIB_CS for this " +
+        "machine class")
     // warm=true: timed passes measured steady-state (post-smoke-warm-up);
     // wfail>0 means that many queries failed warm-up and were timed cold —
     // cross-round comparisons are only valid on same-methodology runs
@@ -238,11 +264,17 @@ object Bench {
       val med = soloByIdx.get(i).map(_._1).getOrElse(-1.0)
       if (med < 0) -1L else math.max(1L, math.round(med * perSec))
     }.mkString("[", ",", "]")
+    // solo-adjusted headline (the r15 lesson: a contended capture's raw
+    // total needed a hand recomputation to compare honestly — the solos
+    // were embedded but the headline didn't use them): total with each
+    // noisy entry's median replaced by its capture-end solo median
+    val valueSolo = soloAdjustedTotal(
+      results.map(_._2), soloByIdx.map { case (i, (m, _, _)) => i -> m })
     def render(perSec: Int, unit: String): String = {
       val qs = results.map { case (_, v, _, _) =>
         if (v < 0) -1L else math.max(1L, math.round(v * perSec))
       }.mkString("[", ",", "]")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","value_cal":${total / calibRatio}%.2f,"calib_ratio":$calibRatio%.2f,"qunit":"$unit","enc":"pos","n":${results.length},"passes":$passes,"calib_cs":${math.round(calib * 100)},"probe_cs":${math.round(probeBase * 100)},"warm":$warmed,"wfail":$warmFails,"noisyn":${noisyIdx.length},"noisy":$noisyJson,"solo":${soloJson(perSec)},"q":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","value_solo":$valueSolo%.2f,"value_cal":${total / calibRatio}%.2f,"calib_ratio":$calibRatio%.2f,"ref_calib_cs":$RefCalibCs%.1f,"qunit":"$unit","enc":"pos","n":${results.length},"passes":$passes,"calib_cs":${math.round(calib * 100)},"probe_cs":${math.round(probeBase * 100)},"warm":$warmed,"wfail":$warmFails,"noisyn":${noisyIdx.length},"noisy":$noisyJson,"solo":${soloJson(perSec)},"q":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     // full human-readable map for the judge; stdout stays compact
     try {

@@ -151,9 +151,19 @@ object Bpe {
     * characters.
     *
     * Returns (merges, finalSeg) with the exact [[train]] schemas. */
-  def trainCollected(words: DataFrame, rounds: Int)
-      : (DataFrame, DataFrame) = {
+  def trainCollected(words: DataFrame, rounds: Int,
+                     maxVocab: Int = 1 << 22): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    // the 'certified small' Heaps-law bound, ENFORCED instead of
+    // asserted: a pathological word domain (unique-ID-heavy text) would
+    // otherwise OOM the driver at the collect below. The probe is a
+    // LIMIT maxVocab+1 count — the scan early-exits at the limit, so
+    // the guard never pays a full corpus pass.
+    require(words.limit(maxVocab + 1).count() <= maxVocab,
+      s"word domain exceeds maxVocab=$maxVocab rows — not a Heaps-law " +
+        "vocabulary (unique-ID-heavy text?); clean the word stream or " +
+        "raise maxVocab deliberately")
     val spark = words.sparkSession
     import spark.implicits._
     def codePoints(w: String): Array[String] = {

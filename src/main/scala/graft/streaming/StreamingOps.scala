@@ -1057,8 +1057,17 @@ object StreamingOps {
     // batch reader uses, not a reimplementation: from_json alone would
     // return a null-FIELDED struct for malformed input,
     // indistinguishable from a legitimately-empty record
-    val st = org.apache.spark.sql.types.StructType.fromDDL(
-      schema + ", _corrupt_record STRING")
+    val caller = org.apache.spark.sql.types.StructType.fromDDL(schema)
+    // the quarantine column is APPENDED here — a caller schema that
+    // already declares it would either collide (duplicate column) or,
+    // worse, let legitimately-parsed rows carry data in the column this
+    // operator uses as the quarantine verdict; fail loud instead
+    require(!caller.fieldNames.contains("_corrupt_record"),
+      "schema must not declare _corrupt_record — the quarantine column " +
+        "is appended by streamingJsonQuarantine itself; rename the data " +
+        "field or parse it separately")
+    val st = caller.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
     val parsed = from_json(col(lineCol), st,
       Map("columnNameOfCorruptRecord" -> "_corrupt_record"))
     // a NULL line (a Kafka tombstone cast to string) makes from_json

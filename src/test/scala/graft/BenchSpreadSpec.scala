@@ -24,4 +24,15 @@ class BenchSpreadSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Bench.captureSpread(Seq.empty).isPosInfinity)
     assert(Bench.captureSpread(Seq(1.0, 0.0, 2.0)).isPosInfinity)
   }
+
+  test("value_solo replaces noisy sweep medians with solo medians") {
+    // entry 1 was noisy (sweep 9.0, solo 2.0); entry 2 failed (-1,
+    // excluded like `value`); entry 3's solo itself failed (-1 → keep
+    // the sweep median)
+    val meds = Seq(1.0, 9.0, -1.0, 4.0)
+    val solos = Map(1 -> 2.0, 3 -> -1.0)
+    assert(Bench.soloAdjustedTotal(meds, solos) == 1.0 + 2.0 + 4.0)
+    // no solos → identical to the raw total
+    assert(Bench.soloAdjustedTotal(meds, Map.empty) == 1.0 + 9.0 + 4.0)
+  }
 }

@@ -135,5 +135,12 @@ class BpePropertySpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       Bpe.trainCollected(emptyW, 1))
     assert(e2.getMessage.contains("empty word domain"))
+    // the certified-small contract is ENFORCED: a word domain larger
+    // than maxVocab fails loud before the collect (no driver OOM)
+    val big = Seq(("aa", 1L), ("bb", 1L), ("cc", 1L))
+      .toDF("word", "wcount")
+    val e3 = intercept[IllegalArgumentException](
+      Bpe.trainCollected(big, 1, maxVocab = 2))
+    assert(e3.getMessage.contains("maxVocab"))
   }
 }

@@ -1267,6 +1267,17 @@ class StreamingSpec extends SparkSpec {
       .toSet == Set((1L, "de", 20L), (3L, "zh", 50L)))
   }
 
+  test("streamingJsonQuarantine rejects a schema that already declares " +
+       "_corrupt_record (the column this operator appends)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val e = intercept[IllegalArgumentException](
+      StreamingOps.streamingJsonQuarantine(
+        mem.toDF(), "doc_id LONG, _corrupt_record STRING"))
+    assert(e.getMessage.contains("_corrupt_record"))
+  }
+
   test("streamingBpeSegment: frozen-tokenizer segmentation on the stream equals batch x168 over a doc split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
