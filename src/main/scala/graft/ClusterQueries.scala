@@ -746,6 +746,53 @@ object ClusterQueries {
       }.reduce(_ unionByName _).orderBy(col("mode"), col("qid"))
     }),
 
+    // X178 — TOP-2-CELL SEED INSURANCE ON THE SHARDED SERVING PATH:
+    // x163 measured that top-2 seeding (not static edges — x171) is the
+    // principled mis-seed insurance, but the deployment-shaped serve
+    // (x170: per-cell shards + keyed stream-static join) routed each
+    // query to exactly ONE shard. This closes that gap: each query
+    // carries its top-2 coarse cells from the quantizer ranking and
+    // joins BOTH cells' shard rows (two keyed lookups, union visited,
+    // dedup by nid before the rank cut — streamingGraphServeTop2, the
+    // identical code path the streaming twin executes). Green means the
+    // two-shard serve ≡ the batch x163 'two'-mode beam search exactly —
+    // the oracle is that chain verbatim, served top-3 with the budget
+    // column in the hash (a shard union that dropped or double-counted
+    // a reachable candidate would shift scored_n even where the top-3
+    // survived). Budget ~2× the nprobe=1 serve and still CONSTANT in
+    // corpus size; the x163 rows price what it buys (91–94% vs 0–6%
+    // mis-seeded at the same total seed count).
+    "x178_graph_serve_top2" -> ((s, dir) => {
+      implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
+      val (sn, cent, g, _) = clusteredGraph(s, dir)
+      val shards = scope.persist(
+        graft.operators.GraphSearch.serveShards(g, sn, BEAM, HOPS))
+      shards.count() // eager: the shard build is one job, probed per query
+      val q = sn.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                col("nrm").as("qn"))
+      // quantizer probe: Q × |cells| against the broadcast centroid
+      // table (x163's ranking), folded to one (cell1, cell2) row per
+      // query — the routing columns the top-2 serve joins on
+      val wc = Window.partitionBy(col("qid"))
+        .orderBy(col("dist").asc, col("cell").asc)
+      val routed = q.crossJoin(broadcast(cent))
+        .withColumn("dist",
+          V.dot(col("qv"), col("qv")) - lit(2.0) * V.dot(col("qv"), col("c"))
+            + V.dot(col("c"), col("c")))
+        .withColumn("crn", row_number().over(wc))
+        .filter(col("crn") <= 2)
+        .groupBy(col("qid"))
+        .agg(min(when(col("crn") === 1, col("cell"))).as("cell1"),
+             min(when(col("crn") === 2, col("cell"))).as("cell2"))
+        .join(q, "qid")
+      graft.streaming.StreamingOps.streamingGraphServeTop2(routed, shards,
+          BEAM, HOPS, 3)
+        .select(col("qid"), col("rank"), col("nid"),
+                round(col("cos"), 4).as("cos"), col("scored_n"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // X171 — LONG-RANGE EDGES: the fix for x163's measured mis-seed
     // failure (mis1 recalls 0–6% because every frozen out-edge points
     // within the cluster). GraphSearch.longRangeEdges augments the
@@ -1581,6 +1628,33 @@ object ClusterQueries {
             UNION ALL SELECT 'two', qid, hits, scored_n FROM t_au
             UNION ALL SELECT 'mis1', qid, hits, scored_n FROM m_au)
           ORDER BY mode, qid"""
+    },
+
+    // the two-shard serve must EQUAL the batch top-2 beam search, so
+    // the oracle is x163's 'two'-mode chain verbatim (top-2 cells from
+    // the 6dp-centroid quantizer ranking, beam/2 seeds from each),
+    // served top-3 with the per-query budget column in the hash
+    "x178_graph_serve_top2" -> {
+      val half = BEAM / 2
+      s"""WITH $clusteredCtes,
+          $nndCtes,
+          qs AS (SELECT vec_id AS qid, v AS qv, n AS qn
+                 FROM sn WHERE vec_id < 20),
+          cr AS (SELECT qid, cell, crn FROM (
+              SELECT q.qid, cc.cell,
+                row_number() OVER (PARTITION BY q.qid
+                  ORDER BY ${distSql("q.qv", "cc.c")} ASC, cc.cell ASC)
+                  AS crn
+              FROM qs q CROSS JOIN cc) WHERE crn <= 2),
+          st AS (SELECT qid, nid FROM (
+              SELECT cr.qid, s.vec_id AS nid,
+                row_number() OVER (PARTITION BY cr.qid, cr.cell
+                  ORDER BY s.vec_id ASC) AS srn
+              FROM cr JOIN sn s ON s.cell = cr.cell AND s.vec_id <> cr.qid)
+            WHERE srn <= $half),
+          ${beamCtes(s"g$GR", "t_", "st")}
+          SELECT qid, rn AS rank, nid, round(cos, 4) AS cos, scored_n
+          FROM t_vf WHERE rn <= 3 ORDER BY qid, rank"""
     },
 
     // both corpora's cell assignments (kmeans / derived sub-cluster

@@ -166,41 +166,169 @@ object Bpe {
         "raise maxVocab deliberately")
     val spark = words.sparkSession
     import spark.implicits._
-    def codePoints(w: String): Array[String] = {
-      val out = Array.newBuilder[String]
-      var i = 0
-      while (i < w.length) {
-        val cp = w.codePointAt(i)
-        out += new String(Character.toChars(cp))
-        i += Character.charCount(cp)
-      }
-      out.result()
-    }
-    // UTF-8 byte order (unsigned) = Spark's UTF8String binary compare
-    def u8cmp(x: String, y: String): Int = {
-      val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) {
-        val d = (a(i) & 0xFF) - (b(i) & 0xFF)
-        if (d != 0) return d
-        i += 1
-      }
-      a.length - b.length
-    }
-    def fold(toks: Array[String], a: String, b: String): Array[String] = {
-      val out = Array.newBuilder[String]
-      var i = 0
-      while (i < toks.length) {
-        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
-          out += (a + b); i += 2
-        } else { out += toks(i); i += 1 }
-      }
-      out.result()
-    }
     val rows = words
       .select(col("word").cast("string"), col("wcount").cast("long"))
       .collect() // certified small: the |vocab| value domain
+    require(rows.nonEmpty, "empty word domain — nothing to train on")
+    // Delta maintenance (the canonical trainer's structure — GPT-2's
+    // and SentencePiece's): instead of recounting ALL adjacent pairs
+    // over the whole segmentation each round (O(corpus tokens) per
+    // round — 32k rounds would mean 32k full repasses), maintain
+    //   counts : pair -> weighted corpus count,
+    //   where  : pair -> the word indices containing it,
+    //   tokUse : token -> occupied positions (vocab = live keys),
+    //   total  : weighted token count,
+    // and on each merge touch ONLY the words that contain the merged
+    // pair (where(a,b)): remove each affected word's old pair profile,
+    // fold, add the new one. Per-round cost ∝ Σ|affected word| plus the
+    // argmax scan over the pair domain — never the corpus.
+    // [[trainCollectedRecount]] keeps the full-repass form;
+    // BpePropertySpec proves delta ≡ recount (table, curve, final seg)
+    // over seeded random corpora, and both ≡ the Spark loop.
+    val seg: Array[(String, Long, Array[String])] =
+      rows.map(r => (r.getString(0), r.getLong(1),
+                     codePoints(r.getString(0))))
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    val tokUse = mutable.HashMap.empty[String, Long]
+    var total = 0L
+    def addWord(i: Int): Unit = {
+      val (_, c, toks) = seg(i)
+      var j = 0
+      while (j < toks.length) {
+        tokUse(toks(j)) = tokUse.getOrElse(toks(j), 0L) + 1L
+        if (j + 1 < toks.length) {
+          val k = (toks(j), toks(j + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          where.getOrElseUpdate(k, mutable.BitSet.empty) += i
+        }
+        j += 1
+      }
+      total += c * toks.length
+    }
+    def removeWord(i: Int): Unit = {
+      val (_, c, toks) = seg(i)
+      var j = 0
+      while (j < toks.length) {
+        val u = tokUse(toks(j)) - 1L
+        if (u == 0L) tokUse.remove(toks(j)) else tokUse(toks(j)) = u
+        if (j + 1 < toks.length) {
+          val k = (toks(j), toks(j + 1))
+          val n = counts(k) - c
+          // a pair overlapping itself ≥3 times in one word ("cccc" on
+          // (c,c)) hits the where-removal at its FIRST occurrence and
+          // still decrements counts at the later ones — the lookup must
+          // be idempotent, not keyed (caught by the delta ≡ recount
+          // differential)
+          if (n == 0L) { counts.remove(k); where.remove(k) }
+          else {
+            counts(k) = n
+            where.get(k).foreach { s =>
+              s -= i; if (s.isEmpty) where.remove(k)
+            }
+          }
+        }
+        j += 1
+      }
+      total -= c * toks.length
+    }
+    seg.indices.foreach(addWord)
+    val merges =
+      Seq.newBuilder[(Int, String, String, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      require(counts.nonEmpty,
+        s"round $r: no adjacent pairs left — every word is one token; " +
+          s"asked for $rounds rounds on a domain that exhausts sooner")
+      var best: ((String, String), Long) = null
+      for (e <- counts) {
+        if (best == null) best = e
+        else {
+          val c = java.lang.Long.compare(e._2, best._2)
+          val cmp =
+            if (c != 0) -c
+            else {
+              val ca = u8cmp(e._1._1, best._1._1)
+              if (ca != 0) ca else u8cmp(e._1._2, best._1._2)
+            }
+          if (cmp < 0) best = e
+        }
+      }
+      val ((a, b), cnt) = best
+      // where(a,b) is mutated by removeWord — snapshot the indices
+      val affected = where((a, b)).toArray
+      var x = 0
+      while (x < affected.length) {
+        val i = affected(x)
+        removeWord(i)
+        seg(i) = (seg(i)._1, seg(i)._2, fold(seg(i)._3, a, b))
+        addWord(i)
+        x += 1
+      }
+      merges += ((r, a, b, cnt, tokUse.size.toLong, total))
+    }
+    val mdf = merges.result()
+      .toDF("round", "a", "b", "cnt", "vocab_size", "total_tokens")
+    val sdf = seg.toSeq.map { case (w, c, t) => (w, c, t.toSeq) }
+      .toDF("word", "wcount", "toks")
+    (mdf, sdf)
+  }
+
+  /** Code-point split — Spark's `substring`/`length` semantics (a
+    * supplementary character is ONE token). */
+  private def codePoints(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** UTF-8 byte order (unsigned) = Spark's UTF8String binary compare. */
+  private def u8cmp(x: String, y: String): Int = {
+    val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** The greedy left-to-right non-overlapping merge scan —
+    * [[applyMerge]]'s driver-side twin. */
+  private def fold(toks: Array[String], a: String,
+                   b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** [[trainCollected]]'s pre-delta form — a full adjacent-pair repass
+    * over the whole segmentation every round. Kept as the DIFFERENTIAL
+    * REFERENCE for the delta-maintenance trainer (BpePropertySpec
+    * proves delta ≡ recount merge-for-merge at depths the Spark loop
+    * cannot reach in test time) and as the honesty baseline for the
+    * ProbeBpe scaling row. Not guarded by maxVocab: callers are the
+    * spec and the probe, both on domains the public path has already
+    * bounded. */
+  private[graft] def trainCollectedRecount(words: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val rows = words
+      .select(col("word").cast("string"), col("wcount").cast("long"))
+      .collect()
     require(rows.nonEmpty, "empty word domain — nothing to train on")
     var seg: Array[(String, Long, Array[String])] =
       rows.map(r => (r.getString(0), r.getLong(1),

@@ -151,6 +151,7 @@ object GraphSearch {
     * per-cell map aggregations — no driver state, no global collect. */
   def serveShards(g: DataFrame, sn: DataFrame, beam: Int,
                   hops: Int): DataFrame = {
+    require(beam > 0, s"beam must be positive, got $beam")
     require(hops >= 1, s"hops must be >= 1, got $hops")
     val adj = g.select(col("u").as("__gu"), col("w").as("__gw"))
     val members = sn.select(col("cell"), col("vec_id").as("nid"))
@@ -187,9 +188,15 @@ object GraphSearch {
       .agg(sort_array(collect_list(col("vec_id"))).as("seeds"))
     // left joins from the seed table: every cell has members (hence
     // seeds); a cell whose closure carries no out-edges simply has a
-    // null gmap — the per-lookup coalesce in the serve path covers it
+    // null gmap — the per-lookup coalesce in the serve path covers it.
+    // beam/hops ride IN the artifact: the closure depth is a property
+    // of the build, so a serve call must prove it matches (the
+    // streaming serve validates before the first micro-batch) — a
+    // shard built with smaller hops would otherwise silently return
+    // incomplete results behind the per-lookup coalesce.
     sd.join(gm, Seq("cell"), "left").join(vm, Seq("cell"), "left")
-      .select(col("cell"), col("seeds"), col("gmap"), col("vmap"))
+      .select(col("cell"), col("seeds"), col("gmap"), col("vmap"),
+              lit(beam).as("beam"), lit(hops).as("hops"))
   }
 
   /** The serve/don't-serve decision, OPERATIONALIZED (x165): the

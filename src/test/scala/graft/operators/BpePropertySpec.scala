@@ -101,6 +101,42 @@ class BpePropertySpec extends SparkSpec {
     }
   }
 
+  test("delta-maintained trainCollected ≡ the full-recount form at " +
+       "depths the Spark loop cannot reach (table, curve, final seg)") {
+    // trainCollected maintains pair counts INCREMENTALLY (only words
+    // containing the merged pair are touched per round); the recount
+    // form repasses the whole segmentation. They must agree
+    // merge-for-merge — including the vocab/total curve, whose delta
+    // bookkeeping (tokUse/total) is the easiest thing to get wrong —
+    // over corpora deep enough to run hundreds of rounds.
+    val rnd = new scala.util.Random(20260818)
+    val alphabet = "abcdefgh"
+    for (trial <- 1 to 3) {
+      val words = (1 to 400).map { _ =>
+        val len = 2 + rnd.nextInt(10)
+        (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+          .mkString
+      }.distinct.map(w => w -> (1L + rnd.nextInt(50)))
+      val rounds = 150 + rnd.nextInt(100)
+      val wdf = words.toDF("word", "wcount").localCheckpoint()
+      def mergeRows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("round").collect().map(r =>
+          (r.getAs[Int]("round"), r.getAs[String]("a"),
+           r.getAs[String]("b"), r.getAs[Long]("cnt"),
+           r.getAs[Long]("vocab_size"),
+           r.getAs[Long]("total_tokens"))).toSeq
+      def segRows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getAs[String]("word"), r.getAs[Long]("wcount"),
+           r.getSeq[String](2))).sortBy(_._1).toSeq
+      val (dm, ds) = Bpe.trainCollected(wdf, rounds)
+      val (rm, rs) = Bpe.trainCollectedRecount(wdf, rounds)
+      assert(mergeRows(dm) == mergeRows(rm),
+        s"trial $trial (rounds=$rounds) merge table/curve diverged")
+      assert(segRows(ds) == segRows(rs), s"trial $trial segmentation")
+    }
+  }
+
   test("trainCollected splits by CODE POINT and exhausts loud") {
     // a supplementary character (U+1D11E, two UTF-16 code units) must
     // count as ONE initial token — Spark's substring/length semantics
