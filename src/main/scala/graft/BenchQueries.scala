@@ -18,6 +18,17 @@ object BenchQueries {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
+  /** The pay-once ORC fact layout PARTITIONED BY l_returnflag (the
+    * b03/b05 device on the second columnar format) — shared by x172
+    * (static literal prune) and x179 (dimension-driven dynamic prune). */
+  private def orcpLayout(s: SparkSession, dir: String): String = {
+    val path = Scratch.dir("orcp", dir)
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      graft.io.TableIo.writePartitioned(
+        Tables(s, dir, "lineitem"), path, Seq("l_returnflag"), "orc")
+    path
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b01_pricing_summary" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
@@ -203,10 +214,7 @@ object BenchQueries {
     // under the same predicate — green proves partition pruning +
     // pushdown lost no rows and the format carried every value class.
     "x172_orc_partitioned" -> ((s, dir) => {
-      val path = Scratch.dir("orcp", dir)
-      if (!new java.io.File(path, "_SUCCESS").exists())
-        graft.io.TableIo.writePartitioned(
-          Tables(s, dir, "lineitem"), path, Seq("l_returnflag"), "orc")
+      val path = orcpLayout(s, dir)
       graft.io.TableIo.readOrc(s, path)
         .filter(col("l_returnflag") === "R" &&
                 col("l_shipdate") >= lit("1995-06-01").cast("date"))
@@ -218,6 +226,43 @@ object BenchQueries {
              countDistinct(col("l_shipdate")).as("n_shipdates"),
              min(col("l_shipdate")).as("min_shipdate"),
              max(col("l_shipdate")).as("max_shipdate"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // X179 — DYNAMIC partition pruning over the x172 layout: x172's
+    // prune is a LITERAL predicate (static); the 100 TB star-schema
+    // case is dimension-DRIVEN — the partition values to read are known
+    // only after filtering a small dimension at runtime, never as a
+    // literal in the query text. A 3-row flag dimension (distinct
+    // l_returnflag + a group attribute) lands pay-once beside the fact
+    // layout; the steady-state query joins the partitioned ORC fact to
+    // the dimension filtered on the ATTRIBUTE (flag_grp = 'returned'),
+    // and Spark injects `dynamicpruningexpression` into the fact scan's
+    // PartitionFilters via the reused broadcast — only the matching
+    // partition directory is opened (PlanShapeSpec pins the subquery in
+    // the scan AND the partitions-read metric at 1 of 3). The audit
+    // aggregate is x172's device; the oracle computes the same join
+    // from the unpartitioned parquet original, so green proves the
+    // runtime prune lost no rows.
+    "x179_dpp_star_prune" -> ((s, dir) => {
+      val path = orcpLayout(s, dir)
+      val dimPath = Scratch.dir("dppd", dir)
+      if (!new java.io.File(dimPath, "_SUCCESS").exists())
+        Tables(s, dir, "lineitem").select(col("l_returnflag")).distinct()
+          .withColumn("flag_grp",
+            when(col("l_returnflag") === "R", lit("returned"))
+              .otherwise(lit("kept")))
+          .coalesce(1).write.mode("overwrite").parquet(dimPath)
+      val fact = graft.io.TableIo.readOrc(s, path)
+      val dim = s.read.parquet(dimPath)
+        .filter(col("flag_grp") === "returned")
+      fact.join(broadcast(dim), "l_returnflag")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"),
+             sum(round(col("l_extendedprice") * 100).cast("long"))
+               .as("price_c"),
+             countDistinct(col("l_shipdate")).as("n_shipdates"))
         .orderBy(col("l_linestatus"))
     }),
 
@@ -623,6 +668,26 @@ object BenchQueries {
              AS qty_c,
            count(DISTINCT l_shipdate)::BIGINT AS n_shipdates
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the same dimension-driven join from the unpartitioned parquet
+    // original — green proves the runtime (dynamic) partition prune
+    // lost no rows and double-counted none
+    "x179_dpp_star_prune" ->
+      """SELECT l_linestatus,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_c,
+           count(DISTINCT l_shipdate)::BIGINT AS n_shipdates
+         FROM lineitem l
+         JOIN (SELECT l_returnflag,
+                 CASE WHEN l_returnflag = 'R' THEN 'returned'
+                      ELSE 'kept' END AS flag_grp
+               FROM (SELECT DISTINCT l_returnflag FROM lineitem)) d
+           ON d.l_returnflag = l.l_returnflag
+         WHERE d.flag_grp = 'returned'
+         GROUP BY 1 ORDER BY 1""",
 
     // same predicate over the PARQUET original — green proves the
     // partition-pruned + predicate-pushed ORC read lost nothing

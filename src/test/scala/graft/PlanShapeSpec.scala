@@ -1682,6 +1682,40 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x179 dynamic partition pruning: the fact scan carries the dimension-driven dynamicpruningexpression and reads 1 of 3 partitions") {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    SparkEntry.queries("x179_dpp_star_prune")(spark, sfDir)
+      .collect() // materializes the pay-once fact + dim layouts
+    val df = SparkEntry.queries("x179_dpp_star_prune")(spark, sfDir)
+    df.collect() // executes the steady-state plan — populates metrics
+    val root = df.queryExecution.executedPlan
+    val plan = root.toString
+    assert(plan.toLowerCase.contains("orc"),
+      "expected an ORC fact scan:\n" + plan.take(2000))
+    // the prune is injected at RUNTIME from the filtered dimension —
+    // no l_returnflag literal exists anywhere in the query text
+    assert(plan.contains("dynamicpruningexpression"),
+      "the dimension-driven prune must reach the fact scan's " +
+        "PartitionFilters:\n" + plan.take(3000))
+    // runtime proof that the non-matching partitions were SKIPPED, not
+    // just filtered: the scan's partitions-read metric
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec        => walk(q.plan)
+      case f: FileSourceScanExec if f.partitionFilters.nonEmpty => Seq(f)
+      case o => o.children.flatMap(walk)
+    }
+    val scans = walk(root)
+    assert(scans.nonEmpty, "no partition-filtered scan found:\n" +
+      plan.take(3000))
+    val parts = scans.head.metrics("numPartitions").value
+    assert(parts == 1L,
+      s"expected 1 of 3 partition directories read, got $parts")
+    spark.catalog.clearCache()
+  }
+
   test("x167 BPE train: every round is a keyed pair agg + a singleton merge-rule broadcast — no cartesian") {
     val plans = allPlansSansCachedOf("x167_bpe_train")
     plans.foreach(p => assert(!p.contains("CartesianProduct"), p.take(3000)))
