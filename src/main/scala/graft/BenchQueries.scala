@@ -299,6 +299,46 @@ object BenchQueries {
         .orderBy(col("g"), col("l_returnflag"))
     }),
 
+    // X180 — SCHEMA EVOLUTION WITH TYPE WIDENING: x175 covers the
+    // added-column case; the other drift every long-lived table hits is
+    // a column whose TYPE widened between generations (gen 1 wrote
+    // l_orderkey as int and l_quantity as float; gen 2 as long/double —
+    // plain mergeSchema refuses the read with a merge conflict).
+    // TableIo.readUnified reads each generation with its own schema,
+    // casts to the widest type (int+long → long; float+double → double,
+    // both lossless), null-fills gen 1's missing l_returnflag, and
+    // unions by name. The oracle restates both generations from the
+    // unsplit original — including gen 1's float round-trip
+    // (CAST(CAST(x AS REAL) AS DOUBLE)), so a widening that silently
+    // altered a value would hash-mismatch. Narrowing/lossy unions
+    // (long↔double, string↔numeric) fail loud — spec-pinned.
+    "x180_type_widening" -> ((s, dir) => {
+      val path = Scratch.dir("widen", dir)
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        val li = Tables(s, dir, "lineitem")
+        li.filter(col("l_orderkey") % 2 === 0)
+          .select(col("l_orderkey").cast("int").as("l_orderkey"),
+                  col("l_quantity").cast("float").as("l_quantity"),
+                  col("l_shipdate"))
+          .write.mode("overwrite").parquet(s"$path/g1")
+        li.filter(col("l_orderkey") % 2 =!= 0)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"),
+                  col("l_returnflag"))
+          .write.mode("overwrite").parquet(s"$path/g2")
+        new java.io.FileOutputStream(new java.io.File(path, "_SUCCESS"))
+          .close()
+      }
+      graft.io.TableIo.readUnified(s, Seq(s"$path/g1", s"$path/g2"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"),
+             sum(col("l_orderkey")).as("sum_key"),
+             countDistinct(col("l_shipdate")).as("n_shipdates"))
+        // NULLS LAST pins the null group's position to the oracle's
+        // DuckDB default (Spark's ASC default is NULLS FIRST)
+        .orderBy(col("l_returnflag").asc_nulls_last)
+    }),
+
     // X176 — CORRUPT-TOLERANT JSONL ingest: a feed where every 7th
     // record arrives truncated (the normal life of an at-scale ingest
     // firehose) reads under PERMISSIVE mode with the malformed line
@@ -655,6 +695,23 @@ object BenchQueries {
                  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang
                FROM documents)
          GROUP BY 1 ORDER BY 1""",
+
+    // both generations restated from the unsplit original: even keys
+    // are gen 1 (int/float columns, no returnflag — the float
+    // round-trip is reproduced via REAL so a value altered by the
+    // widening cast would mismatch), odd keys are gen 2 (long/double)
+    "x180_type_widening" ->
+      """SELECT CASE WHEN l_orderkey % 2 = 0 THEN NULL
+                ELSE l_returnflag END AS l_returnflag,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(round(
+             CASE WHEN l_orderkey % 2 = 0
+                  THEN CAST(CAST(l_quantity AS REAL) AS DOUBLE)
+                  ELSE l_quantity END * 100) AS BIGINT)) AS BIGINT)
+             AS qty_c,
+           sum(l_orderkey)::BIGINT AS sum_key,
+           count(DISTINCT l_shipdate)::BIGINT AS n_shipdates
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     // the two generations restated from the unsplit original: even
     // orderkeys are gen 1 (l_returnflag arrived later → NULL), odd are

@@ -117,6 +117,73 @@ object TableIo {
     out.write.mode("overwrite").json(path)
   }
 
+  /** SCHEMA-EVOLUTION READ beyond added columns: unify N generations of
+    * a long-lived table whose column TYPES drifted (gen 1 wrote
+    * l_quantity as int/float, gen 2 as long/double — the other drift
+    * every warehouse table hits; plain `mergeSchema` refuses the read
+    * with a merge conflict). Each generation is read with its own
+    * schema, every column casts to the WIDEST type any generation
+    * declares, and the frames union by name (a column missing from a
+    * generation null-fills — the x175 semantic).
+    *
+    * Widening is LOSSLESS-ONLY, fail-loud otherwise (the narrowing
+    * guard): integral↑integral (byte→short→int→long), fractional↑
+    * fractional (float→double), byte/short/int↔float/double → double
+    * (every such value embeds in a double exactly), equal-type pass-
+    * through, and decimal precision/scale union bounded by the decimal
+    * range. long↔fractional (a 2⁶³ long does not fit a double's 53-bit
+    * mantissa), string↔numeric, date↔timestamp, and any nested-type
+    * mismatch REFUSE with the column name and both types — a silent
+    * best-effort cast is exactly the drift this reader exists to stop.
+    *
+    * Scale shape: one file-source scan per generation (pushdown/pruning
+    * intact per scan), casts are map-side projections, unionByName adds
+    * no exchange — the union's children stay independent scans. */
+  def readUnified(spark: SparkSession, paths: Seq[String],
+                  format: String = "parquet"): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(paths.nonEmpty, "readUnified needs at least one generation")
+    val gens = paths.map(p => spark.read.format(format).load(p))
+    val integral: Seq[DataType] =
+      Seq(ByteType, ShortType, IntegerType, LongType)
+    val fractional: Seq[DataType] = Seq(FloatType, DoubleType)
+    val smallIntegral = integral.dropRight(1) // byte/short/int: exact in double
+    def widen(name: String, a: DataType, b: DataType): DataType =
+      (a, b) match {
+        case _ if a == b => a
+        case (x: DecimalType, y: DecimalType) =>
+          val s = math.max(x.scale, y.scale)
+          val i = math.max(x.precision - x.scale, y.precision - y.scale)
+          require(i + s <= DecimalType.MAX_PRECISION,
+            s"column '$name': unified decimal($i + $s) exceeds the " +
+              s"decimal range — ${x.simpleString} vs ${y.simpleString}")
+          DecimalType(i + s, s)
+        case _ if integral.contains(a) && integral.contains(b) =>
+          if (integral.indexOf(a) >= integral.indexOf(b)) a else b
+        case _ if fractional.contains(a) && fractional.contains(b) =>
+          if (fractional.indexOf(a) >= fractional.indexOf(b)) a else b
+        case _ if (smallIntegral.contains(a) && fractional.contains(b)) ||
+                  (fractional.contains(a) && smallIntegral.contains(b)) =>
+          DoubleType
+        case _ => throw new IllegalArgumentException(
+          s"column '$name': no lossless widening between " +
+            s"${a.simpleString} and ${b.simpleString} — long↔fractional " +
+            "drops mantissa bits and cross-family retypes change " +
+            "semantics; fix the writing pipeline or cast explicitly " +
+            "per generation")
+      }
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    for (g <- gens; f <- g.schema.fields)
+      order(f.name) = order.get(f.name)
+        .map(widen(f.name, _, f.dataType)).getOrElse(f.dataType)
+    gens.map { g =>
+      val present = g.columns.toSet
+      g.select(order.toSeq.map { case (n, t) =>
+        (if (present(n)) col(n).cast(t) else lit(null).cast(t)).as(n)
+      }: _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** ORC source — Spark's second built-in columnar format (orc-core
     * ships with Spark; no extra dependency). Same distributed scan
     * surface as parquet: pushed filters, pruned columns, split files.
