@@ -1172,6 +1172,58 @@ object StreamingOps {
       .select(col("r.*"))
   }
 
+  /** x172's INGEST-side streaming twin: a stream appending into the
+    * partitioned columnar layout ([[graft.io.TableIo.writePartitioned]])
+    * with EXACTLY-ONCE semantics. Returns the `foreachBatch` body; the
+    * caller wires it with a checkpoint:
+    * {{{
+    *   stream.writeStream
+    *     .foreachBatch(StreamingOps.partitionedSinkBatch(path, Seq("dt")))
+    *     .option("checkpointLocation", ckpt).start()
+    * }}}
+    *
+    * Exactly-once mechanics: each micro-batch writes under an extra
+    * trailing `_batch_id=<id>` partition level in DYNAMIC partition-
+    * overwrite mode, so a batch REPLAYED after a failure (the at-least-
+    * once window between a sink write and the checkpoint commit)
+    * overwrites exactly its own `(partition values, _batch_id)`
+    * directories — idempotent — while every other batch's directories
+    * are untouched. The business partition column stays the TOP
+    * directory level, so readers prune on it exactly as on the batch
+    * layout (StreamingSpec pins PartitionFilters on the read), and the
+    * extra level is invisible to partition-pruned scans.
+    *
+    * Why not Spark's built-in file sink (`writeStream.format("orc")`):
+    * it is also exactly-once, but through a driver-side `_spark_metadata`
+    * transaction log that grows with every batch for the table's
+    * lifetime, must be compacted, and makes the directory unreadable as
+    * a PLAIN columnar layout (readers that don't consult the log see
+    * uncommitted files). The batch-id partition level carries the same
+    * guarantee in the layout itself — any engine can read the directory,
+    * and retention/compaction work per directory (the
+    * [[graft.io.Compaction]] path applies unchanged). */
+  def partitionedSinkBatch(path: String, partitionCols: Seq[String],
+                           format: String = "parquet")
+      : (DataFrame, Long) => Unit = {
+    require(partitionCols.nonEmpty,
+      "partitionedSinkBatch needs at least one partition column")
+    require(!partitionCols.contains("_batch_id"),
+      "_batch_id is the sink's idempotency level — it cannot also be a " +
+        "business partition column")
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val old = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try
+        batch.withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .partitionBy((partitionCols :+ "_batch_id"): _*)
+          .format(format).save(path)
+      finally old.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
+  }
+
   def streamingKmvDistinct(keys: DataFrame, k: Int = 64): DataFrame = {
     val bk = udaf(new graft.functions.BottomKDistinctLongAggregator(k),
                   org.apache.spark.sql.Encoders.scalaLong)

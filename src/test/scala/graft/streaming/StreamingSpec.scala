@@ -1349,6 +1349,51 @@ class StreamingSpec extends SparkSpec {
       .toSet == Set((1L, "de", 20L), (3L, "zh", 50L)))
   }
 
+  test("partitionedSinkBatch: stream-ingested partitioned layout equals " +
+       "batch writePartitioned; a replayed batch is idempotent; the read " +
+       "still prunes partitions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_psink")
+      .toString
+    val rows1 = Seq(("R", 1L), ("A", 2L))
+    val rows2 = Seq(("R", 3L), ("N", 4L))
+    val fn = StreamingOps.partitionedSinkBatch(s"$dir/out", Seq("flag"),
+      "orc")
+    val mem = MemoryStream[(String, Long)]
+    val sq = mem.toDS().toDF("flag", "qty").writeStream
+      .foreachBatch(fn)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    mem.addData(rows1: _*)
+    sq.processAllAvailable()
+    mem.addData(rows2: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    // failure-recovery replay of the LAST batch (the at-least-once
+    // window): the dynamic overwrite must replace, not duplicate
+    fn(rows2.toDF("flag", "qty"), 1L)
+    val streamed = spark.read.orc(s"$dir/out")
+    assert(streamed.columns.contains("_batch_id"))
+    val got = streamed.select(col("flag"), col("qty"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // the batch twin over the same rows
+    graft.io.TableIo.writePartitioned(
+      (rows1 ++ rows2).toDF("flag", "qty"), s"$dir/batch", Seq("flag"),
+      "orc")
+    val want = spark.read.orc(s"$dir/batch")
+      .select(col("flag"), col("qty"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want, s"stream $got != batch $want")
+    assert(streamed.count() == 4, "replay must not duplicate rows")
+    // the business partition column is still the pruning surface
+    val plan = streamed.filter(col("flag") === "R")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("flag"),
+      "partition pruning lost on the stream-ingested layout:\n" +
+        plan.take(2000))
+  }
+
   test("streamingJsonQuarantine rejects a schema that already declares " +
        "_corrupt_record (the column this operator appends)") {
     import spark.implicits._
