@@ -266,6 +266,144 @@ object BenchQueries {
         .orderBy(col("l_linestatus"))
     }),
 
+    // X181 — COMPACTION OF THE STREAMING-INGEST LAYOUT (the
+    // operational loop x172's ingest twin opens): partitionedSinkBatch
+    // leaves one directory per (partition, batch) forever — the
+    // small-file death of a streaming table at 100 TB. The maintenance
+    // protocol (Compaction.compactIngest / readIngest / vacuumLive)
+    // folds sealed batches into compacted GENERATIONS committed by an
+    // atomic watermark rename — no transaction log, the directory
+    // stays readable as a plain columnar layout. The pay-once fixture
+    // drives the real sink body for batches 0–3 (lineitem split by
+    // orderkey mod 5, partitioned by l_returnflag), compacts, lets
+    // batch 4 arrive AFTER the compaction, and vacuums the folded
+    // batches; the steady-state read is generation ∪ live tail with
+    // partition pruning intact on both arms (PlanShapeSpec pins it).
+    // The oracle restates the audit from the original table — green
+    // proves the fold + vacuum lost nothing and duplicated nothing.
+    "x181_ingest_compaction" -> ((s, dir) => {
+      val root = Scratch.dir("ingc", dir)
+      val livePath = s"$root/live"
+      val compactPath = s"$root/compact"
+      if (!new java.io.File(root, "_DONE").exists()) {
+        val li = Tables(s, dir, "lineitem")
+        val sink = graft.streaming.StreamingOps
+          .partitionedSinkBatch(livePath, Seq("l_returnflag"))
+        for (b <- 0L to 3L)
+          sink(li.filter(pmod(col("l_orderkey"), lit(5)) === b), b)
+        graft.io.Compaction.compactIngest(s, livePath, compactPath,
+          Seq("l_returnflag"), 64L * 1024 * 1024)
+        sink(li.filter(pmod(col("l_orderkey"), lit(5)) === 4), 4L)
+        graft.io.Compaction.vacuumLive(s, livePath, compactPath)
+        new java.io.FileOutputStream(new java.io.File(root, "_DONE"))
+          .close()
+      }
+      graft.io.Compaction.readIngest(s, livePath, compactPath)
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(cents(col("l_quantity"))).as("qty_c"),
+             sum(cents(col("l_extendedprice"))).as("price_c"),
+             countDistinct(col("l_shipdate")).as("n_shipdates"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // X182 — RUNTIME ROW-LEVEL BLOOM FILTER (x179's row-level
+    // complement): DPP prunes PARTITIONS the dimension rules out; the
+    // other runtime filter a 100 TB star join needs prunes ROWS on a
+    // NON-partition join key before they reach the shuffle. The
+    // dimension here (urgent orders) is far too big to broadcast at
+    // warehouse scale — the shuffle-join shape is forced to model that
+    // — so Spark's InjectRuntimeFilter builds a bloom filter from the
+    // filtered creation side and injects `might_contain(xxhash64(key))`
+    // into the fact side BELOW its exchange: ~80% of fact rows (the
+    // 4/5 whose order is not urgent) drop before they are hashed,
+    // written, and shuffled (PlanShapeSpec pins the injected filter
+    // under the fact-side shuffle). The
+    // configs are scoped to this query — the plan materializes inside
+    // the scope via localCheckpoint (the x176 device), then the tiny
+    // result sorts outside it. Green proves the bloom filter (a
+    // may-contain structure) never changed a result, only shuffle
+    // volume.
+    "x182_runtime_bloom_join" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val scoped = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      val agg =
+        try
+          li.join(o, li("l_orderkey") === o("o_orderkey"))
+            .groupBy(col("l_returnflag"))
+            .agg(count(lit(1)).as("n"),
+                 sum(cents(col("l_extendedprice"))
+                   * (lit(100) - cents(col("l_discount"))))
+                   .as("revenue_cents_x100"),
+                 countDistinct(col("o_orderdate")).as("n_dates"))
+            .localCheckpoint()
+        finally saved.foreach { case (k, ov) =>
+          ov.fold(s.conf.unset(k))(v => s.conf.set(k, v)) }
+      agg.orderBy(col("l_returnflag"))
+    }),
+
+    // X183 — AQE SKEW-JOIN SPLIT (the RUNTIME answer to the skew x110
+    // salts by hand): a join key where one value carries ~95% of the
+    // fact rows puts ~95% of the shuffle in ONE reduce partition — the
+    // straggler that holds a 1000-executor stage hostage. Spark's
+    // OptimizeSkewedJoin splits that partition into mapper-range
+    // slices at runtime (each slice joins against a replica of the
+    // matching dimension partition — correct because the dim side is
+    // read whole per slice), visible as `SortMergeJoin(skew=true)` over
+    // an `AQEShuffleRead ... skewed` (PlanShapeSpec pins both). Two
+    // test-box emulations of cluster reality, both documented: the
+    // fact side repartitions to 16 map tasks (the split unit is a
+    // mapper's output — a single-file local read collapses to one
+    // mapper, which no real cluster has), and the skew thresholds
+    // scale down to the test bytes (256 MB default → 16 KB) with the
+    // shuffle shape forced (the dimension exceeds broadcast at
+    // warehouse scale). Configs scoped via the localCheckpoint device.
+    // The oracle computes the same aggregate expression-only — green
+    // proves the runtime split changed task boundaries, never results.
+    // Where AQE can't see the skew (aggregation, not join), x110's
+    // explicit salting remains the governed path.
+    "x183_aqe_skew_split" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val scoped = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+        // skew is judged against the MEDIAN partition: with a tiny
+        // partition count (the local[2] spec session) the hot
+        // partition IS the median and nothing is ever "skewed" — pin
+        // the realistic count the detection math assumes
+        "spark.sql.shuffle.partitions" -> "32")
+      val saved = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      val agg =
+        try {
+          val mx = li.agg(max(col("l_orderkey"))).head.getLong(0)
+          val fact = li.repartition(16)
+            .withColumn("k",
+              when(pmod(col("l_orderkey"), lit(20)) < 19, lit(0L))
+                .otherwise(col("l_orderkey")))
+          val dim = s.range(0, mx + 1)
+            .select(col("id").as("k"), pmod(col("id"), lit(7)).as("grp"))
+          fact.join(dim, "k")
+            .groupBy(col("grp"))
+            .agg(count(lit(1)).as("n"),
+                 sum(cents(col("l_quantity"))).as("qty_c"),
+                 sum(cents(col("l_extendedprice"))).as("price_c"))
+            .localCheckpoint()
+        } finally saved.foreach { case (k, ov) =>
+          ov.fold(s.conf.unset(k))(v => s.conf.set(k, v)) }
+      agg.orderBy(col("grp"))
+    }),
+
     // X175 — SCHEMA EVOLUTION at the scan: a table written in two
     // generations (gen 1 lacks l_returnflag — the column arrived later,
     // the normal life of a 100 TB warehouse table) reads as ONE frame
@@ -711,6 +849,49 @@ object BenchQueries {
              AS qty_c,
            sum(l_orderkey)::BIGINT AS sum_key,
            count(DISTINCT l_shipdate)::BIGINT AS n_shipdates
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // the audit restated from the original table — the compacted
+    // generation ∪ live tail read must carry exactly the rows the five
+    // micro-batches ingested, no more (vacuum replay) and no fewer
+    // (a fold that dropped a batch)
+    "x181_ingest_compaction" ->
+      """SELECT l_linestatus,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_c,
+           count(DISTINCT l_shipdate)::BIGINT AS n_shipdates
+         FROM lineitem WHERE l_returnflag = 'R'
+         GROUP BY 1 ORDER BY 1""",
+
+    // the plain join semantics — green proves the injected bloom
+    // filter (a may-contain structure) changed shuffle volume only,
+    // never a result
+    "x182_runtime_bloom_join" ->
+      """SELECT l_returnflag,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_cents_x100,
+           count(DISTINCT o_orderdate)::BIGINT AS n_dates
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY 1 ORDER BY 1""",
+
+    // the same aggregate expression-only (every fact key matches the
+    // dense range dimension, and grp is a pure function of the key) —
+    // green proves the runtime skew split changed task boundaries,
+    // never results
+    "x183_aqe_skew_split" ->
+      """SELECT (CASE WHEN l_orderkey % 20 < 19 THEN 0
+                 ELSE l_orderkey END) % 7 AS grp,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_c
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     // the two generations restated from the unsplit original: even

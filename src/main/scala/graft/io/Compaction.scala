@@ -175,6 +175,211 @@ object Compaction {
     if (files.isEmpty)
       spark.read.parquet(path).filter(lit(false))
     else
-      spark.read.parquet(files: _*).filter(pred)
+      // basePath keeps directory-derived partition columns resolvable
+      // when the surviving leaves sit under partition=value dirs (the
+      // ingest-generation layout); on a flat layout it changes nothing
+      spark.read.option("basePath", path).parquet(files: _*).filter(pred)
+  }
+
+  // ------------------------------------------------------------------
+  // Maintenance of the streaming-ingest layout
+  // (graft.streaming.StreamingOps.partitionedSinkBatch): business
+  // partitions with a trailing `_batch_id=<id>` level. The sink makes
+  // every micro-batch idempotent, but it also makes the table accrete
+  // one directory per (partition, batch) forever — at one batch a
+  // minute that is half a million directories a year, and every scan
+  // pays the listing. The maintenance loop below folds sealed batches
+  // into compacted GENERATIONS without ever needing a transaction log,
+  // keeping the directory readable as a plain columnar layout:
+  //
+  //   live/   flag=R/_batch_id=0/...      (the sink keeps appending)
+  //   compact/gen_7/flag=R/...            (batches 0..7, compacted)
+  //   compact/_compacted_through = "7"    (the COMMIT POINT)
+  //
+  // Readers ([[readIngest]]) take `compacted generation` ∪ `live
+  // batches > watermark`. The watermark file is written temp-then-
+  // atomic-rename, so every crash point is safe: a half-written
+  // generation is invisible (watermark still points at the old one,
+  // all live batches still present), and re-running the compactor
+  // simply overwrites it. Deleting folded live batches
+  // ([[vacuumLive]]) is pure retention, gated on the COMMITTED
+  // watermark — it can lag arbitrarily and never affects results.
+  // ------------------------------------------------------------------
+
+  private val WatermarkName = "_compacted_through"
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    FileSystem.get(new Path(path).toUri,
+                   spark.sparkContext.hadoopConfiguration)
+
+  /** `_batch_id=<id>` directories under a [[graft.streaming.StreamingOps
+    * .partitionedSinkBatch]] layout, as (id, path) — a pure listing,
+    * no data read. Empty when the live directory does not exist yet
+    * (a stream that has not committed its first batch). */
+  def batchDirs(spark: SparkSession, livePath: String)
+      : Seq[(Long, String)] = {
+    val root = new Path(livePath)
+    val fs = fsOf(spark, livePath)
+    if (!fs.exists(root)) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def walk(p: Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) {
+          val n = st.getPath.getName
+          if (n.startsWith("_batch_id="))
+            out += ((n.stripPrefix("_batch_id=").toLong,
+                     st.getPath.toString))
+          else if (!n.startsWith(".")) walk(st.getPath)
+        }
+      }
+    walk(root)
+    out.toSeq.sortBy(x => (x._1, x._2))
+  }
+
+  /** The committed compaction watermark: every live batch with id ≤
+    * this value is folded into `compactPath/gen_<watermark>`. −1 when
+    * no compaction has ever committed. */
+  def compactedThrough(spark: SparkSession, compactPath: String): Long = {
+    val p = new Path(compactPath, WatermarkName)
+    val fs = fsOf(spark, compactPath)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try {
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        require(s.matches("-?\\d+"),
+          s"corrupt watermark file $p: '$s' is not a batch id")
+        s.toLong
+      } finally in.close()
+    }
+  }
+
+  /** Fold all sealed live batches into a new compacted generation and
+    * COMMIT it. Reads `previous generation ∪ live batches in
+    * (oldWatermark, maxLiveBatch]`, rewrites into ≈`targetBytes` files
+    * per output task under `compactPath/gen_<maxLiveBatch>` (business
+    * partitioning preserved — partition pruning on the compacted read
+    * is identical to the live read), then atomically advances the
+    * watermark file. Returns the new watermark.
+    *
+    * Crash-safe at every point without a log: the generation write is
+    * invisible until the watermark rename lands, and a re-run after
+    * any failure overwrites the orphan and commits it. Fails loud when
+    * there is nothing new to fold (a no-op compaction cycle is a
+    * scheduling bug worth hearing about). Superseded generations and
+    * folded live batches are NOT deleted here — that is [[vacuumLive]],
+    * deliberately separate so retention can lag the longest-running
+    * reader (the standard snapshot-retention discipline). */
+  def compactIngest(spark: SparkSession, livePath: String,
+                    compactPath: String, partitionCols: Seq[String],
+                    targetBytes: Long, format: String = "parquet",
+                    sortCols: Seq[String] = Nil): Long = {
+    require(partitionCols.nonEmpty,
+      "compactIngest needs the layout's business partition columns")
+    require(targetBytes > 0, "compactIngest needs a positive file target")
+    val ids = batchDirs(spark, livePath)
+    require(ids.nonEmpty,
+      s"no _batch_id directories under $livePath — nothing to compact")
+    val through = ids.map(_._1).max
+    val prev = compactedThrough(spark, compactPath)
+    require(through > prev,
+      s"nothing new to compact: live batches reach $through but the " +
+        s"watermark is already $prev")
+    val tailDirs = ids.filter(_._1 > prev).map(_._2)
+    val tail = spark.read.format(format).load(livePath)
+      .filter(col("_batch_id") > prev && col("_batch_id") <= through)
+      .drop("_batch_id")
+    val prevGen = s"$compactPath/gen_$prev"
+    val all = if (prev < 0) tail
+      else spark.read.format(format).load(prevGen).unionByName(tail)
+    val bytes = tailDirs.flatMap(d => dataFiles(spark, d)).map(_._2).sum +
+      (if (prev < 0) 0L else dataFiles(spark, prevGen).map(_._2).sum)
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    // with sortCols the fold also RANGE-CLUSTERS the generation (the
+    // [[compact]] discipline: N parallel bounded sorts, never a global
+    // one), which is what makes a [[zoneMap]] over it selective — the
+    // ingest stream arrives in time order, the fold is where clustering
+    // is paid once per generation instead of per query
+    val shaped =
+      if (sortCols.isEmpty) all.repartition(n)
+      else all.repartitionByRange(n, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    shaped.write.mode("overwrite")
+      .partitionBy(partitionCols: _*).format(format)
+      .save(s"$compactPath/gen_$through")
+    commitWatermark(spark, compactPath, through)
+    through
+  }
+
+  /** Atomic watermark commit: write a temp file, rename over the live
+    * name (`Options.Rename.OVERWRITE` — atomic on HDFS and on the
+    * local filesystem). Everything before this rename is invisible to
+    * readers. */
+  private def commitWatermark(spark: SparkSession, compactPath: String,
+                              through: Long): Unit = {
+    val fs = fsOf(spark, compactPath)
+    fs.mkdirs(new Path(compactPath))
+    val tmp = new Path(compactPath, s".$WatermarkName.tmp")
+    val dst = new Path(compactPath, WatermarkName)
+    val out = fs.create(tmp, true)
+    try out.write(through.toString.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dst.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The reader over the maintained layout: `compacted generation ∪
+    * live batches above the watermark`, business partition columns
+    * restored on both arms (pruning works exactly as on a plain
+    * partitioned table — PlanShapeSpec pins it). With no committed
+    * compaction this is just the live read; with everything folded and
+    * vacuumed it is just the generation read. */
+  def readIngest(spark: SparkSession, livePath: String,
+                 compactPath: String,
+                 format: String = "parquet"): DataFrame = {
+    val wm = compactedThrough(spark, compactPath)
+    val liveIds = batchDirs(spark, livePath)
+    val gen =
+      if (wm < 0) None
+      else Some(spark.read.format(format).load(s"$compactPath/gen_$wm"))
+    val tail =
+      if (liveIds.forall(_._1 <= wm)) None // all folded (maybe vacuumed)
+      else Some(spark.read.format(format).load(livePath)
+        .filter(col("_batch_id") > wm).drop("_batch_id"))
+    (gen, tail) match {
+      case (Some(g), Some(t)) => g.unionByName(t)
+      case (Some(g), None)    => g
+      case (None, Some(t))    => t
+      case (None, None) => throw new IllegalArgumentException(
+        s"no committed generation under $compactPath and no live " +
+          s"batches under $livePath — the table does not exist yet")
+    }
+  }
+
+  /** Retention: delete live `_batch_id` directories already folded
+    * into the COMMITTED generation, and superseded generation
+    * directories. Gated on the committed watermark — refuses to run
+    * before the first commit, and a crash mid-delete just leaves some
+    * folded directories for the next run ([[readIngest]] never looks
+    * at them). Run it with a delay exceeding the longest reader, the
+    * standard snapshot-retention discipline. Returns the number of
+    * directories removed. */
+  def vacuumLive(spark: SparkSession, livePath: String,
+                 compactPath: String): Int = {
+    val wm = compactedThrough(spark, compactPath)
+    require(wm >= 0,
+      s"no committed compaction under $compactPath — nothing is safe " +
+        "to delete")
+    val fs = fsOf(spark, livePath)
+    val folded = batchDirs(spark, livePath).filter(_._1 <= wm)
+    folded.foreach { case (_, d) => fs.delete(new Path(d), true) }
+    val cfs = fsOf(spark, compactPath)
+    val oldGens = Option(cfs.listStatus(new Path(compactPath)))
+      .getOrElse(Array.empty)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.matches("gen_-?\\d+") &&
+        st.getPath.getName.stripPrefix("gen_").toLong < wm)
+    oldGens.foreach(st => cfs.delete(st.getPath, true))
+    folded.size + oldGens.length
   }
 }

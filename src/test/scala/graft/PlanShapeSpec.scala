@@ -1716,6 +1716,65 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x181 ingest compaction: both arms of the maintained read prune on the business partition; the live tail prunes folded batches at the _batch_id level") {
+    SparkEntry.queries("x181_ingest_compaction")(spark, sfDir)
+      .collect() // materializes the pay-once ingest + compaction fixture
+    val plan = SparkEntry.queries("x181_ingest_compaction")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // generation arm AND live-tail arm each prune to the R partition —
+    // the returnflag predicate pushes through the union into both scans
+    val pruned = "PartitionFilters: \\[[^\\]]*l_returnflag"
+      .r.findAllIn(plan).size
+    assert(pruned >= 2,
+      s"expected the partition prune on both union arms, saw $pruned:\n" +
+        plan.take(3000))
+    // the tail scan skips folded batches by the _batch_id PARTITION
+    // level (a directory skip, not a row filter)
+    assert("PartitionFilters: \\[[^\\]]*_batch_id".r.findAllIn(plan)
+      .nonEmpty,
+      "the live tail must prune _batch_id > watermark as a partition " +
+        "filter:\n" + plan.take(3000))
+    // the fold is real: the folded live batch dirs are gone (vacuumed),
+    // the committed generation carries them
+    val root = Scratch.dir("ingc", sfDir)
+    assert(graft.io.Compaction
+      .batchDirs(spark, s"$root/live").map(_._1).forall(_ > 3L),
+      "folded batch directories must be vacuumed")
+    assert(graft.io.Compaction
+      .compactedThrough(spark, s"$root/compact") == 3L)
+    spark.catalog.clearCache()
+  }
+
+  test("x182 runtime bloom join: might_contain injected on the fact side BELOW its exchange; the creation side builds bloom_filter_agg from the filtered dimension") {
+    val plans = allPlansOf("x182_runtime_bloom_join")
+    val p = plans.find(_.contains("might_contain")).getOrElse(
+      fail("no plan carries the injected runtime bloom filter; plans:\n" +
+        plans.map(_.take(500)).mkString("\n---\n")))
+    assert(p.contains("bloom_filter_agg"),
+      "the creation side must aggregate the filtered dimension keys " +
+        "into a bloom filter:\n" + p.take(3000))
+    // printed top-down, the fact-side Exchange sits ABOVE the injected
+    // Filter — rows drop BEFORE they are shuffled, which is the whole
+    // point at 100 TB (the filter prunes shuffle volume, not results)
+    val ex = p.indexOf("Exchange hashpartitioning(l_orderkey")
+    val mc = p.indexOf("might_contain")
+    assert(ex >= 0 && mc > ex,
+      "the injected filter must sit below the fact-side shuffle:\n" +
+        p.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("x183 AQE skew split: the hot partition splits at runtime — SortMergeJoin(skew=true) over an AQEShuffleRead marked skewed") {
+    val plans = allPlansOf("x183_aqe_skew_split")
+    val p = plans.find(_.contains("SortMergeJoin(skew=true)")).getOrElse(
+      fail("no plan carries the runtime skew split; plans:\n" +
+        plans.map(_.take(400)).mkString("\n---\n")))
+    assert(p.contains("skewed"),
+      "the fact-side shuffle read must be marked skewed (mapper-range " +
+        "slices of the hot partition):\n" + p.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("x167 BPE train: every round is a keyed pair agg + a singleton merge-rule broadcast — no cartesian") {
     val plans = allPlansSansCachedOf("x167_bpe_train")
     plans.foreach(p => assert(!p.contains("CartesianProduct"), p.take(3000)))

@@ -122,6 +122,187 @@ class CompactionSpec extends SparkSpec {
     assert(cleaned.count() == 8, "stale rows dropped, all live files re-profiled")
   }
 
+  // ---- streaming-ingest layout maintenance ----
+
+  import org.apache.spark.sql.DataFrame
+
+  private def sinkRows(n: Range, flagOf: Int => String): DataFrame = {
+    import spark.implicits._
+    n.map(i => (flagOf(i), i.toLong)).toDF("flag", "qty")
+  }
+
+  /** Drive the REAL sink body for `batches` micro-batches of 10 rows
+    * each over three flags, into `live`. */
+  private def ingest(live: String, batches: Range): Unit = {
+    val fn = graft.streaming.StreamingOps
+      .partitionedSinkBatch(live, Seq("flag"))
+    batches.foreach { b =>
+      fn(sinkRows(b * 10 until (b + 1) * 10,
+        i => Seq("R", "A", "N")(i % 3)), b.toLong)
+    }
+  }
+
+  private def contents(df: DataFrame): Set[(String, Long)] =
+    df.select(col("flag"), col("qty")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
+  private def expect(n: Range): Set[(String, Long)] =
+    n.map(i => (Seq("R", "A", "N")(i % 3), i.toLong)).toSet
+
+  test("compactIngest folds sealed batches behind an atomic watermark; " +
+       "readIngest = generation ∪ live tail; vacuum removes folded " +
+       "directories without changing results") {
+    val root = tmp("ingest")
+    val live = s"$root/live"; val comp = s"$root/compact"
+    ingest(live, 0 until 4)
+    assert(Compaction.batchDirs(spark, live).map(_._1).toSet ==
+      Set(0L, 1L, 2L, 3L))
+    // before any compaction the reader is just the live layout
+    assert(contents(Compaction.readIngest(spark, live, comp)) ==
+      expect(0 until 40))
+    val wm = Compaction.compactIngest(spark, live, comp, Seq("flag"),
+      targetBytes = 1L << 30)
+    assert(wm == 3L &&
+      Compaction.compactedThrough(spark, comp) == 3L)
+    // a batch arriving AFTER the compaction stays visible via the tail
+    ingest(live, 4 until 5)
+    assert(contents(Compaction.readIngest(spark, live, comp)) ==
+      expect(0 until 50))
+    // vacuum deletes exactly the folded batch dirs, results unchanged
+    val dirsBefore = Compaction.batchDirs(spark, live).size
+    val removed = Compaction.vacuumLive(spark, live, comp)
+    val after = Compaction.batchDirs(spark, live)
+    assert(after.map(_._1).forall(_ > 3L),
+      s"folded batch dirs survived vacuum: ${after.map(_._1).distinct}")
+    assert(removed == dirsBefore - after.size)
+    assert(contents(Compaction.readIngest(spark, live, comp)) ==
+      expect(0 until 50))
+    // the fold actually compacted: one generation holds 4 batches' rows
+    // in ≤ one file per output task per partition
+    val genFiles = Compaction.dataFiles(spark, s"$comp/gen_3").size
+    assert(genFiles <= 3, s"expected ≤1 file per partition, got $genFiles")
+  }
+
+  test("a crash before the watermark commit is invisible; re-running " +
+       "the compactor overwrites the orphan generation and commits") {
+    val root = tmp("ingcrash")
+    val live = s"$root/live"; val comp = s"$root/compact"
+    ingest(live, 0 until 3)
+    // simulate the crash: a fully-written generation, no watermark —
+    // exactly what a failure between save() and commitWatermark leaves
+    spark.read.parquet(live).drop("_batch_id")
+      .write.partitionBy("flag").parquet(s"$comp/gen_2")
+    assert(Compaction.compactedThrough(spark, comp) == -1L)
+    assert(contents(Compaction.readIngest(spark, live, comp)) ==
+      expect(0 until 30),
+      "an uncommitted generation must be invisible to readers")
+    // vacuum must refuse — nothing is committed, nothing is safe
+    val e = intercept[IllegalArgumentException](
+      Compaction.vacuumLive(spark, live, comp))
+    assert(e.getMessage.contains("no committed compaction"))
+    // the re-run folds the same batches, overwrites the orphan, commits
+    assert(Compaction.compactIngest(spark, live, comp, Seq("flag"),
+      1L << 30) == 2L)
+    assert(contents(Compaction.readIngest(spark, live, comp)) ==
+      expect(0 until 30))
+  }
+
+  test("a second compaction cycle folds generation + new tail; vacuum " +
+       "removes the superseded generation; a no-op cycle fails loud") {
+    val root = tmp("ingcycle")
+    val live = s"$root/live"; val comp = s"$root/compact"
+    ingest(live, 0 until 2)
+    Compaction.compactIngest(spark, live, comp, Seq("flag"), 1L << 30)
+    val e = intercept[IllegalArgumentException](
+      Compaction.compactIngest(spark, live, comp, Seq("flag"), 1L << 30))
+    assert(e.getMessage.contains("nothing new to compact"))
+    ingest(live, 2 until 5)
+    assert(Compaction.compactIngest(spark, live, comp, Seq("flag"),
+      1L << 30) == 4L)
+    assert(contents(Compaction.readIngest(spark, live, comp)) ==
+      expect(0 until 50))
+    Compaction.vacuumLive(spark, live, comp)
+    assert(!new java.io.File(s"$comp/gen_1".replaceFirst("^file:", ""))
+      .exists(), "the superseded generation must be vacuumed")
+    assert(contents(Compaction.readIngest(spark, live, comp)) ==
+      expect(0 until 50))
+    // everything folded and vacuumed: the reader is the generation alone
+    assert(Compaction.batchDirs(spark, live).isEmpty)
+  }
+
+  test("a range-clustered fold (sortCols) makes the generation " +
+       "zone-prunable: per-partition file zones are disjoint and a " +
+       "range read through the manifest prunes files") {
+    val root = tmp("ingsort")
+    val live = s"$root/live"; val comp = s"$root/compact"
+    ingest(live, 0 until 4)
+    val bytes = Compaction.batchDirs(spark, live)
+      .flatMap { case (_, d) => Compaction.dataFiles(spark, d) }
+      .map(_._2).sum
+    Compaction.compactIngest(spark, live, comp, Seq("flag"),
+      targetBytes = math.max(1L, bytes / 3), sortCols = Seq("qty"))
+    val gen = s"$comp/gen_3"
+    val zm = Compaction.zoneMap(spark, gen, Seq("qty"))
+    // per business partition, the range clustering makes file zones
+    // disjoint — the property zone-map pruning profits from
+    val rows = zm.select("file", "qty_min", "qty_max").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1.replaceAll("/[^/]*$", ""))
+      .foreach { case (_, fs) =>
+        fs.sortBy(_._2).sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a._3 <= b._2, s"zones overlap within a partition: $a $b")
+          case _ =>
+        }
+      }
+    // a manifest-pruned range read: correct rows, fewer files opened
+    val pruned = Compaction.readPruned(spark, gen, zm, "qty",
+      lit(5L), lit(12L))
+    assert(contents(pruned) == expect(0 until 40)
+      .filter(x => x._2 >= 5 && x._2 <= 12))
+    val candidates = Compaction.candidateFiles(zm, "qty",
+      lit(5L), lit(12L))
+    assert(candidates.size < rows.length,
+      s"the 8-value range should not need all ${rows.length} files")
+  }
+
+  test("maintenance under a LIVE stream: fold + vacuum between " +
+       "micro-batches never disturbs the sink's checkpointed progress " +
+       "or the maintained read") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("inglive")
+    val live = s"$root/live"; val comp = s"$root/compact"
+    val fn = graft.streaming.StreamingOps
+      .partitionedSinkBatch(live, Seq("flag"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val sq = mem.toDS().toDF("flag", "qty").writeStream
+      .foreachBatch(fn)
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    def feed(r: Range): Unit = {
+      mem.addData(r.map(i => (Seq("R", "A", "N")(i % 3), i.toLong)): _*)
+      sq.processAllAvailable()
+    }
+    feed(0 until 10); feed(10 until 20)
+    // the maintenance cycle runs while the stream is live
+    Compaction.compactIngest(spark, live, comp, Seq("flag"), 1L << 30)
+    Compaction.vacuumLive(spark, live, comp)
+    assert(contents(Compaction.readIngest(spark, live, comp)) ==
+      expect(0 until 20))
+    // the sink keeps committing new batches after the vacuum
+    feed(20 until 30)
+    sq.stop()
+    assert(contents(Compaction.readIngest(spark, live, comp)) ==
+      expect(0 until 30))
+    // and the next fold picks up exactly the post-vacuum tail
+    Compaction.compactIngest(spark, live, comp, Seq("flag"), 1L << 30)
+    Compaction.vacuumLive(spark, live, comp)
+    assert(contents(Compaction.readIngest(spark, live, comp)) ==
+      expect(0 until 30))
+  }
+
   test("planCompaction bins only sub-threshold files, never exceeds the target, skips singletons") {
     val files = Seq(
       ("a", 10L), ("b", 20L), ("c", 30L), ("d", 40L),
