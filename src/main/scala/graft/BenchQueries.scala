@@ -308,6 +308,59 @@ object BenchQueries {
         .orderBy(col("l_linestatus"))
     }),
 
+    // X184 — MANIFEST-SERVED RANGE READ over the maintained ingest
+    // layout (x181's serving-side completion): the fold runs with
+    // sortCols so the committed generation is RANGE-CLUSTERED on
+    // l_shipdate, the maintenance loop persists a zone-map manifest
+    // beside the watermark, and the steady-state range query serves
+    // the generation through the manifest (whole files skipped — the
+    // Delta/Iceberg data-skipping shape over plain directories) while
+    // the unfolded tail (minutes of ingest at 100 TB, one batch here)
+    // is read whole under the row filter. The predicate re-applies
+    // row-level on both arms, so manifest coarseness can only cost
+    // I/O, never correctness — which is exactly what the oracle
+    // proves from the original table. PlanShapeSpec pins the file
+    // skip (the generation scan opens fewer files than the generation
+    // holds) and the tail's _batch_id partition prune.
+    "x184_ingest_range_serve" -> ((s, dir) => {
+      val root = Scratch.dir("ingr", dir)
+      val livePath = s"$root/live"
+      val compactPath = s"$root/compact"
+      val manifestPath = s"$root/manifest"
+      if (!new java.io.File(root, "_DONE").exists()) {
+        val li = Tables(s, dir, "lineitem")
+        val sink = graft.streaming.StreamingOps
+          .partitionedSinkBatch(livePath, Seq("l_returnflag"))
+        for (b <- 0L to 3L)
+          sink(li.filter(pmod(col("l_orderkey"), lit(5)) === b), b)
+        val bytes = graft.io.Compaction.batchDirs(s, livePath)
+          .flatMap { case (_, d) => graft.io.Compaction.dataFiles(s, d) }
+          .map(_._2).sum
+        val wm = graft.io.Compaction.compactIngest(s, livePath,
+          compactPath, Seq("l_returnflag"),
+          targetBytes = math.max(1L, bytes / 6),
+          sortCols = Seq("l_shipdate"))
+        graft.io.Compaction.zoneMap(s, s"$compactPath/gen_$wm",
+            Seq("l_shipdate"))
+          .coalesce(1).write.mode("overwrite").parquet(manifestPath)
+        sink(li.filter(pmod(col("l_orderkey"), lit(5)) === 4), 4L)
+        graft.io.Compaction.vacuumLive(s, livePath, compactPath)
+        new java.io.FileOutputStream(new java.io.File(root, "_DONE"))
+          .close()
+      }
+      graft.io.Compaction.readIngestRange(s, livePath, compactPath,
+          s.read.parquet(manifestPath), "l_shipdate",
+          lit("1995-06-01").cast("date"), lit("1996-06-01").cast("date"))
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(cents(col("l_quantity"))).as("qty_c"),
+             sum(cents(col("l_extendedprice"))).as("price_c"),
+             countDistinct(col("l_shipdate")).as("n_shipdates"),
+             min(col("l_shipdate")).as("min_shipdate"),
+             max(col("l_shipdate")).as("max_shipdate"))
+        .orderBy(col("l_linestatus"))
+    }),
+
     // X182 — RUNTIME ROW-LEVEL BLOOM FILTER (x179's row-level
     // complement): DPP prunes PARTITIONS the dimension rules out; the
     // other runtime filter a 100 TB star join needs prunes ROWS on a
@@ -864,6 +917,24 @@ object BenchQueries {
              AS price_c,
            count(DISTINCT l_shipdate)::BIGINT AS n_shipdates
          FROM lineitem WHERE l_returnflag = 'R'
+         GROUP BY 1 ORDER BY 1""",
+
+    // the same range audit from the original table — green proves the
+    // manifest file skip + tail union lost no in-range row and leaked
+    // no out-of-range one
+    "x184_ingest_range_serve" ->
+      """SELECT l_linestatus,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_c,
+           count(DISTINCT l_shipdate)::BIGINT AS n_shipdates,
+           min(l_shipdate) AS min_shipdate,
+           max(l_shipdate) AS max_shipdate
+         FROM lineitem
+         WHERE l_shipdate >= DATE '1995-06-01'
+           AND l_shipdate <= DATE '1996-06-01'
          GROUP BY 1 ORDER BY 1""",
 
     // the plain join semantics — green proves the injected bloom

@@ -356,6 +356,37 @@ object Compaction {
     }
   }
 
+  /** Range query over the MAINTAINED ingest layout: the committed
+    * generation is served through the zone-map manifest ([[zoneMap]]
+    * over `gen_<watermark>`, persisted by the maintenance loop and
+    * refreshed per fold) with whole files skipped, while the live tail
+    * — small by construction, it is only the batches the last fold has
+    * not sealed — is read whole with the row filter. This is the
+    * standing time/range-serving shape of log-structured tables
+    * (Delta/Iceberg data-skipping), expressed over plain directories:
+    * at 100 TB the generation holds years of data in range-clustered
+    * files of which a day's query opens a handful, and the unfolded
+    * tail is minutes of ingest. The predicate is re-applied row-level
+    * on both arms, so a stale or coarse manifest can only cost I/O,
+    * never correctness. Requires a committed fold — before the first
+    * one there is no manifest to serve through; use [[readIngest]]. */
+  def readIngestRange(spark: SparkSession, livePath: String,
+                      compactPath: String, manifest: DataFrame,
+                      column: String, lo: Column, hi: Column): DataFrame = {
+    val wm = compactedThrough(spark, compactPath)
+    require(wm >= 0,
+      s"no committed generation under $compactPath — nothing for the " +
+        "manifest to serve; fold first or use readIngest")
+    val gen = readPruned(spark, s"$compactPath/gen_$wm", manifest,
+      column, lo, hi)
+    val pred = col(column) >= lo && col(column) <= hi
+    val liveIds = batchDirs(spark, livePath)
+    if (liveIds.forall(_._1 <= wm)) gen
+    else gen.unionByName(
+      spark.read.parquet(livePath)
+        .filter(col("_batch_id") > wm).drop("_batch_id").filter(pred))
+  }
+
   /** Retention: delete live `_batch_id` directories already folded
     * into the COMMITTED generation, and superseded generation
     * directories. Gated on the committed watermark — refuses to run

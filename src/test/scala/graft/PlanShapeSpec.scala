@@ -1745,6 +1745,43 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x184 ingest range serve: the generation scan opens FEWER files than the generation holds (manifest skip), the range pushes into both scans, the tail prunes _batch_id") {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    SparkEntry.queries("x184_ingest_range_serve")(spark, sfDir)
+      .collect() // materializes the pay-once ingest + fold + manifest
+    val df = SparkEntry.queries("x184_ingest_range_serve")(spark, sfDir)
+    df.collect() // populates scan metrics
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+           plan.contains("GreaterThanOrEqual(l_shipdate"),
+      "the range must push into the parquet reader on the served " +
+        "arms:\n" + plan.take(3000))
+    assert("PartitionFilters: \\[[^\\]]*_batch_id".r.findAllIn(plan)
+      .nonEmpty,
+      "the live tail must prune folded batches at the _batch_id " +
+        "level:\n" + plan.take(3000))
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec        => walk(q.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case o => o.children.flatMap(walk)
+    }
+    val root = Scratch.dir("ingr", sfDir)
+    val genScans = walk(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("/compact/gen_")))
+    assert(genScans.nonEmpty, "no generation-side scan found:\n" +
+      plan.take(3000))
+    val opened = genScans.map(_.metrics("numFiles").value).sum
+    val total = graft.io.Compaction
+      .dataFiles(spark, s"$root/compact/gen_3").size
+    assert(opened < total,
+      s"manifest skip did nothing: opened $opened of $total generation " +
+        "files")
+    spark.catalog.clearCache()
+  }
+
   test("x182 runtime bloom join: might_contain injected on the fact side BELOW its exchange; the creation side builds bloom_filter_agg from the filtered dimension") {
     val plans = allPlansOf("x182_runtime_bloom_join")
     val p = plans.find(_.contains("might_contain")).getOrElse(
