@@ -226,14 +226,40 @@ object Compaction {
       fs.listStatus(p).foreach { st =>
         if (st.isDirectory) {
           val n = st.getPath.getName
-          if (n.startsWith("_batch_id="))
-            out += ((n.stripPrefix("_batch_id=").toLong,
-                     st.getPath.toString))
+          if (n.startsWith("_batch_id=")) {
+            val id = n.stripPrefix("_batch_id=")
+            require(id.matches("-?\\d+"),
+              s"malformed batch directory '$n' under $livePath — not a " +
+                "partitionedSinkBatch layout")
+            out += ((id.toLong, st.getPath.toString))
+          }
           else if (!n.startsWith(".")) walk(st.getPath)
         }
       }
     walk(root)
     out.toSeq.sortBy(x => (x._1, x._2))
+  }
+
+  /** Batch ids the sink has SEALED (the `_sealed_<id>` markers
+    * [[graft.streaming.StreamingOps.partitionedSinkBatch]] writes after
+    * each batch's save returns). A batch's directories exist from its
+    * first task commit onward, so directory presence alone cannot
+    * distinguish a complete batch from one mid-write — only sealed
+    * batches are safe to fold. */
+  def sealedIds(spark: SparkSession, livePath: String): Set[Long] = {
+    val root = new Path(livePath)
+    val fs = fsOf(spark, livePath)
+    if (!fs.exists(root)) return Set.empty
+    fs.listStatus(root).iterator
+      .filter(st => st.isFile && st.getPath.getName.startsWith("_sealed_"))
+      .map { st =>
+        val id = st.getPath.getName.stripPrefix("_sealed_")
+        require(id.matches("-?\\d+"),
+          s"malformed seal marker '${st.getPath.getName}' under " +
+            s"$livePath")
+        id.toLong
+      }
+      .toSet
   }
 
   /** The committed compaction watermark: every live batch with id ≤
@@ -266,7 +292,13 @@ object Compaction {
     * invisible until the watermark rename lands, and a re-run after
     * any failure overwrites the orphan and commits it. Fails loud when
     * there is nothing new to fold (a no-op compaction cycle is a
-    * scheduling bug worth hearing about). Superseded generations and
+    * scheduling bug worth hearing about). Only SEALED batches fold —
+    * see [[sealedIds]]; an in-flight batch stays in the live tail.
+    * One maintenance actor at a time: two concurrent compactors would
+    * race on the same generation directory (the protocol is
+    * crash-safe, not multi-writer — run it from the single maintenance
+    * schedule, the same discipline OPTIMIZE jobs follow). Superseded
+    * generations and
     * folded live batches are NOT deleted here — that is [[vacuumLive]],
     * deliberately separate so retention can lag the longest-running
     * reader (the standard snapshot-retention discipline). */
@@ -277,13 +309,25 @@ object Compaction {
     require(partitionCols.nonEmpty,
       "compactIngest needs the layout's business partition columns")
     require(targetBytes > 0, "compactIngest needs a positive file target")
-    val ids = batchDirs(spark, livePath)
-    require(ids.nonEmpty,
+    val present = batchDirs(spark, livePath)
+    require(present.nonEmpty,
       s"no _batch_id directories under $livePath — nothing to compact")
+    // fold ONLY sealed batches: a batch's directories exist from its
+    // first task commit, so an unsealed max batch may be MID-WRITE by
+    // a live stream — advancing the watermark past it would hide its
+    // late-arriving rows behind the `> watermark` tail filter forever
+    val sealedSet = sealedIds(spark, livePath)
+    val ids = present.filter(x => sealedSet.contains(x._1))
+    require(ids.nonEmpty,
+      s"no SEALED batches under $livePath (directories exist for ids " +
+        s"${present.map(_._1).distinct.sorted.mkString(",")} but no " +
+        "_sealed_<id> markers) — either the stream is mid-first-batch " +
+        "or this layout predates the seal protocol; re-drive it " +
+        "through partitionedSinkBatch")
     val through = ids.map(_._1).max
     val prev = compactedThrough(spark, compactPath)
     require(through > prev,
-      s"nothing new to compact: live batches reach $through but the " +
+      s"nothing new to compact: sealed batches reach $through but the " +
         s"watermark is already $prev")
     val tailDirs = ids.filter(_._1 > prev).map(_._2)
     val tail = spark.read.format(format).load(livePath)
@@ -404,6 +448,9 @@ object Compaction {
     val fs = fsOf(spark, livePath)
     val folded = batchDirs(spark, livePath).filter(_._1 <= wm)
     folded.foreach { case (_, d) => fs.delete(new Path(d), true) }
+    // the folded batches' seal markers go with them
+    sealedIds(spark, livePath).filter(_ <= wm).foreach { id =>
+      fs.delete(new Path(livePath, s"_sealed_$id"), false) }
     val cfs = fsOf(spark, compactPath)
     val oldGens = Option(cfs.listStatus(new Path(compactPath)))
       .getOrElse(Array.empty)

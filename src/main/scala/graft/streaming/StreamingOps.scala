@@ -1221,6 +1221,21 @@ object StreamingOps {
           .partitionBy((partitionCols :+ "_batch_id"): _*)
           .format(format).save(path)
       finally old.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+      // SEAL the batch: its directories exist from the first task
+      // commit onward, so a maintenance fold running beside the stream
+      // could otherwise read a half-written batch, advance the
+      // watermark past it, and permanently hide the late-arriving rows
+      // behind the `> watermark` tail filter. The marker is written
+      // only after save() returns (the batch is complete), it is
+      // underscore-prefixed (invisible to data readers), and a crash
+      // between save and marker just replays the batch — the dynamic
+      // overwrite and the marker rewrite are both idempotent.
+      // Compaction.compactIngest folds ONLY sealed batches.
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new org.apache.hadoop.fs.Path(path).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(path, s"_sealed_$batchId"),
+        true).close()
     }
   }
 

@@ -303,6 +303,39 @@ class CompactionSpec extends SparkSpec {
       expect(0 until 30))
   }
 
+  test("an UNSEALED batch (directories present, no marker — a stream " +
+       "mid-write) is never folded: the watermark stops below it and " +
+       "its rows stay served from the live tail") {
+    val root = tmp("ingseal")
+    val live = s"$root/live"; val comp = s"$root/compact"
+    ingest(live, 0 until 3)
+    // simulate batch 2 mid-write: its directories exist, seal not yet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(live, "_sealed_2"), false)
+    assert(Compaction.sealedIds(spark, live) == Set(0L, 1L))
+    val wm = Compaction.compactIngest(spark, live, comp, Seq("flag"),
+      1L << 30)
+    assert(wm == 1L, "the fold must stop below the unsealed batch")
+    // nothing lost: batch 2 serves from the tail
+    assert(contents(Compaction.readIngest(spark, live, comp)) ==
+      expect(0 until 30))
+    Compaction.vacuumLive(spark, live, comp)
+    assert(Compaction.batchDirs(spark, live).map(_._1).toSet == Set(2L),
+      "vacuum must keep the unsealed batch")
+    assert(contents(Compaction.readIngest(spark, live, comp)) ==
+      expect(0 until 30))
+    // a layout with NO sealed batches at all fails loud
+    val root2 = tmp("ingseal2")
+    ingest(s"$root2/live", 0 until 1)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root2/live", "_sealed_0"),
+      false)
+    val e = intercept[IllegalArgumentException](
+      Compaction.compactIngest(spark, s"$root2/live", s"$root2/compact",
+        Seq("flag"), 1L << 30))
+    assert(e.getMessage.contains("no SEALED batches"))
+  }
+
   test("planCompaction bins only sub-threshold files, never exceeds the target, skips singletons") {
     val files = Seq(
       ("a", 10L), ("b", 20L), ("c", 30L), ("d", 40L),
