@@ -361,6 +361,51 @@ object BenchQueries {
         .orderBy(col("l_linestatus"))
     }),
 
+    // X185 — SNAPSHOT (TIME-TRAVEL) READ on the maintained ingest
+    // layout: a committed generation gen_W holds EXACTLY batches 0..W,
+    // so every fold is a free, immutable snapshot of the table as of
+    // that point in the stream — the audit/reproducibility read every
+    // log-structured table ships (Delta VERSION AS OF), here without a
+    // log: retention (`vacuumLive(retainGenerations = 2)`) keeps the
+    // last two fold snapshots on disk, `readIngestAsOf` serves the OLD
+    // one, and an as-of request for a vacuumed snapshot fails loud
+    // listing what is available instead of silently serving the wrong
+    // table. The fixture folds twice (after batches 0–1, after 2–3);
+    // the steady query reads the FIRST snapshot — the oracle restates
+    // it from the original table (orderkey mod 5 ∈ {0,1}), so green
+    // proves the old generation still carries exactly the first two
+    // batches, untouched by the later fold and vacuum.
+    "x185_ingest_time_travel" -> ((s, dir) => {
+      val root = Scratch.dir("ingt", dir)
+      val livePath = s"$root/live"
+      val compactPath = s"$root/compact"
+      if (!new java.io.File(root, "_DONE").exists()) {
+        val li = Tables(s, dir, "lineitem")
+        val sink = graft.streaming.StreamingOps
+          .partitionedSinkBatch(livePath, Seq("l_returnflag"))
+        for (b <- 0L to 1L)
+          sink(li.filter(pmod(col("l_orderkey"), lit(5)) === b), b)
+        graft.io.Compaction.compactIngest(s, livePath, compactPath,
+          Seq("l_returnflag"), 64L * 1024 * 1024)
+        for (b <- 2L to 3L)
+          sink(li.filter(pmod(col("l_orderkey"), lit(5)) === b), b)
+        graft.io.Compaction.compactIngest(s, livePath, compactPath,
+          Seq("l_returnflag"), 64L * 1024 * 1024)
+        graft.io.Compaction.vacuumLive(s, livePath, compactPath,
+          retainGenerations = 2)
+        new java.io.FileOutputStream(new java.io.File(root, "_DONE"))
+          .close()
+      }
+      graft.io.Compaction.readIngestAsOf(s, compactPath, 1L)
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(cents(col("l_quantity"))).as("qty_c"),
+             sum(cents(col("l_extendedprice"))).as("price_c"),
+             countDistinct(col("l_shipdate")).as("n_shipdates"))
+        .orderBy(col("l_linestatus"))
+    }),
+
     // X182 — RUNTIME ROW-LEVEL BLOOM FILTER (x179's row-level
     // complement): DPP prunes PARTITIONS the dimension rules out; the
     // other runtime filter a 100 TB star join needs prunes ROWS on a
@@ -917,6 +962,22 @@ object BenchQueries {
              AS price_c,
            count(DISTINCT l_shipdate)::BIGINT AS n_shipdates
          FROM lineitem WHERE l_returnflag = 'R'
+         GROUP BY 1 ORDER BY 1""",
+
+    // the FIRST snapshot restated from the original table: gen_1 holds
+    // exactly batches 0 and 1 (orderkey mod 5 ∈ {0,1}) — green proves
+    // the old generation survived the later fold and the
+    // retention-bounded vacuum untouched
+    "x185_ingest_time_travel" ->
+      """SELECT l_linestatus,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_c,
+           count(DISTINCT l_shipdate)::BIGINT AS n_shipdates
+         FROM lineitem
+         WHERE l_returnflag = 'R' AND l_orderkey % 5 IN (0, 1)
          GROUP BY 1 ORDER BY 1""",
 
     // the same range audit from the original table — green proves the

@@ -431,16 +431,52 @@ object Compaction {
         .filter(col("_batch_id") > wm).drop("_batch_id").filter(pred))
   }
 
+  /** Committed-or-superseded generation ids present under
+    * `compactPath`, ascending — a listing, no data read. */
+  def generations(spark: SparkSession, compactPath: String): Seq[Long] = {
+    val p = new Path(compactPath)
+    val fs = fsOf(spark, compactPath)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).iterator
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.matches("gen_-?\\d+"))
+      .map(_.getPath.getName.stripPrefix("gen_").toLong)
+      .toSeq.sorted
+  }
+
+  /** SNAPSHOT read: the table exactly as of fold `genId` — a committed
+    * generation gen_W holds precisely batches 0..W, so the as-of read
+    * is the generation alone, no tail. This is time travel the way the
+    * layout gives it away for free: [[vacuumLive]]'s
+    * `retainGenerations` keeps the last N fold snapshots on disk for
+    * audit and reproducibility reads, and an as-of query against a
+    * vacuumed (or never-committed) snapshot fails loud with what IS
+    * available rather than silently serving the wrong one. */
+  def readIngestAsOf(spark: SparkSession, compactPath: String,
+                     genId: Long,
+                     format: String = "parquet"): DataFrame = {
+    val gens = generations(spark, compactPath)
+    require(gens.contains(genId),
+      s"no snapshot gen_$genId under $compactPath — available " +
+        s"generations: ${if (gens.isEmpty) "none" else
+          gens.mkString(", ")} (vacuumed, or never committed)")
+    spark.read.format(format).load(s"$compactPath/gen_$genId")
+  }
+
   /** Retention: delete live `_batch_id` directories already folded
-    * into the COMMITTED generation, and superseded generation
-    * directories. Gated on the committed watermark — refuses to run
-    * before the first commit, and a crash mid-delete just leaves some
-    * folded directories for the next run ([[readIngest]] never looks
-    * at them). Run it with a delay exceeding the longest reader, the
-    * standard snapshot-retention discipline. Returns the number of
-    * directories removed. */
+    * into the COMMITTED generation, and generation directories older
+    * than the newest `retainGenerations` snapshots (the committed one
+    * always survives). Gated on the committed watermark — refuses to
+    * run before the first commit, and a crash mid-delete just leaves
+    * some folded directories for the next run ([[readIngest]] never
+    * looks at them). Run it with a delay exceeding the longest reader,
+    * the standard snapshot-retention discipline; `retainGenerations >
+    * 1` keeps fold snapshots serveable via [[readIngestAsOf]]. Returns
+    * the number of directories removed. */
   def vacuumLive(spark: SparkSession, livePath: String,
-                 compactPath: String): Int = {
+                 compactPath: String, retainGenerations: Int = 1): Int = {
+    require(retainGenerations >= 1,
+      "retention must keep at least the committed generation")
     val wm = compactedThrough(spark, compactPath)
     require(wm >= 0,
       s"no committed compaction under $compactPath — nothing is safe " +
@@ -452,12 +488,12 @@ object Compaction {
     sealedIds(spark, livePath).filter(_ <= wm).foreach { id =>
       fs.delete(new Path(livePath, s"_sealed_$id"), false) }
     val cfs = fsOf(spark, compactPath)
-    val oldGens = Option(cfs.listStatus(new Path(compactPath)))
-      .getOrElse(Array.empty)
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.matches("gen_-?\\d+") &&
-        st.getPath.getName.stripPrefix("gen_").toLong < wm)
-    oldGens.foreach(st => cfs.delete(st.getPath, true))
+    val keep = generations(spark, compactPath)
+      .filter(_ <= wm).sorted.takeRight(retainGenerations).toSet
+    val oldGens = generations(spark, compactPath)
+      .filter(g => g < wm && !keep.contains(g))
+    oldGens.foreach(g =>
+      cfs.delete(new Path(compactPath, s"gen_$g"), true))
     folded.size + oldGens.length
   }
 }

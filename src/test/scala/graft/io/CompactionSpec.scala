@@ -336,6 +336,40 @@ class CompactionSpec extends SparkSpec {
     assert(e.getMessage.contains("no SEALED batches"))
   }
 
+  test("snapshot reads: gen_W is exactly batches 0..W; retention keeps " +
+       "the last N fold snapshots; an as-of read of a vacuumed " +
+       "snapshot fails loud listing what is available") {
+    val root = tmp("ingtt")
+    val live = s"$root/live"; val comp = s"$root/compact"
+    ingest(live, 0 until 2)
+    Compaction.compactIngest(spark, live, comp, Seq("flag"), 1L << 30)
+    ingest(live, 2 until 4)
+    Compaction.compactIngest(spark, live, comp, Seq("flag"), 1L << 30)
+    ingest(live, 4 until 5)
+    Compaction.compactIngest(spark, live, comp, Seq("flag"), 1L << 30)
+    assert(Compaction.generations(spark, comp) == Seq(1L, 3L, 4L))
+    // each snapshot is the table as of its fold, immutable
+    assert(contents(Compaction.readIngestAsOf(spark, comp, 1L)) ==
+      expect(0 until 20))
+    assert(contents(Compaction.readIngestAsOf(spark, comp, 3L)) ==
+      expect(0 until 40))
+    // retention keeps the newest two (the committed gen always stays)
+    Compaction.vacuumLive(spark, live, comp, retainGenerations = 2)
+    assert(Compaction.generations(spark, comp) == Seq(3L, 4L))
+    assert(contents(Compaction.readIngestAsOf(spark, comp, 3L)) ==
+      expect(0 until 40))
+    assert(contents(Compaction.readIngest(spark, live, comp)) ==
+      expect(0 until 50))
+    val e = intercept[IllegalArgumentException](
+      Compaction.readIngestAsOf(spark, comp, 1L))
+    assert(e.getMessage.contains("gen_1") &&
+      e.getMessage.contains("3, 4"), e.getMessage)
+    // retention below 1 can never be asked for
+    val e2 = intercept[IllegalArgumentException](
+      Compaction.vacuumLive(spark, live, comp, retainGenerations = 0))
+    assert(e2.getMessage.contains("at least the committed generation"))
+  }
+
   test("planCompaction bins only sub-threshold files, never exceeds the target, skips singletons") {
     val files = Seq(
       ("a", 10L), ("b", 20L), ("c", 30L), ("d", 40L),
