@@ -406,6 +406,63 @@ object BenchQueries {
         .orderBy(col("l_linestatus"))
     }),
 
+    // X186 — UPSERT / CDC-APPLY on the ingest layout (merge-on-read):
+    // the append family (x181/x184/x185) covers fact streams; the
+    // OTHER half of every warehouse is dimension/state tables fed by
+    // change capture, where a row REPLACES its key's previous version
+    // and a tombstone deletes it — Hudi/Delta MERGE. Here the fold
+    // resolves `previous generation ∪ sealed tail` to latest-per-key
+    // (batch id = precedence, per-batch key uniqueness enforced loud)
+    // and applies tombstones, so the committed generation IS the
+    // resolved table state and the steady read only merges it with the
+    // unfolded tail. The fixture drives four CDC batches over orders
+    // (each inserts a key class, re-prices the previous class 2×, the
+    // last also tombstones every 20th key), folds MID-STREAM after
+    // batch 2, and vacuums; the read must therefore resolve an update
+    // whose versions straddle the fold boundary, an insert-only class,
+    // and tail tombstones hiding generation rows. The oracle restates
+    // the final state from the original table — green proves the
+    // resolve got every precedence decision right.
+    "x186_ingest_upsert" -> ((s, dir) => {
+      val root = Scratch.dir("ingu", dir)
+      val livePath = s"$root/live"
+      val compactPath = s"$root/compact"
+      if (!new java.io.File(root, "_DONE").exists()) {
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+                  col("o_totalprice"))
+        def ins(b: Long) = o
+          .filter(pmod(col("o_orderkey"), lit(4)) === b)
+          .withColumn("_deleted", lit(false))
+        def upd(b: Long) = o
+          .filter(pmod(col("o_orderkey"), lit(4)) === b)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("_deleted", lit(false))
+        val del = o.filter(pmod(col("o_orderkey"), lit(20)) === 0)
+          .withColumn("o_totalprice", lit(null).cast("double"))
+          .withColumn("_deleted", lit(true))
+        val sink = graft.streaming.StreamingOps
+          .partitionedSinkBatch(livePath, Seq("o_orderpriority"))
+        sink(ins(0), 0L)
+        sink(ins(1).unionByName(upd(0)), 1L)
+        sink(ins(2).unionByName(upd(1)), 2L)
+        graft.io.Compaction.compactIngestUpsert(s, livePath, compactPath,
+          Seq("o_orderpriority"), Seq("o_orderkey"), 64L * 1024 * 1024,
+          deleteCol = Some("_deleted"))
+        sink(ins(3).unionByName(upd(2)).unionByName(del), 3L)
+        graft.io.Compaction.vacuumLive(s, livePath, compactPath)
+        new java.io.FileOutputStream(new java.io.File(root, "_DONE"))
+          .close()
+      }
+      graft.io.Compaction.readIngestUpsert(s, livePath, compactPath,
+          Seq("o_orderkey"), deleteCol = Some("_deleted"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             sum(cents(col("o_totalprice"))).as("price_c"),
+             sum(col("o_orderkey")).as("sum_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // X182 — RUNTIME ROW-LEVEL BLOOM FILTER (x179's row-level
     // complement): DPP prunes PARTITIONS the dimension rules out; the
     // other runtime filter a 100 TB star join needs prunes ROWS on a
@@ -978,6 +1035,21 @@ object BenchQueries {
            count(DISTINCT l_shipdate)::BIGINT AS n_shipdates
          FROM lineitem
          WHERE l_returnflag = 'R' AND l_orderkey % 5 IN (0, 1)
+         GROUP BY 1 ORDER BY 1""",
+
+    // the final CDC state restated from the original table: every key
+    // class except %4==3 was re-priced 2× by the following batch,
+    // every 20th key was tombstoned — green proves latest-per-key
+    // resolution across the fold boundary and tail tombstones hiding
+    // generation rows
+    "x186_ingest_upsert" ->
+      """SELECT o_orderpriority,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(round(o_totalprice *
+             (CASE WHEN o_orderkey % 4 = 3 THEN 1 ELSE 2 END) * 100)
+             AS BIGINT)) AS BIGINT) AS price_c,
+           sum(o_orderkey)::BIGINT AS sum_key
+         FROM orders WHERE o_orderkey % 20 <> 0
          GROUP BY 1 ORDER BY 1""",
 
     // the same range audit from the original table — green proves the

@@ -431,6 +431,143 @@ object Compaction {
         .filter(col("_batch_id") > wm).drop("_batch_id").filter(pred))
   }
 
+  // ------------------------------------------------------------------
+  // UPSERT (CDC-apply) on the ingest layout — merge-on-read semantics:
+  // each arriving row REPLACES the previous row with the same business
+  // key, an optional boolean tombstone column deletes the key, and the
+  // fold materializes the resolved state so the steady read only merges
+  // `resolved generation ∪ small tail`. Precedence is the batch id
+  // (later batch wins); within one batch keys must be unique — enforced
+  // loud at fold time, the contract every CDC feed already satisfies.
+  // This is the Hudi/Delta MERGE steady state over plain directories.
+  // ------------------------------------------------------------------
+
+  /** Latest-row-per-key resolve: rank rows by `_prec` DESC within each
+    * key, keep rank 1, then drop tombstoned keys. The caller guarantees
+    * `_prec` ties cannot occur (per-batch key uniqueness, enforced at
+    * fold time). */
+  private def resolveLatest(df: DataFrame, keyCols: Seq[String],
+                            deleteCol: Option[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_prec").desc)
+    val latest = df
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number.over(w))
+      .filter(col("_rn") === 1).drop("_rn", "_prec")
+    deleteCol.fold(latest)(d => latest.filter(!coalesce(col(d),
+      lit(false))).drop(d))
+  }
+
+  /** Loud per-batch key-uniqueness check: two rows for one key in the
+    * SAME batch have no defined winner — that is a malformed CDC feed,
+    * not a tie to break silently. */
+  private def requireUniqueKeys(df: DataFrame, keyCols: Seq[String],
+                                what: String): Unit = {
+    val dup = df.groupBy((keyCols.map(col) :+ col("_prec")): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"$what carries duplicate keys within one batch " +
+        s"(${keyCols.mkString(",")} = ${dup.headOption.map(_.toSeq.dropRight(1)
+          .mkString("/")).getOrElse("")}) — a CDC feed must emit at most " +
+        "one row per key per batch")
+  }
+
+  /** [[compactIngest]] with UPSERT semantics: the fold resolves
+    * `previous resolved generation ∪ sealed tail` to the latest row
+    * per `keyCols` (batch id = precedence; the generation carries the
+    * old watermark's precedence) and drops tombstoned keys
+    * (`deleteCol` true — after application nothing older remains, so
+    * the tombstone itself is gone from the generation). The committed
+    * generation is therefore the fully-resolved table state as of the
+    * watermark, and [[readIngestUpsert]] only has to merge it with the
+    * small unfolded tail. Same watermark commit, same crash safety,
+    * same seal gating as [[compactIngest]].
+    *
+    * Scale: the resolve shuffles by key once per fold (rank-1 window);
+    * a key that changes partition value between versions is handled
+    * correctly BECAUSE the window is keyed, not partition-local. */
+  def compactIngestUpsert(spark: SparkSession, livePath: String,
+                          compactPath: String, partitionCols: Seq[String],
+                          keyCols: Seq[String], targetBytes: Long,
+                          format: String = "parquet",
+                          deleteCol: Option[String] = None): Long = {
+    require(partitionCols.nonEmpty,
+      "compactIngestUpsert needs the layout's business partition columns")
+    require(keyCols.nonEmpty, "compactIngestUpsert needs the business key")
+    require(targetBytes > 0, "compactIngestUpsert needs a positive target")
+    val present = batchDirs(spark, livePath)
+    require(present.nonEmpty,
+      s"no _batch_id directories under $livePath — nothing to compact")
+    val sealedSet = sealedIds(spark, livePath)
+    val ids = present.filter(x => sealedSet.contains(x._1))
+    require(ids.nonEmpty,
+      s"no SEALED batches under $livePath — either the stream is " +
+        "mid-first-batch or this layout predates the seal protocol")
+    val through = ids.map(_._1).max
+    val prev = compactedThrough(spark, compactPath)
+    require(through > prev,
+      s"nothing new to compact: sealed batches reach $through but the " +
+        s"watermark is already $prev")
+    val tail = spark.read.format(format).load(livePath)
+      .filter(col("_batch_id") > prev && col("_batch_id") <= through)
+      .withColumn("_prec", col("_batch_id")).drop("_batch_id")
+    requireUniqueKeys(tail, keyCols, s"the live tail under $livePath")
+    val prevGen = s"$compactPath/gen_$prev"
+    val all = if (prev < 0) tail
+      else spark.read.format(format).load(prevGen)
+        .withColumn("_prec", lit(prev))
+        .transform(g => deleteCol.fold(g)(d =>
+          g.withColumn(d, lit(false)))) // the gen never holds tombstones
+        .unionByName(tail)
+    val resolved = resolveLatest(all, keyCols, deleteCol)
+      .transform(r => deleteCol.fold(r)(d =>
+        r.withColumn(d, lit(false)))) // schema-stable for the next fold
+    val bytes = ids.filter(_._1 > prev).map(_._2)
+      .flatMap(d => dataFiles(spark, d)).map(_._2).sum +
+      (if (prev < 0) 0L else dataFiles(spark, prevGen).map(_._2).sum)
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    resolved.repartition(n).write.mode("overwrite")
+      .partitionBy(partitionCols: _*).format(format)
+      .save(s"$compactPath/gen_$through")
+    commitWatermark(spark, compactPath, through)
+    through
+  }
+
+  /** The UPSERT reader: latest row per key over `resolved generation ∪
+    * live tail`, tombstones applied — the merge-on-read query shape.
+    * The generation is already resolved (one row per surviving key at
+    * watermark precedence), so the rank-1 window's work tracks
+    * generation size + tail size, and the tail is only the batches the
+    * last fold has not sealed. */
+  def readIngestUpsert(spark: SparkSession, livePath: String,
+                       compactPath: String, keyCols: Seq[String],
+                       format: String = "parquet",
+                       deleteCol: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "readIngestUpsert needs the business key")
+    val wm = compactedThrough(spark, compactPath)
+    val liveIds = batchDirs(spark, livePath)
+    val gen =
+      if (wm < 0) None
+      else Some(spark.read.format(format).load(s"$compactPath/gen_$wm")
+        .withColumn("_prec", lit(wm))
+        .transform(g => deleteCol.fold(g)(d =>
+          g.withColumn(d, lit(false)))))
+    val tail =
+      if (liveIds.forall(_._1 <= wm)) None
+      else Some(spark.read.format(format).load(livePath)
+        .filter(col("_batch_id") > wm)
+        .withColumn("_prec", col("_batch_id")).drop("_batch_id"))
+    val all = (gen, tail) match {
+      case (Some(g), Some(t)) => g.unionByName(t)
+      case (Some(g), None)    => g
+      case (None, Some(t))    => t
+      case (None, None) => throw new IllegalArgumentException(
+        s"no committed generation under $compactPath and no live " +
+          s"batches under $livePath — the table does not exist yet")
+    }
+    resolveLatest(all, keyCols, deleteCol)
+  }
+
   /** Committed-or-superseded generation ids present under
     * `compactPath`, ascending — a listing, no data read. */
   def generations(spark: SparkSession, compactPath: String): Seq[Long] = {

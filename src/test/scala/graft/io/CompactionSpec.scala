@@ -370,6 +370,61 @@ class CompactionSpec extends SparkSpec {
     assert(e2.getMessage.contains("at least the committed generation"))
   }
 
+  test("upsert fold + merge-on-read: latest version wins across the " +
+       "fold boundary, tail tombstones hide generation rows, a " +
+       "delete-then-reinsert resurrects the key, duplicate keys in " +
+       "one batch fail loud") {
+    import spark.implicits._
+    val root = tmp("ingup")
+    val live = s"$root/live"; val comp = s"$root/compact"
+    val fn = graft.streaming.StreamingOps
+      .partitionedSinkBatch(live, Seq("flag"))
+    def batch(rows: Seq[(String, Long, Double, Boolean)], id: Long) =
+      fn(rows.toDF("flag", "key", "v", "del"), id)
+    def state(): Map[Long, (String, Double)] =
+      Compaction.readIngestUpsert(spark, live, comp, Seq("key"),
+          deleteCol = Some("del"))
+        .collect().map(r => r.getAs[Long]("key") ->
+          ((r.getAs[String]("flag"), r.getAs[Double]("v")))).toMap
+    batch(Seq(("R", 1L, 1.0, false), ("A", 2L, 2.0, false),
+              ("R", 3L, 3.0, false)), 0L)
+    batch(Seq(("R", 1L, 10.0, false), ("A", 4L, 4.0, false)), 1L)
+    // pre-fold read resolves from the live layout alone
+    assert(state() == Map(1L -> ("R", 10.0), 2L -> ("A", 2.0),
+      3L -> ("R", 3.0), 4L -> ("A", 4.0)))
+    Compaction.compactIngestUpsert(spark, live, comp, Seq("flag"),
+      Seq("key"), 1L << 30, deleteCol = Some("del"))
+    // the generation is the RESOLVED state: one row per key, no
+    // tombstones, latest values
+    val gen = spark.read.parquet(s"$comp/gen_1")
+    assert(gen.count() == 4 &&
+      gen.filter(col("key") === 1L).head.getAs[Double]("v") == 10.0)
+    // tail: update across the fold boundary, tombstone hiding a gen
+    // row, delete-then-reinsert in consecutive batches
+    batch(Seq(("R", 3L, 30.0, false), ("A", 2L, 0.0, true)), 2L)
+    batch(Seq(("A", 2L, 22.0, false), ("R", 1L, 0.0, true)), 3L)
+    assert(state() == Map(2L -> ("A", 22.0), 3L -> ("R", 30.0),
+      4L -> ("A", 4.0)),
+      "update-over-gen, tombstone-over-gen, and reinsert-over-tombstone")
+    // a second fold applies the same decisions and vacuums cleanly
+    Compaction.compactIngestUpsert(spark, live, comp, Seq("flag"),
+      Seq("key"), 1L << 30, deleteCol = Some("del"))
+    Compaction.vacuumLive(spark, live, comp)
+    assert(state() == Map(2L -> ("A", 22.0), 3L -> ("R", 30.0),
+      4L -> ("A", 4.0)))
+    assert(spark.read.parquet(s"$comp/gen_3").count() == 3)
+    // a key moving PARTITION between versions: the keyed window wins
+    batch(Seq(("N", 4L, 44.0, false)), 4L)
+    assert(state()(4L) == ("N", 44.0),
+      "a key that changed partition must resolve to its newest row")
+    // malformed CDC: two rows for one key in ONE batch fails loud
+    batch(Seq(("R", 9L, 1.0, false), ("R", 9L, 2.0, false)), 5L)
+    val e = intercept[IllegalArgumentException](
+      Compaction.compactIngestUpsert(spark, live, comp, Seq("flag"),
+        Seq("key"), 1L << 30, deleteCol = Some("del")))
+    assert(e.getMessage.contains("at most one row per key per batch"))
+  }
+
   test("planCompaction bins only sub-threshold files, never exceeds the target, skips singletons") {
     val files = Seq(
       ("a", 10L), ("b", 20L), ("c", 30L), ("d", 40L),
