@@ -463,6 +463,64 @@ object BenchQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // X187 — CHANGE DATA FEED between retained snapshots (x185 × x186:
+    // what changed between fold W and fold W'?): every downstream sync
+    // and backfill needs the inserted/updated/deleted key sets, and
+    // the retained generations already CONTAIN that answer — one
+    // null-safe full outer join on the key classifies it, Delta's
+    // table_changes derived from snapshots with zero write-path
+    // overhead. The fixture is x186's CDC stream folded TWICE with
+    // retention 2; the steady query diffs the two snapshots and
+    // audits each change class. The oracle restates all three classes
+    // from the original table (inserts = the %4==3 class, updates =
+    // the %4==2 class re-priced 2×, deletes = every 20th key at its
+    // pre-delete doubled price) — green proves the diff classifies
+    // every key correctly and carries the right row version (new for
+    // insert/update, old for delete).
+    "x187_snapshot_diff" -> ((s, dir) => {
+      val root = Scratch.dir("ingd", dir)
+      val livePath = s"$root/live"
+      val compactPath = s"$root/compact"
+      if (!new java.io.File(root, "_DONE").exists()) {
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+                  col("o_totalprice"))
+        def ins(b: Long) = o
+          .filter(pmod(col("o_orderkey"), lit(4)) === b)
+          .withColumn("_deleted", lit(false))
+        def upd(b: Long) = o
+          .filter(pmod(col("o_orderkey"), lit(4)) === b)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("_deleted", lit(false))
+        val del = o.filter(pmod(col("o_orderkey"), lit(20)) === 0)
+          .withColumn("o_totalprice", lit(null).cast("double"))
+          .withColumn("_deleted", lit(true))
+        val sink = graft.streaming.StreamingOps
+          .partitionedSinkBatch(livePath, Seq("o_orderpriority"))
+        sink(ins(0), 0L)
+        sink(ins(1).unionByName(upd(0)), 1L)
+        sink(ins(2).unionByName(upd(1)), 2L)
+        graft.io.Compaction.compactIngestUpsert(s, livePath, compactPath,
+          Seq("o_orderpriority"), Seq("o_orderkey"), 64L * 1024 * 1024,
+          deleteCol = Some("_deleted"))
+        sink(ins(3).unionByName(upd(2)).unionByName(del), 3L)
+        graft.io.Compaction.compactIngestUpsert(s, livePath, compactPath,
+          Seq("o_orderpriority"), Seq("o_orderkey"), 64L * 1024 * 1024,
+          deleteCol = Some("_deleted"))
+        graft.io.Compaction.vacuumLive(s, livePath, compactPath,
+          retainGenerations = 2)
+        new java.io.FileOutputStream(new java.io.File(root, "_DONE"))
+          .close()
+      }
+      graft.io.Compaction.snapshotDiff(s, compactPath, 2L, 3L,
+          Seq("o_orderkey"))
+        .groupBy(col("_change"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_orderkey")).as("sum_key"),
+             sum(cents(col("o_totalprice"))).as("price_c"))
+        .orderBy(col("_change"))
+    }),
+
     // X182 — RUNTIME ROW-LEVEL BLOOM FILTER (x179's row-level
     // complement): DPP prunes PARTITIONS the dimension rules out; the
     // other runtime filter a 100 TB star join needs prunes ROWS on a
@@ -1051,6 +1109,31 @@ object BenchQueries {
            sum(o_orderkey)::BIGINT AS sum_key
          FROM orders WHERE o_orderkey % 20 <> 0
          GROUP BY 1 ORDER BY 1""",
+
+    // the three change classes restated from the original table:
+    // inserts are the %4==3 class at original price, updates the
+    // %4==2 class at doubled price, deletes every 20th key at its
+    // pre-delete doubled price
+    "x187_snapshot_diff" ->
+      """SELECT * FROM (
+           SELECT 'delete' AS _change, count(*)::BIGINT AS n,
+             sum(o_orderkey)::BIGINT AS sum_key,
+             CAST(sum(CAST(round(o_totalprice * 2 * 100) AS BIGINT))
+               AS BIGINT) AS price_c
+           FROM orders WHERE o_orderkey % 20 = 0
+           UNION ALL
+           SELECT 'insert', count(*)::BIGINT,
+             sum(o_orderkey)::BIGINT,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT)
+           FROM orders WHERE o_orderkey % 4 = 3
+           UNION ALL
+           SELECT 'update', count(*)::BIGINT,
+             sum(o_orderkey)::BIGINT,
+             CAST(sum(CAST(round(o_totalprice * 2 * 100) AS BIGINT))
+               AS BIGINT)
+           FROM orders WHERE o_orderkey % 4 = 2
+         ) ORDER BY _change""",
 
     // the same range audit from the original table — green proves the
     // manifest file skip + tail union lost no in-range row and leaked

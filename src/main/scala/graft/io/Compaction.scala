@@ -600,6 +600,62 @@ object Compaction {
     spark.read.format(format).load(s"$compactPath/gen_$genId")
   }
 
+  /** CHANGE DATA FEED between two retained snapshots: classify every
+    * key as inserted / updated / deleted between `fromGen` and `toGen`
+    * (both must still be on disk — [[vacuumLive]]'s `retainGenerations`
+    * is what keeps them). One full outer join on the key; "updated"
+    * means any non-key column differs (null-safe). This is Delta's
+    * table_changes derived FROM the snapshots instead of logged beside
+    * them: no write-path overhead at all, at the price of the
+    * join-at-read — the right trade when change feeds are occasional
+    * (backfills, downstream syncs) rather than continuous. Output:
+    * key columns + `_change` ('insert' | 'update' | 'delete') + the
+    * NEW row's remaining columns (the OLD row's for deletes). */
+  def snapshotDiff(spark: SparkSession, compactPath: String,
+                   fromGen: Long, toGen: Long, keyCols: Seq[String],
+                   format: String = "parquet"): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs the business key")
+    require(fromGen < toGen,
+      s"snapshotDiff needs fromGen < toGen, got $fromGen >= $toGen")
+    val gens = generations(spark, compactPath)
+    Seq(fromGen, toGen).foreach(g => require(gens.contains(g),
+      s"no snapshot gen_$g under $compactPath — available: " +
+        s"${if (gens.isEmpty) "none" else gens.mkString(", ")}"))
+    val a = spark.read.format(format).load(s"$compactPath/gen_$fromGen")
+    val b = spark.read.format(format).load(s"$compactPath/gen_$toGen")
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"snapshots carry different columns (${a.columns.sorted.mkString(",")}" +
+        s" vs ${b.columns.sorted.mkString(",")}) — diff them through " +
+        "readUnified-style alignment first")
+    val valCols = a.columns.filterNot(keyCols.contains).sorted
+    val oldSide = a.select(a.columns.map(c =>
+      col(c).as(s"_old_$c")).toSeq: _*)
+    val newSide = b
+    val joinCond = keyCols.map(k =>
+      col(s"_old_$k") <=> col(k)).reduce(_ && _)
+    val joined = oldSide.join(newSide, joinCond, "full_outer")
+    // business keys are non-null by CDC contract, so a null key side
+    // after the full outer join means "absent from that snapshot"
+    val inOld = keyCols.map(k => col(s"_old_$k").isNotNull).reduce(_ || _)
+    val inNew = keyCols.map(k => col(k).isNotNull).reduce(_ || _)
+    val differs =
+      if (valCols.isEmpty) lit(false)
+      else valCols.map(c => !(col(s"_old_$c") <=> col(c)))
+        .reduce(_ || _)
+    joined
+      .withColumn("_change",
+        when(!inOld, lit("insert"))
+          .when(!inNew, lit("delete"))
+          .when(differs, lit("update")))
+      .filter(col("_change").isNotNull)
+      .select(
+        keyCols.map(k => coalesce(col(k), col(s"_old_$k")).as(k)) ++
+          Seq(col("_change")) ++
+          valCols.map(c =>
+            when(col("_change") === "delete", col(s"_old_$c"))
+              .otherwise(col(c)).as(c)): _*)
+  }
+
   /** Retention: delete live `_batch_id` directories already folded
     * into the COMMITTED generation, and generation directories older
     * than the newest `retainGenerations` snapshots (the committed one

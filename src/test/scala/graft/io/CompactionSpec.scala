@@ -425,6 +425,50 @@ class CompactionSpec extends SparkSpec {
     assert(e.getMessage.contains("at most one row per key per batch"))
   }
 
+  test("snapshotDiff classifies insert/update/delete between retained " +
+       "snapshots, carries the right row version per class, and fails " +
+       "loud on vacuumed snapshots, inverted ranges, and drifted " +
+       "schemas") {
+    import spark.implicits._
+    val root = tmp("ingdiff")
+    val live = s"$root/live"; val comp = s"$root/compact"
+    val fn = graft.streaming.StreamingOps
+      .partitionedSinkBatch(live, Seq("flag"))
+    def batch(rows: Seq[(String, Long, Double, Boolean)], id: Long) =
+      fn(rows.toDF("flag", "key", "v", "del"), id)
+    batch(Seq(("R", 1L, 1.0, false), ("A", 2L, 2.0, false),
+              ("R", 3L, 3.0, false)), 0L)
+    Compaction.compactIngestUpsert(spark, live, comp, Seq("flag"),
+      Seq("key"), 1L << 30, deleteCol = Some("del"))
+    batch(Seq(("R", 1L, 10.0, false), ("A", 2L, 0.0, true),
+              ("N", 4L, 4.0, false)), 1L)
+    Compaction.compactIngestUpsert(spark, live, comp, Seq("flag"),
+      Seq("key"), 1L << 30, deleteCol = Some("del"))
+    Compaction.vacuumLive(spark, live, comp, retainGenerations = 2)
+    val d = Compaction.snapshotDiff(spark, comp, 0L, 1L, Seq("key"))
+      .collect()
+      .map(r => r.getAs[Long]("key") ->
+        ((r.getAs[String]("_change"), r.getAs[Double]("v"))))
+      .toMap
+    // update carries the NEW version, delete the OLD, unchanged keys
+    // (3) are absent
+    assert(d == Map(1L -> ("update", 10.0), 2L -> ("delete", 2.0),
+      4L -> ("insert", 4.0)), d.toString)
+    val e1 = intercept[IllegalArgumentException](
+      Compaction.snapshotDiff(spark, comp, 1L, 0L, Seq("key")))
+    assert(e1.getMessage.contains("fromGen < toGen"))
+    val e2 = intercept[IllegalArgumentException](
+      Compaction.snapshotDiff(spark, comp, 0L, 7L, Seq("key")))
+    assert(e2.getMessage.contains("gen_7") &&
+      e2.getMessage.contains("0, 1"))
+    // a drifted snapshot schema is refused, not silently mis-diffed
+    spark.read.parquet(s"$comp/gen_1").withColumn("extra", lit(1))
+      .write.partitionBy("flag").parquet(s"$comp/gen_9")
+    val e3 = intercept[IllegalArgumentException](
+      Compaction.snapshotDiff(spark, comp, 1L, 9L, Seq("key")))
+    assert(e3.getMessage.contains("different columns"))
+  }
+
   test("planCompaction bins only sub-threshold files, never exceeds the target, skips singletons") {
     val files = Seq(
       ("a", 10L), ("b", 20L), ("c", 30L), ("d", 40L),
