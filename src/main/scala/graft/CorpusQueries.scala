@@ -154,9 +154,17 @@ object CorpusQueries {
     // preserved via the sorted-struct device — collect_list order is
     // never trusted). The trainable artifact is 8 rows; application
     // cost is independent of corpus size.
+    // r16 optimization: the trainer is trainCollected, not the per-merge
+    // Spark loop — merge-for-merge identical (BpePropertySpec) and
+    // oracle-pinned against the loop's restatement (x173), and it skips
+    // the ~24 scheduling-bound jobs the loop pays per execution (the
+    // x174 rationale; guide §1.2 "the distributed algorithm" — the word
+    // domain is the certified-small value domain, so the merges learn
+    // driver-side in one collect). x167 deliberately KEEPS the loop: it
+    // is the oracle reference instrument for the loop form itself.
     "x168_bpe_segment" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val (merges, _) = graft.operators.Bpe.train(
+      val (merges, _) = graft.operators.Bpe.trainCollected(
         corpusWords(s, dir, "doc_id % 10 < 8"), BPER)
       // the frozen artifact: 8 rows, plan-truncated (read per round)
       val mergesP = merges.localCheckpoint()
