@@ -145,11 +145,11 @@ object SetSimJoin {
         expr(s"(_len * $tauNum + ${tauDen - 1}) DIV $tauDen") + lit(1L))
     val prefix = scope.persist(
       dfCap.fold(ranked)(c => ranked.filter(col("_df") <= c))
-        .select(col("_id"), col("_len"), col("_e")))
+        .select(col("_id"), col("_len"), col("_e"), col("_rn")))
     val a = prefix.select(col("_id").as("id_a"), col("_len").as("_la"),
-                          col("_e").as("_ea"))
+                          col("_e").as("_ea"), col("_rn").as("_ra"))
     val b = prefix.select(col("_id").as("id_b"), col("_len").as("_lb"),
-                          col("_e").as("_eb"))
+                          col("_e").as("_eb"), col("_rn").as("_rb"))
     // Join strategies are PINNED with shuffle_hash hints: every frame
     // here is data-sized (prefix stream, candidate pairs, the set
     // corpus), so at scale none is broadcastable, and the persisted
@@ -159,11 +159,54 @@ object SetSimJoin {
     // full element arrays). The hint fixes the plan: hash-partition on
     // the key, build the hinted side per-partition — the strategy that
     // is correct at every SF. PlanShapeSpec asserts the pin holds.
-    val cand = a.hint("shuffle_hash").join(b,
+    //
+    // PPJoin POSITIONAL filter (r16 optimization — the upgrade the
+    // original scaladoc deferred "if a profile ever shows the verify
+    // join dominating"; the r16 profile did: at bench SF the verify
+    // join's second exchange shipped 268 MB of attached set arrays for
+    // 310k candidates of which 256 survived). Candidates carry the
+    // prefix RANKS of the matching element on both sides; a qualifying
+    // pair needs inter*(tauDen+tauNum) >= tauNum*(la+lb) (inter >=
+    // tau/(1+tau)*(la+lb), integer-exact), and the match positions
+    // bound the achievable overlap, so most false candidates die BEFORE
+    // any set array is attached or shuffled:
+    //  - per candidate row (ANY shared prefix element at ranks i, j):
+    //    common elements globally before the match number at most
+    //    min(i,j)-1, those after at most min(la-i, lb-j), so
+    //    inter <= min(i,j) + min(la-i, lb-j) — a row-level join-time
+    //    prune, valid for every row (capped and uncapped);
+    //  - per PAIR, on the FIRST shared row by prefix rank (shared
+    //    elements appear in the same relative order on both sides under
+    //    the one global order): no common element precedes the match on
+    //    either side, so inter <= 1 + min(la-i, lb-j). Valid only when
+    //    candidate rows cover ALL shared prefix elements — i.e. for the
+    //    UNCAPPED join; the df cap drops rows, so a capped pair's first
+    //    SURVIVING row may have shared elements before it and only the
+    //    row-level bound applies.
+    // Both bounds are >= the true inter for qualifying pairs, so the
+    // prune is zero-miss; the oracle (candidates from ANY shared
+    // element) keeps re-proving exactly that.
+    val alpha = col("_la") + col("_lb") // inter*(den+num) >= num*alpha
+    val rowBound = least(col("_ra"), col("_rb")) +
+      least(col("_la") - col("_ra"), col("_lb") - col("_rb"))
+    val candRows = a.hint("shuffle_hash").join(b,
         col("_ea") === col("_eb") && col("id_a") < col("id_b") &&
         least(col("_la"), col("_lb")) * tauDen >=
-          greatest(col("_la"), col("_lb")) * tauNum)
-      .select(col("id_a"), col("id_b")).distinct()
+          greatest(col("_la"), col("_lb")) * tauNum &&
+        rowBound * (tauDen + tauNum) >= alpha * tauNum)
+    val cand =
+      if (dfCap.isDefined)
+        candRows.select(col("id_a"), col("id_b")).distinct()
+      else
+        candRows
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(min(struct(col("_ra"), col("_rb"))).as("_m"),
+               min(col("_la")).as("_fla"), min(col("_lb")).as("_flb"))
+          .filter((lit(1L) + least(col("_fla") - col("_m._ra"),
+                                   col("_flb") - col("_m._rb"))) *
+                    (tauDen + tauNum) >=
+                  (col("_fla") + col("_flb")) * tauNum)
+          .select(col("id_a"), col("id_b"))
     val sa = sets.select(col("_id").as("id_a"), col("_set").as("_sa"),
                          size(col("_set")).cast("long").as("_la"))
     val sb = sets.select(col("_id").as("id_b"), col("_set").as("_sb"),
@@ -221,16 +264,31 @@ object SetSimJoin {
       .withColumn("_rn", row_number().over(wDoc).cast("long"))
       .filter(col("_rn") <=
         col("_len") - expr(s"(_len * $n2 + ${d2 - 1}) DIV $d2") + lit(1L))
-      .select(col("_id"), col("_len"), col("_e")))
+      .select(col("_id"), col("_len"), col("_e"), col("_rn")))
     val a = prefix.select(col("_id").as("id_a"), col("_len").as("_la"),
-                          col("_e").as("_ea"))
+                          col("_e").as("_ea"), col("_rn").as("_ra"))
     val b = prefix.select(col("_id").as("id_b"), col("_len").as("_lb"),
-                          col("_e").as("_eb"))
+                          col("_e").as("_eb"), col("_rn").as("_rb"))
+    // PPJoin positional prune, cosine form (see joinImpl for the bound
+    // derivation and zero-miss argument): required overlap is
+    // inter² · d2 >= la·lb·n2; the row-level bound applies to every
+    // shared prefix row, the first-match bound per pair.
+    val rowBound = least(col("_ra"), col("_rb")) +
+      least(col("_la") - col("_ra"), col("_lb") - col("_rb"))
     val cand = a.hint("shuffle_hash").join(b,
         col("_ea") === col("_eb") && col("id_a") < col("id_b") &&
         least(col("_la"), col("_lb")) * d2 >=
-          greatest(col("_la"), col("_lb")) * n2)
-      .select(col("id_a"), col("id_b")).distinct()
+          greatest(col("_la"), col("_lb")) * n2 &&
+        rowBound * rowBound * d2 >= col("_la") * col("_lb") * n2)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(struct(col("_ra"), col("_rb"))).as("_m"),
+           min(col("_la")).as("_fla"), min(col("_lb")).as("_flb"))
+      .filter({
+        val fb = lit(1L) + least(col("_fla") - col("_m._ra"),
+                                 col("_flb") - col("_m._rb"))
+        fb * fb * d2 >= col("_fla") * col("_flb") * n2
+      })
+      .select(col("id_a"), col("id_b"))
     val sa = sets.select(col("_id").as("id_a"), col("_set").as("_sa"),
                          size(col("_set")).cast("long").as("_la"))
     val sb = sets.select(col("_id").as("id_b"), col("_set").as("_sb"),
