@@ -32,9 +32,9 @@ import org.apache.spark.sql.functions._
   * as above), a distinct on pairs, and two keyed joins to fetch the
   * sets for exact verification. Nothing is ever all-pairs;
   * nothing buffers more than one set per row. The PPJoin positional
-  * upgrade (carry the prefix POSITION and bound the remaining overlap)
-  * would cut candidates further at identical semantics if a profile ever
-  * shows the verify join dominating.
+  * filter IS implemented (r16): candidates carry prefix ranks, a
+  * row-level overlap bound prunes at join time on every path, and the
+  * uncapped paths add a per-pair first-match bound — see joinImpl.
   *
   * Determinism: the global order is (df, element) — engine-independent —
   * and the verify arithmetic is integer (inter*den >= uni*num), so the

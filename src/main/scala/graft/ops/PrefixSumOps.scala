@@ -204,10 +204,19 @@ object PrefixSumOps {
     // (runningSum recomputes the total in phase 1; here the total must
     // exist before ranks can be evaluated, so it rides the sketch pass).
     val qs = (1 until splits).map(_.toDouble / splits)
-    val bounds = in.groupBy(gCols: _*)
+    // persisted (r17, ADVICE r16): the sketch+total frame is TINY
+    // (|groups| rows) but its computation is the expensive full-domain
+    // percentile_approx pass, and it feeds BOTH phases' range
+    // assignment. Without the persist, phase consistency rested on
+    // ReuseExchange collapsing the two identical broadcast subtrees —
+    // the file's "correctness never depends on exchange reuse" contract
+    // held only under default configs. Caching |groups| rows makes the
+    // sketch provably computed once while keeping the r16 win of NOT
+    // caching the full-domain ranged frame.
+    val bounds = scope.persist(in.groupBy(gCols: _*)
       .agg(percentile_approx(col(order), lit(qs.toArray), lit(2000))
              .as("_bs"),
-           sum(col(value)).as("_tot"))
+           sum(col(value)).as("_tot")))
     def withRanges(frame: DataFrame): DataFrame = {
       val b =
         if (group.isEmpty) frame.crossJoin(broadcast(bounds))

@@ -59,8 +59,17 @@ object JobStats {
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
-        // drain the listener bus so late events land before we read
-        Thread.sleep(500)
+        // drain the listener bus: poll until every counter is stable for
+        // two consecutive 100 ms windows (a fixed sleep undercounted on a
+        // loaded box — ADVICE r16), bounded at 5 s
+        def snap() = (jobs.get, stages.get, tasks.get, shW.get, shR.get,
+                      in.get, spill.get)
+        var prev = snap(); var stable = 0; var waited = 0
+        while (stable < 2 && waited < 50) {
+          Thread.sleep(100); waited += 1
+          val cur = snap()
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        }
         spark.sparkContext.removeSparkListener(listener)
         spark.catalog.clearCache()
         last = f"[jobstats] $name rep$i ${sec}%.2fs n=$n jobs=${jobs.get} " +
