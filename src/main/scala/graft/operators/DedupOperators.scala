@@ -306,25 +306,36 @@ object DedupOperators {
     // the propagation itself. Symmetrize with ONE explode, not
     // union(pairs, pairs.swap) — a union's branches each re-execute the
     // unpersisted pair lineage when the cache first materializes, doubling
-    // exactly the expensive part
+    // exactly the expensive part.
+    // Hash-partition by `src` BEFORE caching (r17, the GraphOps.bfs
+    // device): the cached InMemoryRelation keeps that outputPartitioning,
+    // so every round's src-keyed propagation join reuses it and only the
+    // node-sized label frame shuffles — without it the FULL edge list
+    // re-crossed the wire every round (measured on x102 at sf0.1:
+    // 1.55 M symmetrized edges / ~20 MB shuffled per round, ×3 rounds,
+    // vs a 45 k-row label shuffle).
     val edges = pairs
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("_e"))
       .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
+      .repartition(col("src"))
       .persist()
     // localCheckpoint LAZILY (eager=false): the labelSum action below is the
     // job that materializes each round's checkpoint, so every round costs ONE
     // Spark job, not two — iteration overhead, not data volume, dominates
     // this loop's wall clock
-    // seed labels with least(id, min neighbor) — the same single shuffle a
-    // plain distinct-ids init would cost (each node appears as dst in the
-    // symmetrized edges), but it bakes round 1's neighbor propagation into
-    // the init, so dense star-shaped dup groups typically converge one
-    // full round earlier
-    var labels = edges.groupBy(col("dst"))
-      .agg(min(col("src")).as("_m"))
-      .select(col("dst").as("id"), least(col("_m"), col("dst")).as("label"))
+    // seed labels with least(id, min neighbor) — it bakes round 1's
+    // neighbor propagation into the init, so dense star-shaped dup groups
+    // typically converge one full round earlier. Grouped by SRC (r17): on
+    // a symmetrized edge set {(s,d)} = {(d,s)}, so groupBy(src).min(dst)
+    // ≡ groupBy(dst).min(src) — and the src grouping rides the edge
+    // cache's own partitioning with NO exchange (measured: the dst form
+    // paid a full edge-sized shuffle at init, ~19 MB / 1.86 M records on
+    // x102's linkage graph at sf0.1).
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("_m"))
+      .select(col("src").as("id"), least(col("_m"), col("src")).as("label"))
       .localCheckpoint(false)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
@@ -332,8 +343,13 @@ object DedupOperators {
     var iter = 0
     var converged = prevSum == null // empty pair set: nothing to do
     while (iter < maxIters && !converged) {
+      // labels is the hinted (build) side: the edge cache's src
+      // partitioning is reused exchange-free, the node-sized label frame
+      // is what shuffles, and nothing sorts the edge list round-to-round
+      // (an unpinned plan on the stats-less checkpointed labels could
+      // pick SMJ and pay an edge sort per round)
       val viaEdges = edges
-        .join(labels, edges("src") === labels("id"))
+        .join(labels.hint("shuffle_hash"), edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
       val viaLabels = labels.as("a")
         .join(labels.as("b"), col("a.label") === col("b.id"))
