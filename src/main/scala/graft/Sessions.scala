@@ -12,6 +12,16 @@ object Sessions {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // AQE's default 1 MB coalescing floor serializes CPU-dense work on
+    // this surface: any shuffle under ~1 MB collapses to ONE post-shuffle
+    // partition, so levenshtein/md5/percentile-heavy stages run on one
+    // core however many the session has (measured: x99's whole candidate
+    // join + verify was a single 5.8 s task behind a 0.6 MB exchange).
+    // 64 KB keeps byte-light-but-CPU-heavy stages parallel while still
+    // coalescing truly empty partitions; at cluster scale shuffles carry
+    // real bytes and the floor is irrelevant (target = bytes/parallelism
+    // dominates) — scale-neutral, not a local[32] constant.
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     // testdata events.parquet is TIMESTAMP(NANOS) — see Tables
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -34,15 +34,21 @@ object JobStats {
           shR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           in.addAndGet(m.inputMetrics.bytesRead)
           spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
-          if (verbose && (m.inputMetrics.bytesRead > 0 ||
+          val durMs = (for {t0 <- s.stageInfo.submissionTime
+                            t1 <- s.stageInfo.completionTime} yield t1 - t0)
+            .getOrElse(-1L)
+          if (verbose && (durMs > 100 ||
+                          m.inputMetrics.bytesRead > 0 ||
                           m.shuffleWriteMetrics.bytesWritten > 0 ||
                           m.shuffleReadMetrics.totalBytesRead > 0))
             System.err.println(s"[jobstats-stage] stage=${s.stageInfo.stageId}" +
+              s" dur=${durMs}ms" +
               s" input=${m.inputMetrics.bytesRead / 1024}KB" +
               s" shufW=${m.shuffleWriteMetrics.bytesWritten / 1024}KB" +
               s" shufR=${m.shuffleReadMetrics.totalBytesRead / 1024}KB" +
               s" tasks=${s.stageInfo.numTasks}" +
-              s" recsOut=${m.shuffleWriteMetrics.recordsWritten}")
+              s" recsOut=${m.shuffleWriteMetrics.recordsWritten}" +
+              s" name=${s.stageInfo.name.takeWhile(_ != ' ')}")
         }: Unit
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
