@@ -307,32 +307,38 @@ object DedupOperators {
     // union(pairs, pairs.swap) — a union's branches each re-execute the
     // unpersisted pair lineage when the cache first materializes, doubling
     // exactly the expensive part.
-    // Hash-partition by `src` BEFORE caching (r17, the GraphOps.bfs
-    // device): the cached InMemoryRelation keeps that outputPartitioning,
-    // so every round's src-keyed propagation join reuses it and only the
-    // node-sized label frame shuffles — without it the FULL edge list
-    // re-crossed the wire every round (measured on x102 at sf0.1:
-    // 1.55 M symmetrized edges / ~20 MB shuffled per round, ×3 rounds,
-    // vs a 45 k-row label shuffle).
+    // NOTE (r17, measured both ways): pre-partitioning this cache by
+    // `src` (the GraphOps.bfs device) removes the per-round edge shuffle
+    // — x102's profile dropped 82.4 → 58.0 MB shuffled, the right shape
+    // for a many-round loop over a cluster-scale edge list — but at
+    // bench SF the explicit repartition PINS the cached edge frame at
+    // spark.sql.shuffle.partitions forever (user-specified repartitions
+    // are exempt from AQE coalescing), forcing every round into
+    // full-width task waves over near-empty partitions: TimeMany A/B/A
+    // showed +0.4–1.6 s on ALL of x14/x74/x92/x103 and no win even on
+    // x102. Kept un-partitioned: AQE sizes each round's exchanges to the
+    // data, which is also the honest cluster-scale default (the edge
+    // re-shuffle per round is bytes the coalesced plan prices correctly;
+    // a deployment with a fixed huge graph would pre-bucket the edge
+    // TABLE at rest instead — b03's layout — not repartition in-query).
     val edges = pairs
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("_e"))
       .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
-      .repartition(col("src"))
       .persist()
     // localCheckpoint LAZILY (eager=false): the labelSum action below is the
     // job that materializes each round's checkpoint, so every round costs ONE
     // Spark job, not two — iteration overhead, not data volume, dominates
     // this loop's wall clock
-    // seed labels with least(id, min neighbor) — it bakes round 1's
-    // neighbor propagation into the init, so dense star-shaped dup groups
-    // typically converge one full round earlier. Grouped by SRC (r17): on
-    // a symmetrized edge set {(s,d)} = {(d,s)}, so groupBy(src).min(dst)
-    // ≡ groupBy(dst).min(src) — and the src grouping rides the edge
-    // cache's own partitioning with NO exchange (measured: the dst form
-    // paid a full edge-sized shuffle at init, ~19 MB / 1.86 M records on
-    // x102's linkage graph at sf0.1).
+    // seed labels with least(id, min neighbor) — the same single shuffle a
+    // plain distinct-ids init would cost, but it bakes round 1's neighbor
+    // propagation into the init, so dense star-shaped dup groups typically
+    // converge one full round earlier. Grouped by SRC (r17): on a
+    // symmetrized edge set {(s,d)} = {(d,s)}, so groupBy(src).min(dst)
+    // ≡ groupBy(dst).min(src) value-for-value — and src is the key the
+    // round joins probe, so any layout that pre-partitions the edges by
+    // src (bucketed edge table at rest) makes this init exchange-free.
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("_m"))
       .select(col("src").as("id"), least(col("_m"), col("src")).as("label"))
@@ -343,13 +349,8 @@ object DedupOperators {
     var iter = 0
     var converged = prevSum == null // empty pair set: nothing to do
     while (iter < maxIters && !converged) {
-      // labels is the hinted (build) side: the edge cache's src
-      // partitioning is reused exchange-free, the node-sized label frame
-      // is what shuffles, and nothing sorts the edge list round-to-round
-      // (an unpinned plan on the stats-less checkpointed labels could
-      // pick SMJ and pay an edge sort per round)
       val viaEdges = edges
-        .join(labels.hint("shuffle_hash"), edges("src") === labels("id"))
+        .join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
       val viaLabels = labels.as("a")
         .join(labels.as("b"), col("a.label") === col("b.id"))
