@@ -115,11 +115,18 @@ object LayoutQueries {
       .withColumn("bk", expr(blockKey("nm")))
   }
 
-  /** Blocked lev≤2 linkage edges a×b, normalized to id_a < id_b. */
+  /** Blocked lev≤2 linkage edges a×b, normalized to id_a < id_b.
+    * The block join is pinned shuffle_hash (r17): both sides are
+    * record-sized — at scale neither is broadcastable, and at bench SF
+    * Catalyst's broadcast of the persisted (small-stats) side ran the
+    * whole levenshtein fan-out inside the cache's own 3 partitions
+    * (profiled: 2.9 s in 3 tasks, the single hottest x102 stage). A
+    * bk-keyed shuffle spreads the verify across post-shuffle
+    * partitions at every SF. */
   private def linkPairs(a: DataFrame, b: DataFrame): DataFrame =
     a.select(col("bk"), col("rid").as("id_a"), col("nm").as("nm_a"))
       .join(b.select(col("bk"), col("rid").as("id_b"),
-                     col("nm").as("nm_b")), Seq("bk"))
+                     col("nm").as("nm_b")).hint("shuffle_hash"), Seq("bk"))
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("lev", levenshtein(col("nm_a"), col("nm_b"), 2))
       .filter(col("lev") >= 0 && col("lev") <= 2)

@@ -92,10 +92,15 @@ object DedupOps {
       .crossJoin(broadcast(sampN))
       .filter(col("_rn") % greatest(ceil(col("_n") / splits), lit(1)) === 0)
       .agg(sort_array(collect_list(col("_k"))).as("_bs"))
-    val ranged = keyed.crossJoin(broadcast(bounds))
+    // persisted (r17): the range id is an INTERPRETED O(splits) fold per
+    // row (struct keys cannot take the native sorted_lower_bound), and
+    // ranged feeds two full-frame consumers (offsets agg + final join) —
+    // unpersisted, the fold and the keyed-cache scan both ran twice
+    // (profiled on x150: the two duplicate 88 k-row stages)
+    val ranged = scope.persist(keyed.crossJoin(broadcast(bounds))
       .withColumn("_rb", aggregate(col("_bs"), lit(0),
         (acc, b) => acc + when(col("_k") > b, 1).otherwise(0)))
-      .drop("_bs")
+      .drop("_bs"))
     // tiny: one row per range — the unpartitioned window is bounded by
     // `splits`, never by the data
     val wOff = Window.orderBy(col("_rb"))
