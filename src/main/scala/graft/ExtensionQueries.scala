@@ -283,30 +283,9 @@ object ExtensionQueries {
           graft.functions.expr.MinHashSigMd5(col("_w"), 3, 8).as("sig"),
           array_distinct(T.shinglesFromWords(col("_w"), 3)).as("sh"))
         .persist()
-      val adj = d.select(col("doc_id").as("id_a"),
-                         (col("doc_id") + 1).as("id_b"))
       val near = graft.operators.SetSimJoin
         .join(d.select(col("doc_id"), col("sh")), "doc_id", "sh", 1, 2)
-        .select(col("id_a"), col("id_b"))
-      val a = d.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
-                       col("sh").as("sh_a"))
-      val b = d.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
-                       col("sh").as("sh_b"))
-      adj.unionByName(near).distinct()
-        .join(a, Seq("id_a")).join(b, Seq("id_b"))
-        .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
-        .withColumn("est_x1000", expr(
-          """(1000 * size(filter(zip_with(sig_a, sig_b,
-               (x, y) -> x = y), m -> m))) DIV 8"""))
-        .withColumn("inter",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-        .withColumn("uni",
-          size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
-        .withColumn("jac_x1000", expr("(1000 * inter) DIV uni"))
-        .select(col("id_a"), col("id_b"), col("est_x1000"),
-                col("jac_x1000"),
-                abs(col("est_x1000") - col("jac_x1000")).as("abs_err_x1000"))
-        .orderBy(col("id_a"), col("id_b"))
+      minhashErrorAudit(d, near)
     }),
 
     // X152 — x78's MinHash error audit under candidate GOVERNANCE: x78's
@@ -329,31 +308,10 @@ object ExtensionQueries {
           graft.functions.expr.MinHashSigMd5(col("_w"), 3, 8).as("sig"),
           array_distinct(T.shinglesFromWords(col("_w"), 3)).as("sh"))
         .persist()
-      val adj = d.select(col("doc_id").as("id_a"),
-                         (col("doc_id") + 1).as("id_b"))
       val near = graft.operators.SetSimJoin
         .joinCapped(d.select(col("doc_id"), col("sh")), "doc_id", "sh",
                     1, 2, dfCap = 8L)
-        .select(col("id_a"), col("id_b"))
-      val a = d.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
-                       col("sh").as("sh_a"))
-      val b = d.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
-                       col("sh").as("sh_b"))
-      adj.unionByName(near).distinct()
-        .join(a, Seq("id_a")).join(b, Seq("id_b"))
-        .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
-        .withColumn("est_x1000", expr(
-          """(1000 * size(filter(zip_with(sig_a, sig_b,
-               (x, y) -> x = y), m -> m))) DIV 8"""))
-        .withColumn("inter",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-        .withColumn("uni",
-          size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
-        .withColumn("jac_x1000", expr("(1000 * inter) DIV uni"))
-        .select(col("id_a"), col("id_b"), col("est_x1000"),
-                col("jac_x1000"),
-                abs(col("est_x1000") - col("jac_x1000")).as("abs_err_x1000"))
-        .orderBy(col("id_a"), col("id_b"))
+      minhashErrorAudit(d, near)
     }),
 
     // X79 — LSH band-configuration tuning census: for each (bands,
@@ -1325,6 +1283,47 @@ object ExtensionQueries {
   // --- DuckDB oracles ------------------------------------------------------
 
   private val enStop = T.EnStopwords.mkString("|")
+  /** x78/x152 shared audit body (r17, guide §2.3 — shuffle fewer bytes):
+    * the adjacent-id arm computes (inter, uni) with ONE co-keyed
+    * self-join of the shingle frame; the near-dup arm CARRIES the
+    * (inter, uni) SetSimJoin's verify already produced. The previous
+    * shape re-attached both full shingle arrays to every audit pair via
+    * two id-keyed joins to recompute those numbers — ~150 MB shuffled at
+    * sf0.1 per query. Signatures (8 longs/doc) are now the only per-doc
+    * payload the audit joins ship. Values are identical by construction:
+    * SetSimJoin's inter/uni use the same array_intersect arithmetic over
+    * the same distinct-shingle sets, and a pair caught by both arms
+    * dedups to the same numbers (max == first == the value). */
+  private def minhashErrorAudit(d: DataFrame, near: DataFrame): DataFrame = {
+    val adj = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+                       (col("doc_id") + 1).as("id_b"))
+      .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+            Seq("id_b"))
+      .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+    val pairs = adj
+      .unionByName(near.select(col("id_a"), col("id_b"),
+                               col("inter"), col("uni")))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("inter")).as("inter"), max(col("uni")).as("uni"))
+    pairs
+      .join(d.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
+            Seq("id_a"))
+      .join(d.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
+            Seq("id_b"))
+      .withColumn("est_x1000", expr(
+        """(1000 * size(filter(zip_with(sig_a, sig_b,
+             (x, y) -> x = y), m -> m))) DIV 8"""))
+      .withColumn("jac_x1000", expr("(1000 * inter) DIV uni"))
+      .select(col("id_a"), col("id_b"), col("est_x1000"), col("jac_x1000"),
+              abs(col("est_x1000") - col("jac_x1000")).as("abs_err_x1000"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   private def markers(l: String) =
     T.LangMarkers.toMap.apply(l).mkString("|")
 

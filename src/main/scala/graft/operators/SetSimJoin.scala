@@ -175,17 +175,29 @@ object SetSimJoin {
     //    min(i,j)-1, those after at most min(la-i, lb-j), so
     //    inter <= min(i,j) + min(la-i, lb-j) — a row-level join-time
     //    prune, valid for every row (capped and uncapped);
-    //  - per PAIR, on the FIRST shared row by prefix rank (shared
+    //  - per PAIR (r17 — the ACCUMULATED form, strictly tighter than
+    //    r16's first-match bound): let C = the number of candidate rows
+    //    of the pair and (i, j) = the LAST match's ranks (shared
     //    elements appear in the same relative order on both sides under
-    //    the one global order): no common element precedes the match on
-    //    either side, so inter <= 1 + min(la-i, lb-j). Valid only when
-    //    candidate rows cover ALL shared prefix elements — i.e. for the
-    //    UNCAPPED join; the df cap drops rows, so a capped pair's first
-    //    SURVIVING row may have shared elements before it and only the
-    //    row-level bound applies.
+    //    the one global order, so max(struct(ra, rb)) is that row).
+    //    Every shared element NOT counted in C sits after the last
+    //    match on BOTH sides: if posA(e) < i then, by global-order
+    //    consistency, posB(e) < j <= pb — so e is in both prefixes and
+    //    would itself be a row; on the CAPPED path a row is only
+    //    missing when df(e) > cap >= df(last match), which puts e after
+    //    the last match in the global order, the same conclusion. Hence
+    //    inter <= C + min(la-i, lb-j) on every path, capped included
+    //    (r16 ran the capped path on the row-level bound only; the
+    //    accumulated argument closes that gap). Tighter than
+    //    first-match: ranks strictly increase, so
+    //    C + min(la-i_last, lb-j_last) <= 1 + min(la-i_first, lb-j_first).
     // Both bounds are >= the true inter for qualifying pairs, so the
     // prune is zero-miss; the oracle (candidates from ANY shared
-    // element) keeps re-proving exactly that.
+    // element) keeps re-proving exactly that. The point of pruning at
+    // the PAIR level is the verify join's payload: every surviving pair
+    // ships a full set array through the next exchange (measured at
+    // bench SF: 125 k pairs -> 112 MB), so each pair pruned here is
+    // ~1 KB that never crosses the wire.
     val alpha = col("_la") + col("_lb") // inter*(den+num) >= num*alpha
     val rowBound = least(col("_ra"), col("_rb")) +
       least(col("_la") - col("_ra"), col("_lb") - col("_rb"))
@@ -195,18 +207,16 @@ object SetSimJoin {
           greatest(col("_la"), col("_lb")) * tauNum &&
         rowBound * (tauDen + tauNum) >= alpha * tauNum)
     val cand =
-      if (dfCap.isDefined)
-        candRows.select(col("id_a"), col("id_b")).distinct()
-      else
-        candRows
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(min(struct(col("_ra"), col("_rb"))).as("_m"),
-               min(col("_la")).as("_fla"), min(col("_lb")).as("_flb"))
-          .filter((lit(1L) + least(col("_fla") - col("_m._ra"),
+      candRows
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("_c"),
+             max(struct(col("_ra"), col("_rb"))).as("_m"),
+             min(col("_la")).as("_fla"), min(col("_lb")).as("_flb"))
+        .filter((col("_c") + least(col("_fla") - col("_m._ra"),
                                    col("_flb") - col("_m._rb"))) *
-                    (tauDen + tauNum) >=
-                  (col("_fla") + col("_flb")) * tauNum)
-          .select(col("id_a"), col("id_b"))
+                  (tauDen + tauNum) >=
+                (col("_fla") + col("_flb")) * tauNum)
+        .select(col("id_a"), col("id_b"))
     val sa = sets.select(col("_id").as("id_a"), col("_set").as("_sa"),
                          size(col("_set")).cast("long").as("_la"))
     val sb = sets.select(col("_id").as("id_b"), col("_set").as("_sb"),
@@ -272,7 +282,9 @@ object SetSimJoin {
     // PPJoin positional prune, cosine form (see joinImpl for the bound
     // derivation and zero-miss argument): required overlap is
     // inter² · d2 >= la·lb·n2; the row-level bound applies to every
-    // shared prefix row, the first-match bound per pair.
+    // shared prefix row, the accumulated-count + last-match bound per
+    // pair (r17 — same proof as joinImpl, strictly tighter than the
+    // first-match form it replaces).
     val rowBound = least(col("_ra"), col("_rb")) +
       least(col("_la") - col("_ra"), col("_lb") - col("_rb"))
     val cand = a.hint("shuffle_hash").join(b,
@@ -281,11 +293,12 @@ object SetSimJoin {
           greatest(col("_la"), col("_lb")) * n2 &&
         rowBound * rowBound * d2 >= col("_la") * col("_lb") * n2)
       .groupBy(col("id_a"), col("id_b"))
-      .agg(min(struct(col("_ra"), col("_rb"))).as("_m"),
+      .agg(count(lit(1)).as("_c"),
+           max(struct(col("_ra"), col("_rb"))).as("_m"),
            min(col("_la")).as("_fla"), min(col("_lb")).as("_flb"))
       .filter({
-        val fb = lit(1L) + least(col("_fla") - col("_m._ra"),
-                                 col("_flb") - col("_m._rb"))
+        val fb = col("_c") + least(col("_fla") - col("_m._ra"),
+                                   col("_flb") - col("_m._rb"))
         fb * fb * d2 >= col("_fla") * col("_flb") * n2
       })
       .select(col("id_a"), col("id_b"))
