@@ -61,11 +61,16 @@ object PrefixSumOps {
     val in = scope.persist(df)
     // Phase 0 — deterministic range cuts per group from a quantile sketch.
     // Accuracy only balances tasks (a cut off by 1/accuracy of the domain
-    // shifts that many rows between neighboring ranges); 2000 keeps the
-    // sketch merge cheap while bounding imbalance to 0.05% of a group.
+    // shifts that many rows between neighboring ranges); 500 bounds
+    // imbalance to 0.2% of a group — ample for task balance — at a
+    // measurably cheaper sketch than the earlier 2000 (ProbeMad: the
+    // a=2000 sketch pass was 3.5 s cold / 0.60 s warm on q113's domain,
+    // a=100 1.3 / 0.45 — the bench re-pays the cold path every pass via
+    // clearCache). Results are accuracy-independent by construction:
+    // the sketch places cuts, never values.
     val qs = (1 until splits).map(_.toDouble / splits)
     val bounds = in.groupBy(gCols: _*)
-      .agg(percentile_approx(col(order), lit(qs.toArray), lit(2000))
+      .agg(percentile_approx(col(order), lit(qs.toArray), lit(500))
         .as("_bs"))
     val bounded =
       if (group.isEmpty) in.crossJoin(broadcast(bounds))
@@ -134,7 +139,7 @@ object PrefixSumOps {
     val in = scope.persist(df)
     val qs = (1 until splits).map(_.toDouble / splits)
     val bounds = in.groupBy(gCols: _*)
-      .agg(percentile_approx(col(cutKey), lit(qs.toArray), lit(2000))
+      .agg(percentile_approx(col(cutKey), lit(qs.toArray), lit(500))
         .as("_bs"))
     val bounded =
       if (group.isEmpty) in.crossJoin(broadcast(bounds))
@@ -214,7 +219,7 @@ object PrefixSumOps {
     // sketch provably computed once while keeping the r16 win of NOT
     // caching the full-domain ranged frame.
     val bounds = scope.persist(in.groupBy(gCols: _*)
-      .agg(percentile_approx(col(order), lit(qs.toArray), lit(2000))
+      .agg(percentile_approx(col(order), lit(qs.toArray), lit(500))
              .as("_bs"),
            sum(col(value)).as("_tot")))
     def withRanges(frame: DataFrame): DataFrame = {
