@@ -1614,13 +1614,27 @@ object CorpusQueries {
     val hi = ord.select(col("rn").as("rn_b"), col("span").as("sp_b"),
                         col("doc_id").as("id_b"))
       .withColumn("blk", expr(s"rn_b div ${w - 1}"))
+    // longest common prefix, exact: prefix-match is monotone (a mismatch
+    // at char i rules out every longer prefix), so the first differing
+    // 1-char substring pins LCP = i - 1 and the ascending CASE chain
+    // short-circuits there; if no position in 1..window differs, the
+    // shorter span is a prefix of the longer and LCP = min(la, lb)
+    // (substring past a span's end yields "" and differs from the longer
+    // side's char, so the prefix-of case never stops early). Every arm
+    // is a codegen'd single-char compare — r17: replaces the interpreted
+    // sequence/filter HOF that allocated and compared 2·min(la,lb)
+    // PREFIX substrings per pair through per-element lambda dispatch
+    // (O(window²) chars and the last CPU hotspot of this query).
+    val lcp = (1 to window).foldRight(
+        least(length(col("sp_a")), length(col("sp_b"))).cast("long")) {
+      case (i, tail) =>
+        when(substring(col("sp_a"), i, 1) =!= substring(col("sp_b"), i, 1),
+             lit((i - 1).toLong)).otherwise(tail)
+    }
     val pairs = lo.join(hi, Seq("blk"))
       .filter((col("rn_b") - col("rn_a")).between(1, w - 1) &&
               col("id_a") =!= col("id_b"))
-      .withColumn("pfx", size(filter(
-        sequence(lit(1), least(length(col("sp_a")), length(col("sp_b")))),
-        i => col("sp_a").substr(lit(1), i) === col("sp_b").substr(lit(1), i)))
-        .cast("long"))
+      .withColumn("pfx", lcp)
       .filter(col("pfx") >= tau)
     pairs.select(explode(array(
         struct(col("id_a").as("doc_id"), col("sp_a").as("span"), col("pfx")),

@@ -1076,6 +1076,45 @@ class CorpusQueriesSpec extends SparkSpec {
       e.toString)
   }
 
+  test("x150 pfx CASE-chain LCP equals the HOF count form on adversarial pairs") {
+    // the r17 codegen'd short-circuiting LCP must agree with the
+    // sequence/filter HOF it replaced — including the prefix-of case
+    // (no mismatch inside the window), first-char mismatch, equal
+    // strings, multi-byte codepoints, and lengths straddling the window
+    val window = 24
+    val lcp = (1 to window).foldRight(
+        least(length(col("sp_a")), length(col("sp_b"))).cast("long")) {
+      case (i, tail) =>
+        when(substring(col("sp_a"), i, 1) =!= substring(col("sp_b"), i, 1),
+             lit((i - 1).toLong)).otherwise(tail)
+    }
+    val hof = size(filter(
+      sequence(lit(1), least(length(col("sp_a")), length(col("sp_b")))),
+      i => col("sp_a").substr(lit(1), i) === col("sp_b").substr(lit(1), i)))
+      .cast("long")
+    val rnd = new scala.util.Random(150)
+    def span(): String = {
+      val n = 12 + rnd.nextInt(13) // [12, 24] like the operator's spans
+      (1 to n).map(_ => "abcd€ß"(rnd.nextInt(6))).mkString
+    }
+    val planted = Seq(
+      ("exactlythesamespan12", "exactlythesamespan12"), // equal
+      ("prefixcase1234", "prefixcase1234andmore"),      // strict prefix
+      ("Xmismatchatonechar", "Ymismatchatonechar"),     // first char
+      ("sharedkernel775abc", "sharedkernel775xyz"),     // interior
+      ("€€multibyte12345", "€€multibyte12399"))         // multi-byte
+    val pairs = (planted ++ (1 to 200).map { _ =>
+      val a = span()
+      // half the pairs share a random-length prefix of a
+      if (rnd.nextBoolean()) (a, a.take(rnd.nextInt(a.length + 1)) + span())
+      else (a, span())
+    }).toDF("sp_a", "sp_b")
+    val rows = pairs.select(col("sp_a"), col("sp_b"),
+        lcp.as("new"), hof.as("old"))
+      .filter(col("new") =!= col("old")).collect()
+    assert(rows.isEmpty, s"LCP forms disagree: ${rows.take(5).toSeq}")
+  }
+
   test("x150 recovers a planted below-window duplicate that x67 provably misses") {
     implicit val scope: graft.ops.CacheScope = graft.ops.CacheScope.session
     // CdcBounds' anchor decision, replicated: first 3 md5 bytes % 16
